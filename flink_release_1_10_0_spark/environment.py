@@ -1,0 +1,184 @@
+"""TableEnvironment / Table — the fluent API shell.
+
+Reference surface: ``flink-table/flink-table-api-java/src/main/java/org/
+apache/flink/table/api/Table.java:104-911`` (select/filter/where/groupBy/
+join family/set ops/orderBy/offset/fetch/distinct) and
+``TableEnvironmentImpl.java:463`` (``sqlQuery``) / ``:483`` (``sqlUpdate``).
+
+Design: every method is a *declarative* delegation to the Spark DataFrame
+API, so Catalyst owns optimization (predicate pushdown, join reordering,
+two-phase agg — the rewrites the Blink planner implements in
+``FlinkStreamRuleSets.scala`` are Catalyst built-ins per SURVEY.md §4.2).
+No plan node of our own ever materializes rows on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.catalog import register_tables
+
+
+def _cols(exprs: Iterable[str | Column]) -> list[Column]:
+    return [F.expr(e) if isinstance(e, str) else e for e in exprs]
+
+
+class Table:
+    """Fluent relational table, mirroring ``Table.java``'s method set.
+
+    Wraps a DataFrame; all transformations return a new ``Table``.
+    ``where``/``filter``, ``fetch``/``limit``, ``minus``/``except`` keep the
+    reference naming alongside Spark's.
+    """
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- conversion ------------------------------------------------------
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    # -- projection / filter (Table.java:104-170; StreamExecCalc) --------
+    def select(self, *exprs: str | Column) -> "Table":
+        return Table(self._df.select(*_cols(exprs)))
+
+    def add_columns(self, **named_exprs: str | Column) -> "Table":
+        df = self._df
+        for name, e in named_exprs.items():
+            df = df.withColumn(name, F.expr(e) if isinstance(e, str) else e)
+        return Table(df)
+
+    def rename_columns(self, **renames: str) -> "Table":
+        df = self._df
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        return Table(df)
+
+    def drop_columns(self, *names: str) -> "Table":
+        return Table(self._df.drop(*names))
+
+    def filter(self, predicate: str | Column) -> "Table":
+        p = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return Table(self._df.filter(p))
+
+    where = filter  # Table.java `where` alias
+
+    # -- aggregation (Table.java groupBy; BatchExecHashAggregate) --------
+    def group_by(self, *keys: str | Column) -> "GroupedTable":
+        return GroupedTable(self._df, list(keys))
+
+    def distinct(self) -> "Table":
+        return Table(self._df.distinct())
+
+    # -- joins (Table.java:275-476; BatchExecHashJoin / SortMergeJoin) ---
+    def join(self, right: "Table", on: Any = None, how: str = "inner") -> "Table":
+        return Table(self._df.join(right._df, on, how))
+
+    def left_outer_join(self, right: "Table", on: Any = None) -> "Table":
+        return self.join(right, on, "left_outer")
+
+    def right_outer_join(self, right: "Table", on: Any = None) -> "Table":
+        return self.join(right, on, "right_outer")
+
+    def full_outer_join(self, right: "Table", on: Any = None) -> "Table":
+        return self.join(right, on, "full_outer")
+
+    def semi_join(self, right: "Table", on: Any = None) -> "Table":
+        """IN/EXISTS — reference ``StreamingSemiAntiJoinOperator.java:35``."""
+        return self.join(right, on, "left_semi")
+
+    def anti_join(self, right: "Table", on: Any = None) -> "Table":
+        return self.join(right, on, "left_anti")
+
+    def cross_join(self, right: "Table") -> "Table":
+        return Table(self._df.crossJoin(right._df))
+
+    # -- set ops (Table.java:655-742) ------------------------------------
+    def union(self, other: "Table") -> "Table":
+        return Table(self._df.union(other._df).distinct())
+
+    def union_all(self, other: "Table") -> "Table":
+        return Table(self._df.union(other._df))
+
+    def intersect(self, other: "Table") -> "Table":
+        return Table(self._df.intersect(other._df))
+
+    def intersect_all(self, other: "Table") -> "Table":
+        return Table(self._df.intersectAll(other._df))
+
+    def minus(self, other: "Table") -> "Table":
+        return Table(self._df.exceptAll(other._df).distinct())
+
+    def minus_all(self, other: "Table") -> "Table":
+        return Table(self._df.exceptAll(other._df))
+
+    # -- order / limit (Table.java:760-800; BatchExecSortLimit) ----------
+    def order_by(self, *exprs: str | Column) -> "Table":
+        return Table(self._df.orderBy(*_cols(exprs)))
+
+    def offset(self, n: int) -> "Table":
+        return Table(self._df.offset(n))
+
+    def fetch(self, n: int) -> "Table":
+        return Table(self._df.limit(n))
+
+    limit = fetch
+
+
+class GroupedTable:
+    def __init__(self, df: DataFrame, keys: list[str | Column]):
+        self._df = df
+        self._keys = keys
+
+    def select(self, *agg_exprs: str | Column) -> Table:
+        return Table(self._df.groupBy(*_cols(self._keys)).agg(*_cols(agg_exprs)))
+
+    agg = select
+
+
+class TableEnvironment:
+    """``TableEnvironmentImpl`` analog: catalog + SQL + Table factory."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        from flink_release_1_10_0_spark.functions.registry import register_flink_functions
+        register_flink_functions(spark)
+
+    @classmethod
+    def create(cls, spark: SparkSession | None = None) -> "TableEnvironment":
+        if spark is None:
+            from flink_release_1_10_0_spark.session import get_spark
+            spark = get_spark()
+        return cls(spark)
+
+    # catalog ------------------------------------------------------------
+    def register_parquet_tables(self, sf_dir: str) -> dict[str, DataFrame]:
+        return register_tables(self.spark, sf_dir)
+
+    def register_table(self, name: str, table: Table | DataFrame) -> None:
+        df = table.df if isinstance(table, Table) else table
+        df.createOrReplaceTempView(name)
+
+    def from_path(self, name: str) -> Table:
+        """``TableEnvironment.from`` — scan a registered table."""
+        return Table(self.spark.table(name))
+
+    def from_elements(self, rows: list, schema) -> Table:
+        """``StreamExecutionEnvironment.fromElements`` / SQL VALUES
+        (reference ``StreamExecValues.scala``)."""
+        return Table(self.spark.createDataFrame(rows, schema))
+
+    # SQL ----------------------------------------------------------------
+    def sql_query(self, query: str) -> Table:
+        return Table(self.spark.sql(query))
+
+    def execute_sql(self, stmt: str) -> DataFrame:
+        return self.spark.sql(stmt)
