@@ -34,12 +34,26 @@ def register_tables(spark: SparkSession, sf_dir: str,
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table as a DataFrame (no view registration)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one table as a DataFrame (no view registration).
+
+    ``events.parquet`` stores ``ts`` as parquet INT64 TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; read it as raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
+    timestamps — matching DuckDB's nanos->micros truncation.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)

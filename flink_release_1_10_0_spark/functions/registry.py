@@ -37,10 +37,8 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # FROM_BASE64 / TO_BASE64 — Spark spells them unbase64/base64
     "from_base64": ("s STRING", "STRING", "cast(unbase64(s) AS STRING)"),
     "to_base64": ("s STRING", "STRING", "base64(cast(s AS BINARY))"),
-    # CHR — Spark has `char`
-    "chr": ("n BIGINT", "STRING", "char(n)"),
-    # REGEXP(s, pattern) — Flink boolean regex match; Spark: rlike
-    "regexp": ("s STRING, p STRING", "BOOLEAN", "s rlike p"),
+    # CHR and REGEXP are Spark built-ins already (char/chr, regexp/rlike) —
+    # not registered here to avoid shadowing.
     # LOG2 exists in Spark; DIVIDE_INTEGER -> div; TRUNCATE(n, d):
     "truncate": (
         "x DOUBLE, d INT", "DOUBLE",
