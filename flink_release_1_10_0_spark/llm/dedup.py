@@ -1,0 +1,133 @@
+"""Document deduplication: exact, word-set, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design (100 TB): every stage is per-row array math (codegen'd
+higher-order functions) until the final shuffle, which is always on a
+hash-distributed key (md5 fingerprint or LSH band key) — uniform
+partitioning, no hot keys.  The LSH candidate join is an equi-join on
+(band_index, band_hash) whose per-bucket cardinality is bounded by design
+(near-dup clusters), so the pair explosion the naive O(n^2) approach has
+never happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.llm.text import hash64_expr, words_expr
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("words", F.expr(words_expr(text_col)))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup by md5 of raw text: one representative (min id) per
+    group + duplicate count."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+              .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups")))
+
+
+def wordset_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Order-insensitive exact dedup: fingerprint = md5 of the sorted
+    distinct word set (catches shuffled/reordered copies)."""
+    d = with_words(df, text_col)
+    return (d.withColumn("fingerprint",
+                         F.expr("md5(concat_ws(' ', array_sort(array_distinct(words))))"))
+             .groupBy("fingerprint")
+             .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
+                       k: int = 8) -> DataFrame:
+    """K-permutation MinHash over the distinct word set.  Hash family:
+    ``h_i(w) = hash64(concat(i, ':', w))`` (md5-based, engine-portable).
+    Returns id + m0..m{k-1} BIGINT columns."""
+    d = with_words(df, text_col).withColumn("ws", F.expr("array_distinct(words)"))
+    sig_cols = []
+    for i in range(k):
+        salted = hash64_expr(f"concat('{i}:', w)")
+        sig_cols.append(
+            F.expr(f"array_min(transform(ws, w -> {salted}))").alias(f"m{i}"))
+    return d.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                      k: int = 8, band_rows: int = 2,
+                      threshold: float = 0.8) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    Pipeline: signature -> split into k/band_rows bands -> hash each band ->
+    shuffle on (band_idx, band_key) -> per-bucket pair generation ->
+    distinct candidate pairs -> verify exact word-set Jaccard >= threshold.
+    """
+    n_bands = k // band_rows
+    sigs = minhash_signatures(df, id_col, text_col, k).alias("s")
+    band_exprs = []
+    for b in range(n_bands):
+        cols = "||'_'||".join(
+            f"cast(m{b * band_rows + r} as string)" for r in range(band_rows))
+        band_exprs.append(f"named_struct('band', {b}, 'key', md5({cols}))")
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+    ws = (with_words(df, text_col)
+          .select(F.col(id_col), F.expr("array_distinct(words)").alias("ws")))
+    cand = (cand.join(ws.withColumnRenamed(id_col, "id_a").withColumnRenamed("ws", "ws_a"), "id_a")
+                .join(ws.withColumnRenamed(id_col, "id_b").withColumnRenamed("ws", "ws_b"), "id_b"))
+    jac = F.expr("round(size(array_intersect(ws_a, ws_b)) / "
+                 "cast(size(array_distinct(concat(ws_a, ws_b))) as double), 6)")
+    return (cand.withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over distinct words: bit b is set when more than
+    half the word-hashes have bit b set.  Pure per-row expression."""
+    d = with_words(df, text_col).withColumn("ws", F.expr("array_distinct(words)"))
+    d = d.withColumn("hs", F.expr(f"transform(ws, w -> {hash64_expr('w')})"))
+    bit_sum = (f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> acc + "
+               "CASE WHEN size(filter(hs, h -> (h div shiftleft(1L, b)) % 2 = 1)) * 2 > size(hs) "
+               "THEN shiftleft(1L, b) ELSE 0L END)")
+    return d.select(F.col(id_col), F.expr(bit_sum).alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        n: int = 2, threshold: float = 0.2,
+                        id_limit: int | None = None) -> DataFrame:
+    """Word n-gram Jaccard similarity over all pairs of a (small) subset —
+    the exact quadratic baseline the LSH path approximates.  ``id_limit``
+    bounds the subset; at scale use minhash_lsh_pairs instead."""
+    d = with_words(df, text_col)
+    if id_limit is not None:
+        d = d.filter(F.col(id_col) < id_limit)
+    if n == 1:
+        grams = "array_distinct(words)"
+    else:
+        grams = (f"array_distinct(transform(sequence(0, size(words) - {n}), "
+                 f"i -> concat_ws(' ', slice(words, i + 1, {n}))))")
+    d = (d.filter(F.expr(f"size(words) >= {n}"))
+          .select(F.col(id_col), F.expr(grams).alias("gs")))
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    jac = F.expr("round(size(array_intersect(a.gs, b.gs)) / "
+                 "cast(size(array_distinct(concat(a.gs, b.gs))) as double), 6)")
+    return (pairs.select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"),
+                         jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))

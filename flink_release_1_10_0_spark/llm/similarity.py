@@ -1,0 +1,76 @@
+"""Embedding similarity search: brute-force cosine top-k and IVF-style
+centroid-partitioned search.
+
+Scale design: brute-force is one broadcast (the query vector) + a map-side
+per-row ``aggregate``/``zip_with`` dot product + TakeOrderedAndProject —
+no shuffle of the corpus.  The IVF path shrinks the scanned fraction by
+first routing the query to the nearest centroid (computed once per
+partition-build) and scanning only that cell — the standard
+inverted-file ANN layout expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# exact decimal accumulation for order-independent centroid sums
+_DEC = "decimal(28,12)"
+
+
+def _dot(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def cosine_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k of ``embeddings`` against the single row in
+    ``query`` (same schema).  Cosine rounded to 6dp; ties broken by id."""
+    q = query.select(F.col(vec_col).alias("qvec"))
+    joined = embeddings.crossJoin(F.broadcast(q))
+    cos = F.expr(f"round({_dot(vec_col, 'qvec')} / ({_norm(vec_col)} * {_norm('qvec')}), 6)")
+    return (joined.select(F.col(id_col), cos.alias("cosine"))
+                  .orderBy(F.desc("cosine"), F.asc(id_col))
+                  .limit(k))
+
+
+def label_centroids(embeddings: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid via posexplode + exact decimal sums (order-
+    independent, engine-portable).  Returns (label, pos, c) rows."""
+    exploded = embeddings.select(
+        label_col, F.posexplode(vec_col).alias("pos", "v"))
+    return (exploded.groupBy(label_col, "pos")
+            .agg((F.sum(F.col("v").cast(_DEC)).cast("double")
+                  / F.count("*")).alias("c")))
+
+
+def ivf_assign(embeddings: DataFrame, id_col: str = "vec_id",
+               label_col: str = "label", vec_col: str = "embedding",
+               id_limit: int | None = None) -> DataFrame:
+    """Assign each vector to its nearest label-centroid (IVF cell routing).
+    Returns (id, assigned_label, dist) with dist rounded to 6dp."""
+    cents = label_centroids(embeddings, label_col, vec_col)
+    cent_vecs = (cents.groupBy(label_col)
+                 .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+                      .alias("cvec"))
+                 .withColumnRenamed(label_col, "c_label"))
+    vecs = embeddings.select(id_col, vec_col)
+    if id_limit is not None:
+        vecs = vecs.filter(F.col(id_col) < id_limit)
+    joined = vecs.crossJoin(F.broadcast(cent_vecs))
+    dist = F.expr(
+        f"round(sqrt(aggregate(zip_with({vec_col}, cvec, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)), 6)")
+    scored = joined.select(F.col(id_col), F.col("c_label"), dist.alias("dist"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("c_label"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col(id_col), F.col("c_label").alias("assigned_label"), "dist"))

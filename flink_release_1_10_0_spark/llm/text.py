@@ -1,0 +1,64 @@
+"""Text analysis operators: tokenization, quality, language-ID,
+fingerprinting.
+
+All pure Spark SQL expressions (codegen'd, no UDFs).  The tokenization
+convention is shared with the DuckDB oracles:
+``words(text) = filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +'), x -> x <> '')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: canonical tokenizer (Spark SQL expression over a column name)
+def words_expr(col: str = "text") -> str:
+    return (f"filter(split(regexp_replace(lower({col}), '[^a-z0-9 ]', ' '), ' +'), "
+            "x -> x != '')")
+
+
+def hash64_expr(s: str) -> str:
+    """Deterministic 60-bit hash from md5 (portable to any engine with md5):
+    first 15 hex chars as a BIGINT."""
+    return f"cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
+_STOPWORDS = "('the','a','of','and','to','in','is','it','for','on')"
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: char/word counts, avg word length,
+    stopword ratio, digit ratio, distinct-word ratio."""
+    w = words_expr(text_col)
+    return (df
+        .withColumn("n_chars_calc", F.expr(f"cast(length({text_col}) as bigint)"))
+        .withColumn("words", F.expr(w))
+        .withColumn("n_words", F.expr("cast(size(words) as bigint)"))
+        .withColumn("n_distinct_words", F.expr("cast(size(array_distinct(words)) as bigint)"))
+        .withColumn("avg_word_len", F.expr(
+            "round(aggregate(words, 0L, (acc, x) -> acc + length(x)) / cast(size(words) as double), 6)"))
+        .withColumn("stopword_ratio", F.expr(
+            f"round(size(filter(words, x -> x in {_STOPWORDS})) / cast(size(words) as double), 6)"))
+        .withColumn("digit_ratio", F.expr(
+            "round(size(filter(words, x -> x rlike '^[0-9]+$')) / cast(size(words) as double), 6)"))
+        .withColumn("distinct_ratio", F.expr(
+            "round(n_distinct_words / cast(n_words as double), 6)")))
+
+
+#: the same stats in DuckDB SQL (oracle side), as a SELECT-list fragment
+DUCK_WORDS = ("list_filter(string_split_regex(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'), ' +'), "
+              "x -> x <> '')")
+DUCK_HASH64 = "CAST(CAST(('0x' || substr(md5({s}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def language_id_expr(words_col: str = "words") -> Column:
+    """n-gram/stopword-heuristic language ID (same CASE logic as oracle):
+    scores English/German/French function words; 'und' for spanish-ish
+    data is absent so the fallback is 'unknown'."""
+    en = f"size(filter({words_col}, x -> x in ('the','a','of','and','to','is')))"
+    de = f"size(filter({words_col}, x -> x in ('der','die','das','und','ist')))"
+    fr = f"size(filter({words_col}, x -> x in ('le','la','les','et','est')))"
+    return F.expr(
+        f"CASE WHEN {en} >= {de} AND {en} >= {fr} AND {en} > 0 THEN 'en' "
+        f"WHEN {de} >= {fr} AND {de} > 0 THEN 'de' "
+        f"WHEN {fr} > 0 THEN 'fr' ELSE 'unknown' END")

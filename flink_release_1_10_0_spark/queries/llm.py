@@ -1,1 +1,317 @@
-# placeholder — populated incrementally
+"""LLM training-data pipeline queries over documents/embeddings
+(driver mandate in BASELINE.json §north_star).
+
+The DuckDB oracles replicate the exact same md5-based hashing and
+tokenization, so results hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.llm import dedup as D
+from flink_release_1_10_0_spark.llm import similarity as S
+from flink_release_1_10_0_spark.llm.multimodal import extract_fake_metadata, with_binary_payload
+from flink_release_1_10_0_spark.llm.text import language_id_expr, with_text_stats
+from flink_release_1_10_0_spark.queries import register
+from flink_release_1_10_0_spark.queries.helpers import t
+
+# DuckDB-side shared fragments (tokenizer + 60-bit md5 hash)
+_DWORDS = ("list_filter(string_split_regex(regexp_replace(lower(text), "
+           "'[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')")
+
+
+def _dhash64(s: str) -> str:
+    return f"CAST(CAST(('0x' || substr(md5({s}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Text quality scoring
+# --------------------------------------------------------------------------
+_TEXT_STATS_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_DWORDS} AS words, CAST(length(text) AS BIGINT) AS n_chars_calc
+           FROM documents)
+SELECT doc_id, n_chars_calc,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+       round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+             / CAST(len(words) AS DOUBLE), 6) AS avg_word_len,
+       round(CAST(len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+             / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio,
+       round(CAST(len(list_filter(words, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE)
+             / CAST(len(words) AS DOUBLE), 6) AS digit_ratio,
+       round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS distinct_ratio
+FROM w
+"""
+
+
+@register("text_quality_stats", _TEXT_STATS_ORACLE)
+def text_quality_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id", "n_chars_calc", "n_words", "n_distinct_words",
+        "avg_word_len", "stopword_ratio", "digit_ratio", "distinct_ratio")
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex segmentation
+# --------------------------------------------------------------------------
+_TOKENS_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+@register("text_token_count", _TOKENS_ORACLE)
+def text_token_count(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(r"cast(size(filter(split(text, '\\s+'), x -> x != '')) as bigint)")
+         .alias("ws_tokens"),
+        F.expr(r"cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) as bigint)")
+         .alias("bpe_ish_tokens"))
+
+
+# --------------------------------------------------------------------------
+# Language ID heuristic
+# --------------------------------------------------------------------------
+_LANG_ORACLE = f"""
+WITH w AS (SELECT doc_id, lang, {_DWORDS} AS words FROM documents),
+s AS (SELECT doc_id, lang,
+        len(list_filter(words, x -> x IN ('the','a','of','and','to','is'))) AS en,
+        len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS de,
+        len(list_filter(words, x -> x IN ('le','la','les','et','est'))) AS fr
+      FROM w)
+SELECT doc_id, lang,
+       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS predicted_lang
+FROM s
+"""
+
+
+@register("text_language_id", _LANG_ORACLE)
+def text_language_id(spark, sf_dir):
+    docs = D.with_words(t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "lang", language_id_expr().alias("predicted_lang"))
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (md5 + min-word-hash winnowing-lite)
+# --------------------------------------------------------------------------
+_FPRINT_ORACLE = f"""
+WITH w AS (SELECT doc_id, text, {_DWORDS} AS words FROM documents)
+SELECT doc_id,
+       md5(text) AS md5_fingerprint,
+       md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS wordset_fingerprint,
+       list_min(list_transform(list_distinct(words), w -> {_dhash64('w')})) AS min_word_hash
+FROM w
+"""
+
+
+@register("doc_fingerprint", _FPRINT_ORACLE)
+def doc_fingerprint(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import hash64_expr
+    docs = D.with_words(t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_fingerprint"),
+        F.expr("md5(concat_ws(' ', array_sort(array_distinct(words))))")
+         .alias("wordset_fingerprint"),
+        F.expr(f"array_min(transform(array_distinct(words), w -> {hash64_expr('w')}))")
+         .alias("min_word_hash"))
+
+
+# --------------------------------------------------------------------------
+# Exact + word-set dedup
+# --------------------------------------------------------------------------
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+@register("dedup_exact_md5", _EXACT_DEDUP_ORACLE)
+def dedup_exact_md5(spark, sf_dir):
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents"), "doc_id")
+
+
+_WORDSET_DEDUP_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_DWORDS} AS words FROM documents)
+SELECT md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint,
+       min(doc_id) AS rep_id, count(*) AS n_dups
+FROM w GROUP BY 1
+"""
+
+
+@register("dedup_wordset_groups", _WORDSET_DEDUP_ORACLE)
+def dedup_wordset_groups(spark, sf_dir):
+    return D.wordset_dedup_groups(t(spark, sf_dir, "documents"), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup pairs
+# --------------------------------------------------------------------------
+_K = 8
+_BAND_ROWS = 2
+
+_sig_cols_duck = ",\n       ".join(
+    f"list_min(list_transform(ws, w -> {_dhash64(chr(39) + str(i) + ':' + chr(39) + ' || w')})) AS m{i}"
+    for i in range(_K))
+
+_MINHASH_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents)
+SELECT doc_id,
+       {_sig_cols_duck}
+FROM w
+"""
+
+
+@register("minhash_signatures", _MINHASH_ORACLE)
+def minhash_signatures_q(spark, sf_dir):
+    return D.minhash_signatures(t(spark, sf_dir, "documents"), "doc_id", k=_K)
+
+
+_band_selects = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5(CAST(m{b * _BAND_ROWS} AS VARCHAR) || '_' || "
+    f"CAST(m{b * _BAND_ROWS + 1} AS VARCHAR)) AS key FROM sig"
+    for b in range(_K // _BAND_ROWS))
+
+_LSH_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents),
+sig AS (SELECT doc_id, {_sig_cols_duck} FROM w),
+bands AS ({_band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN w wa ON wa.doc_id = id_a
+JOIN w wb ON wb.doc_id = id_b
+WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6) >= 0.8
+"""
+
+
+@register("minhash_lsh_dup_pairs", _LSH_ORACLE)
+def minhash_lsh_dup_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), "doc_id",
+                               k=_K, band_rows=_BAND_ROWS, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints
+# --------------------------------------------------------------------------
+_SIMHASH_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents),
+h AS (SELECT doc_id, list_transform(ws, w -> {_dhash64('w')}) AS hs FROM w)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 32), b ->
+         CASE WHEN len(list_filter(hs, h -> ((h >> b) & 1) = 1)) * 2 > len(hs)
+              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM h
+"""
+
+
+@register("simhash_fingerprint", _SIMHASH_ORACLE)
+def simhash_fingerprint(spark, sf_dir):
+    return D.simhash(t(spark, sf_dir, "documents"), "doc_id", bits=32)
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard (exact quadratic baseline on a subset)
+# --------------------------------------------------------------------------
+_NGRAM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(words)), i ->
+           words[i] || ' ' || words[i + 1])) AS gs
+  FROM (SELECT doc_id, {_DWORDS} AS words FROM documents WHERE doc_id < 100) q
+  WHERE len(words) >= 2)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE), 6) AS jaccard
+FROM w a JOIN w b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE), 6) >= 0.1
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_ORACLE)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id",
+                                 n=2, threshold=0.1, id_limit=100)
+
+
+# --------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k
+# --------------------------------------------------------------------------
+_COSINE_ORACLE = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))), 6) AS cosine
+FROM embeddings CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("similarity_cosine_topk", _COSINE_ORACLE)
+def similarity_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+# --------------------------------------------------------------------------
+# IVF-style centroid assignment
+# --------------------------------------------------------------------------
+_IVF_ORACLE = """
+WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+            FROM embeddings),
+cent AS (SELECT label, pos,
+                CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+         FROM ex GROUP BY label, pos),
+cvec AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+scored AS (
+  SELECT vec_id, c_label,
+         round(sqrt(list_sum(list_transform(range(1, 65), i ->
+           (CAST(embedding[i] AS DOUBLE) - cv[i]) * (CAST(embedding[i] AS DOUBLE) - cv[i])))), 6) AS dist
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100) v
+  CROSS JOIN cvec)
+SELECT vec_id, assigned_label, dist FROM (
+  SELECT vec_id, c_label AS assigned_label, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+  FROM scored) q
+WHERE rn = 1
+"""
+
+
+@register("similarity_ivf_assign", _IVF_ORACLE)
+def similarity_ivf_assign(spark, sf_dir):
+    return S.ivf_assign(t(spark, sf_dir, "embeddings"), id_limit=100)
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched metadata extraction
+# --------------------------------------------------------------------------
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       md5(text) AS digest,
+       CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 1920 AS INT) AS fake_width,
+       CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 1080 AS INT) AS fake_height
+FROM documents
+"""
+
+
+@register("multimodal_metadata_extract", _MULTIMODAL_ORACLE)
+def multimodal_metadata_extract(spark, sf_dir):
+    docs = with_binary_payload(t(spark, sf_dir, "documents"))
+    return extract_fake_metadata(docs)
