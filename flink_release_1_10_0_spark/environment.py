@@ -138,8 +138,23 @@ class GroupedTable:
         self._df = df
         self._keys = keys
 
-    def select(self, *agg_exprs: str | Column) -> Table:
-        return Table(self._df.groupBy(*_cols(self._keys)).agg(*_cols(agg_exprs)))
+    def select(self, *exprs: str | Column) -> Table:
+        """Flink-style: the select list names grouping keys AND aggregates
+        (``Table.java`` groupBy(...).select(...)); keys already in the
+        grouping are projected, not re-aggregated."""
+        key_names = {k for k in self._keys if isinstance(k, str)}
+        aggs = [e for e in exprs if not (isinstance(e, str) and e in key_names)]
+        grouped = self._df.groupBy(*_cols(self._keys)).agg(*_cols(aggs))
+        # project in the requested order: keys by name, aggs positionally
+        agg_out = grouped.columns[len(self._keys):]
+        out, i = [], 0
+        for e in exprs:
+            if isinstance(e, str) and e in key_names:
+                out.append(e)
+            else:
+                out.append(agg_out[i])
+                i += 1
+        return Table(grouped.select(*out))
 
     agg = select
 

@@ -1,0 +1,134 @@
+"""Arbitrary keyed-state streaming operators via ``applyInPandasWithState``.
+
+These are the reference operators with NO declarative Spark equivalent
+(SURVEY.md §7 step 5 — "the hard 20%"):
+
+- dedup keep-last:  ``runtime/operators/deduplicate/
+  DeduplicateKeepLastRowFunction.java:34`` — one latest row per key.
+- streaming top-N:  ``runtime/operators/rank/AppendOnlyTopNFunction.java:46``
+  — maintain the N best rows per key as events arrive.
+- CEP A-followed-by-B: ``flink-libraries/flink-cep/.../nfa/NFA.java:85`` /
+  ``CepOperator.java:82`` — a 2-state NFA (begin A -> followedBy B,
+  within T), the core MATCH_RECOGNIZE pattern shape.
+
+State is a compact per-key summary (the current winner set / pending
+partial matches), never the full history — the same bounded-state
+contract the reference's operators guarantee.  At scale, state lives in
+the state store (RocksDB provider), partitioned by the group key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_keep_last(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Latest event per key by (ts, event_id).  Emits the current winner
+    every batch (update semantics)."""
+    out_schema = "user_id bigint, event_id bigint, event_type string, value double, ts timestamp"
+    state_schema = "event_id bigint, event_type string, value double, ts timestamp"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        best = state.get if state.exists else None  # (event_id, type, value, ts_us)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            row = pdf.iloc[-1]
+            cand = (int(row["event_id"]), str(row["event_type"]),
+                    float(row["value"]), row["ts"])
+            if best is None or (cand[3], cand[0]) > (best[3], best[0]):
+                best = cand
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame({
+                "user_id": [key_[0]], "event_id": [best[0]],
+                "event_type": [best[1]], "value": [best[2]], "ts": [best[3]]})
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def topn_per_key(events: DataFrame, n: int = 3, key: str = "user_id") -> DataFrame:
+    """Streaming top-N per key ordered by (value desc, event_id asc);
+    emits the full current top-N set each batch."""
+    out_schema = "user_id bigint, event_id bigint, value double, rn bigint"
+    state_schema = "ids array<bigint>, vals array<double>"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, vals = state.get
+            entries = list(zip(list(ids), list(vals)))
+        else:
+            entries = []
+        changed = False
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                entries.append((int(row["event_id"]), float(row["value"])))
+                changed = True
+        if changed or not state.exists:
+            entries.sort(key=lambda e: (-e[1], e[0]))
+            entries = entries[:n]
+            state.update(([e[0] for e in entries], [e[1] for e in entries]))
+            yield pd.DataFrame({
+                "user_id": [key_[0]] * len(entries),
+                "event_id": [e[0] for e in entries],
+                "value": [e[1] for e in entries],
+                "rn": list(range(1, len(entries) + 1))})
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def cep_followed_by(events: DataFrame, first_type: str, then_type: str,
+                    within_minutes: float, key: str = "user_id") -> DataFrame:
+    """CEP pattern ``begin(A).followedBy(B).within(T)`` per key
+    (Pattern.java:50-542 subset): each A matches the first B with
+    ``A.ts < B.ts <= A.ts + T``; a B can close multiple pending As
+    (allowCombinations semantics); matched As are discarded
+    (AFTER MATCH SKIP PAST A)."""
+    out_schema = "user_id bigint, first_id bigint, then_id bigint, first_ts timestamp, then_ts timestamp"
+    state_schema = "pending_ids array<bigint>, pending_us array<bigint>"
+    within_us = int(within_minutes * 60_000_000)
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pids, pus = state.get
+            pending = list(zip(list(pids), list(pus)))  # (event_id, ts_micros)
+        else:
+            pending = []
+        matches = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                et = str(row["event_type"])
+                ts_us = row["ts"].value // 1000
+                if et == first_type:
+                    pending.append((int(row["event_id"]), ts_us))
+                elif et == then_type:
+                    still = []
+                    for (aid, aus) in pending:
+                        if 0 < ts_us - aus <= within_us:
+                            matches.append((key_[0], aid, int(row["event_id"]), aus, ts_us))
+                        else:
+                            still.append((aid, aus))
+                    pending = still
+        state.update(([p[0] for p in pending], [p[1] for p in pending]))
+        if matches:
+            yield pd.DataFrame({
+                "user_id": [m[0] for m in matches],
+                "first_id": [m[1] for m in matches],
+                "then_id": [m[2] for m in matches],
+                "first_ts": pd.to_datetime([m[3] for m in matches], unit="us"),
+                "then_ts": pd.to_datetime([m[4] for m in matches], unit="us")})
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -1,0 +1,80 @@
+"""Operator-level correctness vs DuckDB oracles at sf0.001 — mirrors the
+reference's per-operator ITCases (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import compare_query
+
+RELATIONAL = [
+    "calc_project_filter", "values_literal",
+    "setop_union_all", "setop_union_distinct", "setop_intersect",
+    "setop_intersect_all", "setop_except", "setop_except_all",
+    "join_inner_equi", "join_left_outer", "join_full_outer",
+    "join_semi_exists", "join_anti_not_exists", "join_theta_nonequi",
+    "join_cross",
+    "agg_count_distinct", "agg_min_max_sumsq", "agg_grouping_sets",
+    "agg_cube", "agg_rollup", "agg_listagg_sorted", "agg_first_last_value",
+    "sort_limit_topk", "sort_limit_offset",
+    "unnest_explode_words", "subquery_scalar",
+    "scalar_string_functions", "scalar_datetime_functions",
+    "scalar_math_functions", "scalar_case_coalesce_nullif",
+    "scalar_flink_compat_functions",
+]
+
+WINDOWS = [
+    "over_rows_running_sum", "over_rows_moving_avg", "over_range_cumulative",
+    "rank_dense_rank_row_number", "lead_lag", "topn_per_key",
+    "dedup_keep_first", "dedup_keep_last",
+    "window_tumble_1h", "window_hop_1h_30m", "window_session_30m",
+    "window_count_tumble_10",
+]
+
+TEMPORAL = [
+    "interval_join_clicks_before_purchase",
+    "asof_join_last_error_before_purchase",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_relational(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+@pytest.mark.parametrize("name", WINDOWS)
+def test_windows(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+@pytest.mark.parametrize("name", TEMPORAL)
+def test_temporal(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_table_api_facade(spark):
+    """Fluent Table API shell compiles to the same results as SQL."""
+    from flink_release_1_10_0_spark import TableEnvironment
+    env = TableEnvironment.create(spark)
+    env.register_parquet_tables("/root/testdata/sf0.001")
+    t = (env.from_path("orders")
+         .filter("o_totalprice > 100000")
+         .group_by("o_orderpriority")
+         .select("o_orderpriority", "count(*) as n")
+         .order_by("o_orderpriority"))
+    via_sql = env.sql_query(
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_totalprice > 100000 GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    assert [tuple(r) for r in t.df.collect()] == [tuple(r) for r in via_sql.df.collect()]
+
+
+def test_asof_join_no_match_is_null(spark):
+    """Probe rows with no preceding build version keep null build cols."""
+    from flink_release_1_10_0_spark.operators.joins import asof_join
+    probe = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p0")], "k int, ts int, tag string")
+    build = spark.createDataFrame(
+        [(1, 75, 7.5)], "k int, vts int, rate double")
+    out = asof_join(probe, build, [("k", "k")], "ts", "vts", ["rate"]).collect()
+    by_tag = {r["tag"]: r["rate"] for r in out}
+    assert by_tag == {"p0": None, "p1": 7.5}

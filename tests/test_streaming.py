@@ -1,0 +1,61 @@
+"""Structured-Streaming operator tests (bounded runs) at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import compare_query
+
+STREAMING = [
+    "stream_tumble_agg",
+    "stream_tumble_agg_watermarked",
+    "stream_dedup_keep_last",
+    "stream_topn_per_key",
+    "stream_cep_error_then_purchase",
+]
+
+
+@pytest.mark.parametrize("name", STREAMING)
+def test_streaming(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_cep_multi_batch_state_carryover(spark):
+    """The CEP NFA must match across micro-batch boundaries: A arrives in
+    batch 1, B in batch 2 (state carries the pending A)."""
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.stateful import cep_followed_by
+
+    src = tempfile.mkdtemp(prefix="cep_src_")
+    out_name = "_cep_carryover"
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "error", 1.0)],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch1.write.mode("append").parquet(src)
+
+    sdf = spark.readStream.schema(batch1.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    matched = cep_followed_by(sdf, "error", "purchase", within_minutes=30)
+    ckpt = tempfile.mkdtemp(prefix="cep_ckpt_")
+    q = (matched.writeStream.format("memory").queryName(out_name)
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        assert spark.table(out_name).count() == 0  # no B yet
+        batch2 = spark.createDataFrame(
+            [(2, "2024-01-01 10:10:00", 7, "purchase", 2.0)],
+            "event_id bigint, ts string, user_id bigint, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.table(out_name).collect()
+        assert [(r["first_id"], r["then_id"]) for r in rows] == [(1, 2)]
+    finally:
+        q.stop()
