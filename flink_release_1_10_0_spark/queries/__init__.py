@@ -55,6 +55,6 @@ def _load() -> None:
         return
     # import for registration side effects
     from flink_release_1_10_0_spark.queries import (  # noqa: F401
-        tpch, relational, windows, temporal, llm, streaming,  # noqa
+        tpch, tpch_full, relational, windows, temporal, llm, streaming,  # noqa
     )
     _LOADED = True

@@ -1,0 +1,625 @@
+"""TPC-H queries 2,4,7,8,9,11-17,19-22 adapted to the driver's reduced
+star schema (no partsupp table, no l_commitdate/l_receiptdate/l_shipmode,
+no c_phone/p_container).  Each keeps the *operator shape* of the original
+query — correlated scalar subqueries, EXISTS/NOT EXISTS, case-sum ratios,
+two-level aggregation, scalar-subquery-of-total — which is what the
+reference validates (22/22 at SF=0.01,
+``flink-end-to-end-tests/test-scripts/test_tpch.sh:22``,
+``.../tpch/TpchResultComparator.java``).
+
+Where the original references partsupp, the part-supplier relation is
+derived as ``SELECT DISTINCT l_partkey, l_suppkey FROM lineitem``.
+
+Scale notes (100 TB): nation/region/supplier/part are broadcast at any
+SF; lineitem-orders-customer joins shuffle on their natural keys and are
+planned as sort-merge by Catalyst with AQE.  Correlated aggregate
+subqueries are expressed as explicit aggregate-then-join so the plan is a
+single pass over lineitem rather than a per-row re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.queries import register
+from flink_release_1_10_0_spark.queries.helpers import (
+    MONEY, MONEY4, disc_price, dsum, dsum_expr, money, t,
+)
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# --------------------------------------------------------------------------
+# Q2: minimum-cost supplier — correlated scalar MAX subquery over the
+# part-supplier relation (reference: BatchExecSingleRowJoinRule /
+# scalar-subquery planning, FlinkBatchRuleSets.scala:412)
+# --------------------------------------------------------------------------
+_Q2_ORACLE = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eligible AS (
+  SELECT ps.l_partkey AS partkey, s_suppkey, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON s_suppkey = ps.l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM part
+JOIN eligible ON p_partkey = partkey
+WHERE p_size = 15 AND p_type = 'STANDARD'
+  AND s_acctbal = (SELECT max(e2.s_acctbal) FROM eligible e2
+                   WHERE e2.partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("tpch_q2_min_cost_supplier", _Q2_ORACLE)
+def tpch_q2(spark, sf_dir):
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    eligible = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+          .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+          .select(F.col("l_partkey").alias("partkey"),
+                  "s_suppkey", "s_acctbal", "s_name", "n_name"))
+    # correlated MAX as a window over the correlation key: one pass, no re-scan
+    w = Window.partitionBy("partkey")
+    best = (eligible.withColumn("_max_bal", F.max("s_acctbal").over(w))
+            .filter(F.col("s_acctbal") == F.col("_max_bal")))
+    return (best.join(F.broadcast(part), best.partkey == part.p_partkey)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+# --------------------------------------------------------------------------
+# Q4: order-priority checking — EXISTS → left-semi join
+# (reference: SEMI_JOIN_RULES, FlinkStreamRuleSets.scala:35-44)
+# --------------------------------------------------------------------------
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@register("tpch_q4_order_priority", _Q4_ORACLE)
+def tpch_q4(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1996-04-01 00:00:00")))
+    returned = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    return (orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+# --------------------------------------------------------------------------
+# Q7: volume shipping between two nations — 6-way join with a
+# disjunctive nation-pair predicate + year extraction
+# --------------------------------------------------------------------------
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7_volume_shipping", _Q7_ORACLE)
+def tpch_q7(spark, sf_dir):
+    supp = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(_ts("1996-01-01 00:00:00"),
+                                    _ts("1997-12-31 00:00:00")))
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    shipping = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
+          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+          .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+          .filter(pair)
+          .select("supp_nation", "cust_nation",
+                  F.year("l_shipdate").cast("bigint").alias("l_year"),
+                  disc_price().alias("volume")))
+    return (shipping.groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(dsum_expr(F.col("volume"), "revenue")))
+
+
+# --------------------------------------------------------------------------
+# Q8: national market share — case-sum ratio over an 8-way join
+# --------------------------------------------------------------------------
+_Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("tpch_q8_market_share", _Q8_ORACLE)
+def tpch_q8(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(_ts("1996-01-01 00:00:00"),
+                                     _ts("1997-12-31 00:00:00")))
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    all_nations = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
+          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+          .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+          .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+          .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                  disc_price().alias("volume"), "nation"))
+    return (all_nations.groupBy("o_year")
+            .agg((F.sum(F.when(F.col("nation") == "NATION_3",
+                               F.col("volume")).otherwise(F.lit(0).cast(MONEY4)))
+                  .cast("double")
+                  / F.sum("volume").cast("double")).alias("mkt_share")))
+
+
+# --------------------------------------------------------------------------
+# Q9: product-type profit (no supplycost column: profit = disc_price)
+# — LIKE-filtered part join, grouped by supplier nation × order year
+# --------------------------------------------------------------------------
+_Q9_ORACLE = """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("tpch_q9_product_profit", _Q9_ORACLE)
+def tpch_q9(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+          .select(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").cast("bigint").alias("o_year"),
+                  disc_price().alias("amount")))
+    return profit.groupBy("nation", "o_year").agg(dsum_expr(F.col("amount"), "sum_profit"))
+
+
+# --------------------------------------------------------------------------
+# Q11: important parts — HAVING against a scalar subquery of the total
+# (fraction-of-total); partsupp value ≈ sum(extendedprice) per part from
+# one nation's suppliers
+# --------------------------------------------------------------------------
+_Q11_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey AS ps_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey)
+SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+FROM pv
+WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+"""
+
+
+@register("tpch_q11_important_stock", _Q11_ORACLE)
+def tpch_q11(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    pv = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .groupBy(F.col("l_partkey").alias("ps_partkey"))
+            .agg(F.sum(money("l_extendedprice")).alias("value")))
+    threshold = pv.agg((F.sum("value") * F.lit(0.001)).alias("thr"))
+    return (pv.join(F.broadcast(threshold))
+              .filter(F.col("value") > F.col("thr"))
+              .select("ps_partkey", F.col("value").cast("double").alias("value")))
+
+
+# --------------------------------------------------------------------------
+# Q12: priority classes per linestatus (shipmode column absent) —
+# join + conditional counts
+# --------------------------------------------------------------------------
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'N'
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@register("tpch_q12_priority_class", _Q12_ORACLE)
+def tpch_q12(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "N")
+        & (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00")))
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+# --------------------------------------------------------------------------
+# Q13: customer order-count distribution — outer join with join-condition
+# filter + two-level aggregation
+# --------------------------------------------------------------------------
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_customer_distribution", _Q13_ORACLE)
+def tpch_q13(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "5-LOW"),
+        "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q14: promo revenue — case-sum / sum ratio
+# --------------------------------------------------------------------------
+_Q14_ORACLE = """
+SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+       ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@register("tpch_q14_promo_revenue", _Q14_ORACLE)
+def tpch_q14(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-10-01 00:00:00")))
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price())
+                  .otherwise(F.lit(0).cast(MONEY4))).cast("double")
+    total = F.sum(disc_price()).cast("double")
+    return joined.agg((F.lit(100.00) * promo / total).cast("double")
+                      .alias("promo_revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier — aggregate view + scalar MAX subquery (exact decimal
+# equality join)
+# --------------------------------------------------------------------------
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("tpch_q15_top_supplier", _Q15_ORACLE)
+def tpch_q15(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00")))
+    supp = t(spark, sf_dir, "supplier")
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+                 .agg(F.sum(disc_price()).alias("total_revenue")))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (revenue.join(F.broadcast(max_rev))
+            .filter(F.col("total_revenue") == F.col("max_rev"))
+            .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("total_revenue").cast("double").alias("total_revenue")))
+
+
+# --------------------------------------------------------------------------
+# Q16: parts/supplier relationship — COUNT DISTINCT + NOT IN anti-join
+# over the derived part-supplier relation
+# --------------------------------------------------------------------------
+_Q16_ORACLE = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 28, 33, 38, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16_parts_suppliers", _Q16_ORACLE)
+def tpch_q16(spark, sf_dir):
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 33, 38, 45))
+    bad_supp = t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000).select("s_suppkey")
+    return (ps.join(bad_supp, ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+              .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+# --------------------------------------------------------------------------
+# Q17: small-quantity-order revenue — correlated AVG subquery per part,
+# expressed as aggregate-then-join (single pass at scale)
+# --------------------------------------------------------------------------
+_Q17_ORACLE = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register("tpch_q17_small_quantity", _Q17_ORACLE)
+def tpch_q17(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    # per-part 0.2*avg(quantity): aggregate once, broadcast-join back
+    avg_q = (li.groupBy(F.col("l_partkey").alias("ap_key"))
+               .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(avg_q, li.l_partkey == F.col("ap_key"))
+              .filter(F.col("l_quantity") < F.col("qty_thr"))
+              .agg((F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0))
+                   .cast("double").alias("avg_yearly")))
+
+
+# --------------------------------------------------------------------------
+# Q19: discounted revenue — disjunction of conjunctive range predicates
+# (reference: nested-loop/theta predicates folded into one scan)
+# --------------------------------------------------------------------------
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_discounted_revenue", _Q19_ORACLE)
+def tpch_q19(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .filter(cond)
+              .agg(dsum_expr(disc_price(), "revenue")))
+
+
+# --------------------------------------------------------------------------
+# Q20: potential part promotion — IN over a HAVING-filtered aggregate
+# (semi-join chain)
+# --------------------------------------------------------------------------
+_Q20_ORACLE = """
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+"""
+
+
+@register("tpch_q20_part_promotion", _Q20_ORACLE)
+def tpch_q20(spark, sf_dir):
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00")))
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    heavy = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum(money("l_quantity")).alias("q"))
+               .filter(F.col("q") > 50)
+               .select("l_suppkey").distinct())
+    return (supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+            .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal")))
+
+
+# --------------------------------------------------------------------------
+# Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS with
+# inequality correlation (semi + anti join with non-equi condition)
+# --------------------------------------------------------------------------
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_1'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@register("tpch_q21_waiting_orders", _Q21_ORACLE)
+def tpch_q21(spark, sf_dir):
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+            .select(F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("s1")))
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+            .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")))
+    waiting = (
+        l1.join(l2, (F.col("o1") == F.col("o2")) & (F.col("s1") != F.col("s2")),
+                "left_semi")
+          .join(l3, (F.col("o1") == F.col("o3")) & (F.col("s1") != F.col("s3")),
+                "left_anti"))
+    return (waiting
+            .join(orders, F.col("o1") == orders.o_orderkey)
+            .join(F.broadcast(supp), F.col("s1") == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait")))
+
+
+# --------------------------------------------------------------------------
+# Q22: global sales opportunity — scalar AVG subquery + NOT EXISTS
+# anti-join, grouped by nation (phone-prefix column absent)
+# --------------------------------------------------------------------------
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0.00)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+@register("tpch_q22_sales_opportunity", _Q22_ORACLE)
+def tpch_q22(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.00)
+               .agg((F.sum(money("c_acctbal")).cast("double")
+                     / F.count(F.lit(1))).alias("a")))
+    recent = orders.filter(F.col("o_orderdate") >= _ts("1999-01-01 00:00:00"))
+    return (cust.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a"))
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dsum("c_acctbal", "totacctbal")))
