@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from flink_release_1_10_0_spark.queries import register
-from flink_release_1_10_0_spark.queries.helpers import MONEY
+from flink_release_1_10_0_spark.queries.helpers import MONEY, t
 from flink_release_1_10_0_spark.streaming.core import read_stream_table, run_to_completion
 from flink_release_1_10_0_spark.streaming import stateful
 
@@ -120,3 +120,159 @@ def stream_cep_error_then_purchase(spark, sf_dir):
     ev = read_stream_table(spark, sf_dir, "events")
     matched = stateful.cep_followed_by(ev, "error", "purchase", within_minutes=30)
     return run_to_completion(matched, "append")
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (StreamExecWindowJoin.scala:53,
+# TimeBoundedStreamJoin.java:52, KeyedStream.intervalJoin) — native
+# Structured Streaming join with a time-range condition; inner matches
+# are emitted eagerly, watermarks bound the join state on both sides.
+# --------------------------------------------------------------------------
+_STREAM_IJ_ORACLE = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+"""
+
+
+@register("stream_interval_join", _STREAM_IJ_ORACLE)
+def stream_interval_join(spark, sf_dir):
+    purchases = (read_stream_table(spark, sf_dir, "events")
+                 .filter(F.col("event_type") == "purchase")
+                 .withWatermark("ts", "10 minutes")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    clicks = (read_stream_table(spark, sf_dir, "events")
+              .filter(F.col("event_type") == "click")
+              .withWatermark("ts", "10 minutes")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")))
+    out = joined.select(F.col("p_user").alias("user_id"), "purchase_id",
+                        "click_id", "purchase_ts", "click_ts")
+    return run_to_completion(out, "append")
+
+
+# --------------------------------------------------------------------------
+# Stream-static lookup join (StreamExecLookupJoin.scala:40,
+# LookupJoinRunner.java) — per-micro-batch join against a bounded
+# dimension snapshot; the dim side is broadcast, no shuffle of the stream.
+# --------------------------------------------------------------------------
+_STREAM_LOOKUP_ORACLE = """
+SELECT event_id, e.user_id, value, c_name, c_mktsegment
+FROM events e
+JOIN customer ON e.user_id = c_custkey
+WHERE event_type = 'purchase'
+"""
+
+
+@register("stream_lookup_join", _STREAM_LOOKUP_ORACLE)
+def stream_lookup_join(spark, sf_dir):
+    ev = (read_stream_table(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase"))
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    out = (ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+           .select("event_id", "user_id", "value", "c_name", "c_mktsegment"))
+    return run_to_completion(out, "append")
+
+
+# --------------------------------------------------------------------------
+# Streaming session windows with watermark, append mode
+# (SessionWindowAssigner; StreamExecGroupWindowAggregate) — only sessions
+# whose end (last ts + gap) <= final watermark are emitted.
+# --------------------------------------------------------------------------
+_STREAM_SESSION_ORACLE = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+numbered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM numbered)
+SELECT user_id, min(ts) AS w_start, max(ts) + INTERVAL 30 MINUTE AS w_end,
+       COUNT(*) AS n
+FROM sessions
+GROUP BY user_id, session_id
+HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+"""
+
+
+@register("stream_session_window", _STREAM_SESSION_ORACLE)
+def stream_session_window(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (ev.withWatermark("ts", "10 minutes")
+           .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count("*").alias("n"))
+           .select("user_id",
+                   F.col("session_window.start").alias("w_start"),
+                   F.col("session_window.end").alias("w_end"), "n"))
+    return run_to_completion(agg, "append")
+
+
+# --------------------------------------------------------------------------
+# Streaming count window (CountTumblingWindowAssigner,
+# KeyedStream.java:652 countWindow) — stateful op; only complete windows
+# of exactly N events are emitted, the partial tail stays in state.
+# --------------------------------------------------------------------------
+_STREAM_COUNT_WINDOW_ORACLE = """
+WITH numbered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events)
+SELECT user_id,
+       CAST(rn // 10 AS BIGINT) AS w_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, rn // 10
+HAVING COUNT(*) = 10
+"""
+
+
+@register("stream_count_window_10", _STREAM_COUNT_WINDOW_ORACLE)
+def stream_count_window_10(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(stateful.count_tumble_window(ev, n=10), "append")
+
+
+# --------------------------------------------------------------------------
+# Changelog / retraction emission (BaseRow ACCUMULATE/RETRACT headers,
+# BaseRowUtil.java:34-39) — the stream emits an append-only +I/-U/+U log;
+# the query folds the log back into a table (latest accumulate per key),
+# which must equal the plain batch aggregate.
+# --------------------------------------------------------------------------
+_STREAM_CHANGELOG_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+"""
+
+
+@register("stream_changelog_agg", _STREAM_CHANGELOG_ORACLE)
+def stream_changelog_agg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    clog = run_to_completion(stateful.changelog_count(ev), "append")
+    w = Window.partitionBy("event_type").orderBy(F.desc("seq"))
+    return (clog.filter(F.col("op") != "-U")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("event_type", "cnt"))

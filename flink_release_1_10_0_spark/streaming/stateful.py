@@ -132,3 +132,76 @@ def cep_followed_by(events: DataFrame, first_type: str, then_type: str,
     return (events.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def count_tumble_window(events: DataFrame, n: int = 10,
+                        key: str = "user_id") -> DataFrame:
+    """Count-based tumbling window per key (CountTumblingWindowAssigner +
+    ``KeyedStream.java:652`` countWindow): emit one aggregate row each
+    time ``n`` events have arrived for a key; the trailing partial window
+    stays in state and is never emitted.
+
+    Rows are ordered by (ts, event_id) within each micro-batch; money is
+    accumulated as integer cents so the running sum is exact.
+    """
+    out_schema = "user_id bigint, w_id bigint, n_events bigint, sum_value double"
+    state_schema = "next_w bigint, part_n bigint, part_cents bigint"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        next_w, part_n, part_cents = state.get if state.exists else (0, 0, 0)
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                part_n += 1
+                part_cents += int(round(float(v) * 100))
+                if part_n == n:
+                    out.append((key_[0], next_w, n, part_cents / 100.0))
+                    next_w += 1
+                    part_n = part_cents = 0
+        state.update((next_w, part_n, part_cents))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "w_id", "n_events", "sum_value"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def changelog_count(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Changelog/retraction emission for a streaming COUNT aggregate —
+    the reference's update-as-retraction protocol (``BaseRow`` 1-byte
+    header ``ACCUMULATE_MSG``/``RETRACT_MSG``,
+    ``BaseRowUtil.java:34-39``; retraction inference
+    ``StreamExecRetractionRules``).
+
+    Emits an append-only changelog: ``+I`` on first value for a key,
+    then ``-U`` (retract old) / ``+U`` (accumulate new) pairs as the
+    count advances per micro-batch.  ``seq`` is a per-key monotonic
+    sequence so a downstream materializer can fold the log back into a
+    table (latest non-retract row per key wins).
+    """
+    out_schema = f"op string, {key} string, cnt bigint, seq bigint"
+    state_schema = "cnt bigint, seq bigint"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        old, seq = state.get if state.exists else (None, 0)
+        added = sum(len(p) for p in pdfs)
+        if added:
+            new = (old or 0) + added
+            rows = []
+            if old is None:
+                rows.append(("+I", key_[0], new, seq + 1))
+                seq += 1
+            else:
+                rows.append(("-U", key_[0], old, seq + 1))
+                rows.append(("+U", key_[0], new, seq + 2))
+                seq += 2
+            state.update((new, seq))
+            yield pd.DataFrame(rows, columns=["op", key, "cnt", "seq"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

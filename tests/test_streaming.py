@@ -12,6 +12,11 @@ STREAMING = [
     "stream_dedup_keep_last",
     "stream_topn_per_key",
     "stream_cep_error_then_purchase",
+    "stream_interval_join",
+    "stream_lookup_join",
+    "stream_session_window",
+    "stream_count_window_10",
+    "stream_changelog_agg",
 ]
 
 
