@@ -1,0 +1,43 @@
+"""CoGroup: group two inputs by key and process the pair of groups
+together (``DataSet.java:1009`` coGroup, ``CoGroupedStreams.java``).
+
+Spark-first mapping: for the common aggregate-both-sides shapes, compile
+to two independent aggregations + a full outer join — pure Catalyst,
+shuffle on the key once per side, no Python.  The generic form uses
+``groupBy().cogroup().applyInPandas`` (Arrow-batched) for arbitrary
+pair-of-groups logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cogroup_counts(left: DataFrame, left_key: str,
+                   right: DataFrame, right_key: str,
+                   out_key: str = "key") -> DataFrame:
+    """Declarative cogroup: per-key row counts from both sides, full
+    outer, missing side = 0.  (Catalyst-only fast path.)"""
+    lc = left.groupBy(F.col(left_key).alias(out_key)).agg(
+        F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(F.col(right_key).alias(out_key)).agg(
+        F.count(F.lit(1)).alias("n_right"))
+    return (lc.join(rc, out_key, "full_outer")
+            .select(out_key,
+                    F.coalesce("n_left", F.lit(0)).alias("n_left"),
+                    F.coalesce("n_right", F.lit(0)).alias("n_right")))
+
+
+def cogroup_apply(left: DataFrame, left_keys: list[str],
+                  right: DataFrame, right_keys: list[str],
+                  fn: Callable[[tuple, pd.DataFrame, pd.DataFrame], pd.DataFrame],
+                  schema: str) -> DataFrame:
+    """Generic coGroup: ``fn(key, left_group_pdf, right_group_pdf)`` over
+    Arrow-batched pandas groups."""
+    return (left.groupBy(*left_keys)
+            .cogroup(right.groupBy(*right_keys))
+            .applyInPandas(fn, schema))

@@ -56,5 +56,6 @@ def _load() -> None:
     # import for registration side effects
     from flink_release_1_10_0_spark.queries import (  # noqa: F401
         tpch, tpch_full, relational, windows, temporal, llm, streaming,  # noqa
+        extended,  # noqa
     )
     _LOADED = True

@@ -1,0 +1,198 @@
+"""Extended operator coverage: UDAF/UDTF surface, cogroup, grouping_id,
+and embedding near-duplicate detection (SURVEY.md §2.4/§2.8/§2.10 +
+the LLM-pipeline mandate).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.functions.udf import AggregateFunction, TableFunction
+from flink_release_1_10_0_spark.operators.cogroup import cogroup_counts
+from flink_release_1_10_0_spark.queries import register
+from flink_release_1_10_0_spark.queries.helpers import t
+
+# --------------------------------------------------------------------------
+# AggregateFunction (UDAF): quantity-weighted average price per returnflag
+# (AggregateFunction.java accumulate/merge/getValue surface -> applyInPandas)
+# Money is accumulated as integer cents so the sums are exact and
+# order-independent; the final division mirrors the oracle bit-for-bit.
+# --------------------------------------------------------------------------
+_UDAF_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS weighted_avg_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+class _WeightedAvgPrice(AggregateFunction):
+    result_schema = "weighted_avg_price double, n bigint"
+
+    def get_value(self, pdf: pd.DataFrame) -> dict:
+        p = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        q = (pdf["l_quantity"] * 100).round().astype("int64")
+        pq = int((p * q).sum())        # units of 1e-4, exact
+        qs = int(q.sum())              # units of 1e-2, exact
+        return {"weighted_avg_price": (float(pq) / 10000.0) / (float(qs) / 100.0),
+                "n": len(pdf)}
+
+
+@register("udaf_weighted_avg", _UDAF_ORACLE)
+def udaf_weighted_avg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity")
+    return _WeightedAvgPrice().apply(li, ["l_returnflag"])
+
+
+# --------------------------------------------------------------------------
+# TableFunction (UDTF): tokenize document text laterally — one row per
+# word with its length (TableFunction.java -> mapInPandas correlate)
+# --------------------------------------------------------------------------
+_UDTF_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                     x -> x <> '') AS words
+  FROM documents WHERE doc_id < 20)
+SELECT doc_id, unnest(words) AS word,
+       CAST(length(unnest(words)) AS BIGINT) AS wlen
+FROM w
+"""
+
+
+class _Tokenize(TableFunction):
+    result_schema = "word string, wlen bigint"
+
+    def eval(self, row):
+        for w in re.sub(r"[^a-z0-9 ]", " ", row.text.lower()).split():
+            yield (w, len(w))
+
+
+@register("udtf_tokenize_lateral", _UDTF_ORACLE)
+def udtf_tokenize_lateral(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return _Tokenize().apply(docs.select("doc_id", "text"), ["doc_id"])
+
+
+# --------------------------------------------------------------------------
+# CoGroup (DataSet.java:1009): events per user × orders per customer —
+# compiled to two aggregations + full outer join (no Python)
+# --------------------------------------------------------------------------
+_COGROUP_ORACLE = """
+WITH e AS (SELECT user_id AS key, COUNT(*) AS n_left FROM events GROUP BY user_id),
+o AS (SELECT o_custkey AS key, COUNT(*) AS n_right FROM orders GROUP BY o_custkey)
+SELECT COALESCE(e.key, o.key) AS key,
+       COALESCE(n_left, 0) AS n_left,
+       COALESCE(n_right, 0) AS n_right
+FROM e FULL OUTER JOIN o ON e.key = o.key
+"""
+
+
+@register("cogroup_events_orders", _COGROUP_ORACLE)
+def cogroup_events_orders(spark, sf_dir):
+    return cogroup_counts(t(spark, sf_dir, "events"), "user_id",
+                          t(spark, sf_dir, "orders"), "o_custkey")
+
+
+# --------------------------------------------------------------------------
+# GROUPING / GROUPING_ID (FlinkSqlOperatorTable GROUPING, GROUPING_ID;
+# DecomposeGroupingSetsRule -> Expand)
+# --------------------------------------------------------------------------
+_GROUPING_ID_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_id", _GROUPING_ID_ORACLE)
+def agg_grouping_id(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gid")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM _li_gid
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs — brute force (the exactness
+# baseline: broadcast self-join, map-side dot products, no corpus shuffle)
+# --------------------------------------------------------------------------
+_DOT = ("aggregate(zip_with(a_vec, b_vec, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)")
+_NORM_A = ("sqrt(aggregate(zip_with(a_vec, a_vec, (x, y) -> cast(x as double) * cast(y as double)), "
+           "cast(0.0 as double), (acc, v) -> acc + v))")
+_NORM_B = ("sqrt(aggregate(zip_with(b_vec, b_vec, (x, y) -> cast(x as double) * cast(y as double)), "
+           "cast(0.0 as double), (acc, v) -> acc + v))")
+
+_NEAR_DUP_ORACLE = """
+WITH n AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM n WHERE cosine >= 0.4
+"""
+
+
+@register("embedding_near_dup_pairs", _NEAR_DUP_ORACLE)
+def embedding_near_dup_pairs(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_vec"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_vec"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = F.expr(f"round({_DOT} / ({_NORM_A} * {_NORM_B}), 6)")
+    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= 0.4))
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup via sign-LSH buckets — the scale path: bucket on an
+# 8-bit hyperplane-sign signature (deterministic, SQL-expressible), then
+# verify cosine only within buckets.  Candidate set is ~n/2^bits per
+# bucket, so the join is linear-ish, not quadratic.
+# --------------------------------------------------------------------------
+_LSH_ORACLE = """
+WITH sig AS (
+  SELECT vec_id, embedding,
+         list_transform(range(1, 9), i -> CASE WHEN embedding[i] >= 0 THEN 1 ELSE 0 END) AS s
+  FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM cand WHERE cosine >= 0.3
+"""
+
+
+@register("embedding_lsh_near_dup", _LSH_ORACLE)
+def embedding_lsh_near_dup(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    sig = F.expr("transform(sequence(0, 7), i -> CASE WHEN embedding[i] >= 0 THEN 1 ELSE 0 END)")
+    s = emb.select("vec_id", "embedding", sig.alias("s"))
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_vec"),
+                 F.col("s").alias("s_a"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_vec"),
+                 F.col("s").alias("s_b"))
+    # equi-join on the signature: shuffles hash-partition by bucket — at
+    # scale this is the linear candidate-generation join
+    cand = a.join(b, (F.col("s_a") == F.col("s_b")) & (F.col("id_a") < F.col("id_b")))
+    cos = F.expr(f"round({_DOT} / ({_NORM_A} * {_NORM_B}), 6)")
+    return (cand.select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= 0.3))

@@ -36,6 +36,16 @@ TEMPORAL = [
     "asof_join_last_error_before_purchase",
 ]
 
+EXTENDED = [
+    "udaf_weighted_avg", "udtf_tokenize_lateral", "cogroup_events_orders",
+    "agg_grouping_id", "embedding_near_dup_pairs", "embedding_lsh_near_dup",
+]
+
+
+@pytest.mark.parametrize("name", EXTENDED)
+def test_extended(spark, duck, name):
+    compare_query(spark, duck, name)
+
 
 @pytest.mark.parametrize("name", RELATIONAL)
 def test_relational(spark, duck, name):
