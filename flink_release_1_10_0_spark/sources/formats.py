@@ -1,0 +1,73 @@
+"""Bounded source/sink formats (SURVEY.md §2.1).
+
+Reference inventory -> Spark mapping:
+
+- CSV (``flink-formats/flink-csv/.../CsvRowDeserializationSchema.java``)
+  -> ``spark.read.csv`` with explicit schema or header inference.
+- JSON (``flink-formats/flink-json/.../JsonRowDeserializationSchema.java:77``)
+  -> ``spark.read.json`` / ``from_json`` for embedded payloads.
+- Text (``StreamExecutionEnvironment.java:1072`` readTextFile)
+  -> ``spark.read.text``.
+- Parquet (``flink-formats/flink-parquet/.../ParquetInputFormat.java``)
+  and ORC (``flink-formats/flink-orc/.../OrcColumnarRowSplitReader.java``)
+  -> native vectorized readers; pushdown (``FilterableTableSource`` /
+  ``ProjectableTableSource``) comes from Catalyst + DSv2 for free.
+
+All readers return plain DataFrames so every downstream operator works
+unchanged.  Writers default to snappy parquet; ``partition_by`` maps the
+reference's partitioned-sink interface (``PartitionableTableSink.java``)
+onto hive-style directory partitioning, the layout that enables
+partition pruning at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None,
+             header: bool = True, delimiter: str = ",") -> DataFrame:
+    reader = (spark.read.option("header", str(header).lower())
+              .option("delimiter", delimiter))
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line, column ``value`` (readTextFile analog)."""
+    return spark.read.text(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,182 @@
+"""DataStream-style fluent API over (batch or streaming) DataFrames.
+
+Reference surface: ``flink-streaming-java/.../datastream/DataStream.java``
+(map :591, flatMap :635, filter :734, project :756, union :218,
+keyBy, process :680, assignTimestampsAndWatermarks :931, print :1005) and
+``KeyedStream.java`` (reduce :706, sum/min/max :746-:817, maxBy/minBy
+:865-1002, timeWindow :615, countWindow :652, intervalJoin :418).
+
+Design: a thin shell where every method lowers to a declarative
+DataFrame op so Catalyst optimizes the whole pipeline; the arbitrary-
+stateful entries (``process``) route to ``applyInPandasWithState``.
+Column-expression arguments (strings or Columns) are preferred over
+Python lambdas — lambdas force serialization barriers; expressions stay
+JVM-side.  ``map``/``flat_map`` accept expressions for exactly that
+reason: ``map`` = select, ``flat_map`` = select + explode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cols(exprs: Iterable[str | Column]) -> list[Column]:
+    return [F.expr(e) if isinstance(e, str) else e for e in exprs]
+
+
+class DataStream:
+    """Possibly-unbounded stream of rows (``DataStream.java:116``)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    # -- stateless transforms (StreamMap/StreamFlatMap/StreamFilter) -----
+    def map(self, *exprs: str | Column) -> "DataStream":
+        """Projection — one output row per input row."""
+        return DataStream(self._df.select(*_cols(exprs)))
+
+    def flat_map(self, explode_expr: str | Column, alias: str,
+                 *keep: str | Column) -> "DataStream":
+        """One input row -> N output rows (explode of an array expr)."""
+        e = F.expr(explode_expr) if isinstance(explode_expr, str) else explode_expr
+        return DataStream(self._df.select(*_cols(keep), F.explode(e).alias(alias)))
+
+    def filter(self, predicate: str | Column) -> "DataStream":
+        p = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return DataStream(self._df.filter(p))
+
+    def project(self, *field_names: str) -> "DataStream":
+        return DataStream(self._df.select(*field_names))
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        df = self._df
+        for o in others:
+            df = df.union(o._df)
+        return DataStream(df)
+
+    # -- time (assignTimestampsAndWatermarks; bounded out-of-orderness) --
+    def assign_timestamps_and_watermarks(self, ts_col: str,
+                                         max_out_of_orderness: str) -> "DataStream":
+        """BoundedOutOfOrdernessTimestampExtractor analog."""
+        return DataStream(self._df.withWatermark(ts_col, max_out_of_orderness))
+
+    # -- keying ----------------------------------------------------------
+    def key_by(self, *keys: str) -> "KeyedStream":
+        return KeyedStream(self._df, list(keys))
+
+    # -- sinks (print / addSink analogs live in sources.streams) ---------
+    def print(self, n: int = 20) -> None:
+        self._df.show(n)
+
+
+class KeyedStream:
+    """Stream partitioned by key (``KeyedStream.java:97``): rolling
+    aggregates, windows, and arbitrary per-key state."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self._df = df
+        self._keys = keys
+
+    # -- rolling aggregates (KeyedStream.java:746-1002) ------------------
+    def sum(self, col: str) -> DataStream:
+        return DataStream(self._df.groupBy(*self._keys).agg(F.sum(col).alias(col)))
+
+    def min(self, col: str) -> DataStream:
+        return DataStream(self._df.groupBy(*self._keys).agg(F.min(col).alias(col)))
+
+    def max(self, col: str) -> DataStream:
+        return DataStream(self._df.groupBy(*self._keys).agg(F.max(col).alias(col)))
+
+    def count(self) -> DataStream:
+        return DataStream(self._df.groupBy(*self._keys)
+                          .agg(F.count(F.lit(1)).alias("count")))
+
+    def max_by(self, order_col: str) -> DataStream:
+        """Row with the max ``order_col`` per key (``maxBy``):
+        ``max_by`` aggregate over a struct of the full row."""
+        cols = [c for c in self._df.columns]
+        row = F.struct(*cols)
+        picked = (self._df.groupBy(*self._keys)
+                  .agg(F.max_by(row, F.col(order_col)).alias("_row")))
+        return DataStream(picked.select([F.col(f"_row.{c}").alias(c) for c in cols]))
+
+    def min_by(self, order_col: str) -> DataStream:
+        cols = [c for c in self._df.columns]
+        row = F.struct(*cols)
+        picked = (self._df.groupBy(*self._keys)
+                  .agg(F.min_by(row, F.col(order_col)).alias("_row")))
+        return DataStream(picked.select([F.col(f"_row.{c}").alias(c) for c in cols]))
+
+    def reduce(self, *agg_exprs: str | Column) -> DataStream:
+        """General keyed reduce via aggregate expressions (stays JVM-side;
+        arbitrary Python reducers belong in ``process``)."""
+        return DataStream(self._df.groupBy(*self._keys).agg(*_cols(agg_exprs)))
+
+    # -- windows (KeyedStream.java:615 timeWindow / :652 countWindow) ----
+    def time_window(self, ts_col: str, size: str,
+                    slide: str | None = None) -> "WindowedStream":
+        w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+        return WindowedStream(self._df, self._keys, w)
+
+    def session_window(self, ts_col: str, gap: str) -> "WindowedStream":
+        return WindowedStream(self._df, self._keys,
+                              F.session_window(F.col(ts_col), gap))
+
+    def count_window(self, n: int) -> DataFrame:
+        """Count tumbling window — stateful op (streaming input only)."""
+        from flink_release_1_10_0_spark.streaming.stateful import count_tumble_window
+        assert len(self._keys) == 1
+        return count_tumble_window(self._df, n=n, key=self._keys[0])
+
+    # -- arbitrary per-key state (KeyedProcessFunction) ------------------
+    def process(self, fn, output_schema: str, state_schema: str,
+                output_mode: str = "update",
+                timeout: Any = None) -> DataStream:
+        """KeyedProcessFunction analog -> ``applyInPandasWithState``.
+        ``fn(key, pdf_iter, state)`` with GroupState; timers map to
+        ``GroupStateTimeout`` configs."""
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        to = timeout or GroupStateTimeout.NoTimeout
+        return DataStream(
+            self._df.groupBy(*self._keys)
+            .applyInPandasWithState(fn, output_schema, state_schema,
+                                    output_mode, to))
+
+    def interval_join(self, other: "KeyedStream", left_ts: str, right_ts: str,
+                      lower: str, upper: str) -> DataStream:
+        """``KeyedStream.intervalJoin`` (:418) — time-bounded stream-stream
+        join; both sides need watermarks for state cleanup."""
+        cond = (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}")) & \
+               (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+        on = [self._df[k] == other._df[k2]
+              for k, k2 in zip(self._keys, other._keys)]
+        joined = self._df.join(other._df, on[0] if len(on) == 1 else
+                               F.expr(" AND ".join(str(c) for c in on)))
+        return DataStream(joined.filter(cond))
+
+
+class WindowedStream:
+    """Keyed stream bucketed by a window assigner
+    (``WindowedStream.java``); ``aggregate``/``reduce`` -> grouped agg."""
+
+    def __init__(self, df: DataFrame, keys: list[str], window: Column):
+        self._df = df
+        self._keys = keys
+        self._window = window
+
+    def aggregate(self, *agg_exprs: str | Column) -> DataStream:
+        g = self._df.groupBy(self._window.alias("w"), *self._keys)
+        out = g.agg(*_cols(agg_exprs))
+        return DataStream(out.withColumn("w_start", F.col("w.start"))
+                             .withColumn("w_end", F.col("w.end"))
+                             .drop("w"))
+
+    reduce = aggregate

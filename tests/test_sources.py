@@ -1,0 +1,93 @@
+"""Source/sink/format round-trips (SURVEY.md §2.1) and the
+DataStream-style API facade (§2.9)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.sources import (
+    file_monitor_source, memory_sink, read_csv, read_json, read_text,
+    write_csv, write_json, write_parquet,
+)
+from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
+
+@pytest.fixture
+def orders(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+
+def test_csv_roundtrip(spark, orders):
+    sub = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").limit(100)
+    path = tempfile.mkdtemp(prefix="fmt_csv_")
+    write_csv(sub, path)
+    back = read_csv(spark, path,
+                    schema="o_orderkey bigint, o_orderstatus string, o_totalprice double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sub.collect()))
+
+
+def test_json_roundtrip(spark, orders):
+    sub = orders.select("o_orderkey", "o_orderpriority").limit(50)
+    path = tempfile.mkdtemp(prefix="fmt_json_")
+    write_json(sub, path)
+    back = read_json(spark, path, schema="o_orderkey bigint, o_orderpriority string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sub.collect()))
+
+
+def test_parquet_partitioned_write(spark, orders):
+    path = tempfile.mkdtemp(prefix="fmt_parq_")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    # hive-style layout -> partition pruning
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
+    pruned = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == orders.filter("o_orderstatus = 'F'").count()
+    assert "o_orderstatus=F" in plan or "PartitionFilters" in plan
+
+
+def test_text_source(spark):
+    path = tempfile.mkdtemp(prefix="fmt_txt_")
+    with open(os.path.join(path, "a.txt"), "w") as f:
+        f.write("hello\nworld\n")
+    assert {r["value"] for r in read_text(spark, path).collect()} == {"hello", "world"}
+
+
+def test_file_monitor_stream(spark, orders):
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    orders.limit(10).write.mode("append").parquet(src)
+    sdf = file_monitor_source(spark, src, orders.schema, max_files_per_trigger=1)
+    agg = sdf.groupBy().agg(F.count("*").alias("n"))
+    q = memory_sink(agg, "_monitor_sink", tempfile.mkdtemp(prefix="ck_"),
+                    output_mode="complete")
+    try:
+        q.processAllAvailable()
+        assert spark.table("_monitor_sink").collect()[0]["n"] == 10
+    finally:
+        q.stop()
+
+
+def test_datastream_facade(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 30.0), (2, "c", 20.0)],
+        "user_id bigint, tag string, value double")
+    ds = DataStream(ev)
+    total = ds.filter("value > 15").key_by("user_id").sum("value").df
+    assert {(r["user_id"], r["value"]) for r in total.collect()} == {(1, 30.0), (2, 20.0)}
+    best = ds.key_by("user_id").max_by("value").df
+    assert {(r["user_id"], r["tag"]) for r in best.collect()} == {(1, "b"), (2, "c")}
+
+
+def test_datastream_flat_map_and_window(spark):
+    docs = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "x y"), ("2024-01-01 10:20:00", "z")],
+        "ts string, text string").withColumn("ts", F.col("ts").cast("timestamp"))
+    ds = DataStream(docs)
+    words = ds.flat_map("split(text, ' ')", "word", "ts").df
+    assert words.count() == 3
+    win = (DataStream(docs).key_by("text")
+           .time_window("ts", "1 hour").aggregate("count(*) as n").df)
+    assert win.select("w_start", "n").count() == 2
