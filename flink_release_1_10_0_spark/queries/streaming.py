@@ -276,3 +276,63 @@ def stream_changelog_agg(spark, sf_dir):
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("event_type", "cnt"))
+
+
+# --------------------------------------------------------------------------
+# Streaming temporal / as-of join (TemporalRowTimeJoinOperator.java:71):
+# purchases probe the versioned "latest error value" table per user.
+# A version is visible to a probe iff (v.ts, v.id) < (p.ts, p.id);
+# the newest visible version wins.
+# --------------------------------------------------------------------------
+_STREAM_TEMPORAL_ORACLE = """
+WITH m AS (
+  SELECT p.user_id, p.event_id AS probe_id, p.ts AS probe_ts,
+         e.event_id AS version_id, e.ts AS version_ts, e.value AS version_value,
+         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM events p
+  JOIN events e ON p.user_id = e.user_id
+   AND p.event_type = 'purchase' AND e.event_type = 'error'
+   AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id)))
+SELECT user_id, probe_id, probe_ts, version_id, version_ts, version_value
+FROM m WHERE rn = 1
+"""
+
+
+@register("stream_temporal_join", _STREAM_TEMPORAL_ORACLE)
+def stream_temporal_join(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        stateful.temporal_join(ev, build_type="error", probe_type="purchase"),
+        "append")
+
+
+# --------------------------------------------------------------------------
+# CEP oneOrMore: error+ followedBy purchase within 30 min
+# (Pattern.java oneOrMore/greedy); matched errors are consumed
+# (AFTER MATCH SKIP PAST LAST ROW), so each error can belong to at most
+# one match — equivalently, each error is assigned to the FIRST purchase
+# that follows it within the window.
+# --------------------------------------------------------------------------
+_STREAM_CEP_OOM_ORACLE = """
+WITH assign AS (
+  SELECT a.user_id, a.ts AS a_ts, b.event_id AS b_id, b.ts AS b_ts,
+         row_number() OVER (PARTITION BY a.user_id, a.event_id
+                            ORDER BY b.ts, b.event_id) AS rn
+  FROM events a
+  JOIN events b ON a.user_id = b.user_id
+   AND a.event_type = 'error' AND b.event_type = 'purchase'
+   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+SELECT user_id, b_id AS then_id, b_ts AS then_ts,
+       COUNT(*) AS n_first, MIN(a_ts) AS first_ts, MAX(a_ts) AS last_ts
+FROM assign WHERE rn = 1
+GROUP BY user_id, b_id, b_ts
+"""
+
+
+@register("stream_cep_one_or_more", _STREAM_CEP_OOM_ORACLE)
+def stream_cep_one_or_more(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        stateful.cep_one_or_more(ev, "error", "purchase", within_minutes=30),
+        "append")

@@ -205,3 +205,104 @@ def changelog_count(events: DataFrame, key: str = "event_type") -> DataFrame:
     return (events.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def temporal_join(events: DataFrame, build_type: str, probe_type: str,
+                  key: str = "user_id") -> DataFrame:
+    """Streaming temporal / as-of join
+    (``runtime/operators/join/temporal/TemporalRowTimeJoinOperator.java:71``,
+    ``Table.java:139`` createTemporalTableFunction): rows of ``build_type``
+    form a versioned table per key; each ``probe_type`` row joins the
+    latest build version with ``version_ts <= probe_ts``.
+
+    Both sides arrive on ONE keyed stream (the union-tagged layout); the
+    operator keeps the version history per key in state, processes each
+    micro-batch in event-time order, and emits probe matches eagerly.
+    Versions older than the newest one at-or-before the probe are kept
+    (a later probe may still need them); the reference prunes them on
+    watermark — here state stays bounded by the version count per key.
+    """
+    out_schema = ("user_id bigint, probe_id bigint, probe_ts timestamp, "
+                  "version_id bigint, version_ts timestamp, version_value double")
+    state_schema = "vids array<bigint>, vus array<bigint>, vvals array<double>"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vids, vus, vvals = state.get
+            versions = sorted(zip(list(vus), list(vids), list(vvals)))
+        else:
+            versions = []  # (ts_us, event_id, value) ascending
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                ts_us = row["ts"].value // 1000
+                et = str(row["event_type"])
+                if et == build_type:
+                    versions.append((ts_us, int(row["event_id"]), float(row["value"])))
+                    versions.sort()
+                elif et == probe_type:
+                    # latest version at-or-before the probe: rightmost <= ts
+                    best = None
+                    for v in versions:
+                        if v[0] <= ts_us:
+                            best = v
+                        else:
+                            break
+                    if best is not None:
+                        out.append((key_[0], int(row["event_id"]), row["ts"],
+                                    best[1], pd.Timestamp(best[0] * 1000),
+                                    best[2]))
+        state.update(([v[1] for v in versions], [v[0] for v in versions],
+                      [v[2] for v in versions]))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "probe_id", "probe_ts",
+                "version_id", "version_ts", "version_value"])
+
+    return (events.filter(events.event_type.isin(build_type, probe_type))
+            .groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def cep_one_or_more(events: DataFrame, first_type: str, then_type: str,
+                    within_minutes: float, key: str = "user_id") -> DataFrame:
+    """CEP ``begin(A).oneOrMore().followedBy(B).within(T)``
+    (``Pattern.java`` oneOrMore/greedy + NFA SHARED_BUFFER semantics,
+    scoped to the greedy match): when a B arrives, all pending A's within
+    the window form ONE greedy match — emitted with the count of A's and
+    the first/last A timestamps; matched A's are consumed
+    (AFTER MATCH SKIP PAST LAST ROW).
+    """
+    out_schema = ("user_id bigint, then_id bigint, then_ts timestamp, "
+                  "n_first bigint, first_ts timestamp, last_ts timestamp")
+    state_schema = "pend_us array<bigint>"
+    within_us = int(within_minutes * 60_000_000)
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        pending = sorted(state.get[0]) if state.exists else []  # A ts_us asc
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                ts_us = row["ts"].value // 1000
+                et = str(row["event_type"])
+                if et == first_type:
+                    pending.append(ts_us)
+                elif et == then_type:
+                    in_win = [a for a in pending if 0 < ts_us - a <= within_us]
+                    if in_win:
+                        out.append((key_[0], int(row["event_id"]), row["ts"],
+                                    len(in_win),
+                                    pd.Timestamp(min(in_win) * 1000),
+                                    pd.Timestamp(max(in_win) * 1000)))
+                        pending = [a for a in pending if not (0 < ts_us - a <= within_us)]
+        state.update((pending,))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "then_id", "then_ts", "n_first", "first_ts", "last_ts"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -17,6 +17,8 @@ STREAMING = [
     "stream_session_window",
     "stream_count_window_10",
     "stream_changelog_agg",
+    "stream_temporal_join",
+    "stream_cep_one_or_more",
 ]
 
 
