@@ -33,8 +33,10 @@ def main():
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm the JVM + parquet footers once with the cheapest query
-    qs[names[0]](spark, sf_dir).count()
+    # one untimed warmup pass: JVM/codegen JIT + parquet footer cache, the
+    # steady-state a long-running cluster session actually operates in
+    for name in names:
+        qs[name](spark, sf_dir).count()
     times: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
