@@ -196,3 +196,52 @@ def embedding_lsh_near_dup(spark, sf_dir):
     cos = F.expr(f"round({_DOT} / ({_NORM_A} * {_NORM_B}), 6)")
     return (cand.select("id_a", "id_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= 0.3))
+
+
+# --------------------------------------------------------------------------
+# Distinct-agg split (SplitAggregateRule, FlinkStreamRuleSets.scala:329-340)
+# — two-level COUNT(DISTINCT) partitioned by value-hash bucket; exact and
+# skew-proof.  Must equal the single-level COUNT(DISTINCT).
+# --------------------------------------------------------------------------
+_SPLIT_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_split_count_distinct", _SPLIT_DISTINCT_ORACLE)
+def agg_split_count_distinct(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.skew import split_distinct_agg
+    ev = t(spark, sf_dir, "events")
+    return split_distinct_agg(ev, ["event_type"], "user_id", n_buckets=32)
+
+
+# --------------------------------------------------------------------------
+# COLLECT -> MULTISET (FlinkSqlOperatorTable COLLECT; MULTISET type
+# emulated as map<value, count> per SURVEY.md §1.2) — represented sorted
+# for a deterministic cross-engine comparison.
+# --------------------------------------------------------------------------
+_MULTISET_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag,
+       array_to_string(list_sort(list_transform(
+         list_zip(list(l_linestatus ORDER BY l_linestatus), list(cnt ORDER BY l_linestatus)),
+         p -> p[1] || ':' || CAST(p[2] AS VARCHAR))), ',') AS multiset_repr
+FROM m GROUP BY l_returnflag
+"""
+
+
+@register("agg_collect_multiset", _MULTISET_ORACLE)
+def agg_collect_multiset(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    # COLLECT(l_linestatus) per returnflag == multiset {value -> count};
+    # canonical form: sorted "value:count" CSV
+    per_val = (li.groupBy("l_returnflag", "l_linestatus")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_val.groupBy("l_returnflag")
+            .agg(F.array_join(
+                F.array_sort(F.collect_list(
+                    F.concat_ws(":", "l_linestatus", F.col("cnt").cast("string")))),
+                ",").alias("multiset_repr")))

@@ -39,6 +39,7 @@ TEMPORAL = [
 EXTENDED = [
     "udaf_weighted_avg", "udtf_tokenize_lateral", "cogroup_events_orders",
     "agg_grouping_id", "embedding_near_dup_pairs", "embedding_lsh_near_dup",
+    "agg_split_count_distinct", "agg_collect_multiset",
 ]
 
 

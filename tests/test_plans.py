@@ -1,0 +1,79 @@
+"""Physical-plan quality gates — the 100 TB checklist from SURVEY.md §4:
+filters reach the parquet scan, projections prune the read schema, small
+dimensions broadcast, hot paths stay inside whole-stage codegen, and no
+TPC-H query ever drops into row-at-a-time Python."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_release_1_10_0_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return all_queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    # range predicates pushed into the parquet reader
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+    # column pruning: untouched wide columns never read
+    read_schema = plan.split("ReadSchema:")[1][:300]
+    assert "l_returnflag" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q5_broadcasts_nation_region(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_tpch_plans_have_no_python(spark):
+    """Every TPC-H query must compile to pure JVM operators."""
+    for name in all_queries():
+        if not name.startswith("tpch_"):
+            continue
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_q1_wholestage_codegen(spark):
+    df = all_queries()["tpch_q1_pricing_summary"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # whole-stage-codegen'd operators carry the `*(n)` marker
+    assert "*(" in plan
+
+
+def test_lsh_join_is_not_cartesian(spark):
+    """The LSH candidate join must hash on the signature, not cross-join."""
+    plan = plan_of(spark, "embedding_lsh_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_partial_aggregation_present(spark):
+    """Catalyst plans map-side partial aggregation (the reference's
+    two-stage local/global agg, TwoStageOptimizedAggregateRule)."""
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_salted_join_equivalence(spark):
+    from flink_release_1_10_0_spark.operators.skew import salted_join
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = (spark.read.parquet(f"{SF}/orders.parquet")
+              .select("o_orderkey", "o_totalprice")
+              .withColumnRenamed("o_orderkey", "l_orderkey"))
+    plain = li.join(orders, "l_orderkey").count()
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4).count()
+    assert plain == salted
