@@ -245,3 +245,121 @@ def agg_collect_multiset(spark, sf_dir):
                 F.array_sort(F.collect_list(
                     F.concat_ws(":", "l_linestatus", F.col("cnt").cast("string")))),
                 ",").alias("multiset_repr")))
+
+
+# --------------------------------------------------------------------------
+# STDDEV / VARIANCE family (FlinkSqlOperatorTable STDDEV_POP/SAMP,
+# VAR_POP/SAMP).  Computed from exact decimal power sums on BOTH sides so
+# the result is order-independent (a naive stddev over doubles is not).
+# --------------------------------------------------------------------------
+_STATS_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       round((s2 - s1 * s1 / n) / n, 6) AS var_pop,
+       round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_samp,
+       round(sqrt((s2 - s1 * s1 / n) / n), 6) AS stddev_pop,
+       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_samp
+FROM s
+"""
+
+
+@register("agg_stddev_variance", _STATS_ORACLE)
+def agg_stddev_variance(spark, sf_dir):
+    from flink_release_1_10_0_spark.queries.helpers import MONEY
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value").cast(MONEY)
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"))
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return s.select(
+        "event_type", "n",
+        F.round((s2 - s1 * s1 / n) / n, 6).alias("var_pop"),
+        F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("var_samp"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / n), 6).alias("stddev_pop"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_samp"))
+
+
+# --------------------------------------------------------------------------
+# TableAggregateFunction (emits MULTIPLE rows per group;
+# StreamExecGroupTableAggregate / TableAggregateFunction.java) — top-2
+# values per key, via applyInPandas returning a frame per group.
+# --------------------------------------------------------------------------
+_TABLEAGG_ORACLE = """
+SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events) q
+WHERE rn <= 2
+"""
+
+
+@register("tableagg_top2_per_group", _TABLEAGG_ORACLE)
+def tableagg_top2_per_group(spark, sf_dir):
+    import pandas as pd
+
+    def top2(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"],
+                              ascending=[False, True]).head(2)
+        pdf = pdf.assign(rn=range(1, len(pdf) + 1))
+        return pdf[["event_type", "event_id", "value", "rn"]]
+
+    ev = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return (ev.groupBy("event_type")
+            .applyInPandas(top2, "event_type string, event_id bigint, value double, rn bigint"))
+
+
+# --------------------------------------------------------------------------
+# ScalarFunction (Python, vectorized pandas_udf; ScalarFunction.java ->
+# the PyFlink scalar-UDF surface without the Beam detour)
+# --------------------------------------------------------------------------
+_SCALAR_UDF_ORACLE = """
+SELECT doc_id,
+       CASE WHEN n_chars < 200 THEN 'short'
+            WHEN n_chars < 1000 THEN 'medium'
+            ELSE 'long' END AS size_bucket
+FROM documents
+"""
+
+
+@register("scalar_python_udf", _SCALAR_UDF_ORACLE)
+def scalar_python_udf(spark, sf_dir):
+    import pandas as pd
+
+    from flink_release_1_10_0_spark.functions.udf import ScalarFunction
+
+    class SizeBucket(ScalarFunction):
+        result_type = "string"
+
+        def eval(self, n_chars: pd.Series) -> pd.Series:
+            return pd.cut(n_chars, bins=[-1, 199, 999, float("inf")],
+                          labels=["short", "medium", "long"]).astype(str)
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", SizeBucket().to_pandas_udf()("n_chars").alias("size_bucket"))
+
+
+# --------------------------------------------------------------------------
+# Join strategy hints (DataSet joinWithTiny/joinWithHuge + DriverStrategy
+# -> Spark SQL join hints): same result, explicitly-chosen physical join.
+# --------------------------------------------------------------------------
+_HINT_ORACLE = """
+SELECT o_orderkey, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+"""
+
+
+@register("join_hint_shuffle_merge", _HINT_ORACLE)
+def join_hint_shuffle_merge(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = t(spark, sf_dir, "customer")
+    # MERGE hint pins sort-merge (joinWithHuge analog: both sides shuffled)
+    return (orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "c_name"))

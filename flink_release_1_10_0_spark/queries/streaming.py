@@ -336,3 +336,25 @@ def stream_cep_one_or_more(spark, sf_dir):
     return run_to_completion(
         stateful.cep_one_or_more(ev, "error", "purchase", within_minutes=30),
         "append")
+
+
+# --------------------------------------------------------------------------
+# Plain streaming group aggregate, update mode
+# (StreamExecGroupAggregate.scala:55 / GroupAggFunction.java:43):
+# per-key aggregates re-emitted as they change; the bounded run's final
+# update equals the batch aggregate.
+# --------------------------------------------------------------------------
+_STREAM_GROUP_AGG_ORACLE = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+"""
+
+
+@register("stream_group_agg_update", _STREAM_GROUP_AGG_ORACLE)
+def stream_group_agg_update(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (ev.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(MONEY)).cast("double").alias("total")))
+    return run_to_completion(agg, "update")

@@ -40,6 +40,8 @@ EXTENDED = [
     "udaf_weighted_avg", "udtf_tokenize_lateral", "cogroup_events_orders",
     "agg_grouping_id", "embedding_near_dup_pairs", "embedding_lsh_near_dup",
     "agg_split_count_distinct", "agg_collect_multiset",
+    "agg_stddev_variance", "tableagg_top2_per_group",
+    "scalar_python_udf", "join_hint_shuffle_merge",
 ]
 
 

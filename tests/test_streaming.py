@@ -19,6 +19,7 @@ STREAMING = [
     "stream_changelog_agg",
     "stream_temporal_join",
     "stream_cep_one_or_more",
+    "stream_group_agg_update",
 ]
 
 
