@@ -363,3 +363,63 @@ def join_hint_shuffle_merge(spark, sf_dir):
     # MERGE hint pins sort-merge (joinWithHuge analog: both sides shuffled)
     return (orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
             .select("o_orderkey", "c_name"))
+
+
+# --------------------------------------------------------------------------
+# Graph: vertex degrees (Gelly Graph.java inDegrees/outDegrees) over the
+# customer->supplier bipartite graph derived from lineitem+orders
+# --------------------------------------------------------------------------
+_DEGREES_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 30),
+o AS (SELECT src AS id, COUNT(*) AS out_degree FROM edges GROUP BY src),
+i AS (SELECT dst AS id, COUNT(*) AS in_degree FROM edges GROUP BY dst)
+SELECT COALESCE(o.id, i.id) AS id,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree,
+       COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree
+FROM o FULL OUTER JOIN i ON o.id = i.id
+"""
+
+
+def _cust_supp_edges(spark, sf_dir, max_cust: int):
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < max_cust)
+    li = t(spark, sf_dir, "lineitem")
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(F.col("o_custkey").alias("src"),
+                    (F.lit(100000) + F.col("l_suppkey")).alias("dst"))
+            .distinct())
+
+
+@register("graph_degrees", _DEGREES_ORACLE)
+def graph_degrees(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import degrees
+    return degrees(_cust_supp_edges(spark, sf_dir, 30))
+
+
+# --------------------------------------------------------------------------
+# Graph: connected components (Gelly library/ConnectedComponents.java) —
+# min-label propagation driver loop vs a recursive-CTE closure oracle
+# --------------------------------------------------------------------------
+_CC_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 12),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+SELECT a AS id, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+@register("graph_connected_components", _CC_ORACLE)
+def graph_connected_components(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import connected_components
+    return connected_components(_cust_supp_edges(spark, sf_dir, 12))

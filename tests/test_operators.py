@@ -42,6 +42,7 @@ EXTENDED = [
     "agg_split_count_distinct", "agg_collect_multiset",
     "agg_stddev_variance", "tableagg_top2_per_group",
     "scalar_python_udf", "join_hint_shuffle_merge",
+    "graph_degrees", "graph_connected_components",
 ]
 
 
