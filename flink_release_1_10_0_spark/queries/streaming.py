@@ -358,3 +358,25 @@ def stream_group_agg_update(spark, sf_dir):
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("value").cast(MONEY)).cast("double").alias("total")))
     return run_to_completion(agg, "update")
+
+
+# --------------------------------------------------------------------------
+# Streaming OVER aggregate (StreamExecOverAggregate.scala:56): per-row
+# running sum/count per key in event-time order — the unbounded-preceding
+# ROWS frame as a stateful streaming operator.
+# --------------------------------------------------------------------------
+_STREAM_OVER_ORACLE = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+FROM events
+"""
+
+
+@register("stream_over_running_agg", _STREAM_OVER_ORACLE)
+def stream_over_running_agg(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(stateful.over_running_agg(ev), "append")

@@ -306,3 +306,35 @@ def cep_one_or_more(events: DataFrame, first_type: str, then_type: str,
     return (events.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def over_running_agg(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Streaming OVER aggregate, unbounded-preceding ROWS frame
+    (``StreamExecOverAggregate.scala:56``; runtime
+    ``runtime/operators/over/`` RowTime*UnboundedPrecedingFunction):
+    each arriving row is emitted once, annotated with the running
+    SUM(value)/COUNT(*) over all rows of its key so far, in event-time
+    order.  Money accumulates as integer cents — exact at any rescale.
+    """
+    out_schema = ("user_id bigint, event_id bigint, ts timestamp, "
+                  "running_sum double, running_n bigint")
+    state_schema = "cents bigint, n bigint"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cents, n = state.get if state.exists else (0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                cents += int(round(float(row["value"]) * 100))
+                n += 1
+                out.append((key_[0], int(row["event_id"]), row["ts"],
+                            cents / 100.0, n))
+        state.update((cents, n))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "event_id", "ts", "running_sum", "running_n"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -91,3 +91,32 @@ def test_datastream_flat_map_and_window(spark):
     win = (DataStream(docs).key_by("text")
            .time_window("ts", "1 hour").aggregate("count(*) as n").df)
     assert win.select("w_start", "n").count() == 2
+
+
+def test_foreach_batch_side_outputs(spark, orders):
+    """Side-output topology: one stream fans out to two sinks in a single
+    foreachBatch (SplitStream / getSideOutput analog)."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources import file_monitor_source, foreach_batch_sink
+
+    src = tempfile.mkdtemp(prefix="side_src_")
+    orders.limit(100).write.mode("append").parquet(src)
+    outs = {"high": tempfile.mkdtemp(prefix="side_hi_"),
+            "low": tempfile.mkdtemp(prefix="side_lo_")}
+
+    def fan_out(batch_df, batch_id):
+        batch_df.persist()
+        batch_df.filter("o_totalprice >= 200000").write.mode("append").parquet(outs["high"])
+        batch_df.filter("o_totalprice < 200000").write.mode("append").parquet(outs["low"])
+        batch_df.unpersist()
+
+    sdf = file_monitor_source(spark, src, orders.schema)
+    q = foreach_batch_sink(sdf, tempfile.mkdtemp(prefix="ck_"), fan_out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hi = spark.read.parquet(outs["high"]).count()
+    lo = spark.read.parquet(outs["low"]).count()
+    assert hi + lo == 100 and hi > 0 and lo > 0

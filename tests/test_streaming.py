@@ -20,6 +20,7 @@ STREAMING = [
     "stream_temporal_join",
     "stream_cep_one_or_more",
     "stream_group_agg_update",
+    "stream_over_running_agg",
 ]
 
 
