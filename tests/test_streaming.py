@@ -68,3 +68,18 @@ def test_cep_multi_batch_state_carryover(spark):
         assert [(r["first_id"], r["then_id"]) for r in rows] == [(1, 2)]
     finally:
         q.stop()
+
+
+def test_pattern_builder_compiles_to_nfa_ops(spark):
+    """Pattern.begin(...).followedBy(...).within(...) == the stateful op."""
+    from flink_release_1_10_0_spark.queries import all_queries
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+    from flink_release_1_10_0_spark.streaming.core import read_stream_table, run_to_completion
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_stream_table(spark, sf, "events")
+    via_pattern = run_to_completion(
+        Pattern.begin("error").followed_by("purchase").within(30).match_stream(ev),
+        "append")
+    direct = all_queries()["stream_cep_error_then_purchase"](spark, sf)
+    assert sorted(map(tuple, via_pattern.collect())) == sorted(map(tuple, direct.collect()))
