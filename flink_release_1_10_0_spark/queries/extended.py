@@ -423,3 +423,55 @@ FROM reach GROUP BY a
 def graph_connected_components(spark, sf_dir):
     from flink_release_1_10_0_spark.operators.graph import connected_components
     return connected_components(_cust_supp_edges(spark, sf_dir, 12))
+
+
+# --------------------------------------------------------------------------
+# PARSE_URL / STR_TO_MAP / OVERLAY / TIMESTAMP_DIFF/ADD
+# (FlinkSqlOperatorTable PARSE_URL, STR_TO_MAP, OVERLAY, TIMESTAMP_ADD,
+# TIMESTAMP_DIFF; impls SqlFunctionUtils.java / SqlDateTimeUtils.java) —
+# the remaining scalar-function rows exercised over synthesized inputs.
+# --------------------------------------------------------------------------
+_URLMAP_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://example.com/d/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
+         'k1=' || lang || ',k2=' || source AS kv,
+         ts_base + INTERVAL (doc_id) MINUTE AS t1,
+         ts_base + INTERVAL (doc_id * 2) MINUTE AS t2
+  FROM (SELECT doc_id, lang, source, TIMESTAMP '2024-01-01 00:00:00' AS ts_base
+        FROM documents WHERE doc_id < 50) q)
+SELECT doc_id,
+       'example.com' AS url_host,
+       '/d/' || CAST(doc_id AS VARCHAR) AS url_path,
+       'lang=' || string_split(kv, ',')[1][4:] AS url_query,
+       map_from_entries(list_transform(string_split(kv, ','),
+         s -> {'k': string_split(s, '=')[1], 'v': string_split(s, '=')[2]}))['k2'][1] AS k2_val,
+       substr('abcdefgh', 1, 2) || 'XY' || substr('abcdefgh', 5) AS overlaid,
+       CAST(date_diff('minute', t1, t2) AS BIGINT) AS minutes_between,
+       t1 + INTERVAL 90 SECOND AS t1_plus_90s
+FROM u
+"""
+
+
+@register("scalar_url_map_overlay", _URLMAP_ORACLE)
+def scalar_url_map_overlay(spark, sf_dir):
+    docs = (t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+            .select("doc_id", "lang", "source",
+                    F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts_base")))
+    u = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://example.com/d/"), F.col("doc_id").cast("string"),
+                 F.lit("?lang="), F.col("lang")).alias("url"),
+        F.concat(F.lit("k1="), F.col("lang"), F.lit(",k2="), F.col("source")).alias("kv"),
+        (F.col("ts_base") + F.col("doc_id") * F.expr("INTERVAL 1 MINUTE")).alias("t1"),
+        (F.col("ts_base") + F.col("doc_id") * 2 * F.expr("INTERVAL 1 MINUTE")).alias("t2"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("url_host"),
+        F.parse_url("url", F.lit("PATH")).alias("url_path"),
+        F.parse_url("url", F.lit("QUERY")).alias("url_query"),
+        F.str_to_map("kv", F.lit(","), F.lit("="))["k2"].alias("k2_val"),
+        F.overlay(F.lit("abcdefgh"), F.lit("XY"), F.lit(3), F.lit(2)).alias("overlaid"),
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")).cast("bigint")
+            .__div__(60).cast("bigint").alias("minutes_between"),
+        (F.col("t1") + F.expr("INTERVAL 90 SECONDS")).alias("t1_plus_90s"))

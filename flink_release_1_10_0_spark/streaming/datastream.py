@@ -76,6 +76,30 @@ class DataStream:
     def print(self, n: int = 20) -> None:
         self._df.show(n)
 
+    # -- physical distribution (DataStream.java:361-505 partitionCustom/
+    # broadcast/shuffle/rebalance/rescale/global; DataSet.java:1257-1385
+    # partitionByHash/Range + sortPartition) -----------------------------
+    def partition_by_hash(self, n: int, *cols: str) -> "DataStream":
+        """Hash-partition on key columns (Exchange hashpartitioning)."""
+        return DataStream(self._df.repartition(n, *[F.col(c) for c in cols]))
+
+    def partition_by_range(self, n: int, *cols: str) -> "DataStream":
+        """Range-partition (Exchange rangepartitioning) — total ordering
+        across partitions, the sort-friendly layout."""
+        return DataStream(self._df.repartitionByRange(n, *[F.col(c) for c in cols]))
+
+    def rebalance(self, n: int) -> "DataStream":
+        """Round-robin redistribute (RebalancePartitioner)."""
+        return DataStream(self._df.repartition(n))
+
+    def rescale(self, n: int) -> "DataStream":
+        """Scale partition count down without a full shuffle (coalesce)."""
+        return DataStream(self._df.coalesce(n))
+
+    def sort_partition(self, *cols: str) -> "DataStream":
+        """Partition-local sort (DataSet.sortPartition) — no global shuffle."""
+        return DataStream(self._df.sortWithinPartitions(*cols))
+
 
 class KeyedStream:
     """Stream partitioned by key (``KeyedStream.java:97``): rolling
@@ -180,3 +204,4 @@ class WindowedStream:
                              .drop("w"))
 
     reduce = aggregate
+

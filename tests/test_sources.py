@@ -120,3 +120,17 @@ def test_foreach_batch_side_outputs(spark, orders):
     hi = spark.read.parquet(outs["high"]).count()
     lo = spark.read.parquet(outs["low"]).count()
     assert hi + lo == 100 and hi > 0 and lo > 0
+
+
+def test_partitioning_methods(spark, orders):
+    """partition_by_hash/range land as Exchange nodes; sort_partition
+    sorts locally without an exchange."""
+    ds = DataStream(orders)
+    hashed = ds.partition_by_hash(8, "o_custkey").df
+    assert "hashpartitioning" in hashed._jdf.queryExecution().executedPlan().toString()
+    ranged = ds.partition_by_range(8, "o_orderdate").df
+    assert "rangepartitioning" in ranged._jdf.queryExecution().executedPlan().toString()
+    local_sorted = ds.partition_by_hash(4, "o_custkey").sort_partition("o_orderdate").df
+    plan = local_sorted._jdf.queryExecution().executedPlan().toString()
+    assert "Sort [o_orderdate" in plan and "], false, 0" in plan  # local sort
+    assert ds.rebalance(8).rescale(2).df.rdd.getNumPartitions() == 2
