@@ -74,3 +74,36 @@ def ivf_assign(embeddings: DataFrame, id_col: str = "vec_id",
     return (scored.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1)
                   .select(F.col(id_col), F.col("c_label").alias("assigned_label"), "dist"))
+
+
+def ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 5,
+             id_col: str = "vec_id", label_col: str = "label",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF search: route the query to its nearest label-centroid, then
+    brute-force cosine top-k INSIDE that cell only — the inverted-file
+    ANN layout.  At 100 TB the cell list is a partition-pruned subset
+    (cells map to partitions), so the scan touches ~1/n_cells of the
+    corpus.  Fully declarative: no driver-side collect."""
+    cents = label_centroids(embeddings, label_col, vec_col)
+    cent_vecs = (cents.groupBy(label_col)
+                 .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+                      .alias("cvec"))
+                 .withColumnRenamed(label_col, "c_label"))
+    q = query.select(F.col(vec_col).alias("qvec"))
+    qdist = F.expr(
+        "round(sqrt(aggregate(zip_with(qvec, cvec, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)), 6)")
+    from pyspark.sql import Window
+    w = Window.orderBy(F.asc("qd"), F.asc("c_label"))
+    routed = (q.crossJoin(F.broadcast(cent_vecs))
+              .select("qvec", "c_label", qdist.alias("qd"))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("qvec", F.col("c_label").alias("cell")))
+    cell = embeddings.join(F.broadcast(routed),
+                           F.col(label_col) == F.col("cell"))
+    cos = F.expr(f"round({_dot(vec_col, 'qvec')} / ({_norm(vec_col)} * {_norm('qvec')}), 6)")
+    return (cell.select(F.col(id_col), F.col("cell"), cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))

@@ -315,3 +315,40 @@ FROM documents
 def multimodal_metadata_extract(spark, sf_dir):
     docs = with_binary_payload(t(spark, sf_dir, "documents"))
     return extract_fake_metadata(docs)
+
+
+# --------------------------------------------------------------------------
+# IVF top-k search: route the query to its nearest centroid cell, scan
+# only that cell — the scale path of ANN search (cell ≈ partition)
+# --------------------------------------------------------------------------
+_IVF_TOPK_ORACLE = """
+WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+            FROM embeddings),
+cent AS (SELECT label, pos,
+                CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+         FROM ex GROUP BY label, pos),
+cvec AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1),
+routed AS (
+  SELECT c_label AS cell FROM (
+    SELECT c_label,
+           round(sqrt(list_sum(list_transform(range(1, 65), i ->
+             (CAST(qvec[i] AS DOUBLE) - cv[i]) * (CAST(qvec[i] AS DOUBLE) - cv[i])))), 6) AS qd
+    FROM cvec CROSS JOIN q) s
+  ORDER BY qd, c_label LIMIT 1)
+SELECT vec_id, cell,
+       round(
+         list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))), 6) AS cosine
+FROM embeddings
+JOIN routed ON label = cell
+CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+@register("similarity_ivf_topk", _IVF_TOPK_ORACLE)
+def similarity_ivf_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") == 1), k=5)

@@ -11,6 +11,7 @@ LLM = [
     "doc_fingerprint", "dedup_exact_md5", "dedup_wordset_groups",
     "minhash_signatures", "minhash_lsh_dup_pairs", "simhash_fingerprint",
     "ngram_jaccard_pairs", "similarity_cosine_topk", "similarity_ivf_assign",
+    "similarity_ivf_topk", "embedding_near_dup_pairs", "embedding_lsh_near_dup",
     "multimodal_metadata_extract",
 ]
 
