@@ -81,3 +81,25 @@ def foreach_batch_sink(df: DataFrame, checkpoint: str,
     side outputs, ``SingleOutputStreamOperator.getSideOutput``)."""
     return (df.writeStream.foreachBatch(fn)
             .option("checkpointLocation", checkpoint).start())
+
+
+def connect_with_broadcast_rules(stream_df: DataFrame, rules_path: str,
+                                 on: str, out_path: str, checkpoint: str,
+                                 fmt: str = "parquet") -> StreamingQuery:
+    """Broadcast-state pattern (``DataStream.broadcast``,
+    ``BroadcastProcessFunction.java:51``): a slowly-changing rules table
+    re-read and broadcast at EVERY micro-batch, so rule updates take
+    effect on the next batch — the per-batch-refresh layout Spark uses
+    where the reference streams rule updates into broadcast state.
+    """
+    from pyspark.sql.functions import broadcast
+
+    spark = stream_df.sparkSession
+
+    def apply_rules(batch_df: DataFrame, batch_id: int) -> None:
+        rules = spark.read.format(fmt).load(rules_path)
+        (batch_df.join(broadcast(rules), on)
+         .write.mode("append").format(fmt).save(out_path))
+
+    return (stream_df.writeStream.foreachBatch(apply_rules)
+            .option("checkpointLocation", checkpoint).start())

@@ -134,3 +134,37 @@ def test_partitioning_methods(spark, orders):
     plan = local_sorted._jdf.queryExecution().executedPlan().toString()
     assert "Sort [o_orderdate" in plan and "], false, 0" in plan  # local sort
     assert ds.rebalance(8).rescale(2).df.rdd.getNumPartitions() == 2
+
+
+def test_broadcast_rules_refresh_per_batch(spark):
+    """Rule updates written between micro-batches must affect the next
+    batch (broadcast-state semantics)."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources.streams import connect_with_broadcast_rules
+
+    src = tempfile.mkdtemp(prefix="bc_src_")
+    rules = tempfile.mkdtemp(prefix="bc_rules_")
+    out = tempfile.mkdtemp(prefix="bc_out_")
+
+    spark.createDataFrame([("a", 1)], "k string, factor int") \
+        .write.mode("overwrite").parquet(rules)
+    spark.createDataFrame([("a", 10.0)], "k string, v double") \
+        .write.mode("append").parquet(src)
+
+    sdf = (spark.readStream
+           .schema("k string, v double")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = connect_with_broadcast_rules(
+        sdf, rules, "k", out, tempfile.mkdtemp(prefix="ck_"))
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([("a", 2)], "k string, factor int") \
+            .write.mode("overwrite").parquet(rules)
+        spark.createDataFrame([("a", 20.0)], "k string, v double") \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["v"], r["factor"]) for r in spark.read.parquet(out).collect()}
+    assert rows == {(10.0, 1), (20.0, 2)}
