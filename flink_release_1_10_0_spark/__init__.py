@@ -21,7 +21,16 @@ provide them (SURVEY.md §4.3).  What this package adds:
 from flink_release_1_10_0_spark.session import get_spark
 from flink_release_1_10_0_spark.catalog import register_tables, TABLES
 from flink_release_1_10_0_spark.environment import TableEnvironment, Table
+from flink_release_1_10_0_spark.streaming.datastream import DataStream, KeyedStream
+from flink_release_1_10_0_spark.streaming.cep import Pattern
+from flink_release_1_10_0_spark.functions.udf import (
+    AggregateFunction, ScalarFunction, TableFunction,
+)
 
-__all__ = ["get_spark", "register_tables", "TABLES", "TableEnvironment", "Table"]
+__all__ = [
+    "get_spark", "register_tables", "TABLES", "TableEnvironment", "Table",
+    "DataStream", "KeyedStream", "Pattern",
+    "ScalarFunction", "TableFunction", "AggregateFunction",
+]
 
 __version__ = "0.1.0"

@@ -380,3 +380,23 @@ FROM events
 def stream_over_running_agg(spark, sf_dir):
     ev = read_stream_table(spark, sf_dir, "events")
     return run_to_completion(stateful.over_running_agg(ev), "append")
+
+
+# --------------------------------------------------------------------------
+# Changelog SUM with retraction, materialized (StreamExecRetractionRules;
+# upsert-sink consumption path)
+# --------------------------------------------------------------------------
+_STREAM_CHANGELOG_SUM_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_changelog_sum", _STREAM_CHANGELOG_SUM_ORACLE)
+def stream_changelog_sum(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.changelog import changelog_sum, materialize
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    clog = run_to_completion(changelog_sum(ev), "append")
+    return materialize(clog, ["event_type"], ["total"])

@@ -21,6 +21,7 @@ STREAMING = [
     "stream_cep_one_or_more",
     "stream_group_agg_update",
     "stream_over_running_agg",
+    "stream_changelog_sum",
 ]
 
 
