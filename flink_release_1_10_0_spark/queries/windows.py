@@ -283,3 +283,45 @@ def window_count_tumble_10(spark, sf_dir):
     return (ev.groupBy("user_id", "w_id")
             .agg(F.count("*").alias("n"),
                  F.sum(F.col("value").cast(MONEY)).cast("double").alias("total")))
+
+
+# --------------------------------------------------------------------------
+# Session windows with DYNAMIC gap (DataStream session assigner
+# "incl. dynamic-gap", flink-streaming-java/.../windowing/assigners/
+# DynamicEventTimeSessionWindows): each event extends its session by a
+# gap that depends on the event itself (errors keep sessions alive
+# longer).  Sessions merge on overlap — equivalently, a new session
+# starts when ts exceeds the running max of (prev ts + prev gap).
+# --------------------------------------------------------------------------
+_SESSION_DYN_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'error' THEN INTERVAL 60 MINUTE
+              ELSE INTERVAL 15 MINUTE END AS gap
+  FROM events),
+marked AS (
+  SELECT user_id, ts, gap,
+         CASE WHEN MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= ts
+              THEN 0 ELSE 1 END AS new_session
+  FROM g),
+sessions AS (
+  SELECT user_id, ts, gap,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS w_start, MAX(ts + gap) AS w_end, COUNT(*) AS n
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+@register("window_session_dynamic_gap", _SESSION_DYN_ORACLE)
+def window_session_dynamic_gap(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("60 minutes")) \
+           .otherwise(F.lit("15 minutes"))
+    return (ev.groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select("user_id",
+                    F.col("session_window.start").alias("w_start"),
+                    F.col("session_window.end").alias("w_end"), "n"))
