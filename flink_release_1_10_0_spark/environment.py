@@ -197,3 +197,95 @@ class TableEnvironment:
 
     def execute_sql(self, stmt: str) -> DataFrame:
         return self.spark.sql(stmt)
+
+
+class Tumble:
+    """Group-window builders (``flink-table-api-java/.../api/Tumble.java:47``,
+    ``Slide.java:51``, ``Session.java:47``): declarative window specs for
+    ``Table.window(...)``."""
+
+    def __init__(self, size: str, on: str):
+        self.size, self.on = size, on
+
+    @classmethod
+    def over(cls, size: str):
+        return _WindowSize(cls, size)
+
+    def column(self) -> Column:
+        return F.window(self.on, self.size)
+
+
+class Slide:
+    def __init__(self, size: str, slide: str, on: str):
+        self.size, self.slide, self.on = size, slide, on
+
+    @classmethod
+    def over(cls, size: str):
+        return _WindowSize(cls, size)
+
+    def column(self) -> Column:
+        return F.window(self.on, self.size, self.slide)
+
+
+class Session:
+    def __init__(self, gap: str, on: str):
+        self.gap, self.on = gap, on
+
+    @classmethod
+    def with_gap(cls, gap: str):
+        return _WindowSize(cls, gap)
+
+    def column(self) -> Column:
+        return F.session_window(F.col(self.on), self.gap)
+
+
+class _WindowSize:
+    """Intermediate builder: ``Tumble.over(size).on(ts)`` /
+    ``Slide.over(size).every(slide).on(ts)`` / ``Session.with_gap(g).on(ts)``."""
+
+    def __init__(self, kind, size: str):
+        self._kind, self._size = kind, size
+        self._slide: str | None = None
+
+    def every(self, slide: str) -> "_WindowSize":
+        self._slide = slide
+        return self
+
+    def on(self, ts_col: str):
+        if self._kind is Slide:
+            assert self._slide is not None, "Slide needs .every(slide)"
+            return Slide(self._size, self._slide, ts_col)
+        if self._kind is Session:
+            return Session(self._size, ts_col)
+        return Tumble(self._size, ts_col)
+
+
+class WindowGroupedTable:
+    """``Table.window(w).group_by(keys).select(aggs)`` — the reference's
+    group-window aggregation surface (StreamExecGroupWindowAggregate)."""
+
+    def __init__(self, df: DataFrame, window, keys: list[str]):
+        self._df, self._window, self._keys = df, window, keys
+
+    def select(self, *agg_exprs: str | Column) -> "Table":
+        g = self._df.groupBy(self._window.column().alias("w"), *self._keys)
+        out = g.agg(*_cols(agg_exprs))
+        return Table(out
+                     .withColumn("w_start", F.col("w.start"))
+                     .withColumn("w_end", F.col("w.end"))
+                     .drop("w"))
+
+
+def _table_window(self, window) -> "_WindowedTable":
+    return _WindowedTable(self._df, window)
+
+
+class _WindowedTable:
+    def __init__(self, df: DataFrame, window):
+        self._df, self._window = df, window
+
+    def group_by(self, *keys: str) -> WindowGroupedTable:
+        return WindowGroupedTable(self._df, self._window, list(keys))
+
+
+Table.window = _table_window

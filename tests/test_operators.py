@@ -93,3 +93,28 @@ def test_asof_join_no_match_is_null(spark):
     out = asof_join(probe, build, [("k", "k")], "ts", "vts", ["rate"]).collect()
     by_tag = {r["tag"]: r["rate"] for r in out}
     assert by_tag == {"p0": None, "p1": 7.5}
+
+
+def test_table_api_group_windows(spark):
+    """Tumble/Session builders equal direct window()/session_window()."""
+    from pyspark.sql import functions as F
+    from flink_release_1_10_0_spark import TableEnvironment
+    from flink_release_1_10_0_spark.environment import Session, Tumble
+
+    env = TableEnvironment.create(spark)
+    env.register_parquet_tables("/root/testdata/sf0.001")
+    ev = env.from_path("events")
+
+    via_api = (ev.window(Tumble.over("1 hour").on("ts"))
+               .group_by("event_type")
+               .select("count(*) as n").df)
+    direct = (ev.df.groupBy(F.window("ts", "1 hour"), "event_type")
+              .agg(F.count("*").alias("n"))
+              .select(F.col("window.start").alias("w_start"),
+                      F.col("window.end").alias("w_end"), "event_type", "n"))
+    assert sorted(map(tuple, via_api.select("w_start", "w_end", "event_type", "n").collect())) == \
+           sorted(map(tuple, direct.collect()))
+
+    sess = (ev.window(Session.with_gap("30 minutes").on("ts"))
+            .group_by("user_id").select("count(*) as n").df)
+    assert sess.count() > 0
