@@ -289,3 +289,47 @@ class _WindowedTable:
 
 
 Table.window = _table_window
+
+
+class Over:
+    """OVER-window spec builder (``flink-table-api-java/.../api/Over.java:48``):
+    ``Over.partition_by(k).order_by(o).preceding(n)`` -> a Spark Window
+    spec for ``Table.over_select``."""
+
+    def __init__(self):
+        self._partition: list[str] = []
+        self._order: list[str] = []
+        self._preceding: int | None = None  # None => unbounded
+
+    @classmethod
+    def partition_by(cls, *keys: str) -> "Over":
+        o = cls()
+        o._partition = list(keys)
+        return o
+
+    def order_by(self, *cols: str) -> "Over":
+        self._order = list(cols)
+        return self
+
+    def preceding(self, n: int) -> "Over":
+        self._preceding = n
+        return self
+
+    def spec(self):
+        from pyspark.sql import Window
+        w = Window.partitionBy(*self._partition).orderBy(*self._order)
+        lo = Window.unboundedPreceding if self._preceding is None else -self._preceding
+        return w.rowsBetween(lo, Window.currentRow)
+
+
+def _over_select(self, over: "Over", **named_aggs: Column) -> "Table":
+    """``table.over_select(Over.partition_by("k").order_by("ts"),
+    running=F.sum("v"))`` — each agg evaluated over the OVER window."""
+    w = over.spec()
+    df = self._df
+    for name, agg in named_aggs.items():
+        df = df.withColumn(name, agg.over(w))
+    return Table(df)
+
+
+Table.over_select = _over_select

@@ -205,3 +205,38 @@ class WindowedStream:
 
     reduce = aggregate
 
+
+
+class ConnectedStreams:
+    """``DataStream.connect`` (``ConnectedStreams.java``): two streams,
+    one keyed operator.  Spark-first layout: union the two inputs tagged
+    with ``__side`` (0=first, 1=second), aligning schemas by name and
+    nulling missing columns; ``key_by(...).process(fn)`` then sees both
+    sides' rows interleaved per key — the CoProcessFunction shape (the
+    streaming temporal join in ``streaming/stateful.py`` is exactly this
+    layout specialized to versioned joins)."""
+
+    def __init__(self, first: "DataStream", second: "DataStream"):
+        self._first = first
+        self._second = second
+
+    def as_tagged_union(self) -> "DataStream":
+        df1, df2 = self._first.df, self._second.df
+        cols = list(dict.fromkeys(df1.columns + df2.columns))  # ordered union
+        def pad(df):
+            have = set(df.columns)
+            return df.select(*[
+                F.col(c) if c in have else F.lit(None).alias(c) for c in cols])
+        tagged = (pad(df1).withColumn("__side", F.lit(0))
+                  .union(pad(df2).withColumn("__side", F.lit(1))))
+        return DataStream(tagged)
+
+    def key_by(self, *keys: str) -> "KeyedStream":
+        return self.as_tagged_union().key_by(*keys)
+
+
+def _connect(self, other: "DataStream") -> "ConnectedStreams":
+    return ConnectedStreams(self, other)
+
+
+DataStream.connect = _connect

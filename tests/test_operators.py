@@ -118,3 +118,17 @@ def test_table_api_group_windows(spark):
     sess = (ev.window(Session.with_gap("30 minutes").on("ts"))
             .group_by("user_id").select("count(*) as n").df)
     assert sess.count() > 0
+
+
+def test_table_api_over_select(spark):
+    from pyspark.sql import functions as F
+    from flink_release_1_10_0_spark import Table
+    from flink_release_1_10_0_spark.environment import Over
+
+    ev = Table(spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (2, 3, 5.0)],
+        "k bigint, seq bigint, v double"))
+    out = ev.over_select(Over.partition_by("k").order_by("seq"),
+                         running=F.sum("v"), n=F.count(F.lit(1))).df
+    got = {(r["k"], r["seq"]): (r["running"], r["n"]) for r in out.collect()}
+    assert got == {(1, 1): (10.0, 1), (1, 2): (30.0, 2), (2, 3): (5.0, 1)}

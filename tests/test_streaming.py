@@ -84,3 +84,15 @@ def test_pattern_builder_compiles_to_nfa_ops(spark):
         "append")
     direct = all_queries()["stream_cep_error_then_purchase"](spark, sf)
     assert sorted(map(tuple, via_pattern.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_connected_streams_tagged_union(spark):
+    """connect() interleaves both sides per key with side tags (CoProcess)."""
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
+    a = DataStream(spark.createDataFrame([(1, "x")], "k bigint, a_col string"))
+    b = DataStream(spark.createDataFrame([(1, 9.0)], "k bigint, b_col double"))
+    tagged = a.connect(b).as_tagged_union().df
+    rows = {(r["__side"], r["a_col"], r["b_col"]) for r in tagged.collect()}
+    assert rows == {(0, "x", None), (1, None, 9.0)}
+    assert set(tagged.columns) == {"k", "a_col", "b_col", "__side"}
