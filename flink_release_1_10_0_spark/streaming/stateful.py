@@ -208,7 +208,8 @@ def changelog_count(events: DataFrame, key: str = "event_type") -> DataFrame:
 
 
 def temporal_join(events: DataFrame, build_type: str, probe_type: str,
-                  key: str = "user_id") -> DataFrame:
+                  key: str = "user_id",
+                  retention_minutes: float | None = None) -> DataFrame:
     """Streaming temporal / as-of join
     (``runtime/operators/join/temporal/TemporalRowTimeJoinOperator.java:71``,
     ``Table.java:139`` createTemporalTableFunction): rows of ``build_type``
@@ -218,9 +219,13 @@ def temporal_join(events: DataFrame, build_type: str, probe_type: str,
     Both sides arrive on ONE keyed stream (the union-tagged layout); the
     operator keeps the version history per key in state, processes each
     micro-batch in event-time order, and emits probe matches eagerly.
-    Versions older than the newest one at-or-before the probe are kept
-    (a later probe may still need them); the reference prunes them on
-    watermark — here state stays bounded by the version count per key.
+
+    ``retention_minutes`` is the idle-state-retention analog
+    (``CleanupState.java`` / the reference's watermark-driven version
+    pruning): versions older than ``max_seen_ts - retention`` are
+    dropped, always keeping the newest at-or-before the cutoff — for
+    in-order probes the emitted results are identical, and per-key state
+    is bounded by the retention window.
     """
     out_schema = ("user_id bigint, probe_id bigint, probe_ts timestamp, "
                   "version_id bigint, version_ts timestamp, version_value double")
@@ -253,6 +258,15 @@ def temporal_join(events: DataFrame, build_type: str, probe_type: str,
                         out.append((key_[0], int(row["event_id"]), row["ts"],
                                     best[1], pd.Timestamp(best[0] * 1000),
                                     best[2]))
+        if retention_minutes is not None and versions:
+            cutoff = versions[-1][0] - int(retention_minutes * 60_000_000)
+            # newest version at-or-before the cutoff must survive: an
+            # in-retention probe may still reference it
+            idx = 0
+            for i, v in enumerate(versions):
+                if v[0] <= cutoff:
+                    idx = i
+            versions = versions[idx:]
         state.update(([v[1] for v in versions], [v[0] for v in versions],
                       [v[2] for v in versions]))
         if out:

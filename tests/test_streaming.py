@@ -96,3 +96,20 @@ def test_connected_streams_tagged_union(spark):
     rows = {(r["__side"], r["a_col"], r["b_col"]) for r in tagged.collect()}
     assert rows == {(0, "x", None), (1, None, 9.0)}
     assert set(tagged.columns) == {"k", "a_col", "b_col", "__side"}
+
+
+def test_temporal_join_retention_matches_unbounded(spark):
+    """Event-time state retention must not change results for in-order
+    probes (the reference's watermark-driven version pruning)."""
+    from flink_release_1_10_0_spark.streaming.core import read_stream_table, run_to_completion
+    from flink_release_1_10_0_spark.streaming.stateful import temporal_join
+
+    sf = "/root/testdata/sf0.001"
+    unbounded = run_to_completion(
+        temporal_join(read_stream_table(spark, sf, "events"), "error", "purchase"),
+        "append")
+    bounded = run_to_completion(
+        temporal_join(read_stream_table(spark, sf, "events"), "error", "purchase",
+                      retention_minutes=24 * 60),
+        "append")
+    assert sorted(map(tuple, unbounded.collect())) == sorted(map(tuple, bounded.collect()))
