@@ -93,3 +93,19 @@ class AggregateFunction:
             return pd.DataFrame([dict(zip(keys, key)) | out])
 
         return df.groupBy(*keys).applyInPandas(run, schema)
+
+
+def register_sql_table_function(spark, name: str, eval_fn, return_type: str) -> None:
+    """SQL-callable Python UDTF (Spark native ``@udtf``): the reference's
+    ``TableFunction`` registered for ``SELECT ... FROM tbl, LATERAL fn(...)``
+    (``Table.java:476`` joinLateral / ``StreamExecCorrelate``).
+
+    ``eval_fn(value) -> iterable of tuples`` matching ``return_type``.
+    """
+    from pyspark.sql.functions import udtf
+
+    class _Fn:
+        def eval(self, *args):
+            yield from eval_fn(*args)
+
+    spark.udtf.register(name, udtf(_Fn, returnType=return_type))

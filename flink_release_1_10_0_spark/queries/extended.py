@@ -475,3 +475,35 @@ def scalar_url_map_overlay(spark, sf_dir):
         (F.unix_timestamp("t2") - F.unix_timestamp("t1")).cast("bigint")
             .__div__(60).cast("bigint").alias("minutes_between"),
         (F.col("t1") + F.expr("INTERVAL 90 SECONDS")).alias("t1_plus_90s"))
+
+
+# --------------------------------------------------------------------------
+# SQL-callable Python UDTF via LATERAL (Table.java:476 joinLateral /
+# StreamExecCorrelate; PyFlink's table-function path without Beam):
+# Spark-native @udtf registered in the session catalog.
+# --------------------------------------------------------------------------
+_SQL_UDTF_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                     x -> x <> '') AS words
+  FROM documents WHERE doc_id < 10)
+SELECT doc_id, unnest(words) AS word FROM w
+"""
+
+
+@register("udtf_sql_lateral", _SQL_UDTF_ORACLE)
+def udtf_sql_lateral(spark, sf_dir):
+    from flink_release_1_10_0_spark.functions.udf import register_sql_table_function
+
+    def tokenize(text: str):
+        for w in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split():
+            yield (w,)
+
+    register_sql_table_function(spark, "py_tokenize", tokenize, "word: string")
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql("""
+        SELECT doc_id, word
+        FROM _docs_udtf, LATERAL py_tokenize(text)
+        WHERE doc_id < 10
+    """)

@@ -71,3 +71,26 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro (``flink-formats/flink-avro/.../AvroRowDeserializationSchema.java:79``).
+    Spark ships Avro as the external ``spark-avro`` module; raise a clear
+    error when it is not on the classpath (it is not in this container)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        raise NotImplementedError(
+            "avro requires the spark-avro package on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        ) from e
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:
+        raise NotImplementedError(
+            "avro requires the spark-avro package on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        ) from e

@@ -43,7 +43,7 @@ EXTENDED = [
     "agg_stddev_variance", "tableagg_top2_per_group",
     "scalar_python_udf", "join_hint_shuffle_merge",
     "graph_degrees", "graph_connected_components",
-    "scalar_url_map_overlay",
+    "scalar_url_map_overlay", "udtf_sql_lateral",
 ]
 
 

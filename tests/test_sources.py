@@ -168,3 +168,21 @@ def test_broadcast_rules_refresh_per_batch(spark):
         q.stop()
     rows = {(r["v"], r["factor"]) for r in spark.read.parquet(out).collect()}
     assert rows == {(10.0, 1), (20.0, 2)}
+
+
+def test_avro_gated_with_clear_error(spark, orders):
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources.formats import read_avro, write_avro
+    try:
+        spark.range(1).write.format("avro").save(tempfile.mkdtemp(prefix="avro_probe_"))
+        has_avro = True
+    except Exception:
+        has_avro = False
+    if has_avro:
+        path = tempfile.mkdtemp(prefix="avro_rt_")
+        write_avro(orders.limit(5), path)
+        assert read_avro(spark, path).count() == 5
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            write_avro(orders.limit(5), tempfile.mkdtemp(prefix="avro_rt_"))
