@@ -507,3 +507,65 @@ def udtf_sql_lateral(spark, sf_dir):
         FROM _docs_udtf, LATERAL py_tokenize(text)
         WHERE doc_id < 10
     """)
+
+
+# --------------------------------------------------------------------------
+# TPC-DS-style report shapes (the reference validates TPC-DS 103/103 at
+# SF=1; these reproduce its two most common report shapes on the
+# available schema)
+# --------------------------------------------------------------------------
+_DS_ROLLUP_ORACLE = """
+SELECT n_name, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ROLLUP (n_name, o_orderpriority)
+"""
+
+
+@register("tpcds_style_star_rollup", _DS_ROLLUP_ORACLE)
+def tpcds_style_star_rollup(spark, sf_dir):
+    from flink_release_1_10_0_spark.queries.helpers import money
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    star = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    return (star.rollup("n_name", "o_orderpriority")
+            .agg(F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+_DS_PIVOT_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS rev_fulfilled,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS rev_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS rev_pending
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("tpcds_style_case_pivot", _DS_PIVOT_ORACLE)
+def tpcds_style_case_pivot(spark, sf_dir):
+    from flink_release_1_10_0_spark.queries.helpers import MONEY, money
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    star = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+
+    def rev(status, alias):
+        return (F.sum(F.when(F.col("o_orderstatus") == status, money("o_totalprice"))
+                      .otherwise(F.lit(0).cast(MONEY))).cast("double").alias(alias))
+
+    return star.groupBy("n_name").agg(
+        rev("F", "rev_fulfilled"), rev("O", "rev_open"), rev("P", "rev_pending"))

@@ -44,6 +44,7 @@ EXTENDED = [
     "scalar_python_udf", "join_hint_shuffle_merge",
     "graph_degrees", "graph_connected_components",
     "scalar_url_map_overlay", "udtf_sql_lateral",
+    "tpcds_style_star_rollup", "tpcds_style_case_pivot",
 ]
 
 
