@@ -61,3 +61,56 @@ def extract_fake_metadata(df: DataFrame) -> DataFrame:
 
     return (df.select("doc_id", "payload")
               .mapInPandas(extract, schema=META_SCHEMA))
+
+
+FRAME_SCHEMA = ("doc_id bigint, frame_idx bigint, frame_ts_ms bigint, "
+                "frame_digest string")
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 fps: int = 30) -> DataFrame:
+    """Video frame sampling plumbing: one binary payload -> N frame rows
+    (every ``every_ms`` milliseconds).  The decode is a deterministic
+    fake (frame count derived from payload length, digests from
+    payload+index); a real build swaps ``_fake_frames`` for a codec call.
+    The Spark-side shape — mapInPandas fan-out, typed frame rows,
+    partition-local work — is the real thing.
+    """
+
+    def _fake_frames(payload: bytes, doc_id: int):
+        # pretend 1 byte ≈ 1 ms of video, capped for test data
+        duration_ms = min(len(payload), 10_000)
+        for i, ts in enumerate(range(0, duration_ms, every_ms)):
+            digest = hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest()
+            yield (doc_id, i, ts, digest)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows.extend(_fake_frames(payload, int(doc_id)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_digest"])
+
+    return df.select("doc_id", "payload").mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id bigint, width int, height int, "
+                 "resized_width int, resized_height int, scale double")
+
+
+def resize_plan(df: DataFrame, max_side: int = 512) -> DataFrame:
+    """Image resize plumbing: compute target dimensions preserving aspect
+    ratio (the arithmetic a resize kernel needs), over the fake decoded
+    width/height.  Runs as a pure column expression — JVM-side, no
+    Python — because the *plan* step needs no pixel access."""
+    meta = extract_fake_metadata(df)
+    w, h = F.col("fake_width") + 1, F.col("fake_height") + 1  # avoid 0
+    scale = F.round(F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0)), 6)
+    return meta.select(
+        "doc_id",
+        w.cast("int").alias("width"),
+        h.cast("int").alias("height"),
+        F.floor(w * scale).cast("int").alias("resized_width"),
+        F.floor(h * scale).cast("int").alias("resized_height"),
+        scale.alias("scale"))

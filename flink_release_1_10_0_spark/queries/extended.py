@@ -569,3 +569,64 @@ def tpcds_style_case_pivot(spark, sf_dir):
 
     return star.groupBy("n_name").agg(
         rev("F", "rev_fulfilled"), rev("O", "rev_open"), rev("P", "rev_pending"))
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions: NTILE / PERCENT_RANK / CUME_DIST
+# (FlinkSqlOperatorTable ranking block)
+# --------------------------------------------------------------------------
+_NTILE_ORACLE = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@register("window_ntile_percent_rank", _NTILE_ORACLE)
+def window_ntile_percent_rank(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"))
+
+
+# --------------------------------------------------------------------------
+# Collection functions: CARDINALITY, ITEM (a[i]), ELEMENT, ARRAY/MAP
+# constructors (FlinkSqlOperatorTable collections block)
+# --------------------------------------------------------------------------
+_COLLECTION_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                     x -> x <> '') AS words
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS cardinality,
+       words[1] AS first_item,
+       words[len(words)] AS last_item,
+       CAST(len(list_distinct(words)) AS BIGINT) AS distinct_cardinality,
+       CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END AS has_the,
+       array_to_string(list_slice(words, 1, 3), '|') AS first3
+FROM w
+"""
+
+
+@register("scalar_collection_functions", _COLLECTION_ORACLE)
+def scalar_collection_functions(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.dedup import with_words
+    docs = with_words(t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50))
+    return docs.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("cardinality"),
+        F.element_at("words", 1).alias("first_item"),
+        F.element_at("words", -1).alias("last_item"),
+        F.size(F.array_distinct("words")).cast("bigint").alias("distinct_cardinality"),
+        F.when(F.array_contains("words", "the"), 1).otherwise(0).alias("has_the"),
+        F.array_join(F.slice("words", 1, 3), "|").alias("first3"))

@@ -37,3 +37,33 @@ def test_multimodal_decode_stub():
     from flink_release_1_10_0_spark.llm.multimodal import decode_image
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_frame_sample_shape(spark):
+    """Frame fan-out: one payload row -> N typed frame rows, Arrow-batched."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.multimodal import frame_sample, with_binary_payload
+
+    docs = with_binary_payload(load(spark, "/root/testdata/sf0.001", "documents")).limit(20)
+    frames = frame_sample(docs, every_ms=100)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"doc_id", "frame_idx", "frame_ts_ms", "frame_digest"}
+    # fan-out: at least one doc yields multiple frames; idx/ts consistent
+    per_doc = pdf.groupby("doc_id")["frame_idx"].max()
+    assert (per_doc >= 0).all() and per_doc.max() >= 1
+    assert (pdf["frame_ts_ms"] == pdf["frame_idx"] * 100).all()
+    # deterministic digests
+    pdf2 = frame_sample(docs, every_ms=100).toPandas()
+    assert sorted(pdf["frame_digest"]) == sorted(pdf2["frame_digest"])
+
+
+def test_multimodal_resize_plan_jvm_side(spark):
+    """Resize planning preserves aspect ratio and stays within max_side."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.multimodal import resize_plan, with_binary_payload
+
+    docs = with_binary_payload(load(spark, "/root/testdata/sf0.001", "documents")).limit(50)
+    plan = resize_plan(docs, max_side=512).toPandas()
+    assert (plan["resized_width"] <= 512).all() and (plan["resized_height"] <= 512).all()
+    unscaled = plan[plan["scale"] == 1.0]
+    assert (unscaled["resized_width"] == unscaled["width"]).all()
