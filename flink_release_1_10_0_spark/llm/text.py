@@ -62,3 +62,21 @@ def language_id_expr(words_col: str = "words") -> Column:
         f"CASE WHEN {en} >= {de} AND {en} >= {fr} AND {en} > 0 THEN 'en' "
         f"WHEN {de} >= {fr} AND {de} > 0 THEN 'de' "
         f"WHEN {fr} > 0 THEN 'fr' ELSE 'unknown' END")
+
+
+def sample_by_hash(df, id_col: str, rate_num: int, rate_den: int,
+                   method: str = "md5"):
+    """Deterministic sampling: keep rows where hash(id) % den < num —
+    reproducible across engines and runs (unlike rand()-based sample),
+    the right primitive for training-data subsampling at scale; composes
+    with stratification by hashing (strata, id) pairs.
+
+    method='md5' is bit-identical across engines (used by the oracle
+    gate); method='xxhash64' is the faster JVM-native choice when
+    cross-engine reproducibility is not required."""
+    from pyspark.sql import functions as F
+    if method == "xxhash64":
+        h = F.abs(F.xxhash64(F.col(id_col)))
+    else:
+        h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)              .cast("bigint")
+    return df.filter((h % rate_den) < rate_num)

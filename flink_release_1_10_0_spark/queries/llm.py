@@ -352,3 +352,75 @@ ORDER BY cosine DESC, vec_id LIMIT 5
 def similarity_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") == 1), k=5)
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling (training-data subsampling; rand()-based
+# Spark .sample is not reproducible cross-engine, xxhash64 is)
+# --------------------------------------------------------------------------
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10 < 3
+"""
+
+
+@register("sample_by_hash_30pct", _SAMPLE_ORACLE)
+def sample_by_hash_30pct(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import sample_by_hash
+    docs = t(spark, sf_dir, "documents")
+    return sample_by_hash(docs, "doc_id", 3, 10).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-data curation pipeline: quality filter -> language
+# filter -> order-insensitive exact dedup (keep min doc_id) -> 50%
+# deterministic sample -> token accounting.  One declarative plan: the
+# whole chain is a single Catalyst-optimized query (filters fuse, the
+# dedup is one shuffle, the sample is a map-side filter).
+# --------------------------------------------------------------------------
+_CURATION_ORACLE = f"""
+WITH stats AS (
+  SELECT doc_id, lang, text, {_DWORDS} AS words
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang, text, words,
+         len(words) AS n_words,
+         len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it','for','on')))
+           / CAST(len(words) AS DOUBLE) AS stop_ratio,
+         len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS distinct_ratio
+  FROM stats WHERE len(words) > 0),
+quality AS (
+  SELECT * FROM scored
+  WHERE n_words >= 20 AND stop_ratio >= 0.01 AND distinct_ratio > 0.3 AND lang = 'en'),
+deduped AS (
+  SELECT MIN(doc_id) AS doc_id,
+         md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fp,
+         COUNT(*) AS n_copies
+  FROM quality GROUP BY fp),
+sampled AS (
+  SELECT d.doc_id, d.n_copies, q.n_words
+  FROM deduped d JOIN quality q ON d.doc_id = q.doc_id
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 2 = 0)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_copies FROM sampled
+"""
+
+
+@register("pipeline_training_data_curation", _CURATION_ORACLE)
+def pipeline_training_data_curation(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import sample_by_hash, with_text_stats
+
+    docs = with_text_stats(t(spark, sf_dir, "documents"))
+    quality = docs.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("stopword_ratio") >= 0.01)
+        & (F.col("distinct_ratio") > 0.3)
+        & (F.col("lang") == "en"))
+    deduped = (quality
+               .withColumn("fp", F.expr("md5(concat_ws(' ', array_sort(array_distinct(words))))"))
+               .groupBy("fp")
+               .agg(F.min("doc_id").alias("doc_id"),
+                    F.count(F.lit(1)).alias("n_copies")))
+    joined = deduped.join(quality.select("doc_id", "n_words"), "doc_id")
+    return (sample_by_hash(joined, "doc_id", 1, 2)
+            .select("doc_id", F.col("n_words").cast("bigint").alias("n_words"),
+                    "n_copies"))

@@ -13,6 +13,7 @@ LLM = [
     "ngram_jaccard_pairs", "similarity_cosine_topk", "similarity_ivf_assign",
     "similarity_ivf_topk", "embedding_near_dup_pairs", "embedding_lsh_near_dup",
     "multimodal_metadata_extract",
+    "sample_by_hash_30pct", "pipeline_training_data_curation",
 ]
 
 
