@@ -400,3 +400,29 @@ def stream_changelog_sum(spark, sf_dir):
     ev = read_stream_table(spark, sf_dir, "events")
     clog = run_to_completion(changelog_sum(ev), "append")
     return materialize(clog, ["event_type"], ["total"])
+
+
+# --------------------------------------------------------------------------
+# CEP absence detection: error NOT followed by purchase within 30 min
+# (Pattern.notFollowedBy + WITHIN), via event-time timers.  Only windows
+# fully closed by the final watermark (max ts - 10 min) are decided.
+# --------------------------------------------------------------------------
+_STREAM_CEP_ABSENT_ORACLE = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT a.user_id, a.event_id AS first_id, a.ts AS first_ts
+FROM events a
+WHERE a.event_type = 'error'
+  AND a.ts + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+  AND NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+"""
+
+
+@register("stream_cep_not_followed_by", _STREAM_CEP_ABSENT_ORACLE)
+def stream_cep_not_followed_by(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        stateful.cep_not_followed_by(ev, "error", "purchase", within_minutes=30),
+        "append")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 class _Stage:
     event_type: str
     one_or_more: bool = False
+    negated: bool = False
 
 
 @dataclass
@@ -46,6 +47,12 @@ class Pattern:
         self.stages.append(_Stage(event_type))
         return self
 
+    def not_followed_by(self, event_type: str) -> "Pattern":
+        """Absence pattern (``Pattern.notFollowedBy``): match when no such
+        event arrives inside the window (decided on watermark)."""
+        self.stages.append(_Stage(event_type, negated=True))
+        return self
+
     def within(self, minutes: float) -> "Pattern":
         self.within_minutes = minutes
         return self
@@ -61,6 +68,9 @@ class Pattern:
         a, b = self.stages
         if b.one_or_more:
             raise NotImplementedError("oneOrMore only on the begin stage")
+        if b.negated:
+            return stateful.cep_not_followed_by(
+                events, a.event_type, b.event_type, self.within_minutes, key=key)
         if a.one_or_more:
             return stateful.cep_one_or_more(
                 events, a.event_type, b.event_type, self.within_minutes, key=key)

@@ -22,6 +22,7 @@ STREAMING = [
     "stream_group_agg_update",
     "stream_over_running_agg",
     "stream_changelog_sum",
+    "stream_cep_not_followed_by",
 ]
 
 
