@@ -80,3 +80,20 @@ def sample_by_hash(df, id_col: str, rate_num: int, rate_den: int,
     else:
         h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)              .cast("bigint")
     return df.filter((h % rate_den) < rate_num)
+
+
+def sample_stratified(df, id_col: str, strata_col: str,
+                      rates: dict[str, tuple[int, int]],
+                      default: tuple[int, int] = (1, 1)):
+    """Deterministic stratified sampling: per-stratum (num, den) hash
+    rates (e.g. downsample dominant languages, keep rare ones whole).
+    Same md5 modulus as ``sample_by_hash`` so it is oracle-verifiable."""
+    from pyspark.sql import functions as F
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10) \
+         .cast("bigint")
+    num = F.lit(default[0])
+    den = F.lit(default[1])
+    for stratum, (n, d) in rates.items():
+        num = F.when(F.col(strata_col) == stratum, n).otherwise(num)
+        den = F.when(F.col(strata_col) == stratum, d).otherwise(den)
+    return df.filter((h % den) < num)

@@ -424,3 +424,27 @@ def pipeline_training_data_curation(spark, sf_dir):
     return (sample_by_hash(joined, "doc_id", 1, 2)
             .select("doc_id", F.col("n_words").cast("bigint").alias("n_words"),
                     "n_copies"))
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling: downsample dominant strata, keep
+# rare strata whole (the class-balance primitive for training data)
+# --------------------------------------------------------------------------
+_STRAT_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS hv
+  FROM documents)
+SELECT doc_id, lang FROM h
+WHERE (lang = 'en' AND hv % 4 < 1)
+   OR (lang = 'de' AND hv % 2 < 1)
+   OR (lang NOT IN ('en', 'de'))
+"""
+
+
+@register("sample_stratified_by_lang", _STRAT_ORACLE)
+def sample_stratified_by_lang(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import sample_stratified
+    docs = t(spark, sf_dir, "documents")
+    return sample_stratified(docs, "doc_id", "lang",
+                             {"en": (1, 4), "de": (1, 2)}).select("doc_id", "lang")

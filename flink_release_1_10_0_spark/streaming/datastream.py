@@ -234,6 +234,23 @@ class ConnectedStreams:
     def key_by(self, *keys: str) -> "KeyedStream":
         return self.as_tagged_union().key_by(*keys)
 
+    def co_map(self, first_expr: str | Column, second_expr: str | Column,
+               alias: str = "mapped", *keep: str) -> "DataStream":
+        """CoMap (``ConnectedStreams.java`` map(CoMapFunction)): apply a
+        different expression per input side, one unified output column."""
+        f = F.expr(first_expr) if isinstance(first_expr, str) else first_expr
+        g = F.expr(second_expr) if isinstance(second_expr, str) else second_expr
+        tagged = self.as_tagged_union().df
+        return DataStream(tagged.select(
+            *keep, F.when(F.col("__side") == 0, f).otherwise(g).alias(alias)))
+
+    def co_flat_map(self, first_arr: str, second_arr: str,
+                    alias: str = "item", *keep: str) -> "DataStream":
+        """CoFlatMap: explode a per-side array expression."""
+        tagged = self.as_tagged_union().df
+        arr = F.when(F.col("__side") == 0, F.expr(first_arr))                .otherwise(F.expr(second_arr))
+        return DataStream(tagged.select(*keep, F.explode(arr).alias(alias)))
+
 
 def _connect(self, other: "DataStream") -> "ConnectedStreams":
     return ConnectedStreams(self, other)

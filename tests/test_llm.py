@@ -14,6 +14,7 @@ LLM = [
     "similarity_ivf_topk", "embedding_near_dup_pairs", "embedding_lsh_near_dup",
     "multimodal_metadata_extract",
     "sample_by_hash_30pct", "pipeline_training_data_curation",
+    "sample_stratified_by_lang",
 ]
 
 

@@ -114,3 +114,13 @@ def test_temporal_join_retention_matches_unbounded(spark):
                       retention_minutes=24 * 60),
         "append")
     assert sorted(map(tuple, unbounded.collect())) == sorted(map(tuple, bounded.collect()))
+
+
+def test_connected_streams_co_map(spark):
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
+    a = DataStream(spark.createDataFrame([(1, "x")], "k bigint, a_col string"))
+    b = DataStream(spark.createDataFrame([(1, 9.0)], "k bigint, b_col double"))
+    out = a.connect(b).co_map("upper(a_col)", "cast(b_col as string)",
+                              "mapped", "k").df
+    assert {r["mapped"] for r in out.collect()} == {"X", "9.0"}
