@@ -630,3 +630,70 @@ def scalar_collection_functions(spark, sf_dir):
         F.size(F.array_distinct("words")).cast("bigint").alias("distinct_cardinality"),
         F.when(F.array_contains("words", "the"), 1).otherwise(0).alias("has_the"),
         F.array_join(F.slice("words", 1, 3), "|").alias("first3"))
+
+
+# --------------------------------------------------------------------------
+# Percentiles (exact, interpolated) — Spark percentile == DuckDB
+# quantile_cont; rounded to 6dp to absorb interpolation-formula fp drift
+# --------------------------------------------------------------------------
+_PERCENTILE_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_percentiles", _PERCENTILE_ORACLE)
+def agg_percentiles(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+
+
+# --------------------------------------------------------------------------
+# Correlation / covariance from exact decimal power sums (CORR, COVAR_POP
+# in the reference's agg table) — order-independent, unlike native
+# streaming covar over doubles
+# --------------------------------------------------------------------------
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+       round((sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr
+FROM s
+"""
+
+
+@register("agg_corr_covar", _CORR_ORACLE)
+def agg_corr_covar(spark, sf_dir):
+    from flink_release_1_10_0_spark.queries.helpers import money
+    li = t(spark, sf_dir, "lineitem")
+    x, y = money("l_quantity"), money("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag", "n",
+        F.round((sxy - sx * sy / n) / n, 6).alias("covar_pop"),
+        F.round((sxy - sx * sy / n)
+                / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 6)
+         .alias("corr"))
