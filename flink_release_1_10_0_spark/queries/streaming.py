@@ -426,3 +426,34 @@ def stream_cep_not_followed_by(spark, sf_dir):
     return run_to_completion(
         stateful.cep_not_followed_by(ev, "error", "purchase", within_minutes=30),
         "append")
+
+
+# --------------------------------------------------------------------------
+# Streaming hopping/sliding window with watermark, append mode
+# (SlidingWindowAssigner) — each event lands in size/slide windows; only
+# windows closed by the final watermark emit.
+# --------------------------------------------------------------------------
+_STREAM_HOP_ORACLE = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+edges AS (
+  SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+         + INTERVAL (30 * CAST(floor(EXTRACT(minute FROM ts) / 30) AS INT) - 30 * g.i) MINUTE AS w_start
+  FROM events, (SELECT unnest([0, 1]) AS i) g),
+agg AS (
+  SELECT e.w_start, COUNT(*) AS n
+  FROM edges e JOIN events ev
+    ON ev.ts >= e.w_start AND ev.ts < e.w_start + INTERVAL 1 HOUR
+  GROUP BY e.w_start)
+SELECT w_start, n FROM agg
+WHERE w_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+"""
+
+
+@register("stream_hop_window", _STREAM_HOP_ORACLE)
+def stream_hop_window(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (ev.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour", "30 minutes"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("window.start").alias("w_start"), "n"))
+    return run_to_completion(agg, "append")

@@ -77,3 +77,34 @@ def test_salted_join_equivalence(spark):
     plain = li.join(orders, "l_orderkey").count()
     salted = salted_join(li, orders, "l_orderkey", n_salts=4).count()
     assert plain == salted
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketing co-locates join keys: a join of two tables bucketed on
+    the same key must plan with NO Exchange on either side (the
+    pre-partitioned-join layout for repeated 100 TB joins)."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+    lt, ot = f"li_bkt_{suffix}", f"ord_bkt_{suffix}"
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable(lt))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(ot))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the co-located (bucketed) path is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(lt).join(
+            spark.table(ot),
+            spark.table(lt).l_orderkey == spark.table(ot).o_orderkey)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")

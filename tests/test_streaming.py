@@ -23,6 +23,7 @@ STREAMING = [
     "stream_over_running_agg",
     "stream_changelog_sum",
     "stream_cep_not_followed_by",
+    "stream_hop_window",
 ]
 
 
