@@ -457,3 +457,24 @@ def stream_hop_window(spark, sf_dir):
            .agg(F.count("*").alias("n"))
            .select(F.col("window.start").alias("w_start"), "n"))
     return run_to_completion(agg, "append")
+
+
+# --------------------------------------------------------------------------
+# Streaming OVER with a bounded ROWS frame (last 5 rows per key;
+# RowTimeRowsBoundedPrecedingFunction) — ring-buffer state
+# --------------------------------------------------------------------------
+_STREAM_OVER_BOUNDED_ORACLE = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS frame_sum,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS frame_n
+FROM events
+"""
+
+
+@register("stream_over_rows_bounded", _STREAM_OVER_BOUNDED_ORACLE)
+def stream_over_rows_bounded(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(stateful.over_rows_bounded(ev, frame=5), "append")

@@ -412,3 +412,37 @@ def cep_not_followed_by(events: DataFrame, first_type: str, then_type: str,
             .groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def over_rows_bounded(events: DataFrame, frame: int = 5,
+                      key: str = "user_id") -> DataFrame:
+    """Streaming OVER aggregate with a bounded ROWS frame
+    (``runtime/operators/over/RowTimeRowsBoundedPrecedingFunction``):
+    each row emits SUM/COUNT over the last ``frame`` rows of its key in
+    event-time order.  State = a ring buffer of the last ``frame-1``
+    cent values, the exact bounded-state contract of the reference
+    operator."""
+    out_schema = ("user_id bigint, event_id bigint, ts timestamp, "
+                  "frame_sum double, frame_n bigint")
+    state_schema = "recent array<bigint>"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        recent = list(state.get[0]) if state.exists else []  # last cents, oldest first
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                cents = int(round(float(row["value"]) * 100))
+                recent.append(cents)
+                if len(recent) > frame:
+                    recent.pop(0)
+                out.append((key_[0], int(row["event_id"]), row["ts"],
+                            sum(recent) / 100.0, len(recent)))
+        state.update((recent,))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "event_id", "ts", "frame_sum", "frame_n"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

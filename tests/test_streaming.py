@@ -24,6 +24,7 @@ STREAMING = [
     "stream_changelog_sum",
     "stream_cep_not_followed_by",
     "stream_hop_window",
+    "stream_over_rows_bounded",
 ]
 
 
