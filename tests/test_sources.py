@@ -186,3 +186,35 @@ def test_avro_gated_with_clear_error(spark, orders):
     else:
         with pytest.raises(NotImplementedError, match="spark-avro"):
             write_avro(orders.limit(5), tempfile.mkdtemp(prefix="avro_rt_"))
+
+
+def test_ddl_and_partitioned_insert_overwrite(spark, orders):
+    """Table-sink surface (TableSink/PartitionableTableSink/
+    OverwritableTableSink): SQL DDL creates a partitioned table;
+    insertInto with overwrite mode replaces only written partitions
+    (dynamic partition overwrite)."""
+    import uuid
+
+    tbl = f"sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.sql(f"""
+        CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE,
+                            o_orderstatus STRING)
+        USING parquet PARTITIONED BY (o_orderstatus)
+    """)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        sub = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        sub.write.mode("overwrite").insertInto(tbl)
+        n_all = spark.table(tbl).count()
+        assert n_all == orders.count()
+        # overwrite ONLY the 'F' partition with a single row
+        one = sub.filter("o_orderstatus = 'F'").limit(1)
+        one.write.mode("overwrite").insertInto(tbl)
+        remaining = spark.table(tbl)
+        assert remaining.filter("o_orderstatus = 'F'").count() == 1
+        assert remaining.filter("o_orderstatus <> 'F'").count() == \
+            orders.filter("o_orderstatus <> 'F'").count()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
