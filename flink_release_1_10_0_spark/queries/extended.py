@@ -697,3 +697,34 @@ def agg_corr_covar(spark, sf_dir):
         F.round((sxy - sx * sy / n)
                 / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 6)
          .alias("corr"))
+
+
+# --------------------------------------------------------------------------
+# Encoding scalar functions: ASCII, CHR, HEX, BIN, ENCODE/DECODE,
+# TO_BASE64/FROM_BASE64 (FlinkSqlOperatorTable string block;
+# SqlFunctionUtils.java impls)
+# --------------------------------------------------------------------------
+_ENCODING_ORACLE = """
+SELECT doc_id,
+       ascii(substr(lang, 1, 1)) AS first_ascii,
+       chr(65 + CAST(doc_id % 26 AS INT)) AS letter,
+       upper(hex(CAST(doc_id AS BIGINT))) AS hex_id,
+       bin(CAST(doc_id AS BIGINT)) AS bin_id,
+       to_base64(CAST(lang AS BLOB)) AS b64,
+       CAST(from_base64(to_base64(CAST(lang AS BLOB))) AS VARCHAR) AS roundtrip
+FROM documents WHERE doc_id < 64
+"""
+
+
+@register("scalar_encoding_functions", _ENCODING_ORACLE)
+def scalar_encoding_functions(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    return docs.select(
+        "doc_id",
+        F.ascii(F.substring("lang", 1, 1)).alias("first_ascii"),
+        F.chr(F.lit(65) + (F.col("doc_id") % 26).cast("int")).alias("letter"),
+        F.upper(F.hex(F.col("doc_id").cast("bigint"))).alias("hex_id"),
+        F.bin(F.col("doc_id").cast("bigint")).alias("bin_id"),
+        F.base64(F.col("lang").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.col("lang").cast("binary"))).cast("string")
+         .alias("roundtrip"))

@@ -46,7 +46,7 @@ EXTENDED = [
     "scalar_url_map_overlay", "udtf_sql_lateral",
     "tpcds_style_star_rollup", "tpcds_style_case_pivot",
     "window_ntile_percent_rank", "scalar_collection_functions",
-    "agg_percentiles", "agg_corr_covar",
+    "agg_percentiles", "agg_corr_covar", "scalar_encoding_functions",
 ]
 
 
