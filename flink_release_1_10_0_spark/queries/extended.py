@@ -728,3 +728,110 @@ def scalar_encoding_functions(spark, sf_dir):
         F.base64(F.col("lang").cast("binary")).alias("b64"),
         F.unbase64(F.base64(F.col("lang").cast("binary"))).cast("string")
          .alias("roundtrip"))
+
+
+# --------------------------------------------------------------------------
+# INTERVAL_YEAR_MONTH arithmetic (LogicalTypeRoot.INTERVAL_YEAR_MONTH):
+# add_months / months_between over order dates
+# --------------------------------------------------------------------------
+_YM_INTERVAL_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+       o_orderdate - INTERVAL 1 YEAR AS minus_1y,
+       CAST(datediff('month', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS months_since_epoch
+FROM orders WHERE o_orderkey < 200
+"""
+
+
+@register("scalar_interval_year_month", _YM_INTERVAL_ORACLE)
+def scalar_interval_year_month(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    # datediff('month') counts month-boundary crossings; floor(months_between)
+    # matches only for day-1 anchors, so derive it from year/month fields
+    months = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3m"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 YEAR")).alias("minus_1y"),
+        months.cast("bigint").alias("months_since_epoch"))
+
+
+# --------------------------------------------------------------------------
+# TIME_WITHOUT_TIME_ZONE emulation (SURVEY §1.2 gap: millis-of-day BIGINT)
+# --------------------------------------------------------------------------
+_TIME_ORACLE = """
+SELECT event_id,
+       CAST(EXTRACT(hour FROM ts) * 3600000 + EXTRACT(minute FROM ts) * 60000
+            + EXTRACT(second FROM ts) * 1000 AS BIGINT) AS millis_of_day,
+       lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(EXTRACT(minute FROM ts) AS VARCHAR), 2, '0') AS hhmm
+FROM events WHERE event_id < 500
+"""
+
+
+@register("scalar_time_of_day", _TIME_ORACLE)
+def scalar_time_of_day(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    millis = (F.hour("ts") * 3600000 + F.minute("ts") * 60000
+              + F.second("ts") * 1000)
+    return ev.select(
+        "event_id",
+        millis.cast("bigint").alias("millis_of_day"),
+        F.date_format("ts", "HH:mm").alias("hhmm"))
+
+
+# --------------------------------------------------------------------------
+# IS [NOT] DISTINCT FROM (null-safe comparison, <=>)
+# --------------------------------------------------------------------------
+_DISTINCT_FROM_ORACLE = """
+WITH x AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS s
+  FROM orders WHERE o_orderkey < 1000)
+SELECT a.o_orderkey AS k_a, b.o_orderkey AS k_b
+FROM x a JOIN x b
+  ON a.s IS NOT DISTINCT FROM b.s AND a.o_orderkey < b.o_orderkey
+WHERE a.o_orderkey < 30
+"""
+
+
+@register("join_null_safe_equal", _DISTINCT_FROM_ORACLE)
+def join_null_safe_equal(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    x = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+         .otherwise(F.col("o_orderstatus")).alias("s"))
+    a = x.select(F.col("o_orderkey").alias("k_a"), F.col("s").alias("s_a"))
+    b = x.select(F.col("o_orderkey").alias("k_b"), F.col("s").alias("s_b"))
+    return (a.join(b, F.col("s_a").eqNullSafe(F.col("s_b"))
+                   & (F.col("k_a") < F.col("k_b")))
+            .filter(F.col("k_a") < 30)
+            .select("k_a", "k_b"))
+
+
+# --------------------------------------------------------------------------
+# NTH_VALUE / FIRST_VALUE / LAST_VALUE over a window frame
+# --------------------------------------------------------------------------
+_NTH_ORACLE = """
+SELECT event_id, user_id,
+       first_value(value) OVER w AS first_v,
+       last_value(value) OVER w AS last_v,
+       nth_value(value, 2) OVER w AS second_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_first_last_nth_value", _NTH_ORACLE)
+def window_first_last_nth_value(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"))

@@ -47,6 +47,8 @@ EXTENDED = [
     "tpcds_style_star_rollup", "tpcds_style_case_pivot",
     "window_ntile_percent_rank", "scalar_collection_functions",
     "agg_percentiles", "agg_corr_covar", "scalar_encoding_functions",
+    "scalar_interval_year_month", "scalar_time_of_day",
+    "join_null_safe_equal", "window_first_last_nth_value",
 ]
 
 
