@@ -126,3 +126,68 @@ def test_connected_streams_co_map(spark):
     out = a.connect(b).co_map("upper(a_col)", "cast(b_col as string)",
                               "mapped", "k").df
     assert {r["mapped"] for r in out.collect()} == {"X", "9.0"}
+
+
+def _two_batch_stream(spark, schema, batch1_rows, batch2_rows, op, out_name):
+    """Feed two micro-batches through a stateful op (harness-test shape:
+    records in, emissions out, state carried across batches)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="harness_src_")
+    str_schema = schema.replace("ts timestamp", "ts string")
+
+    def write(rows):
+        (spark.createDataFrame(rows, str_schema)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1)  # one file => exactly one micro-batch per write
+         .write.mode("append").parquet(src))
+
+    write(batch1_rows)
+    sdf = (spark.readStream
+           .schema(schema.replace("ts string", "ts timestamp"))
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (op(sdf).writeStream.format("memory").queryName(out_name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_")).start())
+    try:
+        q.processAllAvailable()
+        after_b1 = [tuple(r) for r in spark.table(out_name).collect()]
+        write(batch2_rows)
+        q.processAllAvailable()
+        after_b2 = [tuple(r) for r in spark.table(out_name).collect()]
+    finally:
+        q.stop()
+    return after_b1, after_b2
+
+
+def test_changelog_retraction_across_batches(spark):
+    """Batch 1 -> +I; batch 2 -> -U(old)/+U(new): the accumulate/retract
+    protocol across micro-batch boundaries."""
+    from flink_release_1_10_0_spark.streaming.stateful import changelog_count
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    b1 = [(1, "2024-01-01 10:00:00", 7, "click", 1.0)]
+    b2 = [(2, "2024-01-01 10:05:00", 8, "click", 1.0),
+          (3, "2024-01-01 10:06:00", 9, "click", 1.0)]
+    after_b1, after_b2 = _two_batch_stream(
+        spark, schema, b1, b2, changelog_count, "_clog_harness")
+    ops1 = [(r[0], r[2]) for r in after_b1]  # (op, cnt)
+    assert ops1 == [("+I", 1)]
+    ops2 = sorted((r[0], r[2]) for r in after_b2)
+    assert ops2 == [("+I", 1), ("+U", 3), ("-U", 1)]
+
+
+def test_temporal_join_state_across_batches(spark):
+    """Version arrives in batch 1, probe in batch 2: the version table in
+    state must serve the later probe."""
+    from flink_release_1_10_0_spark.streaming.stateful import temporal_join
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    b1 = [(1, "2024-01-01 10:00:00", 7, "error", 42.0)]
+    b2 = [(2, "2024-01-01 11:00:00", 7, "purchase", 9.9)]
+    _, after_b2 = _two_batch_stream(
+        spark, schema, b1, b2,
+        lambda s: temporal_join(s, "error", "purchase"), "_tj_harness")
+    assert [(r[1], r[3], r[5]) for r in after_b2] == [(2, 1, 42.0)]
