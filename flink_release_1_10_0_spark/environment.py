@@ -333,3 +333,28 @@ def _over_select(self, over: "Over", **named_aggs: Column) -> "Table":
 
 
 Table.over_select = _over_select
+
+
+def _register_stream_table(self, name: str, path: str, fmt: str = "parquet",
+                           schema=None, watermark: tuple[str, str] | None = None,
+                           computed_columns: dict[str, str] | None = None):
+    """Streaming-table registration with watermark — the ``CREATE TABLE …
+    WATERMARK FOR ts AS ts - INTERVAL …`` DDL analog
+    (``flink-sql-parser/.../ddl/SqlCreateTable.java``, ``SqlWatermark.java``).
+
+    ``watermark=("ts", "10 minutes")`` declares bounded out-of-orderness;
+    ``computed_columns={"name": "expr"}`` mirrors DDL computed columns.
+    Returns the streaming DataFrame (also registered as a temp view).
+    """
+    if schema is None:
+        schema = self.spark.read.format(fmt).load(path).schema
+    sdf = self.spark.readStream.schema(schema).format(fmt).load(path)
+    for cname, expr in (computed_columns or {}).items():
+        sdf = sdf.withColumn(cname, F.expr(expr))
+    if watermark is not None:
+        sdf = sdf.withWatermark(watermark[0], watermark[1])
+    sdf.createOrReplaceTempView(name)
+    return sdf
+
+
+TableEnvironment.register_stream_table = _register_stream_table

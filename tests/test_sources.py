@@ -218,3 +218,33 @@ def test_ddl_and_partitioned_insert_overwrite(spark, orders):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_register_stream_table_with_watermark(spark):
+    """DDL-analog: stream table registered with computed column +
+    watermark participates in windowed append-mode aggregation."""
+    import tempfile
+
+    from flink_release_1_10_0_spark import TableEnvironment
+
+    env = TableEnvironment.create(spark)
+    src = tempfile.mkdtemp(prefix="ddl_stream_")
+    (spark.createDataFrame(
+        [("2024-01-01 10:00:00", 5.0), ("2024-01-01 13:00:00", 7.0)],
+        "ts string, v double")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(1).write.mode("append").parquet(src))
+    sdf = env.register_stream_table(
+        "wm_events", src, watermark=("ts", "5 minutes"),
+        computed_columns={"v2": "v * 2"})
+    agg = (sdf.groupBy(F.window("ts", "1 hour"))
+           .agg(F.sum("v2").alias("s"))
+           .select(F.col("window.start").alias("w_start"), "s"))
+    q = (agg.writeStream.format("memory").queryName("_wm_ddl")
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {(str(r["w_start"]), r["s"]) for r in spark.table("_wm_ddl").collect()}
+    # only the 10:00 window is closed by the final watermark (13:00 - 5m)
+    assert rows == {("2024-01-01 10:00:00", 10.0)}
