@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,13 +38,19 @@ def main():
     # steady-state a long-running cluster session actually operates in
     for name in names:
         qs[name](spark, sf_dir).count()
+    # median of 3 trials per query: the host is shared, so a single trial
+    # can absorb an unrelated multi-second stall (GC / CPU contention);
+    # the median reflects the plan's actual cost
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            trials.append(time.perf_counter() - t0)
+            assert n >= 0
+        times[name] = round(statistics.median(trials), 3)
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wallclock",
