@@ -57,3 +57,29 @@ def count_tumble(df: DataFrame, keys: list[str], order_by: list[Column],
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn(
         "w_id", ((F.row_number().over(w) - 1) / size).cast("bigint"))
+
+
+def hop_paned(df: DataFrame, ts: str, size_sec: int, slide_sec: int,
+              value_col: Column) -> DataFrame:
+    """Pane-optimized sliding-window aggregation (PanedWindowAssigner,
+    ``runtime/operators/window/assigners/SlidingWindowAssigner.java`` pane
+    path + ``.../window/grouping/``): when ``slide`` divides ``size``,
+    aggregate each record ONCE into its slide-sized pane, then combine
+    each pane's partial into the ``size/slide`` covering windows.
+
+    Scale rationale (the reason this operator exists at 100 TB): the
+    naive plan replicates every record into k = size/slide windows before
+    the shuffle; the paned plan shuffles one pre-aggregated row per
+    (pane, key) — record-volume reduction of k× on the wire plus map-side
+    combine, identical results.  Returns (w_start, n, total_cents).
+    """
+    assert size_sec % slide_sec == 0, "pane optimization needs slide | size"
+    k = size_sec // slide_sec
+    panes = (df.groupBy(F.window(ts, f"{slide_sec} seconds").alias("__pane"))
+               .agg(F.count("*").alias("__pn"), F.sum(value_col).alias("__ps")))
+    starts = F.array(*[
+        F.col("__pane.start") - F.expr(f"INTERVAL {i * slide_sec} SECONDS")
+        for i in range(k)])
+    return (panes.select(F.explode(starts).alias("w_start"), "__pn", "__ps")
+            .groupBy("w_start")
+            .agg(F.sum("__pn").alias("n"), F.sum("__ps").alias("total_dec")))

@@ -478,3 +478,52 @@ FROM events
 def stream_over_rows_bounded(spark, sf_dir):
     ev = read_stream_table(spark, sf_dir, "events")
     return run_to_completion(stateful.over_rows_bounded(ev, frame=5), "append")
+
+
+# --------------------------------------------------------------------------
+# Streaming temporal sort: watermark-ordered emission with an explicit
+# emission sequence (StreamExecTemporalSort / RowTimeSortOperator).  The
+# ``seq`` column makes the ORDER of emission hash-verifiable: it must
+# equal row_number() by (ts, event_id) over exactly the rows the final
+# watermark released.
+# --------------------------------------------------------------------------
+_STREAM_TSORT_ORACLE = """
+WITH wm AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 10 MINUTE AS w
+            FROM events)
+SELECT user_id, event_id, ts,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events WHERE ts <= (SELECT w FROM wm)
+"""
+
+
+@register("stream_temporal_sort", _STREAM_TSORT_ORACLE)
+def stream_temporal_sort(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(stateful.temporal_sort(ev), "append")
+
+
+# --------------------------------------------------------------------------
+# Count-based sliding window (CountSlidingWindowAssigner; countWindow
+# (size=5, slide=2)): fires every 2 arrivals over the last <=5 rows.
+# --------------------------------------------------------------------------
+_STREAM_COUNT_SLIDE_ORACLE = """
+WITH q AS (
+  SELECT user_id,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c,
+         SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, rn AS fire_seq, c AS n_events, CAST(s AS DOUBLE) AS sum_value
+FROM q WHERE rn % 2 = 0
+"""
+
+
+@register("stream_count_sliding_window", _STREAM_COUNT_SLIDE_ORACLE)
+def stream_count_sliding_window(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        stateful.count_sliding_window(ev, size=5, slide=2), "append")

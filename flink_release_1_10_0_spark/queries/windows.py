@@ -11,7 +11,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flink_release_1_10_0_spark.operators.ranking import deduplicate, top_n
-from flink_release_1_10_0_spark.operators.windows import count_tumble, session, tumble, hop
+from flink_release_1_10_0_spark.operators.windows import (
+    count_tumble, hop, hop_paned, session, tumble,
+)
 from flink_release_1_10_0_spark.queries import register
 from flink_release_1_10_0_spark.queries.helpers import MONEY, t
 
@@ -229,6 +231,15 @@ def window_hop_1h_30m(spark, sf_dir):
     return (ev.groupBy("w_start")
             .agg(F.count("*").alias("n"),
                  F.sum(F.col("value").cast(MONEY)).cast("double").alias("total")))
+
+
+@register("window_hop_paned", _HOP_ORACLE)
+def window_hop_paned(spark, sf_dir):
+    """Same hopping aggregate, computed via pane decomposition — one pane
+    agg per record instead of k window copies (PanedWindowAssigner)."""
+    ev = t(spark, sf_dir, "events")
+    return (hop_paned(ev, "ts", 3600, 1800, F.col("value").cast(MONEY))
+            .select("w_start", "n", F.col("total_dec").cast("double").alias("total")))
 
 
 # --------------------------------------------------------------------------

@@ -414,6 +414,100 @@ def cep_not_followed_by(events: DataFrame, first_type: str, then_type: str,
                                     "append", GroupStateTimeout.EventTimeTimeout))
 
 
+def temporal_sort(events: DataFrame, key: str = "user_id",
+                  watermark_delay: str = "10 minutes") -> DataFrame:
+    """Event-time sorted emission (``StreamExecTemporalSort.scala`` /
+    ``runtime/operators/sort/RowTimeSortOperator.java``): buffer arriving
+    rows per key; once the watermark passes a row's timestamp, emit the
+    buffered prefix in (ts, event_id) order, tagged with a per-key
+    emission sequence number ``seq`` — the observable proof of ordered
+    emission.  Rows beyond the final watermark stay buffered (never
+    emitted), exactly the reference operator's contract.
+
+    State is the out-of-order tail only (rows newer than the watermark),
+    bounded by the watermark delay — not the full history.  Keyed, so it
+    scales horizontally; the reference's *global* temporal sort is
+    parallelism-1 by construction and maps to a single key here.
+    """
+    out_schema = "user_id bigint, event_id bigint, ts timestamp, seq bigint"
+    state_schema = "emitted bigint, bids array<bigint>, bus array<bigint>"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            emitted, bids, bus = state.get
+            buf = list(zip(list(bus), list(bids)))  # (ts_us, event_id)
+        else:
+            emitted, buf = 0, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for _, row in pdf.iterrows():
+                    buf.append((row["ts"].value // 1000, int(row["event_id"])))
+        buf.sort()
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        emit = [b for b in buf if b[0] <= wm_us]
+        buf = [b for b in buf if b[0] > wm_us]
+        out = []
+        for ts_us, eid in emit:
+            emitted += 1
+            out.append((key_[0], eid, ts_us, emitted))
+        state.update((emitted, [b[1] for b in buf], [b[0] for b in buf]))
+        if buf:
+            # fire once the watermark reaches the oldest buffered row's ms
+            # (ceil: a row is emittable when wm_us >= ts_us); must arm
+            # strictly beyond the current watermark
+            deadline = max(-(-buf[0][0] // 1000) - 1, wm_ms + 1)
+            state.setTimeoutTimestamp(deadline)
+        if out:
+            df = pd.DataFrame(out, columns=["user_id", "event_id", "ts", "seq"])
+            df["ts"] = pd.to_datetime(df["ts"], unit="us")
+            yield df
+
+    return (events.withWatermark("ts", watermark_delay)
+            .groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def count_sliding_window(events: DataFrame, size: int = 5, slide: int = 2,
+                         key: str = "user_id") -> DataFrame:
+    """Count-based sliding window per key (CountSlidingWindowAssigner +
+    ``KeyedStream.java:668`` countWindow(size, slide)): fire every
+    ``slide`` arrivals, aggregating the last ``min(seen, size)`` rows in
+    (ts, event_id) order.  State = total arrival count + a ring buffer of
+    the last ``size`` cent values — bounded regardless of stream length,
+    the same contract as the reference's CountEvictor(size) +
+    CountTrigger(slide) pair."""
+    out_schema = "user_id bigint, fire_seq bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, recent array<bigint>"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, recent = state.get[0], list(state.get[1])
+        else:
+            n, recent = 0, []
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                recent.append(int(round(float(v) * 100)))
+                if len(recent) > size:
+                    recent.pop(0)
+                n += 1
+                if n % slide == 0:
+                    out.append((key_[0], n, len(recent), sum(recent) / 100.0))
+        state.update((n, recent))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "fire_seq", "n_events", "sum_value"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def over_rows_bounded(events: DataFrame, frame: int = 5,
                       key: str = "user_id") -> DataFrame:
     """Streaming OVER aggregate with a bounded ROWS frame

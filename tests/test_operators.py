@@ -27,7 +27,7 @@ WINDOWS = [
     "over_rows_running_sum", "over_rows_moving_avg", "over_range_cumulative",
     "rank_dense_rank_row_number", "lead_lag", "topn_per_key",
     "dedup_keep_first", "dedup_keep_last",
-    "window_tumble_1h", "window_hop_1h_30m", "window_session_30m",
+    "window_tumble_1h", "window_hop_1h_30m", "window_hop_paned", "window_session_30m",
     "window_count_tumble_10", "window_session_dynamic_gap",
 ]
 

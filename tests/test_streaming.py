@@ -25,6 +25,8 @@ STREAMING = [
     "stream_cep_not_followed_by",
     "stream_hop_window",
     "stream_over_rows_bounded",
+    "stream_temporal_sort",
+    "stream_count_sliding_window",
 ]
 
 
