@@ -527,3 +527,33 @@ def stream_count_sliding_window(spark, sf_dir):
     ev = read_stream_table(spark, sf_dir, "events")
     return run_to_completion(
         stateful.count_sliding_window(ev, size=5, slide=2), "append")
+
+
+# --------------------------------------------------------------------------
+# CEP times(n).consecutive() + AFTER MATCH SKIP PAST LAST ROW: n identical
+# events in a row, no gaps, non-overlapping matches (gaps-and-islands
+# oracle: position-within-run divisible by n).
+# --------------------------------------------------------------------------
+_STREAM_CEP_TIMES_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+runs AS (
+  SELECT user_id, event_id, ts, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'),
+pos AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS p
+  FROM runs)
+SELECT user_id, event_id AS last_id, ts AS last_ts, CAST(3 AS BIGINT) AS run_n
+FROM pos WHERE p % 3 = 0
+"""
+
+
+@register("stream_cep_times_consecutive", _STREAM_CEP_TIMES_ORACLE)
+def stream_cep_times_consecutive(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        stateful.cep_times_consecutive(ev, "click", n=3), "append")

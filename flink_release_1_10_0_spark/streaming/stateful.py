@@ -540,3 +540,42 @@ def over_rows_bounded(events: DataFrame, frame: int = 5,
     return (events.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def cep_times_consecutive(events: DataFrame, event_type: str = "click",
+                          n: int = 3, key: str = "user_id") -> DataFrame:
+    """CEP quantifier ``begin(A).times(n).consecutive()`` with
+    AFTER MATCH SKIP PAST LAST ROW (``Pattern.java`` times/consecutive;
+    match-skip ``flink-libraries/flink-cep/.../nfa/aftermatch/``): emit a
+    match when ``n`` consecutive A-type events arrive for a key with no
+    intervening other-type event; the run counter resets on a match (so
+    runs of length L yield floor(L/n) non-overlapping matches) and on any
+    non-A event.  State = one integer per key."""
+    out_schema = "user_id bigint, last_id bigint, last_ts timestamp, run_n bigint"
+    state_schema = "run bigint"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        run = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                if str(row["event_type"]) == event_type:
+                    run += 1
+                    if run == n:
+                        out.append((key_[0], int(row["event_id"]),
+                                    row["ts"].value // 1000, n))
+                        run = 0
+                else:
+                    run = 0
+        state.update((run,))
+        if out:
+            df = pd.DataFrame(out, columns=["user_id", "last_id", "last_ts", "run_n"])
+            df["last_ts"] = pd.to_datetime(df["last_ts"], unit="us")
+            yield df
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -27,6 +27,7 @@ STREAMING = [
     "stream_over_rows_bounded",
     "stream_temporal_sort",
     "stream_count_sliding_window",
+    "stream_cep_times_consecutive",
 ]
 
 
