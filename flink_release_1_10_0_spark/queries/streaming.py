@@ -557,3 +557,28 @@ def stream_cep_times_consecutive(spark, sf_dir):
     ev = read_stream_table(spark, sf_dir, "events")
     return run_to_completion(
         stateful.cep_times_consecutive(ev, "click", n=3), "append")
+
+
+# --------------------------------------------------------------------------
+# Async I/O enrichment (AsyncWaitOperator.java:76, ordered mode): bounded
+# in-flight async lookups inside each Arrow batch, order-preserving.  The
+# service is a deterministic async fn so the oracle can state the result.
+# --------------------------------------------------------------------------
+_ASYNC_IO_ORACLE = """
+SELECT user_id, event_id, 'tier_' || CAST(user_id % 7 AS VARCHAR) AS tier
+FROM events
+"""
+
+
+@register("stream_async_io_enrich", _ASYNC_IO_ORACLE)
+def stream_async_io_enrich(spark, sf_dir):
+    import asyncio
+
+    from flink_release_1_10_0_spark.streaming.async_io import async_enrich
+
+    async def tier_service(uid: int) -> str:
+        await asyncio.sleep(0)  # yield point — a real client awaits I/O here
+        return f"tier_{uid % 7}"
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id")
+    return async_enrich(ev, "user_id", "tier", tier_service, capacity=64)

@@ -28,6 +28,7 @@ STREAMING = [
     "stream_temporal_sort",
     "stream_count_sliding_window",
     "stream_cep_times_consecutive",
+    "stream_async_io_enrich",
 ]
 
 
