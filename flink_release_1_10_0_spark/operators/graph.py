@@ -73,3 +73,101 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             break
     sym.unpersist()
     return labels
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Triangle enumeration/count per vertex
+    (``library/TriangleEnumerator.java`` semantics, undirected).
+
+    Canonicalize to a < b, build wedges (a<b<c sharing vertex b... in the
+    standard layout: edges (a,b) and (a,c) with b<c form a wedge closed by
+    edge (b,c)), then count closures per participating vertex.
+
+    Scale: the wedge join is the classic skew hot-spot — a celebrity
+    vertex of degree d yields d^2/2 wedges.  The a<b<c ordering already
+    halves the work; at 100 TB add a degree-ordered orientation (orient
+    each edge from lower-degree to higher-degree endpoint) so wedge
+    generation is bounded by arboricity, and let AQE split residual skew.
+    """
+    canon = (edges.select(F.least(src, dst).alias("a"),
+                          F.greatest(src, dst).alias("b"))
+             .filter(F.col("a") != F.col("b"))
+             .distinct())
+    e1 = canon.alias("e1")
+    e2 = canon.alias("e2")
+    wedges = (e1.join(e2, (F.col("e1.a") == F.col("e2.a"))
+                      & (F.col("e1.b") < F.col("e2.b")))
+              .select(F.col("e1.a").alias("v1"),
+                      F.col("e1.b").alias("v2"),
+                      F.col("e2.b").alias("v3")))
+    closing = canon.select(F.col("a").alias("v2"), F.col("b").alias("v3"))
+    tris = wedges.join(closing, ["v2", "v3"])
+    per_vertex = (tris.select(F.col("v1").alias("id"))
+                  .union(tris.select(F.col("v2").alias("id")))
+                  .union(tris.select(F.col("v3").alias("id")))
+                  .groupBy("id")
+                  .agg(F.count(F.lit(1)).alias("triangles")))
+    return per_vertex
+
+
+def sssp(edges: DataFrame, source: int, src: str = "src", dst: str = "dst",
+         max_iterations: int = 30) -> DataFrame:
+    """Single-source shortest paths, unit edge weights
+    (``library/SingleSourceShortestPaths.java`` with weight 1 — BFS hop
+    distance), undirected.  Returns (id, distance) for reachable vertices.
+
+    Pregel layout: frontier expansion per superstep; each superstep is one
+    shuffle of the frontier against the (persisted) symmetric edge list.
+    The frontier shrinks to the unseen boundary each step, so total work
+    is O(E * diameter-fraction), not O(E * V).
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct().persist())
+    dist = (sym.sparkSession.createDataFrame([(source, 0)], "id BIGINT, distance INT")
+            .persist())
+    frontier = dist
+    for step in range(1, max_iterations + 1):
+        reached = (sym.join(frontier, sym.a == frontier.id)
+                   .select(F.col("b").alias("id"))
+                   .distinct())
+        new_frontier = (reached.join(dist.select("id"), "id", "left_anti")
+                        .withColumn("distance", F.lit(step))
+                        .persist())
+        if new_frontier.limit(1).count() == 0:
+            new_frontier.unpersist()
+            break
+        new_dist = dist.unionByName(new_frontier).persist()
+        dist.unpersist()
+        dist = new_dist
+        frontier = new_frontier
+    sym.unpersist()
+    return dist
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic label propagation (``library/LabelPropagation.java``
+    semantics): each superstep every vertex adopts its neighbors' most
+    frequent label, ties broken by the smallest label.  Fixed superstep
+    count keeps the result deterministic and SQL-expressible (the oracle
+    unrolls the same steps); Gelly likewise runs a caller-set iteration
+    count.  Returns (id, label).
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct().persist())
+    labels = sym.select(F.col("a").alias("id")).distinct() \
+                .withColumn("label", F.col("id"))
+    for _ in range(iterations):
+        freq = (sym.join(labels, sym.b == labels.id)
+                .groupBy(F.col("a").alias("vid"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+        best = (freq.groupBy(F.col("vid").alias("id"))
+                .agg(F.min(F.struct((-F.col("cnt")).alias("neg_cnt"),
+                                    F.col("label").alias("label")))
+                     .alias("top"))
+                .select("id", F.col("top.label").alias("label")))
+        labels = best
+    sym.unpersist()
+    return labels

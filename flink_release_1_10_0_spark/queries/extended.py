@@ -835,3 +835,115 @@ def window_first_last_nth_value(spark, sf_dir):
         F.first("value").over(w).alias("first_v"),
         F.last("value").over(w).alias("last_v"),
         F.nth_value("value", 2).over(w).alias("second_v"))
+
+
+# --------------------------------------------------------------------------
+# Graph: triangle count per vertex (Gelly library/TriangleEnumerator.java)
+# over the supplier co-occurrence graph (suppliers sharing an order).
+# Wedge join + closure probe; a<b<c canonical ordering counts each
+# triangle once.
+# --------------------------------------------------------------------------
+_TRI_EDGES = """
+  SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+  FROM lineitem l1
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                  AND l1.l_suppkey < l2.l_suppkey
+  JOIN orders ON o_orderkey = l1.l_orderkey
+  WHERE o_custkey < 200
+"""
+
+_TRIANGLE_ORACLE = f"""
+WITH edges AS ({_TRI_EDGES}),
+canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM canon e1
+        JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN canon c  ON c.a = e1.b AND c.b = e2.b)
+SELECT id, COUNT(*) AS triangles
+FROM (SELECT v1 AS id FROM tri
+      UNION ALL SELECT v2 FROM tri
+      UNION ALL SELECT v3 FROM tri)
+GROUP BY id
+"""
+
+
+def _supplier_cooccurrence_edges(spark, sf_dir, max_cust: int):
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < max_cust)
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    return (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                    & (F.col("l1.l_suppkey") < F.col("l2.l_suppkey")))
+            .join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+            .select(F.col("l1.l_suppkey").alias("src"),
+                    F.col("l2.l_suppkey").alias("dst"))
+            .distinct())
+
+
+@register("graph_triangle_count", _TRIANGLE_ORACLE)
+def graph_triangle_count(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import triangle_count
+    return triangle_count(_supplier_cooccurrence_edges(spark, sf_dir, 200))
+
+
+# --------------------------------------------------------------------------
+# Graph: single-source shortest paths, unit weights (Gelly
+# library/SingleSourceShortestPaths.java with weight 1 == BFS hop count)
+# over the customer->supplier bipartite graph; oracle walks the graph
+# with a recursive CTE and takes MIN(depth) per vertex.
+# --------------------------------------------------------------------------
+_SSSP_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 12),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+walk(id, d) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT s.b, w.d + 1 FROM walk w JOIN sym s ON s.a = w.id WHERE w.d < 30)
+SELECT id, MIN(d) AS distance FROM walk GROUP BY id
+"""
+
+
+@register("graph_sssp", _SSSP_ORACLE)
+def graph_sssp(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import sssp
+    return sssp(_cust_supp_edges(spark, sf_dir, 12), source=1)
+
+
+# --------------------------------------------------------------------------
+# Graph: deterministic label propagation (Gelly library/LabelPropagation
+# .java): each superstep a vertex adopts its neighbors' most frequent
+# label, ties to the smallest label; fixed 3 supersteps, oracle unrolled.
+# --------------------------------------------------------------------------
+def _lpa_step(prev: str) -> str:
+    return f"""(SELECT vid AS id, label FROM (
+  SELECT s.a AS vid, l.label, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY s.a
+                            ORDER BY COUNT(*) DESC, l.label) AS rn
+  FROM sym s JOIN {prev} l ON s.b = l.id
+  GROUP BY s.a, l.label) q WHERE rn = 1)"""
+
+
+_LPA_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 30),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+l0 AS (SELECT DISTINCT a AS id, a AS label FROM sym),
+l1 AS {_lpa_step('l0')},
+l2 AS {_lpa_step('l1')},
+l3 AS {_lpa_step('l2')}
+SELECT id, label FROM l3
+"""
+
+
+@register("graph_label_propagation", _LPA_ORACLE)
+def graph_label_propagation(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import label_propagation
+    return label_propagation(_cust_supp_edges(spark, sf_dir, 30), iterations=3)

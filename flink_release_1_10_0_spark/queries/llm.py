@@ -156,7 +156,7 @@ def dedup_wordset_groups(spark, sf_dir):
 # MinHash signatures + LSH near-dup pairs
 # --------------------------------------------------------------------------
 _K = 8
-_BAND_ROWS = 2
+_BAND_ROWS = 4  # LSH s-curve midpoint t ~ (1/bands)^(1/rows) ~ 0.84 for t=0.8
 
 _sig_cols_duck = ",\n       ".join(
     f"list_min(list_transform(ws, w -> {_dhash64(chr(39) + str(i) + ':' + chr(39) + ' || w')})) AS m{i}"
@@ -176,8 +176,10 @@ def minhash_signatures_q(spark, sf_dir):
 
 
 _band_selects = "\nUNION ALL\n".join(
-    f"SELECT doc_id, {b} AS band, md5(CAST(m{b * _BAND_ROWS} AS VARCHAR) || '_' || "
-    f"CAST(m{b * _BAND_ROWS + 1} AS VARCHAR)) AS key FROM sig"
+    "SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig".format(
+        b=b,
+        cols=" || '_' || ".join(f"CAST(m{b * _BAND_ROWS + r} AS VARCHAR)"
+                                for r in range(_BAND_ROWS)))
     for b in range(_K // _BAND_ROWS))
 
 _LSH_ORACLE = f"""
