@@ -582,3 +582,61 @@ def stream_async_io_enrich(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events").select("user_id", "event_id")
     return async_enrich(ev, "user_id", "tier", tier_service, capacity=64)
+
+
+# --------------------------------------------------------------------------
+# Broadcast state pattern (DataStream.broadcast + BroadcastProcessFunction
+# .java:51): per-event-type rule thresholds broadcast to every task; each
+# streamed event is evaluated against the current rule set.  The rules
+# side is a broadcast stream-static join — the event side never shuffles.
+# --------------------------------------------------------------------------
+_BCAST_RULES_ORACLE = """
+WITH rules AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS threshold
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       round(r.threshold, 6) AS threshold
+FROM events e JOIN rules r ON e.event_type = r.event_type
+WHERE e.value >= 2 * r.threshold
+"""
+
+
+@register("stream_broadcast_rules_join", _BCAST_RULES_ORACLE)
+def stream_broadcast_rules_join(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.broadcast import broadcast_rules_apply
+    rules = (t(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg((F.sum(F.col("value").cast(MONEY)).cast("double")
+                   / F.count(F.lit(1))).alias("threshold")))
+    ev = read_stream_table(spark, sf_dir, "events")
+    out = broadcast_rules_apply(
+        ev, rules, "event_type",
+        F.col("value") >= 2 * F.col("threshold"),
+        "event_id", "event_type", F.round("threshold", 6).alias("threshold"))
+    return run_to_completion(out, "append")
+
+
+# --------------------------------------------------------------------------
+# Side outputs / split (SplitStream.select + getSideOutput, SURVEY.md
+# §2.9): one pass over the stream attaches the output selector's verdict
+# as output_tag; per-tag cardinalities aggregated in complete mode.
+# --------------------------------------------------------------------------
+_SIDE_OUTPUT_ORACLE = """
+SELECT CASE WHEN value >= 75 THEN 'high'
+            WHEN value >= 25 THEN 'mid'
+            ELSE 'low' END AS output_tag,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+@register("stream_side_output_split", _SIDE_OUTPUT_ORACLE)
+def stream_side_output_split(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+    ev = DataStream(read_stream_table(spark, sf_dir, "events"))
+    tagged = ev.split_tagged(
+        "CASE WHEN value >= 75 THEN 'high' "
+        "WHEN value >= 25 THEN 'mid' ELSE 'low' END", "event_id")
+    agg = tagged.df.groupBy("output_tag").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_completion(agg, "complete")

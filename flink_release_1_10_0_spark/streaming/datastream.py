@@ -79,6 +79,33 @@ class DataStream:
     # -- physical distribution (DataStream.java:361-505 partitionCustom/
     # broadcast/shuffle/rebalance/rescale/global; DataSet.java:1257-1385
     # partitionByHash/Range + sortPartition) -----------------------------
+    def side_outputs(self, main: str | Column,
+                     **tags: str | Column) -> dict[str, "DataStream"]:
+        """Side outputs (``SingleOutputStreamOperator.getSideOutput`` /
+        ``SplitStream.select``, SURVEY.md §2.9): route one input to the
+        main output plus named side outputs by predicate.  Returns
+        ``{"main": ..., tag: ...}``.
+
+        Spark-first: each output is a filter over the same scan — the
+        source is read once per sink (or once total under foreachBatch
+        multi-write); no custom routing operator is needed because
+        Catalyst collapses filter+project into the scan.
+        """
+        outs = {"main": DataStream(self._df.filter(
+            F.expr(main) if isinstance(main, str) else main))}
+        for name, pred in tags.items():
+            outs[name] = DataStream(self._df.filter(
+                F.expr(pred) if isinstance(pred, str) else pred))
+        return outs
+
+    def split_tagged(self, tag: str | Column,
+                     *keep: str) -> "DataStream":
+        """``SplitStream`` as data (the 1.10 ``split(OutputSelector)``
+        API): attach the selector verdict as an ``output_tag`` column in
+        a single pass; downstream ``select(tag)`` is a filter."""
+        tc = F.expr(tag) if isinstance(tag, str) else tag
+        return DataStream(self._df.select(*keep, tc.alias("output_tag")))
+
     def partition_by_hash(self, n: int, *cols: str) -> "DataStream":
         """Hash-partition on key columns (Exchange hashpartitioning)."""
         return DataStream(self._df.repartition(n, *[F.col(c) for c in cols]))

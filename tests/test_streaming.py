@@ -29,7 +29,22 @@ STREAMING = [
     "stream_count_sliding_window",
     "stream_cep_times_consecutive",
     "stream_async_io_enrich",
+    "stream_broadcast_rules_join",
+    "stream_side_output_split",
 ]
+
+
+def test_side_outputs_partition(spark):
+    """side_outputs routes every row to exactly the outputs whose
+    predicate holds (getSideOutput semantics: outputs may overlap)."""
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 50.0), (3, 90.0)], "id INT, v DOUBLE")
+    outs = DataStream(df).side_outputs(
+        "v >= 25", low="v < 25", high="v >= 75")
+    assert sorted(r.id for r in outs["main"].df.collect()) == [2, 3]
+    assert sorted(r.id for r in outs["low"].df.collect()) == [1]
+    assert sorted(r.id for r in outs["high"].df.collect()) == [3]
 
 
 @pytest.mark.parametrize("name", STREAMING)
