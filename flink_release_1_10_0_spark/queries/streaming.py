@@ -640,3 +640,84 @@ def stream_side_output_split(spark, sf_dir):
         "WHEN value >= 25 THEN 'mid' ELSE 'low' END", "event_id")
     agg = tagged.df.groupBy("output_tag").agg(F.count(F.lit(1)).alias("n"))
     return run_to_completion(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# CEP strict contiguity: begin(error).next(purchase) (Pattern.java next()
+# — TAKE edge with no ignore self-loop): purchase matches only as the
+# immediately following event of its key after an error.
+# --------------------------------------------------------------------------
+_STREAM_CEP_NEXT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(event_type) OVER w AS pt, LAG(event_id) OVER w AS pid
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, pid AS a_id, event_id AS b_id, ts AS b_ts
+FROM seq WHERE pt = 'error' AND event_type = 'purchase'
+"""
+
+
+@register("stream_cep_next_strict", _STREAM_CEP_NEXT_ORACLE)
+def stream_cep_next_strict(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        Pattern.begin("error").next("purchase").match_stream(ev), "append")
+
+
+# --------------------------------------------------------------------------
+# CEP followedByAny: every in-window (error, purchase) pair matches,
+# AFTER MATCH SKIP TO NEXT (no consumption) — the non-deterministic-runs
+# NFA; oracle is the plain interval join.
+# --------------------------------------------------------------------------
+_STREAM_CEP_ANY_ORACLE = """
+SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id,
+       a.ts AS first_ts, b.ts AS then_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'error' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("stream_cep_followed_by_any", _STREAM_CEP_ANY_ORACLE)
+def stream_cep_followed_by_any(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        Pattern.begin("error").followed_by_any("purchase").within(30)
+        .match_stream(ev), "append")
+
+
+# --------------------------------------------------------------------------
+# CEP optional middle stage: begin(error).followedBy(click).optional()
+# .followedBy(purchase).within(30): each error matches its first
+# in-window purchase, annotated with whether a click fell strictly
+# between the two (Pattern.java optional()).
+# --------------------------------------------------------------------------
+_STREAM_CEP_OPT_ORACLE = """
+WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT a.user_id, a.event_id AS first_id, c.event_id AS then_id,
+         a.ts AS first_ts, c.ts AS then_ts,
+         row_number() OVER (PARTITION BY a.user_id, a.event_id
+                            ORDER BY c.ts, c.event_id) AS rn
+  FROM a JOIN c ON a.user_id = c.user_id
+   AND c.ts > a.ts AND c.ts <= a.ts + INTERVAL 30 MINUTE)
+SELECT user_id, first_id, then_id, first_ts, then_ts,
+       EXISTS (SELECT 1 FROM events x
+               WHERE x.user_id = cand.user_id AND x.event_type = 'click'
+                 AND x.ts > cand.first_ts AND x.ts < cand.then_ts) AS had_opt
+FROM cand WHERE rn = 1
+"""
+
+
+@register("stream_cep_optional_middle", _STREAM_CEP_OPT_ORACLE)
+def stream_cep_optional_middle(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        Pattern.begin("error").followed_by("click").optional()
+        .followed_by("purchase").within(30).match_stream(ev), "append")

@@ -579,3 +579,144 @@ def cep_times_consecutive(events: DataFrame, event_type: str = "click",
     return (events.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def cep_next(events: DataFrame, first_type: str, then_type: str,
+             key: str = "user_id") -> DataFrame:
+    """CEP strict contiguity ``begin(A).next(B)`` (``Pattern.java``
+    next(): an NFA TAKE edge with no ignore self-loop): B matches only as
+    the IMMEDIATELY following event of its key after an A — any
+    intervening event of any type kills the partial match.  State = the
+    previous event (type, id) per key; O(1) regardless of rate."""
+    out_schema = "user_id bigint, a_id bigint, b_id bigint, b_ts timestamp"
+    state_schema = "prev_type string, prev_id bigint"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        prev_type, prev_id = state.get if state.exists else (None, None)
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                et = str(row["event_type"])
+                if et == then_type and prev_type == first_type:
+                    out.append((key_[0], int(prev_id), int(row["event_id"]),
+                                row["ts"]))
+                prev_type, prev_id = et, int(row["event_id"])
+        state.update((prev_type, prev_id))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "a_id", "b_id", "b_ts"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def cep_followed_by_any(events: DataFrame, first_type: str, then_type: str,
+                        within_minutes: float, key: str = "user_id") -> DataFrame:
+    """CEP ``begin(A).followedByAny(B).within(T)`` with AFTER MATCH SKIP
+    TO NEXT (no consumption): every in-window (A, B) pair is a match —
+    the NFA keeps all partial runs alive (``followedByAny`` relaxed
+    contiguity for non-deterministic runs).  State = in-window A's only;
+    each arriving B prunes expired A's, so state is bounded by the
+    window, not the history."""
+    out_schema = ("user_id bigint, first_id bigint, then_id bigint, "
+                  "first_ts timestamp, then_ts timestamp")
+    state_schema = "pending_ids array<bigint>, pending_us array<bigint>"
+    within_us = int(within_minutes * 60_000_000)
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pids, pus = state.get
+            pending = list(zip(list(pids), list(pus)))
+        else:
+            pending = []
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                et = str(row["event_type"])
+                ts_us = row["ts"].value // 1000
+                if et == first_type:
+                    pending.append((int(row["event_id"]), ts_us))
+                elif et == then_type:
+                    pending = [(aid, aus) for (aid, aus) in pending
+                               if ts_us - aus <= within_us]
+                    for (aid, aus) in pending:
+                        if 0 < ts_us - aus:
+                            out.append((key_[0], aid, int(row["event_id"]),
+                                        aus, ts_us))
+        state.update(([p[0] for p in pending], [p[1] for p in pending]))
+        if out:
+            df = pd.DataFrame(out, columns=[
+                "user_id", "first_id", "then_id", "first_ts", "then_ts"])
+            df["first_ts"] = pd.to_datetime(df["first_ts"], unit="us")
+            df["then_ts"] = pd.to_datetime(df["then_ts"], unit="us")
+            yield df
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def cep_optional_between(events: DataFrame, first_type: str, opt_type: str,
+                         last_type: str, within_minutes: float,
+                         key: str = "user_id") -> DataFrame:
+    """CEP three-stage sequence with an optional middle stage:
+    ``begin(A).followedBy(B).optional().followedBy(C).within(T)``
+    (``Pattern.java`` optional()): each C closes all pending in-window
+    A's (one match per A, AFTER MATCH SKIP PAST A), annotated with
+    whether a B occurred strictly between the A and the C.  State =
+    pending A's + in-window B timestamps (both pruned by the window)."""
+    out_schema = ("user_id bigint, first_id bigint, then_id bigint, "
+                  "first_ts timestamp, then_ts timestamp, had_opt boolean")
+    state_schema = ("pending_ids array<bigint>, pending_us array<bigint>, "
+                    "opt_us array<bigint>")
+    within_us = int(within_minutes * 60_000_000)
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pids, pus, ous = state.get
+            pending = list(zip(list(pids), list(pus)))
+            opts = list(ous)
+        else:
+            pending, opts = [], []
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                et = str(row["event_type"])
+                ts_us = row["ts"].value // 1000
+                if et == first_type:
+                    pending.append((int(row["event_id"]), ts_us))
+                elif et == opt_type:
+                    opts.append(ts_us)
+                    opts = [o for o in opts if ts_us - o <= within_us]
+                elif et == last_type:
+                    opts = [o for o in opts if ts_us - o <= within_us]
+                    still = []
+                    for (aid, aus) in pending:
+                        if 0 < ts_us - aus <= within_us:
+                            had = any(aus < o < ts_us for o in opts)
+                            out.append((key_[0], aid, int(row["event_id"]),
+                                        aus, ts_us, had))
+                        else:
+                            still.append((aid, aus))
+                    pending = still
+        state.update(([p[0] for p in pending], [p[1] for p in pending], opts))
+        if out:
+            df = pd.DataFrame(out, columns=[
+                "user_id", "first_id", "then_id", "first_ts", "then_ts",
+                "had_opt"])
+            df["first_ts"] = pd.to_datetime(df["first_ts"], unit="us")
+            df["then_ts"] = pd.to_datetime(df["then_ts"], unit="us")
+            yield df
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

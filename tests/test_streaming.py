@@ -31,6 +31,9 @@ STREAMING = [
     "stream_async_io_enrich",
     "stream_broadcast_rules_join",
     "stream_side_output_split",
+    "stream_cep_next_strict",
+    "stream_cep_followed_by_any",
+    "stream_cep_optional_middle",
 ]
 
 
