@@ -45,6 +45,21 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN x >= 0 THEN floor(x * power(10, d)) / power(10, d) "
         "ELSE ceil(x * power(10, d)) / power(10, d) END",
     ),
+    # SIMILAR TO (FlinkSqlOperatorTable SIMILAR_TO, SqlLikeUtils.similar):
+    # SQL:2003 pattern -> anchored regex with % -> .* and _ -> . ; the
+    # regex-metacharacter subset ((|), [], {}) passes through unchanged,
+    # same as the reference's translation.  Escape sequences unsupported
+    # (documented narrowing).
+    "similar_to": (
+        "s STRING, p STRING", "BOOLEAN",
+        "s rlike concat('^(?:', replace(replace(p, '%', '.*'), '_', '.'), ')$')",
+    ),
+    # OVERLAPS (FlinkSqlOperatorTable OVERLAPS, Calcite semantics): each
+    # period is normalized so start <= end, endpoints inclusive.
+    "ts_overlaps": (
+        "s1 TIMESTAMP, e1 TIMESTAMP, s2 TIMESTAMP, e2 TIMESTAMP", "BOOLEAN",
+        "least(s1, e1) <= greatest(s2, e2) AND least(s2, e2) <= greatest(s1, e1)",
+    ),
 }
 
 

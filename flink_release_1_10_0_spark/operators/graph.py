@@ -171,3 +171,39 @@ def label_propagation(edges: DataFrame, iterations: int = 3,
         labels = best
     sym.unpersist()
     return labels
+
+
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """PageRank, fixed iteration count (Gelly ``.../library/linkanalysis/
+    PageRank.java`` semantics, symmetric-edge variant): pr(v) =
+    (1-d)/N + d * sum over in-neighbors u of pr(u)/outdeg(u).  Edges are
+    symmetrized so every vertex has out-degree >= 1 (no dangling mass).
+    Returns (id, pagerank) rounded to 6 places.
+
+    Each superstep = one join of the rank vector against the persisted
+    edge list + an aggregate on dst — the rank vector (O(V)) is the only
+    iterated state, never the edges.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct().persist())
+    verts = sym.select(F.col("a").alias("id")).distinct().persist()
+    n = verts.count()
+    outdeg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("od"))
+    pr = verts.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (sym.join(pr.withColumnRenamed("id", "a_id"),
+                            sym.a == F.col("a_id"))
+                   .join(outdeg.withColumnRenamed("id", "o_id"),
+                         F.col("a_id") == F.col("o_id"))
+                   .groupBy(F.col("b").alias("id"))
+                   .agg(F.sum(F.col("pr") / F.col("od")).alias("s")))
+        pr = (verts.join(contrib, "id", "left")
+              .select("id",
+                      (F.lit((1.0 - damping) / n)
+                       + damping * F.coalesce("s", F.lit(0.0))).alias("pr")))
+    out = pr.select("id", F.round("pr", 6).alias("pagerank"))
+    sym.unpersist()
+    return out

@@ -947,3 +947,41 @@ SELECT id, label FROM l3
 def graph_label_propagation(spark, sf_dir):
     from flink_release_1_10_0_spark.operators.graph import label_propagation
     return label_propagation(_cust_supp_edges(spark, sf_dir, 30), iterations=3)
+
+
+# --------------------------------------------------------------------------
+# Graph: PageRank, fixed 3 iterations (Gelly library/linkanalysis/
+# PageRank.java, symmetric-edge variant — no dangling mass) over the
+# customer->supplier bipartite graph; oracle unrolls the supersteps.
+# --------------------------------------------------------------------------
+def _pr_step(prev: str) -> str:
+    return f"""(SELECT v.id,
+  0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.b AS id, SUM(p.pr / o.od) AS s
+    FROM sym e JOIN {prev} p ON p.id = e.a JOIN outdeg o ON o.id = e.a
+    GROUP BY e.b) c ON c.id = v.id)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 30),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT a AS id FROM sym),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+outdeg AS (SELECT a AS id, COUNT(*) AS od FROM sym GROUP BY a),
+p0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM verts),
+p1 AS {_pr_step('p0')},
+p2 AS {_pr_step('p1')},
+p3 AS {_pr_step('p2')}
+SELECT id, round(pr, 6) AS pagerank FROM p3
+"""
+
+
+@register("graph_pagerank", _PAGERANK_ORACLE)
+def graph_pagerank(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import pagerank
+    return pagerank(_cust_supp_edges(spark, sf_dir, 30), iterations=3)

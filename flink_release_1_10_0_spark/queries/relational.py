@@ -562,3 +562,48 @@ def scalar_flink_compat_functions(spark, sf_dir):
                truncate(n_chars / 7.0, 2) AS trunc2
         FROM _docs_fn WHERE doc_id < 50
     """)
+
+
+# --------------------------------------------------------------------------
+# SIMILAR TO + OVERLAPS (FlinkSqlOperatorTable SIMILAR_TO via
+# SqlLikeUtils.similar; OVERLAPS with Calcite period normalization).
+# DuckDB's SIMILAR TO takes a raw regex (no %/_ wildcard translation),
+# so the oracle states the SQL:2003 semantics explicitly with
+# regexp_full_match on the translated pattern.
+# --------------------------------------------------------------------------
+_SIMILAR_ORACLE = """
+WITH q AS (
+  SELECT doc_id, lang,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS s1,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id + 10) MINUTE AS e1,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 5 MINUTE AS s2,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 15 MINUTE AS e2
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       regexp_full_match(lang, '(e|f).') AS lang_ef,
+       regexp_full_match(lang, '.*n.*') AS has_n,
+       (LEAST(s1, e1) <= GREATEST(s2, e2)
+        AND LEAST(s2, e2) <= GREATEST(s1, e1)) AS periods_overlap
+FROM q
+"""
+
+
+@register("scalar_similar_to_overlaps", _SIMILAR_ORACLE)
+def scalar_similar_to_overlaps(spark, sf_dir):
+    from flink_release_1_10_0_spark.functions.registry import register_flink_functions
+    register_flink_functions(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_sim")
+    return spark.sql("""
+        WITH q AS (
+          SELECT doc_id, lang,
+                 TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS s1,
+                 TIMESTAMP '2024-01-01 00:00:00' + (doc_id + 10) * INTERVAL 1 MINUTE AS e1,
+                 TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 5 MINUTE AS s2,
+                 TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 15 MINUTE AS e2
+          FROM _docs_sim WHERE doc_id < 100)
+        SELECT doc_id,
+               similar_to(lang, '(e|f)_') AS lang_ef,
+               similar_to(lang, '%n%') AS has_n,
+               ts_overlaps(s1, e1, s2, e2) AS periods_overlap
+        FROM q
+    """)

@@ -20,7 +20,7 @@ RELATIONAL = [
     "unnest_explode_words", "subquery_scalar",
     "scalar_string_functions", "scalar_datetime_functions",
     "scalar_math_functions", "scalar_case_coalesce_nullif",
-    "scalar_flink_compat_functions",
+    "scalar_flink_compat_functions", "scalar_similar_to_overlaps",
 ]
 
 WINDOWS = [
@@ -44,6 +44,7 @@ EXTENDED = [
     "scalar_python_udf", "join_hint_shuffle_merge",
     "graph_degrees", "graph_connected_components",
     "graph_triangle_count", "graph_sssp", "graph_label_propagation",
+    "graph_pagerank",
     "scalar_url_map_overlay", "udtf_sql_lateral",
     "tpcds_style_star_rollup", "tpcds_style_case_pivot",
     "window_ntile_percent_rank", "scalar_collection_functions",
