@@ -41,3 +41,30 @@ def cogroup_apply(left: DataFrame, left_keys: list[str],
     return (left.groupBy(*left_keys)
             .cogroup(right.groupBy(*right_keys))
             .applyInPandas(fn, schema))
+
+
+def windowed_cogroup(left: DataFrame, right: DataFrame, key: str,
+                     ts_col: str, window_size: str,
+                     out_key: str | None = None) -> DataFrame:
+    """Streaming coGroup (``CoGroupedStreams.java``: ``a.coGroup(b)
+    .where(k).equalTo(k).window(Tumbling)``): per (key, window) the pair
+    of groups is processed together — here the count-both-sides shape,
+    missing side = 0.
+
+    Scale layout: instead of aggregating each side and joining (two
+    shuffles + a join), tag and union the inputs and aggregate once —
+    ONE shuffle on (key, window) total, and it works identically on
+    streaming inputs (the union of two streams is a stream; Flink's own
+    implementation is exactly this: a tagged union into one window
+    operator, ``CoGroupedStreams.java`` UnionTypeInfo).
+    """
+    ok = out_key or key
+    l = left.select(F.col(key).alias(ok), F.col(ts_col).alias("__ts"),
+                    F.lit(0).alias("__side"))
+    r = right.select(F.col(key).alias(ok), F.col(ts_col).alias("__ts"),
+                     F.lit(1).alias("__side"))
+    u = l.unionByName(r)
+    return (u.groupBy(F.window("__ts", window_size).alias("w"), ok)
+            .agg(F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("n_left"),
+                 F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("n_right"))
+            .select(F.col("w.start").alias("w_start"), ok, "n_left", "n_right"))

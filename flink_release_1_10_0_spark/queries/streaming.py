@@ -721,3 +721,28 @@ def stream_cep_optional_middle(spark, sf_dir):
     return run_to_completion(
         Pattern.begin("error").followed_by("click").optional()
         .followed_by("purchase").within(30).match_stream(ev), "append")
+
+
+# --------------------------------------------------------------------------
+# Streaming windowed CoGroup (CoGroupedStreams.java — tagged union into
+# one window operator, the reference's own layout): clicks vs purchases
+# per (user, 1h tumble), one shuffle total, missing side = 0.
+# --------------------------------------------------------------------------
+_STREAM_COGROUP_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_left,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_right
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY 1, 2
+"""
+
+
+@register("stream_window_cogroup", _STREAM_COGROUP_ORACLE)
+def stream_window_cogroup(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.cogroup import windowed_cogroup
+    ev = read_stream_table(spark, sf_dir, "events")
+    out = windowed_cogroup(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id", "ts", "1 hour")
+    return run_to_completion(out, "complete")

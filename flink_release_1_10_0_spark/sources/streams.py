@@ -56,14 +56,20 @@ def file_monitor_source(spark: SparkSession, directory: str, schema,
 
 def file_sink(df: DataFrame, path: str, checkpoint: str, fmt: str = "parquet",
               partition_by: list[str] | None = None,
-              output_mode: str = "append") -> StreamingQuery:
-    """StreamingFileSink analog: checkpointed, partitioned file output."""
+              output_mode: str = "append",
+              available_now: bool = False) -> StreamingQuery:
+    """StreamingFileSink analog: checkpointed, partitioned file output.
+    ``available_now=True`` drains the current input then stops (bounded
+    backfill run); the checkpoint + sink commit log make re-runs
+    exactly-once."""
     w = (df.writeStream.format(fmt)
          .option("path", path)
          .option("checkpointLocation", checkpoint)
          .outputMode(output_mode))
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
     return w.start()
 
 

@@ -248,3 +248,20 @@ def test_register_stream_table_with_watermark(spark):
     rows = {(str(r["w_start"]), r["s"]) for r in spark.table("_wm_ddl").collect()}
     # only the 10:00 window is closed by the final watermark (13:00 - 5m)
     assert rows == {("2024-01-01 10:00:00", 10.0)}
+
+
+def test_file_sink_exactly_once_resume(spark, orders):
+    """StreamingFileSink exactly-once analog (StreamingFileSink.java:98):
+    re-running a finished query against the SAME checkpoint must not
+    re-emit already-committed data — the checkpoint + file-sink commit
+    log give end-to-end exactly-once on resume."""
+    from flink_release_1_10_0_spark.sources import file_sink
+    src = tempfile.mkdtemp(prefix="eos_src_")
+    out = tempfile.mkdtemp(prefix="eos_out_")
+    ckpt = tempfile.mkdtemp(prefix="eos_ck_")
+    orders.limit(25).write.mode("append").parquet(src)
+    sdf = file_monitor_source(spark, src, orders.schema)
+    for _ in range(2):  # second run resumes from the checkpoint
+        q = file_sink(sdf, out, ckpt, available_now=True)
+        q.awaitTermination()
+    assert spark.read.parquet(out).count() == 25

@@ -34,6 +34,7 @@ STREAMING = [
     "stream_cep_next_strict",
     "stream_cep_followed_by_any",
     "stream_cep_optional_middle",
+    "stream_window_cogroup",
 ]
 
 
