@@ -132,6 +132,36 @@ class Table:
 
     limit = fetch
 
+    def create_temporal_table_function(self, ts_col: str,
+                                       key_col: str) -> "TemporalTableFunction":
+        """``Table.createTemporalTableFunction`` (``Table.java:139``):
+        view this table as a versioned history — for each key, the row
+        with the greatest ``ts_col`` not after a probe time is the valid
+        version.  Use with :meth:`temporal_join`."""
+        return TemporalTableFunction(self._df, ts_col, key_col)
+
+    def temporal_join(self, ttf: "TemporalTableFunction", probe_ts: str,
+                      probe_key: str, build_cols: list[str]) -> "Table":
+        """Event-time temporal join against a temporal table function
+        (``StreamExecTemporalJoin.scala:51`` /
+        ``TemporalRowTimeJoinOperator.java:71`` semantics): each probe
+        row is enriched with the version valid as of its ``probe_ts``."""
+        from flink_release_1_10_0_spark.operators.joins import asof_join
+        return Table(asof_join(self._df, ttf.history,
+                               [(probe_key, ttf.key_col)],
+                               probe_ts, ttf.ts_col, build_cols))
+
+
+class TemporalTableFunction:
+    """Versioned-table handle produced by
+    ``Table.create_temporal_table_function`` (``TemporalTableFunction``
+    in flink-table-api-java)."""
+
+    def __init__(self, history, ts_col: str, key_col: str):
+        self.history = history
+        self.ts_col = ts_col
+        self.key_col = key_col
+
 
 class GroupedTable:
     def __init__(self, df: DataFrame, keys: list[str | Column]):

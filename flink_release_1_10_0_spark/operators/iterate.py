@@ -1,0 +1,77 @@
+"""Batch iteration facades (DataSet API parity, SURVEY.md §3.4).
+
+Reference: ``DataSet.iterate`` -> ``IterativeDataSet`` (bulk iterations:
+the whole dataset is fed back each superstep) and ``DataSet.iterateDelta``
+(delta iterations: a shrinking workset drives updates into a keyed
+solution set) — ``flink-java/.../api/java/DataSet.java`` and
+``flink-java/.../operators/IterativeDataSet.java`` /
+``DeltaIteration.java``.
+
+Spark-first shape: a driver loop over Catalyst-planned steps.  Spark has
+no native iteration operator; the loop lives in the driver but ships no
+data through it — each superstep is a full distributed job, the driver
+holds only convergence booleans.  Persistence management (persist the
+new state, unpersist the old) keeps lineage short, which is what
+Flink's feedback edge gives for free; for very long iterations add a
+checkpoint()/localCheckpoint() every ~10 supersteps to truncate lineage
+entirely (the graph algorithms in ``operators/graph.py`` are these
+facades specialized).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def bulk_iterate(initial: DataFrame,
+                 step: Callable[[DataFrame], DataFrame],
+                 max_iterations: int,
+                 converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+                 ) -> DataFrame:
+    """Bulk iteration (``DataSet.iterate``): feed the full dataset back
+    through ``step`` up to ``max_iterations`` times; optional
+    ``converged(old, new)`` termination criterion (the reference's
+    ``closeWith(result, terminationCriterion)``)."""
+    state = initial.persist()
+    for _ in range(max_iterations):
+        new_state = step(state).persist()
+        done = bool(converged and converged(state, new_state))
+        state.unpersist()
+        state = new_state
+        if done:
+            break
+    return state
+
+
+def delta_iterate(solution: DataFrame, workset: DataFrame,
+                  step: Callable[[DataFrame, DataFrame],
+                                 tuple[DataFrame, DataFrame]],
+                  max_iterations: int,
+                  key_cols: list[str] | None = None) -> DataFrame:
+    """Delta iteration (``DataSet.iterateDelta``): ``step(solution,
+    workset)`` returns ``(solution_delta, next_workset)``; delta rows
+    REPLACE solution rows with the same key (join-on-key semantics of
+    the reference's solution set), and iteration stops when the workset
+    is empty — the property that makes delta iterations cheap: cost
+    tracks the shrinking workset, not the full solution."""
+    keys = key_cols or [solution.columns[0]]
+    sol = solution.persist()
+    ws = workset.persist()
+    for _ in range(max_iterations):
+        delta, next_ws = step(sol, ws)
+        delta = delta.persist()
+        next_ws = next_ws.persist()
+        if delta.limit(1).count() == 0 and next_ws.limit(1).count() == 0:
+            delta.unpersist()
+            next_ws.unpersist()
+            break
+        new_sol = (sol.join(delta.select(*keys), keys, "left_anti")
+                   .unionByName(delta).persist())
+        sol.unpersist()
+        ws.unpersist()
+        sol, ws = new_sol, next_ws
+        if ws.limit(1).count() == 0:
+            break
+    return sol

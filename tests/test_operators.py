@@ -139,3 +139,54 @@ def test_table_api_over_select(spark):
                          running=F.sum("v"), n=F.count(F.lit(1))).df
     got = {(r["k"], r["seq"]): (r["running"], r["n"]) for r in out.collect()}
     assert got == {(1, 1): (10.0, 1), (1, 2): (30.0, 2), (2, 3): (5.0, 1)}
+
+
+def test_temporal_table_function_facade(spark):
+    """Table.createTemporalTableFunction + temporal join (Table.java:139,
+    TemporalRowTimeJoinOperator semantics) — each probe row gets the
+    version valid as of its timestamp."""
+    from flink_release_1_10_0_spark.environment import Table
+    rates = Table(spark.createDataFrame(
+        [("eur", 10, 1.10), ("eur", 50, 1.20), ("usd", 10, 1.00)],
+        "ccy string, rts int, rate double"))
+    ttf = rates.create_temporal_table_function("rts", "ccy")
+    probe = Table(spark.createDataFrame(
+        [("eur", 5, "a"), ("eur", 30, "b"), ("eur", 60, "c"), ("usd", 20, "d")],
+        "ccy string, ts int, tag string"))
+    out = probe.temporal_join(ttf, "ts", "ccy", ["rate"]).df.collect()
+    by_tag = {r["tag"]: r["rate"] for r in out}
+    assert by_tag == {"a": None, "b": 1.10, "c": 1.20, "d": 1.00}
+
+
+def test_bulk_iterate_converges(spark):
+    """DataSet.iterate facade: doubling until the termination criterion
+    trips (closeWith(result, terminationCriterion) shape)."""
+    from pyspark.sql import functions as F
+    from flink_release_1_10_0_spark.operators.iterate import bulk_iterate
+    init = spark.createDataFrame([(1,), (2,)], "v int")
+    out = bulk_iterate(
+        init, lambda df: df.select((F.col("v") * 2).alias("v")),
+        max_iterations=10,
+        converged=lambda old, new: new.agg(F.max("v")).collect()[0][0] >= 100)
+    assert sorted(r.v for r in out.collect()) == [64, 128]
+
+
+def test_delta_iterate_reachability(spark):
+    """DataSet.iterateDelta facade: frontier-driven reachability — the
+    workset shrinks to empty, solution rows are replaced by key."""
+    from pyspark.sql import functions as F
+    from flink_release_1_10_0_spark.operators.iterate import delta_iterate
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src int, dst int").persist()
+    solution = spark.createDataFrame([(1, 0)], "id int, dist int")
+    workset = solution
+
+    def step(sol, ws):
+        nxt = (edges.join(ws, edges.src == ws.id)
+               .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")))
+        fresh = nxt.join(sol.select("id"), "id", "left_anti").distinct()
+        return fresh, fresh
+
+    out = delta_iterate(solution, workset, step, max_iterations=10,
+                        key_cols=["id"])
+    assert {(r.id, r.dist) for r in out.collect()} == {(1, 0), (2, 1), (3, 2), (4, 3)}

@@ -108,3 +108,27 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
+
+
+def test_broadcast_rules_join_broadcasts_rules(spark):
+    """The broadcast-state pattern must never shuffle the event side:
+    the rules side shows up as a BroadcastExchange/BroadcastHashJoin."""
+    from pyspark.sql import functions as F
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.streaming.broadcast import broadcast_rules_apply
+    ev = load(spark, SF, "events")
+    rules = ev.groupBy("event_type").agg(F.avg("value").alias("threshold"))
+    out = broadcast_rules_apply(ev, rules, "event_type",
+                                F.col("value") >= F.col("threshold"),
+                                "event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_triangle_wedge_join_not_cartesian(spark):
+    """Triangle counting's wedge join must be an equi-join on the shared
+    vertex (shuffle/broadcast hash or sort-merge), never a cartesian
+    product with a filter."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
