@@ -746,3 +746,36 @@ def stream_window_cogroup(spark, sf_dir):
         ev.filter(F.col("event_type") == "purchase"),
         "user_id", "ts", "1 hour")
     return run_to_completion(out, "complete")
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE with DEFINE predicates (StreamExecMatch.scala:69):
+# variables are arbitrary row predicates compiled to a symbol column
+# driving the same NFA — H = high-value click, P = purchase; PATTERN
+# (H P) within 30 minutes, each H consumed by its first P.
+# --------------------------------------------------------------------------
+_STREAM_MR_ORACLE = """
+WITH a AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'click' AND value >= 75),
+b AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id,
+         a.ts AS first_ts, b.ts AS then_ts,
+         row_number() OVER (PARTITION BY a.user_id, a.event_id
+                            ORDER BY b.ts, b.event_id) AS rn
+  FROM a JOIN b ON a.user_id = b.user_id
+   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+SELECT user_id, first_id, then_id, first_ts, then_ts FROM cand WHERE rn = 1
+"""
+
+
+@register("stream_match_recognize_define", _STREAM_MR_ORACLE)
+def stream_match_recognize_define(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.cep import Pattern, match_recognize
+    ev = read_stream_table(spark, sf_dir, "events")
+    out = match_recognize(
+        ev, "user_id",
+        define={"H": "event_type = 'click' AND value >= 75",
+                "P": "event_type = 'purchase'"},
+        pattern=Pattern.begin("H").followed_by("P").within(30))
+    return run_to_completion(out, "append")

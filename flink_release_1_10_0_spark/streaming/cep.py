@@ -134,3 +134,35 @@ class Pattern:
                 events, a.event_type, b.event_type, self.within_minutes, key=key)
         return stateful.cep_followed_by(
             events, a.event_type, b.event_type, self.within_minutes, key=key)
+
+
+def match_recognize(events: DataFrame, partition_by: str,
+                    define: dict[str, str], pattern: "Pattern",
+                    order_by: str = "ts") -> DataFrame:
+    """MATCH_RECOGNIZE-style entry point (``StreamExecMatch.scala:69`` /
+    ``MatchCodeGenerator.scala``): pattern variables are DEFINEd by
+    arbitrary row predicates, not just event types.
+
+    Compilation: evaluate the DEFINE predicates in declaration order and
+    assign each row its first matching variable as a symbol column (the
+    reference's NFA does the same — a row can take only one edge per
+    run); rows matching no variable keep a symbol that matches no stage,
+    so they still break strict (``next``) contiguity, exactly like
+    MATCH_RECOGNIZE's unmatched-row semantics.  The symbol column then
+    drives the same stateful NFA operators as the event-type patterns —
+    no separate engine.
+
+    ``pattern`` stages must name DEFINE variables.  Returns the match
+    stream of the compiled pattern.
+    """
+    from pyspark.sql import functions as F
+
+    # first-matching-variable-wins CASE chain, declaration order
+    expr = F.lit("__none__")
+    for var, pred in reversed(list(define.items())):
+        expr = F.when(F.expr(pred), F.lit(var)).otherwise(expr)
+    symbolized = (events
+                  .withColumn("__symbol", expr)  # DEFINEs see original cols
+                  .withColumnRenamed("event_type", "__orig_event_type")
+                  .withColumnRenamed("__symbol", "event_type"))
+    return pattern.match_stream(symbolized, key=partition_by)

@@ -35,6 +35,7 @@ STREAMING = [
     "stream_cep_followed_by_any",
     "stream_cep_optional_middle",
     "stream_window_cogroup",
+    "stream_match_recognize_define",
 ]
 
 
