@@ -779,3 +779,39 @@ def stream_match_recognize_define(spark, sf_dir):
                 "P": "event_type = 'purchase'"},
         pattern=Pattern.begin("H").followed_by("P").within(30))
     return run_to_completion(out, "append")
+
+
+# --------------------------------------------------------------------------
+# Updatable top-N (UpdatableTopNFunction.java / RetractableTopNFunction):
+# events upsert each user's current value; the operator maintains top-3
+# users by current value per event_type as a +I/+U/-D changelog.  The
+# materialized log must equal the batch top-3 over latest values.
+# --------------------------------------------------------------------------
+_STREAM_UPD_TOPN_ORACLE = """
+WITH latest AS (
+  SELECT event_type, user_id, value,
+         row_number() OVER (PARTITION BY event_type, user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+cur AS (SELECT event_type, user_id, value FROM latest WHERE rn = 1),
+ranked AS (
+  SELECT event_type, user_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(value * 100) DESC, user_id) AS rnk
+  FROM cur)
+SELECT event_type, user_id,
+       round(round(value * 100) / 100, 2) AS val
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("stream_updatable_topn", _STREAM_UPD_TOPN_ORACLE)
+def stream_updatable_topn(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    clog = run_to_completion(stateful.updatable_topn(ev, n=3), "append")
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.desc("seq"))
+    return (clog.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("op") != "-D"))
+            .select("event_type", "user_id", F.round("val", 2).alias("val")))

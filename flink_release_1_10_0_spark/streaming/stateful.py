@@ -720,3 +720,63 @@ def cep_optional_between(events: DataFrame, first_type: str, opt_type: str,
     return (events.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def updatable_topn(events: DataFrame, n: int = 3,
+                   key: str = "event_type",
+                   id_col: str = "user_id") -> DataFrame:
+    """Updatable streaming top-N (``runtime/operators/rank/
+    UpdatableTopNFunction.java`` + RetractableTopNFunction semantics):
+    the input is an UPSERT stream — each row sets ``id_col``'s current
+    value — and the operator maintains the top-N ids by current value
+    per key, emitting a changelog: ``+I`` when an id enters the top-N,
+    ``+U`` when a member's value changes, ``-D`` when it drops out.
+
+    State = the current value per id (the same map the reference keeps)
+    plus the previous top-N membership; emission is diff-based, so a
+    quiet key emits nothing.  Values accumulate as integer cents --
+    exact and order-independent.
+    """
+    out_schema = f"op string, {key} string, {id_col} bigint, val double, seq bigint"
+    state_schema = ("ids array<bigint>, cents array<bigint>, "
+                    "top_ids array<bigint>, top_cents array<bigint>, seq bigint")
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, cents, top_ids, top_cents, seq = state.get
+            cur = dict(zip(list(ids), list(cents)))
+            old_top = dict(zip(list(top_ids), list(top_cents)))
+        else:
+            cur, old_top, seq = {}, {}, 0
+        changed = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                cur[int(row[id_col])] = int(round(float(row["value"]) * 100))
+                changed = True
+        if not changed:
+            return
+        ranked = sorted(cur.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        new_top = dict(ranked)
+        rows = []
+        for uid, c in ranked:
+            if uid not in old_top:
+                seq += 1
+                rows.append(("+I", key_[0], uid, c / 100.0, seq))
+            elif old_top[uid] != c:
+                seq += 1
+                rows.append(("+U", key_[0], uid, c / 100.0, seq))
+        for uid in old_top:
+            if uid not in new_top:
+                seq += 1
+                rows.append(("-D", key_[0], uid, old_top[uid] / 100.0, seq))
+        state.update((list(cur.keys()), list(cur.values()),
+                      list(new_top.keys()), list(new_top.values()), seq))
+        if rows:
+            yield pd.DataFrame(rows, columns=["op", key, id_col, "val", "seq"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

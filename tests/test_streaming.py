@@ -36,6 +36,7 @@ STREAMING = [
     "stream_cep_optional_middle",
     "stream_window_cogroup",
     "stream_match_recognize_define",
+    "stream_updatable_topn",
 ]
 
 
