@@ -815,3 +815,30 @@ def stream_updatable_topn(spark, sf_dir):
     return (clog.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("op") != "-D"))
             .select("event_type", "user_id", F.round("val", 2).alias("val")))
+
+
+# --------------------------------------------------------------------------
+# Streaming OVER, time-RANGE bounded-preceding frame
+# (RowTimeRangeBoundedPrecedingFunction.java:60): each row annotated with
+# SUM/COUNT over its key's rows in [ts - 5 min, ts]; RANGE semantics
+# include equal-timestamp peers.
+# --------------------------------------------------------------------------
+_STREAM_OVER_RANGE_ORACLE = """
+SELECT e1.user_id, e1.event_id, e1.ts,
+       (SELECT CAST(SUM(CAST(e2.value AS DECIMAL(18,2))) AS DOUBLE)
+        FROM events e2 WHERE e2.user_id = e1.user_id
+          AND e2.ts <= e1.ts
+          AND e2.ts >= e1.ts - INTERVAL 5 MINUTE) AS range_sum,
+       (SELECT COUNT(*)
+        FROM events e2 WHERE e2.user_id = e1.user_id
+          AND e2.ts <= e1.ts
+          AND e2.ts >= e1.ts - INTERVAL 5 MINUTE) AS range_n
+FROM events e1
+"""
+
+
+@register("stream_over_range_bounded", _STREAM_OVER_RANGE_ORACLE)
+def stream_over_range_bounded(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        stateful.over_range_bounded(ev, preceding_minutes=5), "append")

@@ -780,3 +780,53 @@ def updatable_topn(events: DataFrame, n: int = 3,
     return (events.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def over_range_bounded(events: DataFrame, preceding_minutes: float = 5,
+                       key: str = "user_id") -> DataFrame:
+    """Streaming OVER aggregate, time-RANGE bounded-preceding frame
+    (``runtime/operators/over/RowTimeRangeBoundedPrecedingFunction.java:60``):
+    each row is emitted with SUM(value)/COUNT(*) over the key's rows in
+    ``[ts - preceding, ts]``.  RANGE frames include equal-timestamp
+    peers — the reference fires on watermark and processes all rows of a
+    timestamp together; here each batch is processed timestamp-group by
+    timestamp-group, which is identical for the bounded run.
+
+    State = the in-window suffix of (ts, cents) pairs — pruned every
+    emission, so it is bounded by the frame width, never the history.
+    Money accumulates as integer cents (exact at any parallelism).
+    """
+    out_schema = (f"{key} bigint, event_id bigint, ts timestamp, "
+                  "range_sum double, range_n bigint")
+    state_schema = "buf_us array<bigint>, buf_cents array<bigint>"
+    prec_us = int(preceding_minutes * 60_000_000)
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            us, cents = state.get
+            buf = list(zip(list(us), list(cents)))  # (ts_us, cents) asc
+        else:
+            buf = []
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts_val, grp in pdf.groupby("ts", sort=True):
+                ts_us = ts_val.value // 1000
+                for _, row in grp.iterrows():
+                    buf.append((ts_us, int(round(float(row["value"]) * 100))))
+                buf = [(u, c) for (u, c) in buf if ts_us - u <= prec_us]
+                s = sum(c for (_, c) in buf)
+                n = len(buf)
+                for _, row in grp.iterrows():
+                    out.append((key_[0], int(row["event_id"]), row["ts"],
+                                s / 100.0, n))
+        state.update(([u for (u, _) in buf], [c for (_, c) in buf]))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                key, "event_id", "ts", "range_sum", "range_n"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

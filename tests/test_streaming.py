@@ -37,6 +37,7 @@ STREAMING = [
     "stream_window_cogroup",
     "stream_match_recognize_define",
     "stream_updatable_topn",
+    "stream_over_range_bounded",
 ]
 
 
