@@ -842,3 +842,28 @@ def stream_over_range_bounded(spark, sf_dir):
     ev = read_stream_table(spark, sf_dir, "events")
     return run_to_completion(
         stateful.over_range_bounded(ev, preceding_minutes=5), "append")
+
+
+# --------------------------------------------------------------------------
+# Non-keyed window aggregate (AllWindowedStream.java / timeWindowAll):
+# global 1h tumbling counts.  Flink pins this to parallelism 1; Spark's
+# partial aggregation combines per-window partials in parallel with a
+# single-reducer final merge per window.
+# --------------------------------------------------------------------------
+_STREAM_WINDOW_ALL_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1
+"""
+
+
+@register("stream_window_all_agg", _STREAM_WINDOW_ALL_ORACLE)
+def stream_window_all_agg(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+    ev = DataStream(read_stream_table(spark, sf_dir, "events"))
+    out = (ev.time_window_all("ts", "1 hour")
+           .aggregate(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.col("value").cast(MONEY)).cast("double").alias("total")))
+    return run_to_completion(
+        out.df.select("w_start", "n", "total"), "complete")

@@ -79,6 +79,16 @@ class DataStream:
     # -- physical distribution (DataStream.java:361-505 partitionCustom/
     # broadcast/shuffle/rebalance/rescale/global; DataSet.java:1257-1385
     # partitionByHash/Range + sortPartition) -----------------------------
+    def time_window_all(self, ts_col: str, size: str,
+                        slide: str | None = None) -> "WindowedStream":
+        """Non-keyed window (``AllWindowedStream.java`` /
+        ``DataStream.timeWindowAll``): every record falls into the same
+        per-window group.  In the reference this forces parallelism 1;
+        Spark's partial aggregation keeps it parallel — partials combine
+        per window, only the final merge is single-reducer per window."""
+        w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+        return WindowedStream(self._df, [], w)
+
     def side_outputs(self, main: str | Column,
                      **tags: str | Column) -> dict[str, "DataStream"]:
         """Side outputs (``SingleOutputStreamOperator.getSideOutput`` /

@@ -38,6 +38,7 @@ STREAMING = [
     "stream_match_recognize_define",
     "stream_updatable_topn",
     "stream_over_range_bounded",
+    "stream_window_all_agg",
 ]
 
 
