@@ -867,3 +867,51 @@ def stream_window_all_agg(spark, sf_dir):
                       F.sum(F.col("value").cast(MONEY)).cast("double").alias("total")))
     return run_to_completion(
         out.df.select("w_start", "n", "total"), "complete")
+
+
+# --------------------------------------------------------------------------
+# CEP timesOrMore(n): begin(click).timesOrMore(2).followedBy(purchase)
+# .within(1440) — a purchase completes a greedy match only when >= 2
+# pending clicks are in its window; on success all in-window clicks are
+# consumed, on failure none are (they stay pending).  The oracle
+# exploits that the pending-set evolution collapses to one value per
+# key — the last successful B timestamp — and walks B's in order with a
+# recursive CTE.
+# --------------------------------------------------------------------------
+_STREAM_CEP_TOM_ORACLE = """
+WITH RECURSIVE a AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'),
+st AS (
+  SELECT user_id, 0 AS rn, TIMESTAMP '1970-01-01 00:00:00' AS last_succ,
+         FALSE AS matched, CAST(NULL AS BIGINT) AS then_id,
+         CAST(NULL AS TIMESTAMP) AS then_ts, CAST(NULL AS BIGINT) AS n_first,
+         CAST(NULL AS TIMESTAMP) AS first_ts, CAST(NULL AS TIMESTAMP) AS last_ts
+  FROM (SELECT DISTINCT user_id FROM b) u
+  UNION ALL
+  SELECT b.user_id, b.rn,
+         CASE WHEN l.cnt >= 2 THEN b.ts ELSE st.last_succ END,
+         l.cnt >= 2, b.event_id, b.ts, l.cnt, l.mn, l.mx
+  FROM st
+  JOIN b ON b.user_id = st.user_id AND b.rn = st.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT COUNT(*) AS cnt, MIN(a.ts) AS mn, MAX(a.ts) AS mx
+    FROM a
+    WHERE a.user_id = b.user_id
+      AND a.ts < b.ts AND a.ts >= b.ts - INTERVAL 1440 MINUTE
+      AND a.ts >= st.last_succ) l)
+SELECT user_id, then_id, then_ts, n_first, first_ts, last_ts
+FROM st WHERE matched
+"""
+
+
+@register("stream_cep_times_or_more", _STREAM_CEP_TOM_ORACLE)
+def stream_cep_times_or_more(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        Pattern.begin("click").times_or_more(2).followed_by("purchase")
+        .within(1440).match_stream(ev), "append")

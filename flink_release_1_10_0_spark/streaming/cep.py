@@ -14,6 +14,9 @@ Supported pattern shapes (the MATCH_RECOGNIZE core):
   all pending As inside the window form one match with B.
 - ``Pattern.begin(A).times(n).consecutive()`` — n consecutive As with no
   intervening event; SKIP PAST LAST ROW.
+- ``Pattern.begin(A).times_or_more(n).followed_by(B).within(T)`` — B
+  completes a greedy match only when >= n pending As are in its window;
+  consumption happens only on success.
 - ``Pattern.begin(A).not_followed_by(B).within(T)`` — absence inside the
   window, decided on watermark.
 - ``Pattern.begin(A).followed_by(B).optional().followed_by(C).within(T)``
@@ -41,6 +44,7 @@ class _Stage:
     any_match: bool = False     # followedByAny() — no consumption
     optional: bool = False      # optional() — stage may be skipped
     times_n: int | None = None  # times(n)
+    or_more: bool = False       # timesOrMore(n)
     consecutive: bool = False
 
 
@@ -61,6 +65,12 @@ class Pattern:
 
     def times(self, n: int) -> "Pattern":
         self.stages[-1].times_n = n
+        return self
+
+    def times_or_more(self, n: int) -> "Pattern":
+        """At least ``n`` occurrences (``Pattern.timesOrMore``)."""
+        self.stages[-1].times_n = n
+        self.stages[-1].or_more = True
         return self
 
     def consecutive(self) -> "Pattern":
@@ -129,6 +139,10 @@ class Pattern:
         if b.any_match:
             return stateful.cep_followed_by_any(
                 events, a.event_type, b.event_type, self.within_minutes, key=key)
+        if a.times_n and a.or_more:
+            return stateful.cep_times_or_more(
+                events, a.event_type, b.event_type, a.times_n,
+                self.within_minutes, key=key)
         if a.one_or_more:
             return stateful.cep_one_or_more(
                 events, a.event_type, b.event_type, self.within_minutes, key=key)

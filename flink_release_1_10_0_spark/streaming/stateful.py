@@ -830,3 +830,58 @@ def over_range_bounded(events: DataFrame, preceding_minutes: float = 5,
     return (events.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def cep_times_or_more(events: DataFrame, first_type: str, then_type: str,
+                      n_min: int, within_minutes: float,
+                      key: str = "user_id") -> DataFrame:
+    """CEP ``begin(A).timesOrMore(n).followedBy(B).within(T)``
+    (``Pattern.java`` timesOrMore): a B completes a greedy match only if
+    at least ``n`` pending A's lie inside its window; on success all
+    in-window A's are consumed (AFTER MATCH SKIP PAST LAST ROW), on
+    failure nothing is consumed — the A's stay pending for a later B.
+
+    State stays bounded: expired A's (older than any future B's window,
+    since event time is processed in order) are pruned at each B.
+
+    The oracle insight (used by the DuckDB side): because a successful B
+    consumes exactly the A's older than itself and in-window, and
+    expired A's can never re-enter a later window, the full pending-set
+    evolution collapses to ONE value per key — the last successful B's
+    timestamp; an A is eligible for B_k iff ``b_k.ts - T <= a.ts <
+    b_k.ts`` and ``a.ts >= last_successful_b.ts``.
+    """
+    out_schema = ("user_id bigint, then_id bigint, then_ts timestamp, "
+                  "n_first bigint, first_ts timestamp, last_ts timestamp")
+    state_schema = "pend_us array<bigint>"
+    within_us = int(within_minutes * 60_000_000)
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        pending = sorted(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                ts_us = row["ts"].value // 1000
+                et = str(row["event_type"])
+                if et == first_type:
+                    pending.append(ts_us)
+                elif et == then_type:
+                    pending = [a for a in pending if ts_us - a <= within_us]
+                    in_win = [a for a in pending if 0 < ts_us - a]
+                    if len(in_win) >= n_min:
+                        out.append((key_[0], int(row["event_id"]), row["ts"],
+                                    len(in_win),
+                                    pd.Timestamp(min(in_win) * 1000),
+                                    pd.Timestamp(max(in_win) * 1000)))
+                        pending = [a for a in pending if a >= ts_us]
+        state.update((pending,))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "then_id", "then_ts", "n_first", "first_ts", "last_ts"])
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -39,6 +39,7 @@ STREAMING = [
     "stream_updatable_topn",
     "stream_over_range_bounded",
     "stream_window_all_agg",
+    "stream_cep_times_or_more",
 ]
 
 
