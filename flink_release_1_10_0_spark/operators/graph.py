@@ -207,3 +207,71 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     out = pr.select("id", F.round("pr", 6).alias("pagerank"))
     sym.unpersist()
     return out
+
+
+def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Neighborhood Jaccard similarity (Gelly ``.../library/similarity/
+    JaccardIndex.java``): for every vertex pair sharing at least one
+    neighbor, |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the undirected graph.
+
+    Wedge generation (two edges sharing a center) yields the shared-
+    neighbor counts; degrees supply the union via inclusion-exclusion —
+    no per-pair set materialization, so the shuffle volume is wedge
+    count, not degree-squared strings.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct())
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = sym.alias("e1")
+    e2 = sym.alias("e2")
+    shared = (e1.join(e2, (F.col("e1.a") == F.col("e2.a"))
+                      & (F.col("e1.b") < F.col("e2.b")))
+              .groupBy(F.col("e1.b").alias("u"), F.col("e2.b").alias("v"))
+              .agg(F.count(F.lit(1)).alias("shared")))
+    return (shared
+            .join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+            .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+            .select("u", "v",
+                    F.round(F.col("shared")
+                            / (F.col("du") + F.col("dv") - F.col("shared")), 6)
+                    .alias("jaccard")))
+
+
+def hits(edges: DataFrame, iterations: int = 2,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """HITS hubs & authorities, fixed iteration count, unnormalized
+    (Gelly ``.../library/linkanalysis/HITS.java`` semantics on the
+    directed graph): a(v) = sum of h over in-neighbors; then h(u) = sum
+    of a over out-neighbors.  Returns (id, hub, authority) rounded to 6.
+
+    Same scale layout as PageRank: the O(V) score vector iterates
+    against the persisted edge list; scores stay unnormalized so the
+    oracle is exact integer-like arithmetic until the final rounding.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
+             .distinct().persist()
+    verts = (e.select(F.col("s").alias("id"))
+             .union(e.select(F.col("d").alias("id"))).distinct().persist())
+    h = verts.withColumn("hub", F.lit(1.0))
+    a = verts.withColumn("auth", F.lit(1.0))
+    for _ in range(iterations):
+        a = (verts.join(
+                e.join(h.withColumnRenamed("id", "hid"),
+                       e.s == F.col("hid"))
+                 .groupBy(F.col("d").alias("id"))
+                 .agg(F.sum("hub").alias("s_auth")),
+                "id", "left")
+             .select("id", F.coalesce("s_auth", F.lit(0.0)).alias("auth")))
+        h = (verts.join(
+                e.join(a.withColumnRenamed("id", "aid"),
+                       e.d == F.col("aid"))
+                 .groupBy(F.col("s").alias("id"))
+                 .agg(F.sum("auth").alias("s_hub")),
+                "id", "left")
+             .select("id", F.coalesce("s_hub", F.lit(0.0)).alias("hub")))
+    out = (h.join(a, "id")
+           .select("id", F.round("hub", 6).alias("hub"),
+                   F.round("auth", 6).alias("authority")))
+    e.unpersist()
+    return out

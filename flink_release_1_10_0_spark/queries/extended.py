@@ -985,3 +985,68 @@ SELECT id, round(pr, 6) AS pagerank FROM p3
 def graph_pagerank(spark, sf_dir):
     from flink_release_1_10_0_spark.operators.graph import pagerank
     return pagerank(_cust_supp_edges(spark, sf_dir, 30), iterations=3)
+
+
+# --------------------------------------------------------------------------
+# Graph: neighborhood Jaccard similarity (Gelly library/similarity/
+# JaccardIndex.java): shared-neighbor counts from wedges + degrees via
+# inclusion-exclusion.
+# --------------------------------------------------------------------------
+_JACCARD_IDX_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 30),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+deg AS (SELECT a AS id, COUNT(*) AS d FROM sym GROUP BY a),
+shared AS (
+  SELECT e1.b AS u, e2.b AS v, COUNT(*) AS shared
+  FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b
+  GROUP BY e1.b, e2.b)
+SELECT u, v,
+       round(shared / CAST(du.d + dv.d - shared AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN deg du ON du.id = u
+JOIN deg dv ON dv.id = v
+"""
+
+
+@register("graph_jaccard_index", _JACCARD_IDX_ORACLE)
+def graph_jaccard_index(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import jaccard_index
+    return jaccard_index(_cust_supp_edges(spark, sf_dir, 30))
+
+
+# --------------------------------------------------------------------------
+# Graph: HITS hubs/authorities, 2 unnormalized iterations (Gelly
+# library/linkanalysis/HITS.java) on the DIRECTED customer->supplier
+# graph; oracle unrolls both half-steps per iteration.
+# --------------------------------------------------------------------------
+_HITS_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 30),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+a1 AS (SELECT v.id, COALESCE(x.s, 0) AS auth FROM verts v LEFT JOIN
+       (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS s FROM e GROUP BY dst) x
+       USING (id)),
+h1 AS (SELECT v.id, COALESCE(x.s, 0) AS hub FROM verts v LEFT JOIN
+       (SELECT src AS id, SUM(a1.auth) AS s FROM e JOIN a1 ON a1.id = e.dst
+        GROUP BY src) x USING (id)),
+a2 AS (SELECT v.id, COALESCE(x.s, 0) AS auth FROM verts v LEFT JOIN
+       (SELECT dst AS id, SUM(h1.hub) AS s FROM e JOIN h1 ON h1.id = e.src
+        GROUP BY dst) x USING (id)),
+h2 AS (SELECT v.id, COALESCE(x.s, 0) AS hub FROM verts v LEFT JOIN
+       (SELECT src AS id, SUM(a2.auth) AS s FROM e JOIN a2 ON a2.id = e.dst
+        GROUP BY src) x USING (id))
+SELECT h2.id, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS authority
+FROM h2 JOIN a2 ON a2.id = h2.id
+"""
+
+
+@register("graph_hits", _HITS_ORACLE)
+def graph_hits(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import hits
+    return hits(_cust_supp_edges(spark, sf_dir, 30), iterations=2)

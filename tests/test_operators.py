@@ -44,7 +44,7 @@ EXTENDED = [
     "scalar_python_udf", "join_hint_shuffle_merge",
     "graph_degrees", "graph_connected_components",
     "graph_triangle_count", "graph_sssp", "graph_label_propagation",
-    "graph_pagerank",
+    "graph_pagerank", "graph_jaccard_index", "graph_hits",
     "scalar_url_map_overlay", "udtf_sql_lateral",
     "tpcds_style_star_rollup", "tpcds_style_case_pivot",
     "window_ntile_percent_rank", "scalar_collection_functions",
