@@ -275,3 +275,49 @@ def hits(edges: DataFrame, iterations: int = 2,
                    F.round("auth", 6).alias("authority")))
     e.unpersist()
     return out
+
+
+def local_clustering_coefficient(edges: DataFrame, src: str = "src",
+                                 dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient (Gelly ``.../library/clustering/
+    undirected/LocalClusteringCoefficient.java``): triangles(v) /
+    C(deg(v), 2) — the fraction of a vertex's neighbor pairs that are
+    themselves connected.  Vertices of degree < 2 score 0.
+    """
+    sym = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (sym.select(F.col("a").alias("id"))
+           .union(sym.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    tri = triangle_count(edges, src, dst)
+    return (deg.join(tri, "id", "left")
+            .select("id",
+                    F.round(F.when(F.col("d") < 2, F.lit(0.0))
+                            .otherwise(F.coalesce("triangles", F.lit(0))
+                                       / (F.col("d") * (F.col("d") - 1) / 2.0)),
+                            6).alias("coefficient")))
+
+
+def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Adamic-Adar similarity (Gelly ``.../library/similarity/
+    AdamicAdar.java``): for each vertex pair, the sum of 1/ln(deg(w))
+    over shared neighbors w — common neighbors weighted inversely by
+    their popularity.  Same wedge layout as Jaccard; the weight rides
+    the wedge row, so it is one extra join against degrees, not a
+    per-pair set walk."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct())
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = sym.alias("e1")
+    e2 = sym.alias("e2")
+    wedges = (e1.join(e2, (F.col("e1.a") == F.col("e2.a"))
+                      & (F.col("e1.b") < F.col("e2.b")))
+              .select(F.col("e1.a").alias("w"),
+                      F.col("e1.b").alias("u"), F.col("e2.b").alias("v")))
+    return (wedges.join(deg.select(F.col("id").alias("w"),
+                                   F.col("d").alias("dw")), "w")
+            .filter(F.col("dw") >= 2)
+            .groupBy("u", "v")
+            .agg(F.round(F.sum(1.0 / F.log(F.col("dw"))), 6).alias("adamic_adar")))

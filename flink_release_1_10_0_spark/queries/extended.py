@@ -1050,3 +1050,67 @@ FROM h2 JOIN a2 ON a2.id = h2.id
 def graph_hits(spark, sf_dir):
     from flink_release_1_10_0_spark.operators.graph import hits
     return hits(_cust_supp_edges(spark, sf_dir, 30), iterations=2)
+
+
+# --------------------------------------------------------------------------
+# Graph: local clustering coefficient (Gelly library/clustering/
+# undirected/LocalClusteringCoefficient.java) over the supplier
+# co-occurrence graph: triangles(v) / C(deg(v), 2).
+# --------------------------------------------------------------------------
+_LCC_ORACLE = f"""
+WITH edges AS ({_TRI_EDGES}),
+canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS d FROM
+        (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)
+        GROUP BY id),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM canon e1
+        JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN canon c  ON c.a = e1.b AND c.b = e2.b),
+tc AS (SELECT id, COUNT(*) AS triangles
+       FROM (SELECT v1 AS id FROM tri
+             UNION ALL SELECT v2 FROM tri
+             UNION ALL SELECT v3 FROM tri)
+       GROUP BY id)
+SELECT deg.id,
+       round(CASE WHEN deg.d < 2 THEN 0
+                  ELSE COALESCE(tc.triangles, 0) / (deg.d * (deg.d - 1) / 2.0)
+             END, 6) AS coefficient
+FROM deg LEFT JOIN tc ON tc.id = deg.id
+"""
+
+
+@register("graph_clustering_coefficient", _LCC_ORACLE)
+def graph_clustering_coefficient(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import local_clustering_coefficient
+    return local_clustering_coefficient(
+        _supplier_cooccurrence_edges(spark, sf_dir, 200))
+
+
+# --------------------------------------------------------------------------
+# Graph: Adamic-Adar similarity (Gelly library/similarity/AdamicAdar
+# .java): per vertex pair, sum of 1/ln(deg(w)) over shared neighbors w.
+# --------------------------------------------------------------------------
+_ADAMIC_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 30),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+deg AS (SELECT a AS id, COUNT(*) AS d FROM sym GROUP BY a)
+SELECT e1.b AS u, e2.b AS v,
+       round(SUM(1.0 / ln(deg.d)), 6) AS adamic_adar
+FROM sym e1
+JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b
+JOIN deg ON deg.id = e1.a
+WHERE deg.d >= 2
+GROUP BY e1.b, e2.b
+"""
+
+
+@register("graph_adamic_adar", _ADAMIC_ORACLE)
+def graph_adamic_adar(spark, sf_dir):
+    from flink_release_1_10_0_spark.operators.graph import adamic_adar
+    return adamic_adar(_cust_supp_edges(spark, sf_dir, 30))

@@ -45,6 +45,7 @@ EXTENDED = [
     "graph_degrees", "graph_connected_components",
     "graph_triangle_count", "graph_sssp", "graph_label_propagation",
     "graph_pagerank", "graph_jaccard_index", "graph_hits",
+    "graph_clustering_coefficient", "graph_adamic_adar",
     "scalar_url_map_overlay", "udtf_sql_lateral",
     "tpcds_style_star_rollup", "tpcds_style_case_pivot",
     "window_ntile_percent_rank", "scalar_collection_functions",
