@@ -43,7 +43,8 @@ def calc_project_filter(spark, sf_dir):
 # VALUES literal source (StreamExecValues.scala / BatchExecValues.scala)
 # --------------------------------------------------------------------------
 _VALUES_ORACLE = """
-SELECT * FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL))
+SELECT id, tag, CAST(score AS DOUBLE) AS score
+FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL))
   AS v(id, tag, score)
 """
 
@@ -490,7 +491,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(ceil(l_quantity / 7) AS DOUBLE) AS ce,
        CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS md,
        round(sin(l_quantity) + cos(l_quantity), 6) AS trig,
-       sign(l_quantity - 25) AS sg
+       CAST(sign(l_quantity - 25) AS DOUBLE) AS sg
 FROM lineitem WHERE l_orderkey <= 200
 """
 

@@ -20,6 +20,52 @@ from flink_release_1_10_0_spark.queries import all_oracles, all_queries
 from flink_release_1_10_0_spark.session import get_spark
 
 
+# canonical type names: driver hashing is type-sensitive (Arrow/pandas dtype
+# level), so a DuckDB HUGEINT vs Spark BIGINT mismatch fails the driver even
+# when values are equal.  Map both engines' type names into one space and
+# require exact equality.
+_DUCK_CANON = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "UBIGINT": "u64", "UINTEGER": "u32", "HUGEINT": "i128",
+    "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "BLOB": "bin",
+}
+_SPARK_CANON = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "date": "date", "binary": "bin",
+}
+
+
+def _canon_duck(t: str) -> str:
+    t = t.upper()
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.startswith("DECIMAL"):
+        return t.lower()  # decimal(p,s) must match exactly
+    return _DUCK_CANON.get(t, t.lower())
+
+
+def _canon_spark(t: str) -> str:
+    if t.startswith("timestamp"):
+        return "ts"
+    if t.startswith("decimal"):
+        return t
+    return _SPARK_CANON.get(t, t)
+
+
+def type_mismatches(sdf, con, sql):
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return []
+    dtypes = {r[0]: _canon_duck(r[1]) for r in desc}
+    stypes = {f.name: _canon_spark(f.dataType.simpleString())
+              for f in sdf.schema.fields}
+    return [f"{c}: spark={stypes[c]} duck={dtypes[c]}"
+            for c in stypes if c in dtypes and stypes[c] != dtypes[c]]
+
+
 def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -69,6 +115,9 @@ def main():
             n_fail += 1
             continue
         problems = []
+        tm = type_mismatches(sdf, con, oracles[name])
+        if tm:
+            problems.append("types: " + "; ".join(tm))
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
