@@ -34,10 +34,16 @@ def main():
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
+    # materialize through the noop sink: every column is computed and every
+    # row serialized, unlike .count() where Catalyst can prune the final
+    # projection and flatter scan-heavy queries
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
     # one untimed warmup pass: JVM/codegen JIT + parquet footer cache, the
     # steady-state a long-running cluster session actually operates in
     for name in names:
-        qs[name](spark, sf_dir).count()
+        run(qs[name](spark, sf_dir))
     # median of 3 trials per query: the host is shared, so a single trial
     # can absorb an unrelated multi-second stall (GC / CPU contention);
     # the median reflects the plan's actual cost
@@ -46,10 +52,8 @@ def main():
         trials = []
         for _ in range(3):
             t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
+            run(qs[name](spark, sf_dir))
             trials.append(time.perf_counter() - t0)
-            assert n >= 0
         times[name] = round(statistics.median(trials), 3)
     total = round(sum(times.values()), 3)
     print(json.dumps({
