@@ -244,7 +244,10 @@ def tpch_q18(spark, sf_dir):
              .filter(F.col("q") > 250)
              .select("l_orderkey"))
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        # no broadcast hint: `big` is a data-dependent aggregate whose size
+        # grows with SF — let AQE pick BHJ vs SMJ at runtime (at 100 TB this
+        # set can exceed any driver/broadcast limit).
+        li.join(big, "l_orderkey", "left_semi")
           .join(orders, li.l_orderkey == orders.o_orderkey)
           .join(cust, orders.o_custkey == cust.c_custkey)
           .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
