@@ -38,13 +38,20 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 50) -> DataFrame:
-    """Connected components by min-label propagation
-    (``library/ConnectedComponents.java`` semantics): every vertex ends
-    with component = min vertex id reachable from it.  Returns (id,
-    component).
+    """Connected components: every vertex ends with component = min
+    vertex id reachable from it (``library/ConnectedComponents.java``
+    result semantics).  Returns (id, component).
 
-    Each superstep: component(v) := min(component(v), min over neighbors
-    of component(n)).  Convergence when no label changes.
+    Algorithm: min-label propagation **with pointer doubling** — each
+    round first takes the min label over neighbors (one edge join), then
+    short-circuits chains with ``component(v) := component(component(v))``
+    (one label self-join).  Doubling halves label-chain depth per round,
+    so convergence is O(log diameter) rounds instead of the plain
+    propagation's O(diameter) — on a 100 TB graph that is ~30 shuffles
+    of the O(V) label vector rather than hundreds of shuffles of the
+    edge list (the same round bound as the MapReduce large-star/
+    small-star construction).  Lineage is truncated with a local
+    checkpoint every 4 rounds.
     """
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -53,16 +60,28 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
               .withColumn("component", F.col("id")))
     sym = sym.persist()
     labels = labels.persist()
-    for _ in range(max_iterations):
+    for step in range(max_iterations):
         neighbor_min = (sym.join(labels, sym.b == labels.id)
                         .groupBy(F.col("a").alias("id"))
                         .agg(F.min("component").alias("nbr_min")))
-        new_labels = (labels.join(neighbor_min, "id", "left_outer")
+        stepped = (labels.join(neighbor_min, "id", "left_outer")
+                   .select("id",
+                           F.least(F.col("component"),
+                                   F.coalesce("nbr_min", F.col("component")))
+                           .alias("component")))
+        # pointer doubling: component(v) := component(component(v))
+        parent = stepped.select(F.col("id").alias("pid"),
+                                F.col("component").alias("pcomp"))
+        new_labels = (stepped.join(parent, stepped.component == parent.pid,
+                                   "left_outer")
                       .select("id",
-                              F.least(F.col("component"),
-                                      F.coalesce("nbr_min", F.col("component")))
-                              .alias("component"))
-                      .persist())
+                              F.coalesce("pcomp", "component")
+                              .alias("component")))
+        # truncate lineage: the plan otherwise grows two joins per round
+        if step % 4 == 3:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.expr("n.component <> o.component"))
@@ -137,7 +156,13 @@ def sssp(edges: DataFrame, source: int, src: str = "src", dst: str = "dst",
         if new_frontier.limit(1).count() == 0:
             new_frontier.unpersist()
             break
-        new_dist = dist.unionByName(new_frontier).persist()
+        new_dist = dist.unionByName(new_frontier)
+        # lineage grows one union per hop — checkpoint every 8 hops so a
+        # 100+-hop diameter stays plannable
+        if step % 8 == 0:
+            new_dist = new_dist.localCheckpoint(eager=True)
+        else:
+            new_dist = new_dist.persist()
         dist.unpersist()
         dist = new_dist
         frontier = new_frontier

@@ -191,3 +191,27 @@ def test_delta_iterate_reachability(spark):
     out = delta_iterate(solution, workset, step, max_iterations=10,
                         key_cols=["id"])
     assert {(r.id, r.dist) for r in out.collect()} == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_connected_components_long_chain(spark):
+    """A 120-vertex path graph: plain min-label propagation would need 120
+    supersteps; pointer doubling must converge in O(log d) rounds (~10)
+    with lineage checkpointed every 4 rounds."""
+    from flink_release_1_10_0_spark.operators.graph import connected_components
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "src bigint, dst bigint")
+    out = connected_components(chain, max_iterations=15)
+    rows = out.collect()
+    assert len(rows) == 121
+    assert {r.component for r in rows} == {0}
+
+
+def test_sssp_long_chain(spark):
+    """BFS distance down a 12-hop path — one superstep per hop (inherent
+    for BFS), lineage checkpointed every 8 hops."""
+    from flink_release_1_10_0_spark.operators.graph import sssp
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src bigint, dst bigint")
+    out = sssp(chain, source=0, max_iterations=20)
+    got = {r.id: r.distance for r in out.collect()}
+    assert got[12] == 12 and got[0] == 0 and got[6] == 6
