@@ -47,12 +47,18 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     ),
     # SIMILAR TO (FlinkSqlOperatorTable SIMILAR_TO, SqlLikeUtils.similar):
     # SQL:2003 pattern -> anchored regex with % -> .* and _ -> . ; the
-    # regex-metacharacter subset ((|), [], {}) passes through unchanged,
-    # same as the reference's translation.  Escape sequences unsupported
-    # (documented narrowing).
+    # SIMILAR TO metacharacter set ((|), [], {}, *, +, ?) passes through
+    # unchanged — those are quantifiers/groups in SQL:2003 SIMILAR TO just as
+    # in Java regex.  '.' and '\' are ordinary literals in SIMILAR TO
+    # (SqlLikeUtils.similar) but special in regex, so they are regex-escaped
+    # BEFORE the %/_ translation.  '^'/'$' divergence (regex anchors vs
+    # literal; '^' is still bracket-negation) and escape sequences are
+    # documented narrowings.
     "similar_to": (
         "s STRING, p STRING", "BOOLEAN",
-        "s rlike concat('^(?:', replace(replace(p, '%', '.*'), '_', '.'), ')$')",
+        "s rlike concat('^(?:', "
+        "replace(replace(regexp_replace(p, '([.\\\\\\\\])', '\\\\\\\\$1'), "
+        "'%', '.*'), '_', '.'), ')$')",
     ),
     # OVERLAPS (FlinkSqlOperatorTable OVERLAPS, Calcite semantics): each
     # period is normalized so start <= end, endpoints inclusive.

@@ -69,8 +69,12 @@ def topn_per_key(events: DataFrame, n: int = 3, key: str = "user_id") -> DataFra
             entries = []
         changed = False
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                entries.append((int(row["event_id"]), float(row["value"])))
+            if len(pdf):
+                # vectorized: extend with the whole Arrow batch at once —
+                # never iterate rows in Python (hot keys make that the
+                # slowest loop in the pipeline)
+                entries.extend(zip(pdf["event_id"].astype("int64").tolist(),
+                                   pdf["value"].astype("float64").tolist()))
                 changed = True
         if changed or not state.exists:
             entries.sort(key=lambda e: (-e[1], e[0]))
@@ -111,14 +115,19 @@ def cep_followed_by(events: DataFrame, first_type: str, then_type: str,
                 et = str(row["event_type"])
                 ts_us = row["ts"].value // 1000
                 if et == first_type:
+                    # prune on A arrivals too: an expired A can never match
+                    # a later B (event-time order), so state stays bounded
+                    # by the window even when no B's flow
+                    pending = [(aid, aus) for (aid, aus) in pending
+                               if ts_us - aus <= within_us]
                     pending.append((int(row["event_id"]), ts_us))
                 elif et == then_type:
                     still = []
                     for (aid, aus) in pending:
                         if 0 < ts_us - aus <= within_us:
                             matches.append((key_[0], aid, int(row["event_id"]), aus, ts_us))
-                        else:
-                            still.append((aid, aus))
+                        elif ts_us - aus <= 0:
+                            still.append((aid, aus))  # same-instant A: not expired
                     pending = still
         state.update(([p[0] for p in pending], [p[1] for p in pending]))
         if matches:
@@ -303,8 +312,11 @@ def cep_one_or_more(events: DataFrame, first_type: str, then_type: str,
                 ts_us = row["ts"].value // 1000
                 et = str(row["event_type"])
                 if et == first_type:
+                    # window-bounded state even with no B traffic
+                    pending = [a for a in pending if ts_us - a <= within_us]
                     pending.append(ts_us)
                 elif et == then_type:
+                    pending = [a for a in pending if ts_us - a <= within_us]
                     in_win = [a for a in pending if 0 < ts_us - a <= within_us]
                     if in_win:
                         out.append((key_[0], int(row["event_id"]), row["ts"],
@@ -619,8 +631,8 @@ def cep_followed_by_any(events: DataFrame, first_type: str, then_type: str,
     TO NEXT (no consumption): every in-window (A, B) pair is a match —
     the NFA keeps all partial runs alive (``followedByAny`` relaxed
     contiguity for non-deterministic runs).  State = in-window A's only;
-    each arriving B prunes expired A's, so state is bounded by the
-    window, not the history."""
+    every arrival (A or B) prunes expired A's, so state is bounded by
+    the window, not the history — including on B-starved keys."""
     out_schema = ("user_id bigint, first_id bigint, then_id bigint, "
                   "first_ts timestamp, then_ts timestamp")
     state_schema = "pending_ids array<bigint>, pending_us array<bigint>"
@@ -641,6 +653,11 @@ def cep_followed_by_any(events: DataFrame, first_type: str, then_type: str,
                 et = str(row["event_type"])
                 ts_us = row["ts"].value // 1000
                 if et == first_type:
+                    # prune on A arrivals too (not only under B traffic):
+                    # expired A's can never match later — state stays
+                    # window-bounded on B-starved keys
+                    pending = [(aid, aus) for (aid, aus) in pending
+                               if ts_us - aus <= within_us]
                     pending.append((int(row["event_id"]), ts_us))
                 elif et == then_type:
                     pending = [(aid, aus) for (aid, aus) in pending
@@ -693,6 +710,8 @@ def cep_optional_between(events: DataFrame, first_type: str, opt_type: str,
                 et = str(row["event_type"])
                 ts_us = row["ts"].value // 1000
                 if et == first_type:
+                    pending = [(aid, aus) for (aid, aus) in pending
+                               if ts_us - aus <= within_us]
                     pending.append((int(row["event_id"]), ts_us))
                 elif et == opt_type:
                     opts.append(ts_us)
@@ -705,7 +724,11 @@ def cep_optional_between(events: DataFrame, first_type: str, opt_type: str,
                             had = any(aus < o < ts_us for o in opts)
                             out.append((key_[0], aid, int(row["event_id"]),
                                         aus, ts_us, had))
-                        else:
+                        elif ts_us - aus <= 0:
+                            # same-instant A: not yet matchable, keep; an
+                            # EXPIRED A is dropped — it can never match
+                            # again (event-time order), keeping it would
+                            # grow state without bound
                             still.append((aid, aus))
                     pending = still
         state.update(([p[0] for p in pending], [p[1] for p in pending], opts))
@@ -867,6 +890,7 @@ def cep_times_or_more(events: DataFrame, first_type: str, then_type: str,
                 ts_us = row["ts"].value // 1000
                 et = str(row["event_type"])
                 if et == first_type:
+                    pending = [a for a in pending if ts_us - a <= within_us]
                     pending.append(ts_us)
                 elif et == then_type:
                     pending = [a for a in pending if ts_us - a <= within_us]
