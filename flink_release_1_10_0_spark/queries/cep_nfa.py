@@ -1,0 +1,217 @@
+"""CEP queries compiled through the generic NFA engine
+(``streaming/nfa.py``) — arbitrary-length sequences, where/or
+conditions, quantifiers, until-loops, and notNext, beyond the dedicated
+two/three-stage operators.
+
+Reference semantics: ``flink-libraries/flink-cep/.../pattern/
+Pattern.java:50-542`` executed per key as in ``nfa/NFA.java:85`` /
+``CepOperator.java:82``.
+
+Oracle construction: the NFA's default contiguity is *relaxed
+deterministic* (``followedBy``): a partial match consumes the FIRST
+matching event after its current position and every matching begin-event
+starts a fresh run (no-skip).  Each oracle therefore unrolls the pattern
+as a chain of "next event of type X strictly after position P" lateral
+joins per key, with the within-window applied to the completed match —
+an event past the window kills a run before it can consume, and any
+later completion would be past the window too, so ``end.ts - start.ts
+<= W`` is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.queries import register
+from flink_release_1_10_0_spark.streaming.cep import Pattern
+from flink_release_1_10_0_spark.streaming.core import read_stream_table, run_to_completion
+
+# --------------------------------------------------------------------------
+# Four-stage relaxed sequence (lifts the old 3-stage dispatch limit):
+# signup -> click -> error -> purchase within 14 days
+# --------------------------------------------------------------------------
+_FOUR_STAGE_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events)
+SELECT s.user_id, s.event_id AS start_id, d.event_id AS end_id,
+       CAST(4 AS INT) AS n_events
+FROM (SELECT * FROM ev WHERE event_type = 'signup') s,
+LATERAL (SELECT event_id, ts FROM ev b
+         WHERE b.user_id = s.user_id AND b.event_type = 'click'
+           AND (b.ts, b.event_id) > (s.ts, s.event_id)
+         ORDER BY b.ts, b.event_id LIMIT 1) b,
+LATERAL (SELECT event_id, ts FROM ev c
+         WHERE c.user_id = s.user_id AND c.event_type = 'error'
+           AND (c.ts, c.event_id) > (b.ts, b.event_id)
+         ORDER BY c.ts, c.event_id LIMIT 1) c,
+LATERAL (SELECT event_id, ts FROM ev d
+         WHERE d.user_id = s.user_id AND d.event_type = 'purchase'
+           AND (d.ts, d.event_id) > (c.ts, c.event_id)
+         ORDER BY d.ts, d.event_id LIMIT 1) d
+WHERE d.ts <= s.ts + INTERVAL 14 DAY
+"""
+
+
+@register("cep_nfa_four_stage", _FOUR_STAGE_ORACLE)
+def cep_nfa_four_stage(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("signup").followed_by("click").followed_by("error")
+         .followed_by("purchase").within(14 * 24 * 60).match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# Or-condition on the begin stage (Pattern.where(...).or(...)):
+# (click OR view) -> purchase within 3 days
+# --------------------------------------------------------------------------
+_OR_COND_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events)
+SELECT a.user_id, a.event_id AS start_id, p.event_id AS end_id
+FROM (SELECT * FROM ev WHERE event_type IN ('click', 'view')) a,
+LATERAL (SELECT event_id, ts FROM ev p
+         WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+           AND (p.ts, p.event_id) > (a.ts, a.event_id)
+         ORDER BY p.ts, p.event_id LIMIT 1) p
+WHERE p.ts <= a.ts + INTERVAL 3 DAY
+"""
+
+
+@register("cep_nfa_or_condition", _OR_COND_ORACLE)
+def cep_nfa_or_condition(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("click").or_("event_type = 'view'")
+         .followed_by("purchase").within(3 * 24 * 60).match_stream(ev))
+    return run_to_completion(m.select("user_id", "start_id", "end_id"),
+                             "append")
+
+
+# --------------------------------------------------------------------------
+# Where-condition (IterativeCondition on row fields):
+# purchase[value > 80] -> error within 5 days
+# --------------------------------------------------------------------------
+_WHERE_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type, value FROM events)
+SELECT a.user_id, a.event_id AS start_id, e.event_id AS end_id
+FROM (SELECT * FROM ev WHERE event_type = 'purchase' AND value > 80) a,
+LATERAL (SELECT event_id, ts FROM ev e
+         WHERE e.user_id = a.user_id AND e.event_type = 'error'
+           AND (e.ts, e.event_id) > (a.ts, a.event_id)
+         ORDER BY e.ts, e.event_id LIMIT 1) e
+WHERE e.ts <= a.ts + INTERVAL 5 DAY
+"""
+
+
+@register("cep_nfa_where_value", _WHERE_ORACLE)
+def cep_nfa_where_value(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("purchase").where("value > 80")
+         .followed_by("error").within(5 * 24 * 60).match_stream(ev))
+    return run_to_completion(m.select("user_id", "start_id", "end_id"),
+                             "append")
+
+
+# --------------------------------------------------------------------------
+# Bounded quantifier on the begin stage: click.times(2) -> purchase
+# within 7 days.  Relaxed loop contiguity: the second click is the next
+# click after the first (non-clicks in between are ignored), the
+# purchase is the next purchase after the second click.
+# --------------------------------------------------------------------------
+_TIMES_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events)
+SELECT c1.user_id, c1.event_id AS start_id, p.event_id AS end_id,
+       CAST(3 AS INT) AS n_events
+FROM (SELECT * FROM ev WHERE event_type = 'click') c1,
+LATERAL (SELECT event_id, ts FROM ev c2
+         WHERE c2.user_id = c1.user_id AND c2.event_type = 'click'
+           AND (c2.ts, c2.event_id) > (c1.ts, c1.event_id)
+         ORDER BY c2.ts, c2.event_id LIMIT 1) c2,
+LATERAL (SELECT event_id, ts FROM ev p
+         WHERE p.user_id = c1.user_id AND p.event_type = 'purchase'
+           AND (p.ts, p.event_id) > (c2.ts, c2.event_id)
+         ORDER BY p.ts, p.event_id LIMIT 1) p
+WHERE p.ts <= c1.ts + INTERVAL 7 DAY
+"""
+
+
+@register("cep_nfa_times_two", _TIMES_ORACLE)
+def cep_nfa_times_two(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("click").times(2)
+         .followed_by("purchase").within(7 * 24 * 60).match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# Trailing unbounded loop closed by until(): signup -> click.oneOrMore()
+# .until(purchase), within 7 days.  The match emits when the until-event
+# arrives (loop close); it consumes the signup plus every click strictly
+# between the signup and the closing purchase; a signup whose first
+# subsequent purchase arrives before any click dies at that purchase.
+# --------------------------------------------------------------------------
+_UNTIL_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+sp AS (
+  SELECT s.user_id, s.event_id AS start_id, s.ts AS s_ts,
+         p.event_id AS p_id, p.ts AS p_ts
+  FROM (SELECT * FROM ev WHERE event_type = 'signup') s,
+  LATERAL (SELECT event_id, ts FROM ev p
+           WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+             AND (p.ts, p.event_id) > (s.ts, s.event_id)
+           ORDER BY p.ts, p.event_id LIMIT 1) p
+  WHERE p.ts <= s.ts + INTERVAL 7 DAY)
+SELECT user_id, start_id, event_id AS end_id,
+       CAST(1 + cnt AS INT) AS n_events
+FROM (
+  SELECT sp.user_id, sp.start_id, c.event_id,
+         row_number() OVER (PARTITION BY sp.user_id, sp.start_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY sp.user_id, sp.start_id) AS cnt
+  FROM sp
+  JOIN ev c
+    ON c.user_id = sp.user_id AND c.event_type = 'click'
+   AND (c.ts, c.event_id) > (sp.s_ts, sp.start_id)
+   AND (c.ts, c.event_id) < (sp.p_ts, sp.p_id)) q
+WHERE rn = 1
+"""
+
+
+@register("cep_nfa_until_loop", _UNTIL_ORACLE)
+def cep_nfa_until_loop(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("signup").followed_by("click").one_or_more()
+         .until("event_type = 'purchase'").within(7 * 24 * 60)
+         .match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# Strict absence guard (Pattern.notNext): error, whose IMMEDIATELY
+# following event is not a click, then the next purchase at-or-after
+# that guard event, within 3 days.
+# --------------------------------------------------------------------------
+_NOT_NEXT_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events)
+SELECT e.user_id, e.event_id AS start_id, p.event_id AS end_id
+FROM (SELECT * FROM ev WHERE event_type = 'error') e,
+LATERAL (SELECT event_id, ts, event_type FROM ev nx
+         WHERE nx.user_id = e.user_id
+           AND (nx.ts, nx.event_id) > (e.ts, e.event_id)
+         ORDER BY nx.ts, nx.event_id LIMIT 1) nx,
+LATERAL (SELECT event_id, ts FROM ev p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND (p.ts, p.event_id) >= (nx.ts, nx.event_id)
+         ORDER BY p.ts, p.event_id LIMIT 1) p
+WHERE nx.event_type <> 'click'
+  AND p.ts <= e.ts + INTERVAL 3 DAY
+"""
+
+
+@register("cep_nfa_not_next", _NOT_NEXT_ORACLE)
+def cep_nfa_not_next(spark, sf_dir):
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("error").not_next("click")
+         .followed_by("purchase").within(3 * 24 * 60).match_stream(ev))
+    return run_to_completion(m.select("user_id", "start_id", "end_id"),
+                             "append")

@@ -46,6 +46,36 @@ class _Stage:
     times_n: int | None = None  # times(n)
     or_more: bool = False       # timesOrMore(n)
     consecutive: bool = False
+    greedy: bool = False        # greedy() — loop wins over advance
+    wheres: list[str] = field(default_factory=list)   # .where(sql) — ANDed
+    ors: list[str] = field(default_factory=list)      # .or_(sql) — ORed
+    until_sql: str | None = None                      # .until(sql)
+
+    def pred_sql(self) -> str:
+        """Compile event-type sugar + where/or conditions to one SQL
+        boolean expression (Pattern.where(...).or(...) semantics)."""
+        base = f"event_type = '{self.event_type}'"
+        if self.wheres:
+            base = "(" + " AND ".join([base] + [f"({w})" for w in self.wheres]) + ")"
+        if self.ors:
+            base = "(" + " OR ".join([base] + [f"({o})" for o in self.ors]) + ")"
+        return base
+
+    def flags(self) -> set[str]:
+        """Names of the non-default knobs set on this stage — dispatch
+        refuses to route to an operator that would drop any of them."""
+        out = set()
+        for f_ in ("one_or_more", "negated", "strict", "any_match",
+                   "optional", "or_more", "consecutive", "greedy"):
+            if getattr(self, f_):
+                out.add(f_)
+        if self.times_n is not None:
+            out.add("times_n")
+        if self.wheres or self.ors:
+            out.add("conditions")
+        if self.until_sql is not None:
+            out.add("until")
+        return out
 
 
 @dataclass
@@ -81,6 +111,37 @@ class Pattern:
         self.stages[-1].optional = True
         return self
 
+    def greedy(self) -> "Pattern":
+        """Loop consumes as much as possible before advancing
+        (``Pattern.greedy``): while the loop stage still matches an
+        event, the advance-to-next-stage branch is suppressed."""
+        self.stages[-1].greedy = True
+        return self
+
+    def where(self, sql: str) -> "Pattern":
+        """AND an arbitrary row predicate onto the last stage
+        (``Pattern.where`` / IterativeCondition)."""
+        self.stages[-1].wheres.append(sql)
+        return self
+
+    def or_(self, sql: str) -> "Pattern":
+        """OR an alternative row predicate onto the last stage
+        (``Pattern.or``)."""
+        self.stages[-1].ors.append(sql)
+        return self
+
+    def until(self, sql: str) -> "Pattern":
+        """Stop condition for a loop stage (``Pattern.until``): the loop
+        stops accepting events once an event satisfies ``sql``."""
+        self.stages[-1].until_sql = sql
+        return self
+
+    def not_next(self, event_type: str) -> "Pattern":
+        """Strict absence (``Pattern.notNext``): the immediately
+        following event must NOT match."""
+        self.stages.append(_Stage(event_type, negated=True, strict=True))
+        return self
+
     def followed_by(self, event_type: str) -> "Pattern":
         self.stages.append(_Stage(event_type))
         return self
@@ -106,48 +167,100 @@ class Pattern:
         self.within_minutes = minutes
         return self
 
-    def match_stream(self, events: DataFrame, key: str = "user_id") -> DataFrame:
-        """Compile to the stateful NFA operator; returns the match stream."""
+    def _compile_nfa_stages(self) -> list:
+        """Compile the fluent stages to generic NFA stages
+        (``streaming/nfa.py``)."""
+        from flink_release_1_10_0_spark.streaming.nfa import NfaStage
+
+        out = []
+        for s in self.stages:
+            if s.times_n is not None:
+                mn, mx = s.times_n, (None if s.or_more else s.times_n)
+            elif s.one_or_more:
+                mn, mx = 1, None
+            elif s.optional:
+                mn, mx = 0, 1
+            else:
+                mn, mx = 1, 1
+            if s.strict:
+                cont = "strict"
+            elif s.any_match:
+                cont = "relaxed_nd"
+            else:
+                cont = "relaxed"
+            # consecutive() = strict contiguity between loop iterations;
+            # the generic engine uses one contiguity knob for both edges
+            if s.consecutive:
+                cont = "strict"
+            out.append(NfaStage(
+                pred=s.pred_sql(), name=s.event_type, contiguity=cont,
+                min_times=mn, max_times=mx, greedy=s.greedy,
+                until=s.until_sql, negated=s.negated))
+        return out
+
+    def match_stream(self, events: DataFrame, key: str = "user_id",
+                     after_match: str = "no_skip") -> DataFrame:
+        """Compile to a stateful NFA operator; returns the match stream.
+
+        Shapes that exactly match one of the dedicated operators in
+        ``streaming/stateful.py`` dispatch there (their consumption
+        semantics mirror specific reference operators); every other
+        combination compiles to the generic NFA (``streaming/nfa.py``).
+        Dispatch verifies that the chosen operator consumes EVERY flag
+        set on every stage — a flag the target cannot honor routes to
+        the generic engine instead of being silently dropped, and
+        genuinely unsupported shapes raise ``NotImplementedError``
+        (never silently-wrong results).
+        """
         from flink_release_1_10_0_spark.streaming import stateful
 
-        if len(self.stages) == 1:
-            s = self.stages[0]
-            if s.times_n and s.consecutive:
-                return stateful.cep_times_consecutive(
-                    events, s.event_type, n=s.times_n, key=key)
-            raise NotImplementedError("single-stage needs times(n).consecutive()")
-        if len(self.stages) == 3:
-            a, b, c = self.stages
-            if b.optional and self.within_minutes is not None:
-                return stateful.cep_optional_between(
-                    events, a.event_type, b.event_type, c.event_type,
-                    self.within_minutes, key=key)
-            raise NotImplementedError(
-                "three-stage needs an optional() middle stage + within()")
-        if len(self.stages) != 2:
-            raise NotImplementedError("1-3 stage sequences supported")
-        a, b = self.stages
-        if b.one_or_more:
-            raise NotImplementedError("oneOrMore only on the begin stage")
-        if b.strict:
-            return stateful.cep_next(events, a.event_type, b.event_type, key=key)
-        if self.within_minutes is None:
-            raise ValueError("within(minutes) is required (WITHIN clause)")
-        if b.negated:
-            return stateful.cep_not_followed_by(
-                events, a.event_type, b.event_type, self.within_minutes, key=key)
-        if b.any_match:
-            return stateful.cep_followed_by_any(
-                events, a.event_type, b.event_type, self.within_minutes, key=key)
-        if a.times_n and a.or_more:
-            return stateful.cep_times_or_more(
-                events, a.event_type, b.event_type, a.times_n,
-                self.within_minutes, key=key)
-        if a.one_or_more:
-            return stateful.cep_one_or_more(
-                events, a.event_type, b.event_type, self.within_minutes, key=key)
-        return stateful.cep_followed_by(
-            events, a.event_type, b.event_type, self.within_minutes, key=key)
+        st = self.stages
+        flags = [s.flags() for s in st]
+        w = self.within_minutes
+
+        # --- exact legacy shapes (flag sets fully consumed) ------------
+        if len(st) == 1 and flags[0] == {"times_n", "consecutive"}:
+            return stateful.cep_times_consecutive(
+                events, st[0].event_type, n=st[0].times_n, key=key)
+        if len(st) == 2 and after_match == "no_skip":
+            a, b = st
+            if flags[0] == set() and flags[1] == {"strict"} and w is None:
+                return stateful.cep_next(events, a.event_type, b.event_type,
+                                         key=key)
+            if w is not None and flags[0] == set():
+                if flags[1] == {"negated"}:
+                    return stateful.cep_not_followed_by(
+                        events, a.event_type, b.event_type, w, key=key)
+                if flags[1] == {"any_match"}:
+                    return stateful.cep_followed_by_any(
+                        events, a.event_type, b.event_type, w, key=key)
+                if flags[1] == set():
+                    return stateful.cep_followed_by(
+                        events, a.event_type, b.event_type, w, key=key)
+            if w is not None and flags[1] == set():
+                if flags[0] == {"times_n", "or_more"}:
+                    return stateful.cep_times_or_more(
+                        events, a.event_type, b.event_type, a.times_n, w,
+                        key=key)
+                if flags[0] == {"one_or_more"}:
+                    return stateful.cep_one_or_more(
+                        events, a.event_type, b.event_type, w, key=key)
+        if (len(st) == 3 and after_match == "no_skip" and w is not None
+                and flags[0] == set() and flags[1] == {"optional"}
+                and flags[2] == set()):
+            return stateful.cep_optional_between(
+                events, st[0].event_type, st[1].event_type, st[2].event_type,
+                w, key=key)
+
+        # --- everything else: the generic NFA --------------------------
+        if any(s.negated for s in st[:-1]) or not st[-1].negated:
+            from flink_release_1_10_0_spark.streaming.nfa import match_nfa
+            return match_nfa(events, self._compile_nfa_stages(),
+                             within_minutes=w, key=key,
+                             after_match=after_match)
+        raise NotImplementedError(
+            "trailing notFollowedBy beyond the two-stage shape needs "
+            "watermark timers (see stateful.cep_not_followed_by)")
 
 
 def match_recognize(events: DataFrame, partition_by: str,

@@ -1,0 +1,319 @@
+"""General CEP NFA over ``applyInPandasWithState`` — arbitrary-length
+pattern sequences with quantifiers, or-conditions, until, greedy, and
+mid-pattern negation.
+
+Reference semantics: ``flink-libraries/flink-cep/.../pattern/
+Pattern.java:50-542`` (begin/next/followedBy/followedByAny/notNext/
+notFollowedBy, times/timesOrMore/oneOrMore/optional/greedy/until/within)
+compiled and executed per key like ``nfa/NFA.java:85`` inside
+``CepOperator.java:82``.
+
+Execution model (Spark-first):
+
+- Stage predicates are **SQL boolean expressions evaluated JVM-side**:
+  each stage's ``pred`` (and ``until``) is attached as a precomputed
+  boolean column by ``F.expr`` *before* the stateful operator, so the
+  Python loop never evaluates predicates row-at-a-time — it walks
+  precomputed bit vectors (the analog of the reference's codegen'd
+  IterativeConditions).
+- Per key, a list of partial-match *runs* evolves event-by-event in
+  (ts, event_id) order; state is the run list (JSON in the state store),
+  bounded by the within-window and a hard run cap — never the event
+  history.
+- Transitions per event mirror the reference NFA's edge types: TAKE
+  (consume into current/next stage), IGNORE (relaxed contiguity skips a
+  non-matching event), STOP (strict contiguity or a negation guard kills
+  the run).  ``followedByAny`` keeps the pre-TAKE run alive
+  (non-deterministic relaxed contiguity); ``greedy`` suppresses the
+  advance branch while the loop stage still matches.
+- After-match skip: ``no_skip`` (the reference's default) or
+  ``skip_past_last`` (AfterMatchSkipStrategy.skipPastLastEvent — kills
+  runs begun at/before the match end and suppresses new runs there).
+
+Scope notes (documented narrowings vs the reference):
+- a trailing ``notFollowedBy`` is supported only via the dedicated
+  watermark-timer operator (``stateful.cep_not_followed_by``) that the
+  ``Pattern`` facade routes to; the generic engine supports negation
+  **between** consuming stages (guards) and ``notNext``.
+- a negation's neighbor stages must be non-optional, and the stage
+  before it non-looping (the guard window is then exactly "between the
+  two consumed events", matching the reference for these shapes).
+- a trailing unbounded loop (``oneOrMore``/``timesOrMore`` last) emits
+  when the loop *closes* — on an ``until`` event — i.e. the maximal
+  (greedy) match, not one partial match per extension.
+- a trailing ``optional`` stage is rejected (the reference emits both
+  the short and long match; register the two patterns separately).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+MAX_RUNS_PER_KEY = 512
+
+NO_SKIP = "no_skip"                    # AfterMatchSkipStrategy.noSkip (default)
+SKIP_PAST_LAST = "skip_past_last"      # AfterMatchSkipStrategy.skipPastLastEvent
+
+
+@dataclass
+class NfaStage:
+    """One pattern stage.  ``pred``/``until`` are Spark SQL boolean
+    expressions over the event row (e.g. ``"event_type = 'click' AND
+    value < 50"``) — or-conditions (``Pattern.where(...).or(...)``) are
+    plain SQL ``OR`` inside ``pred``."""
+
+    pred: str
+    name: str = ""
+    contiguity: str = "relaxed"      # strict | relaxed | relaxed_nd
+    min_times: int = 1
+    max_times: int | None = 1        # None = unbounded loop
+    greedy: bool = False
+    until: str | None = None         # loop stop condition
+    negated: bool = False            # guard stage: consumes nothing
+
+    def is_loop(self) -> bool:
+        return self.max_times is None or self.max_times > 1
+
+
+def _validate(stages: list[NfaStage]) -> None:
+    n = len(stages)
+    if not stages:
+        raise ValueError("empty pattern")
+    if stages[0].negated or stages[-1].negated:
+        raise NotImplementedError(
+            "negation must sit between two consuming stages (trailing "
+            "notFollowedBy routes to stateful.cep_not_followed_by)")
+    last = stages[-1]
+    if last.is_loop() and last.max_times is None and last.until is None:
+        raise NotImplementedError(
+            "trailing unbounded loop needs until() (emission on loop close)")
+    if last.min_times == 0:
+        raise NotImplementedError(
+            "trailing optional: register the short and long patterns "
+            "separately (the reference emits both matches)")
+    for i, s in enumerate(stages):
+        if s.contiguity not in ("strict", "relaxed", "relaxed_nd"):
+            raise ValueError(f"bad contiguity {s.contiguity!r}")
+        if s.negated:
+            if s.is_loop() or s.min_times != 1 or s.until:
+                raise NotImplementedError("negation stages take no quantifier")
+            if stages[i - 1].is_loop() or stages[i - 1].min_times == 0 \
+                    or (i + 1 < n and stages[i + 1].min_times == 0):
+                raise NotImplementedError(
+                    "negation neighbors must be non-optional, preceding "
+                    "stage non-looping (guard window = between the two "
+                    "consumed events)")
+        if s.until is not None and not s.is_loop():
+            raise NotImplementedError("until() applies to loop stages only")
+        if s.min_times < 0 or (s.max_times is not None
+                               and s.max_times < max(1, s.min_times)):
+            raise ValueError("bad quantifier bounds")
+
+
+def match_nfa(events: DataFrame, stages: list[NfaStage],
+              within_minutes: float | None = None, key: str = "user_id",
+              after_match: str = NO_SKIP,
+              ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Run the NFA over a keyed event stream.
+
+    Returns an append stream: one row per completed match with the
+    consumed event ids / stage indexes (``ev_ids``/``ev_stages``) plus
+    scalar start/end columns for oracle-friendly projection.
+    """
+    _validate(stages)
+    if after_match not in (NO_SKIP, SKIP_PAST_LAST):
+        raise ValueError(f"bad after_match {after_match!r}")
+    n = len(stages)
+    within_us = None if within_minutes is None else int(within_minutes * 60_000_000)
+
+    # JVM-side predicate evaluation: one boolean column per stage pred /
+    # until condition — the Python NFA walks bit vectors only.
+    tagged = events
+    for i, s in enumerate(stages):
+        tagged = tagged.withColumn(f"__m{i}", F.expr(s.pred))
+        if s.until:
+            tagged = tagged.withColumn(f"__u{i}", F.expr(s.until))
+
+    out_schema = (f"{key} bigint, start_id bigint, end_id bigint, "
+                  "start_ts timestamp, end_ts timestamp, n_events int, "
+                  "ev_ids array<bigint>, ev_stages array<int>")
+    state_schema = "js string"
+
+    # spec captured as plain tuples (tiny, serialized into the closure)
+    spec = [(s.contiguity, s.min_times, s.max_times, s.greedy,
+             s.until is not None, s.negated) for s in stages]
+    CONT, MIN, MAX, GREEDY, HAS_UNTIL, NEG = range(6)
+
+    def real_next(j: int) -> int:
+        """First consuming (non-negated) stage index at/after j; n if none."""
+        while j < n and spec[j][NEG]:
+            j += 1
+        return j
+
+    def guard_between(a: int, b: int) -> int:
+        """Index of a negation stage strictly between a and b, else -1."""
+        for g in range(a + 1, b):
+            if spec[g][NEG]:
+                return g
+        return -1
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+            runs, cut_us = st["runs"], st["cut"]
+        else:
+            runs, cut_us = [], -1
+        # run record (JSON-serializable list):
+        # [stage, times, guard, guard_strict, start_us, last_us, ev_ids, ev_stages]
+        S, T, G, GS, A, L, EV, ST = range(8)
+        matches: list[tuple] = []   # (start_us, last_us, ev_ids, ev_stages)
+
+        def emit(run_start, run_last, evs, sts):
+            nonlocal cut_us
+            matches.append((run_start, run_last, evs, sts))
+            if after_match == SKIP_PAST_LAST:
+                cut_us = max(cut_us, run_last)
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            ids = pdf[id_col].astype("int64").tolist()
+            tss = [t.value // 1000 for t in pdf[ts_col]]
+            mvec = [pdf[f"__m{i}"].fillna(False).astype(bool).tolist()
+                    for i in range(n)]
+            uvec = [pdf[f"__u{i}"].fillna(False).astype(bool).tolist()
+                    if spec[i][HAS_UNTIL] else None for i in range(n)]
+            for r_i in range(len(ids)):
+                eid, ts_us = ids[r_i], tss[r_i]
+                m = [mvec[i][r_i] for i in range(n)]
+                new_runs: list[list] = []
+                for run in runs:
+                    # skipPastLastEvent: a partial match begun at/before
+                    # the last match end is discarded — runs are processed
+                    # oldest-first, so the oldest completion wins and
+                    # younger partials die immediately (the reference
+                    # prunes the shared buffer the same way)
+                    if after_match == SKIP_PAST_LAST and run[A] <= cut_us:
+                        continue
+                    # window expiry kills the run before it can consume
+                    if within_us is not None and ts_us - run[A] > within_us:
+                        continue
+                    # negation guard: a matching event kills the run;
+                    # a strict guard (notNext) checks only this event
+                    if run[G] >= 0:
+                        if m[run[G]]:
+                            continue
+                        if run[GS]:
+                            run = run[:G] + [-1, False] + run[A:]
+                    s_, t_ = run[S], run[T]
+                    # until: the loop stops accepting; advance if satisfied,
+                    # then let this same event try the next stage
+                    if spec[s_][HAS_UNTIL] and uvec[s_][r_i]:
+                        if t_ < spec[s_][MIN]:
+                            continue          # loop unsatisfied at stop
+                        nxt = real_next(s_ + 1)
+                        if nxt >= n:          # trailing loop closes -> match
+                            emit(run[A], run[L], run[EV], run[ST])
+                            continue
+                        g = guard_between(s_, nxt)
+                        run = [nxt, 0, g, g >= 0 and spec[g][CONT] == "strict",
+                               run[A], run[L], run[EV], run[ST]]
+                        s_, t_ = nxt, 0
+                    # candidate stages this event could consume into:
+                    # the current stage (while below max), then each next
+                    # stage reachable through satisfied/optional stages
+                    cands = []
+                    mx = spec[s_][MAX]
+                    if mx is None or t_ < mx:
+                        cands.append(s_)
+                    j, tj = s_, t_
+                    while j < n and tj >= spec[j][MIN]:
+                        j2 = real_next(j + 1)
+                        if j2 >= n:
+                            break
+                        cands.append(j2)
+                        j, tj = j2, 0
+                    taken = [j for j in cands if m[j]]
+                    if not taken:
+                        if any(spec[j][CONT] == "strict" for j in cands):
+                            continue          # strict contiguity violated
+                        new_runs.append(run)  # IGNORE
+                        continue
+                    # greedy loop: suppress the advance branch while the
+                    # loop stage itself still matches
+                    if run[S] in taken and spec[run[S]][GREEDY]:
+                        taken = [run[S]]
+                    for j in taken:
+                        t2 = run[T] + 1 if j == run[S] else 1
+                        evs2 = run[EV] + [eid]
+                        sts2 = run[ST] + [j]
+                        mnj, mxj = spec[j][MIN], spec[j][MAX]
+                        nxt = real_next(j + 1)
+                        if nxt >= n and t2 >= mnj and mxj is not None \
+                                and t2 == mxj:
+                            emit(run[A], ts_us, evs2, sts2)
+                            continue
+                        if mxj is not None and t2 == mxj and nxt < n:
+                            # bounded stage saturated: advance pointer now
+                            g = guard_between(j, nxt)
+                            new_runs.append(
+                                [nxt, 0, g,
+                                 g >= 0 and spec[g][CONT] == "strict",
+                                 run[A], ts_us, evs2, sts2])
+                        else:
+                            new_runs.append([j, t2, -1, False,
+                                             run[A], ts_us, evs2, sts2])
+                    if any(spec[j][CONT] == "relaxed_nd" for j in taken):
+                        new_runs.append(run)  # keep the pre-TAKE run alive
+                # a matching event always also begins a fresh run
+                # (the NFA start state is always active — NO_SKIP default)
+                if m[0] and ts_us > cut_us:
+                    mn0, mx0 = spec[0][MIN], spec[0][MAX]
+                    nxt = real_next(1)
+                    if nxt >= n and mx0 == 1:
+                        emit(ts_us, ts_us, [eid], [0])
+                    elif mx0 == 1:
+                        g = guard_between(0, nxt)
+                        new_runs.append(
+                            [nxt, 0, g, g >= 0 and spec[g][CONT] == "strict",
+                             ts_us, ts_us, [eid], [0]])
+                    else:
+                        new_runs.append([0, 1, -1, False,
+                                         ts_us, ts_us, [eid], [0]])
+                if after_match == SKIP_PAST_LAST and cut_us >= 0:
+                    new_runs = [r for r in new_runs if r[A] > cut_us]
+                # dedupe branches that converged to the same shape
+                seen = set()
+                runs = []
+                for r in new_runs:
+                    k2 = (r[S], r[T], r[G], tuple(r[EV]))
+                    if k2 not in seen:
+                        seen.add(k2)
+                        runs.append(r)
+                if len(runs) > MAX_RUNS_PER_KEY:
+                    runs = runs[-MAX_RUNS_PER_KEY:]
+
+        state.update((json.dumps({"runs": runs, "cut": cut_us}),))
+        if matches:
+            yield pd.DataFrame({
+                key: [key_[0]] * len(matches),
+                "start_id": [mt[2][0] for mt in matches],
+                "end_id": [mt[2][-1] for mt in matches],
+                "start_ts": pd.to_datetime([mt[0] for mt in matches], unit="us"),
+                "end_ts": pd.to_datetime([mt[1] for mt in matches], unit="us"),
+                "n_events": [len(mt[2]) for mt in matches],
+                "ev_ids": [mt[2] for mt in matches],
+                "ev_stages": [mt[3] for mt in matches]})
+
+    return (tagged.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

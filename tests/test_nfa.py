@@ -1,0 +1,158 @@
+"""Generic CEP NFA engine tests (``streaming/nfa.py``) on synthetic
+micro-streams: greedy loops, after-match skip, strict contiguity and
+negation guards mid-pattern, and cross-batch state carryover.
+
+Reference shapes mirrored: ``flink-libraries/flink-cep/.../pattern/
+Pattern.java:50-542`` quantifiers and ``nfa/aftermatch/`` skip
+strategies (``MatchRecognizeITCase`` style scenarios)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.streaming.core import run_to_completion
+from flink_release_1_10_0_spark.streaming.nfa import (
+    NO_SKIP, SKIP_PAST_LAST, NfaStage, match_nfa)
+
+_SCHEMA = ("event_id bigint, ts string, user_id bigint, "
+           "event_type string, value double")
+
+
+def _stream(spark, rows):
+    """Bounded micro-stream from literal rows (one parquet batch)."""
+    df = (spark.createDataFrame(rows, _SCHEMA)
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="nfa_src_")
+    # one part-file per write: the NFA contract is event-time-ordered
+    # arrival per key (same as the reference's event-time CEP); multiple
+    # part-files can be listed out of order across micro-batches
+    df.coalesce(1).write.mode("append").parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+def _matches(spark, rows, stages, **kw):
+    out = run_to_completion(
+        match_nfa(_stream(spark, rows), stages, **kw), "append")
+    return sorted((tuple(r.ev_ids) for r in out.collect()))
+
+
+def _ev(i, minute, etype, value=0.0, user=1):
+    return (i, f"2024-01-01 10:{minute:02d}:00", user, etype, value)
+
+
+def test_greedy_suppresses_advance_branch(spark):
+    """value<50 oneOrMore then value>=30: an event matching BOTH preds
+    forks a branch without greedy() and does not with it
+    (Pattern.greedy: the loop consumes as much as possible)."""
+    rows = [_ev(1, 0, "m", 10.0), _ev(2, 1, "m", 40.0), _ev(3, 2, "m", 100.0)]
+
+    def stages(greedy):
+        return [NfaStage(pred="value < 50", min_times=1, max_times=None,
+                         greedy=greedy),
+                NfaStage(pred="value >= 30")]
+
+    assert _matches(spark, rows, stages(False)) == [(1, 2), (1, 2, 3), (2, 3)]
+    assert _matches(spark, rows, stages(True)) == [(1, 2, 3), (2, 3)]
+
+
+def test_after_match_skip_past_last(spark):
+    """A then B over A1 A2 B1 A3 B2: no-skip emits every (A, next B)
+    pair; skipPastLastEvent discards partial matches begun at/before a
+    match end (AfterMatchSkipStrategy.skipPastLastEvent)."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "a"), _ev(3, 2, "b"),
+            _ev(4, 3, "a"), _ev(5, 4, "b")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'")]
+    assert _matches(spark, rows, stages, after_match=NO_SKIP) == \
+        [(1, 3), (2, 3), (4, 5)]
+    assert _matches(spark, rows, stages, after_match=SKIP_PAST_LAST) == \
+        [(1, 3), (4, 5)]
+
+
+def test_strict_contiguity_mid_pattern(spark):
+    """a next(b) followedBy(c): any event between a and b kills the run
+    (Pattern.next — TAKE edge with no ignore self-loop)."""
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", contiguity="strict"),
+              NfaStage(pred="event_type = 'c'")]
+    broken = [_ev(1, 0, "a"), _ev(2, 1, "x"), _ev(3, 2, "b"), _ev(4, 3, "c")]
+    intact = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "x"), _ev(4, 3, "c")]
+    assert _matches(spark, broken, stages) == []
+    assert _matches(spark, intact, stages) == [(1, 2, 4)]
+
+
+def test_negation_guard_between_stages(spark):
+    """a notFollowedBy(g) followedBy(b): a g-event strictly between the
+    consumed a and b kills the run; any other event is ignored."""
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'g'", negated=True),
+              NfaStage(pred="event_type = 'b'")]
+    poisoned = [_ev(1, 0, "a"), _ev(2, 1, "g"), _ev(3, 2, "b")]
+    clean = [_ev(1, 0, "a"), _ev(2, 1, "x"), _ev(3, 2, "b")]
+    assert _matches(spark, poisoned, stages) == []
+    assert _matches(spark, clean, stages) == [(1, 3)]
+
+
+def test_within_window_kills_runs(spark):
+    """a followedBy b within 10 minutes: a b arriving past the window
+    cannot complete the run."""
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'")]
+    rows = [_ev(1, 0, "a"), _ev(2, 30, "b"), _ev(3, 35, "a"), _ev(4, 40, "b")]
+    assert _matches(spark, rows, stages, within_minutes=10) == [(3, 4)]
+
+
+def test_times_range_saturation(spark):
+    """a.times(2) then b: the loop must consume exactly 2 a's before b
+    (relaxed between iterations)."""
+    stages = [NfaStage(pred="event_type = 'a'", min_times=2, max_times=2),
+              NfaStage(pred="event_type = 'b'")]
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "x"), _ev(3, 2, "a"), _ev(4, 3, "b")]
+    # run from a1: a1,a3,b ; fresh run from a3 never reaches 2 a's
+    assert _matches(spark, rows, stages) == [(1, 3, 4)]
+
+
+def test_validation_rejects_unsupported_shapes(spark):
+    with pytest.raises(NotImplementedError):
+        match_nfa(_stream(spark, [_ev(1, 0, "a")]),
+                  [NfaStage(pred="event_type = 'a'"),
+                   NfaStage(pred="event_type = 'b'", negated=True)])
+    with pytest.raises(NotImplementedError):
+        match_nfa(_stream(spark, [_ev(1, 0, "a")]),
+                  [NfaStage(pred="event_type = 'a'", min_times=1,
+                            max_times=None)])  # trailing loop, no until
+
+
+def test_nfa_state_carries_across_batches(spark):
+    """Partial runs must survive micro-batch boundaries: the 4-stage
+    sequence arrives one event per batch."""
+    import time
+
+    stages = [NfaStage(pred=f"event_type = '{t}'") for t in "abcd"]
+    src = tempfile.mkdtemp(prefix="nfa_mb_")
+    ckpt = tempfile.mkdtemp(prefix="nfa_mb_ckpt_")
+    batches = [[_ev(1, 0, "a")], [_ev(2, 1, "b")],
+               [_ev(3, 2, "c"), _ev(4, 3, "d")]]
+    df0 = (spark.createDataFrame(batches[0], _SCHEMA)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    df0.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df0.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (match_nfa(sdf, stages).writeStream.format("memory")
+         .queryName("_nfa_mb").outputMode("append")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            (spark.createDataFrame(b, _SCHEMA)
+             .withColumn("ts", F.col("ts").cast("timestamp"))
+             .coalesce(1).write.mode("append").parquet(src))
+            time.sleep(0.1)
+            q.processAllAvailable()
+        rows = spark.table("_nfa_mb").collect()
+        assert [tuple(r.ev_ids) for r in rows] == [(1, 2, 3, 4)]
+    finally:
+        q.stop()
