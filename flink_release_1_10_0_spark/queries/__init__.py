@@ -57,6 +57,9 @@ _LOADED = False
 # _FAMILY_ORDER ranks the modules behind them.
 _PIN = [
     "tpch_q12_priority_class",   # r1 FAIL (oracle HUGEINT→BIGINT cast, fixed)
+    # new this round: retraction join + generic-NFA flagship shapes
+    "stream_update_join", "stream_update_join_ops",
+    "cep_nfa_four_stage", "cep_nfa_or_condition",
     # Gelly family — zero driver evidence in r1
     "graph_degrees", "graph_connected_components", "graph_triangle_count",
     "graph_sssp", "graph_label_propagation", "graph_pagerank",

@@ -915,3 +915,72 @@ def stream_cep_times_or_more(spark, sf_dir):
     return run_to_completion(
         Pattern.begin("click").times_or_more(2).followed_by("purchase")
         .within(1440).match_stream(ev), "append")
+
+
+# --------------------------------------------------------------------------
+# Unbounded stream-stream LEFT OUTER equi-join with retraction
+# (StreamingJoinOperator.java:37 + OuterJoinRecordStateView): both sides
+# live in keyed state; a left row with no match emits the null-padded row
+# immediately, and the first later match retracts it (-D) and inserts the
+# real pair.  The folded changelog must equal the batch LEFT JOIN.
+# --------------------------------------------------------------------------
+_STREAM_UPDATE_JOIN_ORACLE = """
+SELECT l.user_id, l.event_id AS l_id, l.value AS l_value,
+       r.event_id AS r_id, r.value AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error' AND value > 95) r
+  ON l.user_id = r.user_id
+"""
+
+
+@register("stream_update_join", _STREAM_UPDATE_JOIN_ORACLE)
+def stream_update_join(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.stream_join import (
+        LEFT_OUTER, fold_join_changelog, stream_stream_join)
+    ev_l = read_stream_table(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    ev_r = (read_stream_table(spark, sf_dir, "events")
+            .filter("event_type = 'error' AND value > 95"))
+    clog = run_to_completion(
+        stream_stream_join(ev_l, ev_r, "user_id", how=LEFT_OUTER), "append")
+    return fold_join_changelog(clog, "user_id")
+
+
+# --------------------------------------------------------------------------
+# The same join's raw changelog op counts.  Deterministic because events
+# are processed in (event-time, id) order per key: a left row emits a
+# null-padded +I iff no match precedes it, and that row is -D-retracted
+# iff a match exists at all (i.e. its first match arrives later).
+# --------------------------------------------------------------------------
+_STREAM_UPDATE_JOIN_OPS_ORACLE = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'error' AND value > 95),
+lstat AS (
+  SELECT l.event_id,
+         COALESCE(MAX(CASE WHEN (r.ts, r.event_id) < (l.ts, l.event_id)
+                           THEN 1 ELSE 0 END), 0) AS matched_before,
+         COUNT(r.event_id) AS n_match
+  FROM l LEFT JOIN r ON l.user_id = r.user_id
+  GROUP BY l.event_id)
+SELECT '+I' AS op,
+       CAST((SELECT COUNT(*) FROM l JOIN r ON l.user_id = r.user_id)
+            + (SELECT COUNT(*) FROM lstat WHERE matched_before = 0)
+            AS BIGINT) AS n
+UNION ALL
+SELECT '-D' AS op,
+       CAST((SELECT COUNT(*) FROM lstat
+             WHERE matched_before = 0 AND n_match > 0) AS BIGINT) AS n
+"""
+
+
+@register("stream_update_join_ops", _STREAM_UPDATE_JOIN_OPS_ORACLE)
+def stream_update_join_ops(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.stream_join import (
+        LEFT_OUTER, stream_stream_join)
+    ev_l = read_stream_table(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    ev_r = (read_stream_table(spark, sf_dir, "events")
+            .filter("event_type = 'error' AND value > 95"))
+    clog = run_to_completion(
+        stream_stream_join(ev_l, ev_r, "user_id", how=LEFT_OUTER), "append")
+    return clog.groupBy("op").agg(F.count("*").alias("n"))

@@ -1,0 +1,76 @@
+"""Stream-stream update join tests (``streaming/stream_join.py``):
+retraction mechanics on a controlled interleaving, inner-join symmetry,
+and TTL state pruning."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.streaming.core import run_to_completion
+from flink_release_1_10_0_spark.streaming.stream_join import (
+    INNER, LEFT_OUTER, fold_join_changelog, stream_stream_join)
+
+_SCHEMA = ("event_id bigint, ts string, user_id bigint, "
+           "event_type string, value double")
+
+
+def _streams(spark, rows):
+    """One bounded stream filtered two ways (left=purchase, right=error)."""
+    df = (spark.createDataFrame(rows, _SCHEMA)
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="ssj_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    return (sdf.filter("event_type = 'purchase'"),
+            sdf.filter("event_type = 'error'"))
+
+
+def _ev(i, minute, etype, value, user=1):
+    return (i, f"2024-01-01 10:{minute:02d}:00", user, etype, value)
+
+
+def test_left_outer_retracts_null_row_on_first_match(spark):
+    """l1 arrives unmatched (+I null-padded); r1 retracts it (-D) and
+    inserts the pair; l2 arrives matched and never emits a null row."""
+    rows = [_ev(1, 0, "purchase", 10.0), _ev(2, 1, "error", 5.0),
+            _ev(3, 2, "purchase", 20.0)]
+    left, right = _streams(spark, rows)
+    clog = run_to_completion(
+        stream_stream_join(left, right, "user_id", how=LEFT_OUTER), "append")
+    got = [(r.op, r.l_id, r.r_id) for r in clog.orderBy("seq").collect()]
+    assert got == [("+I", 1, None), ("-D", 1, None), ("+I", 1, 2),
+                   ("+I", 3, 2)]
+
+
+def test_fold_equals_batch_left_join(spark):
+    rows = [_ev(1, 0, "purchase", 10.0), _ev(2, 1, "error", 5.0),
+            _ev(3, 2, "purchase", 20.0), _ev(4, 3, "purchase", 30.0, user=2)]
+    left, right = _streams(spark, rows)
+    clog = run_to_completion(
+        stream_stream_join(left, right, "user_id", how=LEFT_OUTER), "append")
+    got = {(r.user_id, r.l_id, r.r_id)
+           for r in fold_join_changelog(clog, "user_id").collect()}
+    assert got == {(1, 1, 2), (1, 3, 2), (2, 4, None)}
+
+
+def test_inner_join_emits_pairs_only(spark):
+    rows = [_ev(1, 0, "purchase", 10.0), _ev(2, 1, "error", 5.0),
+            _ev(3, 2, "purchase", 30.0, user=2)]
+    left, right = _streams(spark, rows)
+    clog = run_to_completion(
+        stream_stream_join(left, right, "user_id", how=INNER), "append")
+    got = [(r.op, r.l_id, r.r_id) for r in clog.collect()]
+    assert got == [("+I", 1, 2)]
+
+
+def test_ttl_prunes_expired_state(spark):
+    """With a 10-minute TTL, a right row 30 minutes after the left row
+    no longer joins (the left row aged out of state)."""
+    rows = [_ev(1, 0, "purchase", 10.0), _ev(2, 30, "error", 5.0)]
+    left, right = _streams(spark, rows)
+    clog = run_to_completion(
+        stream_stream_join(left, right, "user_id", how=INNER,
+                           ttl_minutes=10), "append")
+    assert clog.count() == 0
