@@ -984,3 +984,39 @@ def stream_update_join_ops(spark, sf_dir):
     clog = run_to_completion(
         stream_stream_join(ev_l, ev_r, "user_id", how=LEFT_OUTER), "append")
     return clog.groupBy("op").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# allowedLateness + late-data side output (WindowedStream.java:158-177,
+# WindowOperator.java:144-151 isElementLate): per-key watermark = running
+# max event time (in arrival order) minus the watermark delay; rows more
+# than allowed-lateness behind it are flagged to the side output instead
+# of silently dropped.  The bounded events table is time-sorted, so
+# arrival order is synthesized with a multiplicative hash of event_id —
+# deterministic and computable identically in both engines.
+# --------------------------------------------------------------------------
+_STREAM_LATE_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 2654435761) % 4294967296 AS ak
+  FROM events),
+w AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY ak
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM o)
+SELECT user_id, event_id, ts,
+       COALESCE(ts < pm - INTERVAL 60 MINUTE - INTERVAL 1440 MINUTE,
+                FALSE) AS is_late
+FROM w
+"""
+
+
+@register("stream_late_data_side_output", _STREAM_LATE_ORACLE)
+def stream_late_data_side_output(spark, sf_dir):
+    ev = (read_stream_table(spark, sf_dir, "events")
+          .withColumn("__arrival",
+                      (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)))
+    return run_to_completion(
+        stateful.late_data_split(ev, delay_minutes=60,
+                                 allowed_lateness_minutes=1440), "append")

@@ -909,3 +909,57 @@ def cep_times_or_more(events: DataFrame, first_type: str, then_type: str,
     return (events.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def late_data_split(events: DataFrame, delay_minutes: float,
+                    allowed_lateness_minutes: float,
+                    arrival_col: str = "__arrival",
+                    key: str = "user_id") -> DataFrame:
+    """allowedLateness + late-data side output
+    (``WindowedStream.java:158-177`` allowedLateness/sideOutputLateData,
+    ``WindowOperator.java:144-151`` isElementLate): rows are processed
+    in ARRIVAL order per key; the per-key watermark is the running max
+    event time minus ``delay``; a row whose timestamp is more than
+    ``allowed_lateness`` behind that watermark is flagged late instead
+    of being silently dropped — downstream splits the stream on the
+    flag (``side_outputs``) and routes late rows to a recovery sink.
+
+    ``arrival_col`` defines arrival order (a real pipeline has ingest
+    order; bounded replays synthesize one).  State = one max-timestamp
+    per key; the batch is processed with vectorized cummax, no Python
+    row loop.
+    """
+    out_schema = (f"{key} bigint, event_id bigint, ts timestamp, "
+                  "is_late boolean")
+    state_schema = "max_us bigint"
+    delay_us = int(delay_minutes * 60_000_000)
+    late_us = int(allowed_lateness_minutes * 60_000_000)
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        max_us = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(arrival_col)
+            # force microsecond resolution regardless of the pandas
+            # datetime unit the Arrow batch arrived with
+            ts_us = pd.Series(
+                pdf["ts"].values.astype("datetime64[us]").astype("int64"),
+                index=pdf.index)
+            prev_max = ts_us.cummax().shift(1)
+            if max_us is not None:
+                prev_max = prev_max.fillna(max_us).clip(lower=max_us)
+            late = ts_us < prev_max - delay_us - late_us
+            max_us = int(ts_us.max()) if max_us is None \
+                else max(max_us, int(ts_us.max()))
+            yield pd.DataFrame({
+                key: pdf[key].astype("int64"),
+                "event_id": pdf["event_id"].astype("int64"),
+                "ts": pdf["ts"],
+                "is_late": late.fillna(False).astype(bool)})
+        if max_us is not None:
+            state.update((max_us,))
+
+    return (events.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

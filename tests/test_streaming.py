@@ -219,3 +219,36 @@ def test_temporal_join_state_across_batches(spark):
         spark, schema, b1, b2,
         lambda s: temporal_join(s, "error", "purchase"), "_tj_harness")
     assert [(r[1], r[3], r[5]) for r in after_b2] == [(2, 1, 42.0)]
+
+
+def test_late_data_surfaced_not_dropped(spark):
+    """allowedLateness analog: a row arriving (arrival order) after the
+    per-key watermark passed it by more than the allowed lateness is
+    flagged to the side output — never silently dropped."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.stateful import late_data_split
+
+    rows = [
+        # (event_id, ts, arrival) — arrival order: 1, 2, 3
+        (1, "2024-01-01 10:00:00", 1),   # watermark seed
+        (2, "2024-01-02 10:00:00", 2),   # advances watermark a day
+        (3, "2024-01-01 12:00:00", 3),   # 22h behind max: late (>1h allowed)
+        (4, "2024-01-02 09:30:00", 4),   # 30min behind: within lateness
+    ]
+    df = (spark.createDataFrame(
+        [(i, t, 1, "click", 0.0, a) for (i, t, a) in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, __arrival bigint")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="late_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = run_to_completion(
+        late_data_split(sdf, delay_minutes=10, allowed_lateness_minutes=60),
+        "append")
+    flags = {r.event_id: r.is_late for r in out.collect()}
+    assert flags == {1: False, 2: False, 3: True, 4: False}
