@@ -54,7 +54,9 @@ def changelog_sum(events: DataFrame, key: str = "event_type",
             state.update((new, seq))
             yield pd.DataFrame(rows, columns=["op", key, "total", "seq"])
 
-    return (events.groupBy(key)
+    # prune before the keyed shuffle (Catalyst can't see through the
+    # Python state function)
+    return (events.select(key, value_col).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 

@@ -99,6 +99,11 @@ def _validate(stages: list[NfaStage]) -> None:
         raise NotImplementedError(
             "trailing optional: register the short and long patterns "
             "separately (the reference emits both matches)")
+    if stages[0].min_times == 0:
+        raise NotImplementedError(
+            "leading optional/star stage: runs only begin at the first "
+            "stage's predicate — drop the leading optional or register "
+            "both variants")
     for i, s in enumerate(stages):
         if s.contiguity not in ("strict", "relaxed", "relaxed_nd"):
             raise ValueError(f"bad contiguity {s.contiguity!r}")
@@ -137,10 +142,18 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     # JVM-side predicate evaluation: one boolean column per stage pred /
     # until condition — the Python NFA walks bit vectors only.
     tagged = events
+    pred_cols = []
     for i, s in enumerate(stages):
         tagged = tagged.withColumn(f"__m{i}", F.expr(s.pred))
+        pred_cols.append(f"__m{i}")
         if s.until:
             tagged = tagged.withColumn(f"__u{i}", F.expr(s.until))
+            pred_cols.append(f"__u{i}")
+    # prune before the keyed shuffle: Catalyst cannot see through the
+    # Python state function, so an explicit projection is what keeps the
+    # wide event payload out of the exchange — the NFA only needs the
+    # key, time, id, and the precomputed predicate bits
+    tagged = tagged.select(key, ts_col, id_col, *pred_cols)
 
     out_schema = (f"{key} bigint, start_id bigint, end_id bigint, "
                   "start_ts timestamp, end_ts timestamp, n_events int, "

@@ -24,8 +24,18 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+
+
+def _prune(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Project to the columns the state function actually reads BEFORE
+    the keyed shuffle.  Catalyst cannot prune columns through an opaque
+    Python state function, so without this the full event payload
+    (including wide text columns) rides the exchange."""
+    want = [c for c in dict.fromkeys(cols) if c in df.columns]
+    return df.select(*want)
 
 def dedup_keep_last(events: DataFrame, key: str = "user_id") -> DataFrame:
     """Latest event per key by (ts, event_id).  Emits the current winner
@@ -50,7 +60,7 @@ def dedup_keep_last(events: DataFrame, key: str = "user_id") -> DataFrame:
                 "user_id": [key_[0]], "event_id": [best[0]],
                 "event_type": [best[1]], "value": [best[2]], "ts": [best[3]]})
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "event_type", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
 
@@ -86,7 +96,7 @@ def topn_per_key(events: DataFrame, n: int = 3, key: str = "user_id") -> DataFra
                 "value": [e[1] for e in entries],
                 "rn": list(range(1, len(entries) + 1))})
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
 
@@ -138,7 +148,7 @@ def cep_followed_by(events: DataFrame, first_type: str, then_type: str,
                 "first_ts": pd.to_datetime([m[3] for m in matches], unit="us"),
                 "then_ts": pd.to_datetime([m[4] for m in matches], unit="us")})
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -174,7 +184,7 @@ def count_tumble_window(events: DataFrame, n: int = 10,
         if out:
             yield pd.DataFrame(out, columns=["user_id", "w_id", "n_events", "sum_value"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -211,7 +221,7 @@ def changelog_count(events: DataFrame, key: str = "event_type") -> DataFrame:
             state.update((new, seq))
             yield pd.DataFrame(rows, columns=["op", key, "cnt", "seq"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -283,7 +293,8 @@ def temporal_join(events: DataFrame, build_type: str, probe_type: str,
                 "user_id", "probe_id", "probe_ts",
                 "version_id", "version_ts", "version_value"])
 
-    return (events.filter(events.event_type.isin(build_type, probe_type))
+    return (_prune(events, [key, "ts", "event_id", "event_type", "value"])
+            .filter(F.col("event_type").isin(build_type, probe_type))
             .groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
@@ -329,7 +340,7 @@ def cep_one_or_more(events: DataFrame, first_type: str, then_type: str,
             yield pd.DataFrame(out, columns=[
                 "user_id", "then_id", "then_ts", "n_first", "first_ts", "last_ts"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -361,7 +372,7 @@ def over_running_agg(events: DataFrame, key: str = "user_id") -> DataFrame:
             yield pd.DataFrame(out, columns=[
                 "user_id", "event_id", "ts", "running_sum", "running_n"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -420,7 +431,8 @@ def cep_not_followed_by(events: DataFrame, first_type: str, then_type: str,
                 "first_id": [e[1] for e in expired],
                 "first_ts": pd.to_datetime([e[0] for e in expired], unit="us")})
 
-    return (events.withWatermark("ts", watermark_delay)
+    return (_prune(events, [key, "ts", "event_id", "event_type"])
+            .withWatermark("ts", watermark_delay)
             .groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.EventTimeTimeout))
@@ -475,7 +487,8 @@ def temporal_sort(events: DataFrame, key: str = "user_id",
             df["ts"] = pd.to_datetime(df["ts"], unit="us")
             yield df
 
-    return (events.withWatermark("ts", watermark_delay)
+    return (_prune(events, [key, "ts", "event_id"])
+            .withWatermark("ts", watermark_delay)
             .groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.EventTimeTimeout))
@@ -515,7 +528,7 @@ def count_sliding_window(events: DataFrame, size: int = 5, slide: int = 2,
             yield pd.DataFrame(out, columns=[
                 "user_id", "fire_seq", "n_events", "sum_value"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -549,7 +562,7 @@ def over_rows_bounded(events: DataFrame, frame: int = 5,
             yield pd.DataFrame(out, columns=[
                 "user_id", "event_id", "ts", "frame_sum", "frame_n"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -588,7 +601,7 @@ def cep_times_consecutive(events: DataFrame, event_type: str = "click",
             df["last_ts"] = pd.to_datetime(df["last_ts"], unit="us")
             yield df
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -620,7 +633,7 @@ def cep_next(events: DataFrame, first_type: str, then_type: str,
         if out:
             yield pd.DataFrame(out, columns=["user_id", "a_id", "b_id", "b_ts"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -674,7 +687,7 @@ def cep_followed_by_any(events: DataFrame, first_type: str, then_type: str,
             df["then_ts"] = pd.to_datetime(df["then_ts"], unit="us")
             yield df
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -740,7 +753,7 @@ def cep_optional_between(events: DataFrame, first_type: str, opt_type: str,
             df["then_ts"] = pd.to_datetime(df["then_ts"], unit="us")
             yield df
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -800,7 +813,7 @@ def updatable_topn(events: DataFrame, n: int = 3,
         if rows:
             yield pd.DataFrame(rows, columns=["op", key, id_col, "val", "seq"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, id_col, "ts", "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -850,7 +863,7 @@ def over_range_bounded(events: DataFrame, preceding_minutes: float = 5,
             yield pd.DataFrame(out, columns=[
                 key, "event_id", "ts", "range_sum", "range_n"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -906,7 +919,7 @@ def cep_times_or_more(events: DataFrame, first_type: str, then_type: str,
             yield pd.DataFrame(out, columns=[
                 "user_id", "then_id", "then_ts", "n_first", "first_ts", "last_ts"])
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -960,6 +973,6 @@ def late_data_split(events: DataFrame, delay_minutes: float,
         if max_us is not None:
             state.update((max_us,))
 
-    return (events.groupBy(key)
+    return (_prune(events, [key, arrival_col, "ts", "event_id"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))

@@ -132,3 +132,57 @@ def test_triangle_wedge_join_not_cartesian(spark):
     plan = plan_of(spark, "graph_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stateful_ops_prune_payload_before_shuffle(spark):
+    """Catalyst cannot prune columns through a Python state function, so
+    the operators project explicitly: the executed micro-batch plan (and
+    its parquet ReadSchema) must not carry the wide `props` payload into
+    the keyed exchange."""
+    from flink_release_1_10_0_spark.streaming.core import read_stream_table
+    from flink_release_1_10_0_spark.streaming.stateful import cep_followed_by
+
+    import tempfile
+
+    ev = read_stream_table(spark, "/root/testdata/sf0.001", "events")
+    out = cep_followed_by(ev, "error", "purchase", within_minutes=30)
+    ckpt = tempfile.mkdtemp(prefix="plan_ckpt_")
+    q = (out.writeStream.format("memory").queryName("_plan_prune")
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        q.stop()
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "FlatMapGroupsInPandasWithState" in phys
+    # the parquet scan itself must be pruned (no props/value), so the
+    # keyed exchange carries only key/time/id/type
+    assert "props" not in phys, "payload column leaked into the stateful plan"
+    assert "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>" in phys
+
+
+def test_ivf_index_search_uses_partition_pruning(spark):
+    """Searching the cell-partitioned IVF index must prune at the
+    partition level: the routed cell reaches the scan as a dynamic
+    partition pruning filter (directory skip), not a row filter."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.llm import similarity as S
+    from flink_release_1_10_0_spark.queries.helpers import t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_plan_")
+    S.ivf_build_index(emb, path)
+    df = S.ivf_topk_indexed(spark, path, emb.filter(F.col("vec_id") == 1), k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "dynamicpruningexpression" in plan.lower()
+    # and the result matches the logical-filter variant
+    logical = {(r.vec_id, r.cosine)
+               for r in S.ivf_topk(emb, emb.filter(F.col("vec_id") == 1), k=5).collect()}
+    indexed = {(r.vec_id, r.cosine) for r in df.collect()}
+    assert indexed == logical
