@@ -215,3 +215,41 @@ def cep_nfa_not_next(spark, sf_dir):
          .followed_by("purchase").within(3 * 24 * 60).match_stream(ev))
     return run_to_completion(m.select("user_id", "start_id", "end_id"),
                              "append")
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE with a real PATTERN string: A B+ C over consecutive
+# rows per user (StreamExecMatch.scala:69 grammar; strict row
+# contiguity).  Greedy B+ consumes every consecutive view, so the match
+# is the click, the full view run, and the immediately following
+# purchase with value > 10.
+# --------------------------------------------------------------------------
+_MR_PATTERN_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT a.user_id, a.event_id AS start_id, nx.event_id AS end_id,
+       CAST(nx.rn - a.rn + 1 AS INT) AS n_events
+FROM (SELECT * FROM o WHERE event_type = 'click') a,
+LATERAL (SELECT rn, event_id, event_type, value FROM o x
+         WHERE x.user_id = a.user_id AND x.rn > a.rn
+           AND x.event_type <> 'view'
+         ORDER BY x.rn LIMIT 1) nx
+WHERE nx.event_type = 'purchase' AND nx.value > 10
+  AND nx.rn > a.rn + 1
+"""
+
+
+@register("cep_match_recognize_pattern", _MR_PATTERN_ORACLE)
+def cep_match_recognize_pattern(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.cep import match_recognize_pattern
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = match_recognize_pattern(
+        ev, "user_id",
+        define={"A": "event_type = 'click'",
+                "B": "event_type = 'view'",
+                "C": "event_type = 'purchase' AND value > 10"},
+        pattern="A B+ C")
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")

@@ -263,6 +263,74 @@ class Pattern:
             "watermark timers (see stateful.cep_not_followed_by)")
 
 
+_PATTERN_TOKEN = __import__("re").compile(
+    r"\s*([A-Za-z_]\w*)\s*(\*|\+|\?|\{\d+(?:,\d*)?\})?(\??)")
+
+
+def compile_match_pattern(pattern: str, define: dict[str, str]) -> list:
+    """Compile a MATCH_RECOGNIZE PATTERN string — ``A B+ C``,
+    ``A B{2,4} C?`` is rejected only where the NFA documents a narrowing
+    — into generic NFA stages (``StreamExecMatch.scala:69`` compiles the
+    same grammar via ``org.apache.flink.cep.pattern.Pattern``).
+
+    Semantics: SQL row-pattern matching is over CONSECUTIVE rows, so
+    every stage gets strict contiguity (a row matching no usable
+    variable kills the run); quantifiers are greedy by default, and a
+    trailing ``?`` on a quantifier (``B*?``) makes it reluctant —
+    exactly the SQL:2016 / reference grammar.
+    """
+    from flink_release_1_10_0_spark.streaming.nfa import NfaStage
+
+    stages, pos, s = [], 0, pattern.strip()
+    while pos < len(s):
+        m = _PATTERN_TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"bad PATTERN at {s[pos:]!r}")
+        var, quant, reluctant = m.group(1), m.group(2), m.group(3)
+        if var not in define:
+            raise ValueError(f"PATTERN variable {var!r} has no DEFINE")
+        if quant is None:
+            mn, mx = 1, 1
+        elif quant == "*":
+            mn, mx = 0, None
+        elif quant == "+":
+            mn, mx = 1, None
+        elif quant == "?":
+            mn, mx = 0, 1
+        else:  # {n} {n,} {n,m}
+            body = quant[1:-1]
+            if "," not in body:
+                mn = mx = int(body)
+            else:
+                lo, hi = body.split(",")
+                mn, mx = int(lo), (int(hi) if hi else None)
+        stages.append(NfaStage(
+            pred=define[var], name=var, contiguity="strict",
+            min_times=mn, max_times=mx,
+            greedy=not reluctant and not (mn == 1 and mx == 1)))
+        pos = m.end()
+    return stages
+
+
+def match_recognize_pattern(events: DataFrame, partition_by: str,
+                            define: dict[str, str], pattern: str,
+                            within_minutes: float | None = None,
+                            after_match: str = "skip_to_next_row") -> DataFrame:
+    """Full MATCH_RECOGNIZE execution: PATTERN string + DEFINE predicates
+    compiled straight onto the generic NFA (no symbol column — each
+    DEFINE is evaluated as its stage's predicate, so a row satisfying
+    several variables can take whichever edge the NFA position allows,
+    the reference's exact behavior)."""
+    from flink_release_1_10_0_spark.streaming.nfa import (
+        NO_SKIP, SKIP_PAST_LAST, match_nfa)
+
+    skip = {"skip_to_next_row": NO_SKIP,
+            "skip_past_last_row": SKIP_PAST_LAST}[after_match]
+    return match_nfa(events, compile_match_pattern(pattern, define),
+                     within_minutes=within_minutes, key=partition_by,
+                     after_match=skip)
+
+
 def match_recognize(events: DataFrame, partition_by: str,
                     define: dict[str, str], pattern: "Pattern",
                     order_by: str = "ts") -> DataFrame:
