@@ -15,11 +15,33 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce an event-time column to ``TimestampType`` whatever the source
+    surfaced it as.
+
+    The events parquet stores ``ts`` as INT64 TIMESTAMP(NANOS).  Depending
+    on Spark version/confs that arrives as either ``bigint`` (raw nanos,
+    legacy reader) or ``timestamp_ntz`` (Spark 4.x native nanos support,
+    truncated to micros).  ``withWatermark`` — the reference's event-time
+    semantics (``TimestampAssigner`` / watermark path,
+    ``flink-streaming-java/.../timestamps/``) — requires TIMESTAMP, and the
+    session timezone is pinned to UTC so an NTZ wall-clock cast is the
+    identity reinterpretation DuckDB uses for naive timestamps.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":  # raw nanos -> micros
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":  # wall-clock == UTC instant (session tz UTC)
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str,
@@ -51,9 +73,5 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_time(spark.read.parquet(path))
     return spark.read.parquet(path)

@@ -77,11 +77,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                       .select("id",
                               F.coalesce("pcomp", "component")
                               .alias("component")))
-        # truncate lineage: the plan otherwise grows two joins per round
-        if step % 4 == 3:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.persist()
+        # cut lineage EVERY round: the round's plan references `stepped`
+        # twice (the pointer-doubling self-join), so the logical plan
+        # doubles per round — localCheckpoint collapses it to a
+        # constant-size LogicalRDD before Catalyst re-analyzes it (same
+        # exponential-plan hazard as sssp, r2 verdict #2)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.expr("n.component <> o.component"))
@@ -144,26 +145,29 @@ def sssp(edges: DataFrame, source: int, src: str = "src", dst: str = "dst",
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .distinct().persist())
     dist = (sym.sparkSession.createDataFrame([(source, 0)], "id BIGINT, distance INT")
-            .persist())
+            .localCheckpoint(eager=True))
     frontier = dist
     for step in range(1, max_iterations + 1):
-        reached = (sym.join(frontier, sym.a == frontier.id)
-                   .select(F.col("b").alias("id"))
-                   .distinct())
-        new_frontier = (reached.join(dist.select("id"), "id", "left_anti")
+        # localCheckpoint EVERY step (not every N): the frontier plan
+        # references dist twice (expand + anti-join), so without a cut the
+        # logical plan DOUBLES per hop and Catalyst analysis goes
+        # exponential even when every ancestor is cached (r2 verdict:
+        # 4-hop 17 s -> 6-hop 456 s -> 12-hop never finishes).  After the
+        # cut the plan is a constant-size LogicalRDD; eager=True also
+        # materializes before the old blocks are released.
+        new_frontier = (sym.join(frontier, sym.a == frontier.id)
+                        .select(F.col("b").alias("id"))
+                        .distinct()
+                        .join(dist.select("id"), "id", "left_anti")
                         .withColumn("distance", F.lit(step))
-                        .persist())
-        if new_frontier.limit(1).count() == 0:
-            new_frontier.unpersist()
+                        .localCheckpoint(eager=True))
+        if new_frontier.count() == 0:
             break
+        # dist stays a linear union of checkpointed RDD scans — re-cut
+        # every 8 hops so a 100+-hop diameter stays plannable
         new_dist = dist.unionByName(new_frontier)
-        # lineage grows one union per hop — checkpoint every 8 hops so a
-        # 100+-hop diameter stays plannable
         if step % 8 == 0:
             new_dist = new_dist.localCheckpoint(eager=True)
-        else:
-            new_dist = new_dist.persist()
-        dist.unpersist()
         dist = new_dist
         frontier = new_frontier
     sym.unpersist()

@@ -34,11 +34,15 @@ def bulk_iterate(initial: DataFrame,
     through ``step`` up to ``max_iterations`` times; optional
     ``converged(old, new)`` termination criterion (the reference's
     ``closeWith(result, terminationCriterion)``)."""
-    state = initial.persist()
+    # localCheckpoint every superstep: a caller's step may reference
+    # `state` more than once, doubling the logical plan per iteration —
+    # eager checkpoint collapses it to a constant-size LogicalRDD and
+    # materializes it before the previous blocks are released (the
+    # exponential-plan hazard fixed in graph.sssp, r2 verdict #2)
+    state = initial.localCheckpoint(eager=True)
     for _ in range(max_iterations):
-        new_state = step(state).persist()
+        new_state = step(state).localCheckpoint(eager=True)
         done = bool(converged and converged(state, new_state))
-        state.unpersist()
         state = new_state
         if done:
             break
@@ -57,21 +61,19 @@ def delta_iterate(solution: DataFrame, workset: DataFrame,
     is empty — the property that makes delta iterations cheap: cost
     tracks the shrinking workset, not the full solution."""
     keys = key_cols or [solution.columns[0]]
-    sol = solution.persist()
-    ws = workset.persist()
+    # eager localCheckpoint per superstep — same plan-growth reasoning as
+    # bulk_iterate; counts on a checkpointed frame are cheap RDD scans
+    sol = solution.localCheckpoint(eager=True)
+    ws = workset.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         delta, next_ws = step(sol, ws)
-        delta = delta.persist()
-        next_ws = next_ws.persist()
-        if delta.limit(1).count() == 0 and next_ws.limit(1).count() == 0:
-            delta.unpersist()
-            next_ws.unpersist()
+        delta = delta.localCheckpoint(eager=True)
+        next_ws = next_ws.localCheckpoint(eager=True)
+        if delta.count() == 0 and next_ws.count() == 0:
             break
-        new_sol = (sol.join(delta.select(*keys), keys, "left_anti")
-                   .unionByName(delta).persist())
-        sol.unpersist()
-        ws.unpersist()
-        sol, ws = new_sol, next_ws
-        if ws.limit(1).count() == 0:
+        sol = (sol.join(delta.select(*keys), keys, "left_anti")
+               .unionByName(delta).localCheckpoint(eager=True))
+        ws = next_ws
+        if ws.count() == 0:
             break
     return sol

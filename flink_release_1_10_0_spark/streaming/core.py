@@ -20,7 +20,6 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 _counter = itertools.count()
 
@@ -29,6 +28,8 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming scan of a testdata table (StreamExecTableSourceScan
     analog).  Handles the events table's INT64-nanos timestamp the same
     way the batch catalog does."""
+    from ..catalog import normalize_event_time
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -37,8 +38,8 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sdf = (spark.readStream.schema(schema)
            .option("pathGlobFilter", f"{name}.parquet")
            .parquet(sf_dir))
-    if name == "events" and dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        sdf = normalize_event_time(sdf)
     return sdf
 
 

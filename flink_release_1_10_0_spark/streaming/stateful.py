@@ -37,6 +37,20 @@ def _prune(df: DataFrame, cols: list[str]) -> DataFrame:
     want = [c for c in dict.fromkeys(cols) if c in df.columns]
     return df.select(*want)
 
+def _ts_us(pdf: pd.DataFrame, col: str = "ts") -> list[int]:
+    """Event-time column as integer microseconds, one plain Python list.
+
+    Per-event logic is inherent to these operators (NFA edges, version
+    lookups), but per-event *pandas* overhead is not: extract each column
+    once per Arrow batch (``tolist``) and walk plain lists — the pattern
+    nfa.py uses — instead of ``iterrows`` (~10-100x slower row boxing)."""
+    return pdf[col].values.astype("datetime64[us]").astype("int64").tolist()
+
+
+def _i64(pdf: pd.DataFrame, col: str) -> list[int]:
+    return pdf[col].astype("int64").tolist()
+
+
 def dedup_keep_last(events: DataFrame, key: str = "user_id") -> DataFrame:
     """Latest event per key by (ts, event_id).  Emits the current winner
     every batch (update semantics)."""
@@ -121,21 +135,20 @@ def cep_followed_by(events: DataFrame, first_type: str, then_type: str,
         matches = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                et = str(row["event_type"])
-                ts_us = row["ts"].value // 1000
+            for et, eid, ts_us in zip(pdf["event_type"].tolist(),
+                                      _i64(pdf, "event_id"), _ts_us(pdf)):
                 if et == first_type:
                     # prune on A arrivals too: an expired A can never match
                     # a later B (event-time order), so state stays bounded
                     # by the window even when no B's flow
                     pending = [(aid, aus) for (aid, aus) in pending
                                if ts_us - aus <= within_us]
-                    pending.append((int(row["event_id"]), ts_us))
+                    pending.append((eid, ts_us))
                 elif et == then_type:
                     still = []
                     for (aid, aus) in pending:
                         if 0 < ts_us - aus <= within_us:
-                            matches.append((key_[0], aid, int(row["event_id"]), aus, ts_us))
+                            matches.append((key_[0], aid, eid, aus, ts_us))
                         elif ts_us - aus <= 0:
                             still.append((aid, aus))  # same-instant A: not expired
                     pending = still
@@ -173,7 +186,7 @@ def count_tumble_window(events: DataFrame, n: int = 10,
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
+            for v in pdf["value"].astype("float64").tolist():
                 part_n += 1
                 part_cents += int(round(float(v) * 100))
                 if part_n == n:
@@ -259,11 +272,11 @@ def temporal_join(events: DataFrame, build_type: str, probe_type: str,
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                ts_us = row["ts"].value // 1000
-                et = str(row["event_type"])
+            for et, eid, ts_us, val in zip(pdf["event_type"].tolist(),
+                                           _i64(pdf, "event_id"), _ts_us(pdf),
+                                           pdf["value"].astype("float64").tolist()):
                 if et == build_type:
-                    versions.append((ts_us, int(row["event_id"]), float(row["value"])))
+                    versions.append((ts_us, eid, val))
                     versions.sort()
                 elif et == probe_type:
                     # latest version at-or-before the probe: rightmost <= ts
@@ -274,9 +287,7 @@ def temporal_join(events: DataFrame, build_type: str, probe_type: str,
                         else:
                             break
                     if best is not None:
-                        out.append((key_[0], int(row["event_id"]), row["ts"],
-                                    best[1], pd.Timestamp(best[0] * 1000),
-                                    best[2]))
+                        out.append((key_[0], eid, ts_us, best[1], best[0], best[2]))
         if retention_minutes is not None and versions:
             cutoff = versions[-1][0] - int(retention_minutes * 60_000_000)
             # newest version at-or-before the cutoff must survive: an
@@ -289,9 +300,12 @@ def temporal_join(events: DataFrame, build_type: str, probe_type: str,
         state.update(([v[1] for v in versions], [v[0] for v in versions],
                       [v[2] for v in versions]))
         if out:
-            yield pd.DataFrame(out, columns=[
+            df = pd.DataFrame(out, columns=[
                 "user_id", "probe_id", "probe_ts",
                 "version_id", "version_ts", "version_value"])
+            df["probe_ts"] = pd.to_datetime(df["probe_ts"], unit="us")
+            df["version_ts"] = pd.to_datetime(df["version_ts"], unit="us")
+            yield df
 
     return (_prune(events, [key, "ts", "event_id", "event_type", "value"])
             .filter(F.col("event_type").isin(build_type, probe_type))
@@ -319,9 +333,8 @@ def cep_one_or_more(events: DataFrame, first_type: str, then_type: str,
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                ts_us = row["ts"].value // 1000
-                et = str(row["event_type"])
+            for et, eid, ts_us in zip(pdf["event_type"].tolist(),
+                                      _i64(pdf, "event_id"), _ts_us(pdf)):
                 if et == first_type:
                     # window-bounded state even with no B traffic
                     pending = [a for a in pending if ts_us - a <= within_us]
@@ -330,15 +343,16 @@ def cep_one_or_more(events: DataFrame, first_type: str, then_type: str,
                     pending = [a for a in pending if ts_us - a <= within_us]
                     in_win = [a for a in pending if 0 < ts_us - a <= within_us]
                     if in_win:
-                        out.append((key_[0], int(row["event_id"]), row["ts"],
-                                    len(in_win),
-                                    pd.Timestamp(min(in_win) * 1000),
-                                    pd.Timestamp(max(in_win) * 1000)))
+                        out.append((key_[0], eid, ts_us, len(in_win),
+                                    min(in_win), max(in_win)))
                         pending = [a for a in pending if not (0 < ts_us - a <= within_us)]
         state.update((pending,))
         if out:
-            yield pd.DataFrame(out, columns=[
+            df = pd.DataFrame(out, columns=[
                 "user_id", "then_id", "then_ts", "n_first", "first_ts", "last_ts"])
+            for c in ("then_ts", "first_ts", "last_ts"):
+                df[c] = pd.to_datetime(df[c], unit="us")
+            yield df
 
     return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
@@ -362,15 +376,17 @@ def over_running_agg(events: DataFrame, key: str = "user_id") -> DataFrame:
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                cents += int(round(float(row["value"]) * 100))
+            for eid, ts_us, val in zip(_i64(pdf, "event_id"), _ts_us(pdf),
+                                       pdf["value"].astype("float64").tolist()):
+                cents += int(round(val * 100))
                 n += 1
-                out.append((key_[0], int(row["event_id"]), row["ts"],
-                            cents / 100.0, n))
+                out.append((key_[0], eid, ts_us, cents / 100.0, n))
         state.update((cents, n))
         if out:
-            yield pd.DataFrame(out, columns=[
+            df = pd.DataFrame(out, columns=[
                 "user_id", "event_id", "ts", "running_sum", "running_n"])
+            df["ts"] = pd.to_datetime(df["ts"], unit="us")
+            yield df
 
     return (_prune(events, [key, "ts", "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
@@ -403,11 +419,10 @@ def cep_not_followed_by(events: DataFrame, first_type: str, then_type: str,
         if not state.hasTimedOut:
             for pdf in pdfs:
                 pdf = pdf.sort_values(["ts", "event_id"])
-                for _, row in pdf.iterrows():
-                    et = str(row["event_type"])
-                    ts_us = row["ts"].value // 1000
+                for et, eid, ts_us in zip(pdf["event_type"].tolist(),
+                                          _i64(pdf, "event_id"), _ts_us(pdf)):
                     if et == first_type:
-                        pending.append((ts_us, int(row["event_id"])))
+                        pending.append((ts_us, eid))
                     elif et == then_type:
                         pending = [(aus, aid) for (aus, aid) in pending
                                    if not (0 < ts_us - aus <= within_us)]
@@ -464,8 +479,7 @@ def temporal_sort(events: DataFrame, key: str = "user_id",
             emitted, buf = 0, []
         if not state.hasTimedOut:
             for pdf in pdfs:
-                for _, row in pdf.iterrows():
-                    buf.append((row["ts"].value // 1000, int(row["event_id"])))
+                buf.extend(zip(_ts_us(pdf), _i64(pdf, "event_id")))
         buf.sort()
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
@@ -516,7 +530,7 @@ def count_sliding_window(events: DataFrame, size: int = 5, slide: int = 2,
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
+            for v in pdf["value"].astype("float64").tolist():
                 recent.append(int(round(float(v) * 100)))
                 if len(recent) > size:
                     recent.pop(0)
@@ -550,17 +564,19 @@ def over_rows_bounded(events: DataFrame, frame: int = 5,
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                cents = int(round(float(row["value"]) * 100))
-                recent.append(cents)
+            for eid, ts_us, val in zip(_i64(pdf, "event_id"), _ts_us(pdf),
+                                       pdf["value"].astype("float64").tolist()):
+                recent.append(int(round(val * 100)))
                 if len(recent) > frame:
                     recent.pop(0)
-                out.append((key_[0], int(row["event_id"]), row["ts"],
+                out.append((key_[0], eid, ts_us,
                             sum(recent) / 100.0, len(recent)))
         state.update((recent,))
         if out:
-            yield pd.DataFrame(out, columns=[
+            df = pd.DataFrame(out, columns=[
                 "user_id", "event_id", "ts", "frame_sum", "frame_n"])
+            df["ts"] = pd.to_datetime(df["ts"], unit="us")
+            yield df
 
     return (_prune(events, [key, "ts", "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
@@ -586,12 +602,12 @@ def cep_times_consecutive(events: DataFrame, event_type: str = "click",
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                if str(row["event_type"]) == event_type:
+            for et, eid, ts_us in zip(pdf["event_type"].tolist(),
+                                      _i64(pdf, "event_id"), _ts_us(pdf)):
+                if et == event_type:
                     run += 1
                     if run == n:
-                        out.append((key_[0], int(row["event_id"]),
-                                    row["ts"].value // 1000, n))
+                        out.append((key_[0], eid, ts_us, n))
                         run = 0
                 else:
                     run = 0
@@ -623,15 +639,16 @@ def cep_next(events: DataFrame, first_type: str, then_type: str,
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                et = str(row["event_type"])
+            for et, eid, ts_us in zip(pdf["event_type"].tolist(),
+                                      _i64(pdf, "event_id"), _ts_us(pdf)):
                 if et == then_type and prev_type == first_type:
-                    out.append((key_[0], int(prev_id), int(row["event_id"]),
-                                row["ts"]))
-                prev_type, prev_id = et, int(row["event_id"])
+                    out.append((key_[0], int(prev_id), eid, ts_us))
+                prev_type, prev_id = et, eid
         state.update((prev_type, prev_id))
         if out:
-            yield pd.DataFrame(out, columns=["user_id", "a_id", "b_id", "b_ts"])
+            df = pd.DataFrame(out, columns=["user_id", "a_id", "b_id", "b_ts"])
+            df["b_ts"] = pd.to_datetime(df["b_ts"], unit="us")
+            yield df
 
     return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
@@ -662,23 +679,21 @@ def cep_followed_by_any(events: DataFrame, first_type: str, then_type: str,
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                et = str(row["event_type"])
-                ts_us = row["ts"].value // 1000
+            for et, eid, ts_us in zip(pdf["event_type"].tolist(),
+                                      _i64(pdf, "event_id"), _ts_us(pdf)):
                 if et == first_type:
                     # prune on A arrivals too (not only under B traffic):
                     # expired A's can never match later — state stays
                     # window-bounded on B-starved keys
                     pending = [(aid, aus) for (aid, aus) in pending
                                if ts_us - aus <= within_us]
-                    pending.append((int(row["event_id"]), ts_us))
+                    pending.append((eid, ts_us))
                 elif et == then_type:
                     pending = [(aid, aus) for (aid, aus) in pending
                                if ts_us - aus <= within_us]
                     for (aid, aus) in pending:
                         if 0 < ts_us - aus:
-                            out.append((key_[0], aid, int(row["event_id"]),
-                                        aus, ts_us))
+                            out.append((key_[0], aid, eid, aus, ts_us))
         state.update(([p[0] for p in pending], [p[1] for p in pending]))
         if out:
             df = pd.DataFrame(out, columns=[
@@ -719,13 +734,12 @@ def cep_optional_between(events: DataFrame, first_type: str, opt_type: str,
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                et = str(row["event_type"])
-                ts_us = row["ts"].value // 1000
+            for et, eid, ts_us in zip(pdf["event_type"].tolist(),
+                                      _i64(pdf, "event_id"), _ts_us(pdf)):
                 if et == first_type:
                     pending = [(aid, aus) for (aid, aus) in pending
                                if ts_us - aus <= within_us]
-                    pending.append((int(row["event_id"]), ts_us))
+                    pending.append((eid, ts_us))
                 elif et == opt_type:
                     opts.append(ts_us)
                     opts = [o for o in opts if ts_us - o <= within_us]
@@ -735,8 +749,7 @@ def cep_optional_between(events: DataFrame, first_type: str, opt_type: str,
                     for (aid, aus) in pending:
                         if 0 < ts_us - aus <= within_us:
                             had = any(aus < o < ts_us for o in opts)
-                            out.append((key_[0], aid, int(row["event_id"]),
-                                        aus, ts_us, had))
+                            out.append((key_[0], aid, eid, aus, ts_us, had))
                         elif ts_us - aus <= 0:
                             # same-instant A: not yet matchable, keep; an
                             # EXPIRED A is dropped — it can never match
@@ -789,8 +802,9 @@ def updatable_topn(events: DataFrame, n: int = 3,
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                cur[int(row[id_col])] = int(round(float(row["value"]) * 100))
+            for uid, val in zip(_i64(pdf, id_col),
+                                pdf["value"].astype("float64").tolist()):
+                cur[uid] = int(round(val * 100))
                 changed = True
         if not changed:
             return
@@ -848,20 +862,29 @@ def over_range_bounded(events: DataFrame, preceding_minutes: float = 5,
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for ts_val, grp in pdf.groupby("ts", sort=True):
-                ts_us = ts_val.value // 1000
-                for _, row in grp.iterrows():
-                    buf.append((ts_us, int(round(float(row["value"]) * 100))))
+            tss, ids = _ts_us(pdf), _i64(pdf, "event_id")
+            vals = pdf["value"].astype("float64").tolist()
+            # walk equal-timestamp runs (RANGE peers fire together)
+            i = 0
+            while i < len(tss):
+                j = i
+                while j < len(tss) and tss[j] == tss[i]:
+                    j += 1
+                ts_us = tss[i]
+                for k in range(i, j):
+                    buf.append((ts_us, int(round(vals[k] * 100))))
                 buf = [(u, c) for (u, c) in buf if ts_us - u <= prec_us]
                 s = sum(c for (_, c) in buf)
                 n = len(buf)
-                for _, row in grp.iterrows():
-                    out.append((key_[0], int(row["event_id"]), row["ts"],
-                                s / 100.0, n))
+                for k in range(i, j):
+                    out.append((key_[0], ids[k], ts_us, s / 100.0, n))
+                i = j
         state.update(([u for (u, _) in buf], [c for (_, c) in buf]))
         if out:
-            yield pd.DataFrame(out, columns=[
+            df = pd.DataFrame(out, columns=[
                 key, "event_id", "ts", "range_sum", "range_n"])
+            df["ts"] = pd.to_datetime(df["ts"], unit="us")
+            yield df
 
     return (_prune(events, [key, "ts", "event_id", "value"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
@@ -899,9 +922,8 @@ def cep_times_or_more(events: DataFrame, first_type: str, then_type: str,
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                ts_us = row["ts"].value // 1000
-                et = str(row["event_type"])
+            for et, eid, ts_us in zip(pdf["event_type"].tolist(),
+                                      _i64(pdf, "event_id"), _ts_us(pdf)):
                 if et == first_type:
                     pending = [a for a in pending if ts_us - a <= within_us]
                     pending.append(ts_us)
@@ -909,15 +931,16 @@ def cep_times_or_more(events: DataFrame, first_type: str, then_type: str,
                     pending = [a for a in pending if ts_us - a <= within_us]
                     in_win = [a for a in pending if 0 < ts_us - a]
                     if len(in_win) >= n_min:
-                        out.append((key_[0], int(row["event_id"]), row["ts"],
-                                    len(in_win),
-                                    pd.Timestamp(min(in_win) * 1000),
-                                    pd.Timestamp(max(in_win) * 1000)))
+                        out.append((key_[0], eid, ts_us, len(in_win),
+                                    min(in_win), max(in_win)))
                         pending = [a for a in pending if a >= ts_us]
         state.update((pending,))
         if out:
-            yield pd.DataFrame(out, columns=[
+            df = pd.DataFrame(out, columns=[
                 "user_id", "then_id", "then_ts", "n_first", "first_ts", "last_ts"])
+            for c in ("then_ts", "first_ts", "last_ts"):
+                df[c] = pd.to_datetime(df[c], unit="us")
+            yield df
 
     return (_prune(events, [key, "ts", "event_id", "event_type"]).groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,

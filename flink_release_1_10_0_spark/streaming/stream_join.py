@@ -33,7 +33,6 @@ from the state view).
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 from typing import Any
 
@@ -81,13 +80,21 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
 
     out_schema = (f"op string, {key} bigint, l_id bigint, l_value double, "
                   "r_id bigint, r_value double, seq bigint")
-    state_schema = "js string"
+    # typed columns, not a JSON blob: the state store holds packed Arrow
+    # arrays and skips json.dumps/loads per key per micro-batch — at
+    # 100 TB state volume ser/deser dominates (r2 verdict #5)
+    state_schema = ("l_ids array<bigint>, l_us array<bigint>, "
+                    "l_vals array<double>, l_n array<bigint>, "
+                    "r_ids array<bigint>, r_us array<bigint>, "
+                    "r_vals array<double>, seq bigint")
 
     def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            st = json.loads(state.get[0])
+            (l_ids, l_us, l_vals, l_n, r_ids, r_us, r_vals, seq) = state.get
             # lrows: [id, ts_us, value, n_matches]; rrows: [id, ts_us, value]
-            lrows, rrows, seq = st["l"], st["r"], st["seq"]
+            lrows = [list(t) for t in zip(list(l_ids), list(l_us),
+                                          list(l_vals), list(l_n))]
+            rrows = [list(t) for t in zip(list(r_ids), list(r_us), list(r_vals))]
         else:
             lrows, rrows, seq = [], [], 0
         out = []
@@ -104,7 +111,7 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
             pdf = pdf.sort_values(["__ts", "__id"])
             sides = pdf["__side"].astype("int64").tolist()
             ids = pdf["__id"].astype("int64").tolist()
-            tss = [t.value // 1000 for t in pdf["__ts"]]
+            tss = pdf["__ts"].values.astype("datetime64[us]").astype("int64").tolist()
             vals = pdf["__v"].astype("float64").tolist()
             for s, i, ts_us, v in zip(sides, ids, tss, vals):
                 if ttl_us is not None:
@@ -125,7 +132,10 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                         emit("+I", lr[0], lr[2], i, v)
                         lr[3] += 1
                     rrows.append([i, ts_us, v])
-        state.update((json.dumps({"l": lrows, "r": rrows, "seq": seq}),))
+        state.update(([r[0] for r in lrows], [r[1] for r in lrows],
+                      [r[2] for r in lrows], [r[3] for r in lrows],
+                      [r[0] for r in rrows], [r[1] for r in rrows],
+                      [r[2] for r in rrows], seq))
         if out:
             yield pd.DataFrame(out, columns=[
                 "op", key, "l_id", "l_value", "r_id", "r_value", "seq"])

@@ -160,7 +160,10 @@ def test_stateful_ops_prune_payload_before_shuffle(spark):
     # the parquet scan itself must be pruned (no props/value), so the
     # keyed exchange carries only key/time/id/type
     assert "props" not in phys, "payload column leaked into the stateful plan"
-    assert "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>" in phys
+    # ts surfaces as bigint (legacy nanos) or timestamp_ntz depending on
+    # Spark version; either way only the four needed columns may be read
+    assert ("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>" in phys
+            or "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>" in phys)
 
 
 def test_ivf_index_search_uses_partition_pruning(spark):

@@ -83,3 +83,16 @@ def test_top_n_invariants(spark, rows, n):
         kept_min = min(r["v"] for r in group)
         dropped = sorted(values[k], reverse=True)[len(group):]
         assert all(kept_min >= d for d in dropped)
+
+
+def test_no_iterrows_in_package():
+    """Guard: pandas.iterrows is banned in the package — stateful hot
+    loops must extract columns once per Arrow batch (tolist) and walk
+    plain lists (r2 verdict #4: iterrows is 10-100x slower row boxing)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "flink_release_1_10_0_spark"
+    offenders = [str(p) for p in root.rglob("*.py")
+                 if re.search(r"\.iterrows\(", p.read_text())]
+    assert offenders == []
