@@ -253,3 +253,167 @@ def cep_match_recognize_pattern(spark, sf_dir):
         pattern="A B+ C")
     return run_to_completion(
         m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE MEASURES — ONE ROW PER MATCH
+# (StreamExecMatch.scala:69 / MatchCodeGenerator.scala measure codegen)
+# --------------------------------------------------------------------------
+_MR_MEASURES_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT a.user_id, a.rn AS a_rn, nx.rn AS c_rn,
+         a.value AS a_val, nx.value AS c_val
+  FROM (SELECT * FROM o WHERE event_type = 'click') a,
+  LATERAL (SELECT rn, event_type, value FROM o x
+           WHERE x.user_id = a.user_id AND x.rn > a.rn
+             AND x.event_type <> 'view'
+           ORDER BY x.rn LIMIT 1) nx
+  WHERE nx.event_type = 'purchase' AND nx.value > 10 AND nx.rn > a.rn + 1)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY a_rn) AS BIGINT)
+         AS match_no,
+       a_val,
+       CAST((SELECT count(*) FROM o b
+             WHERE b.user_id = m.user_id AND b.rn > m.a_rn AND b.rn < m.c_rn)
+            AS BIGINT) AS n_b,
+       CAST((SELECT SUM(CAST(b.value AS DECIMAL(18,2))) FROM o b
+             WHERE b.user_id = m.user_id AND b.rn > m.a_rn AND b.rn < m.c_rn)
+            AS DOUBLE) AS b_sum,
+       c_val
+FROM m
+"""
+
+
+@register("cep_mr_measures_one_row", _MR_MEASURES_ORACLE)
+def cep_mr_measures_one_row(spark, sf_dir):
+    """MEASURES over A B+ C: FIRST/LAST/COUNT/SUM per pattern variable,
+    ONE ROW PER MATCH with MATCH_NUMBER()."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.streaming.cep import (
+        match_recognize_measures, match_recognize_pattern)
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = match_recognize_pattern(
+        ev, "user_id",
+        define={"A": "event_type = 'click'",
+                "B": "event_type = 'view'",
+                "C": "event_type = 'purchase' AND value > 10"},
+        pattern="A B+ C")
+    log = run_to_completion(m, "append")
+    out = match_recognize_measures(
+        log, t(spark, sf_dir, "events").select("event_id", "value"),
+        stage_names=["A", "B", "C"],
+        measures={"a_val": "FIRST(A.value)", "n_b": "COUNT(B.*)",
+                  "b_sum": "SUM(B.value)", "c_val": "LAST(C.value)"},
+        partition_by="user_id", rows_per_match="one")
+    return out.withColumn("match_no", F.col("match_no").cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE — ALL ROWS PER MATCH (+ CLASSIFIER(), MATCH_NUMBER())
+# --------------------------------------------------------------------------
+_MR_ALL_ROWS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT a.user_id, a.rn AS a_rn, nx.rn AS c_rn
+  FROM (SELECT * FROM o WHERE event_type = 'click') a,
+  LATERAL (SELECT rn, event_type, value FROM o x
+           WHERE x.user_id = a.user_id AND x.rn > a.rn
+             AND x.event_type <> 'view'
+           ORDER BY x.rn LIMIT 1) nx
+  WHERE nx.event_type = 'purchase' AND nx.value > 10 AND nx.rn > a.rn + 1),
+mm AS (
+  SELECT user_id, a_rn, c_rn,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY a_rn) AS BIGINT)
+           AS match_no
+  FROM m)
+SELECT mm.user_id, mm.match_no,
+       CAST(e.rn - mm.a_rn AS BIGINT) AS pos,
+       e.event_id,
+       CASE WHEN e.rn = mm.a_rn THEN 'A'
+            WHEN e.rn = mm.c_rn THEN 'C' ELSE 'B' END AS classifier,
+       CAST(mm.c_rn - mm.a_rn - 1 AS BIGINT) AS n_b
+FROM mm JOIN o e
+  ON e.user_id = mm.user_id AND e.rn BETWEEN mm.a_rn AND mm.c_rn
+"""
+
+
+@register("cep_mr_all_rows_per_match", _MR_ALL_ROWS_ORACLE)
+def cep_mr_all_rows_per_match(spark, sf_dir):
+    """ALL ROWS PER MATCH: one output row per consumed event with
+    CLASSIFIER() and final-value measures."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.streaming.cep import (
+        match_recognize_measures, match_recognize_pattern)
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = match_recognize_pattern(
+        ev, "user_id",
+        define={"A": "event_type = 'click'",
+                "B": "event_type = 'view'",
+                "C": "event_type = 'purchase' AND value > 10"},
+        pattern="A B+ C")
+    log = run_to_completion(m, "append")
+    out = match_recognize_measures(
+        log, t(spark, sf_dir, "events").select("event_id", "value"),
+        stage_names=["A", "B", "C"],
+        measures={"n_b": "COUNT(B.*)"},
+        partition_by="user_id", rows_per_match="all")
+    return (out.withColumn("match_no", F.col("match_no").cast("bigint"))
+            .withColumn("pos", F.col("pos").cast("bigint")))
+
+
+# --------------------------------------------------------------------------
+# AFTER MATCH SKIP TO LAST <var>
+# (AfterMatchSkipStrategy.skipToLast, nfa/aftermatch/)
+# --------------------------------------------------------------------------
+# Pattern A+ C (A=click, C=purchase, strict contiguity): every click of a
+# maximal consecutive-click run spawns a parallel run; the purchase closes
+# the oldest (maximal) match first, and SKIP TO LAST A then discards every
+# partial run begun before the run's last click — so exactly the maximal
+# match and the 2-event (last-click, purchase) match survive.
+_MR_SKIP_TO_LAST_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+c AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM o WHERE event_type = 'click'),
+runs AS (SELECT user_id, grp, min(rn) AS first_rn, max(rn) AS last_rn,
+                count(*) AS n_a
+         FROM c GROUP BY user_id, grp),
+matched AS (SELECT r.*, p.event_id AS end_id
+            FROM runs r JOIN o p
+              ON p.user_id = r.user_id AND p.rn = r.last_rn + 1
+            WHERE p.event_type = 'purchase')
+SELECT m.user_id, f.event_id AS start_id, m.end_id,
+       CAST(m.n_a + 1 AS INT) AS n_events
+FROM matched m JOIN o f ON f.user_id = m.user_id AND f.rn = m.first_rn
+UNION ALL
+SELECT m.user_id, l.event_id AS start_id, m.end_id,
+       CAST(2 AS INT) AS n_events
+FROM matched m JOIN o l ON l.user_id = m.user_id AND l.rn = m.last_rn
+WHERE m.n_a >= 2
+"""
+
+
+@register("cep_mr_skip_to_last", _MR_SKIP_TO_LAST_ORACLE)
+def cep_mr_skip_to_last(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.cep import match_recognize_pattern
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = match_recognize_pattern(
+        ev, "user_id",
+        define={"A": "event_type = 'click'",
+                "C": "event_type = 'purchase'"},
+        pattern="A+ C",
+        after_match="skip_to_last A")
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")

@@ -312,6 +312,27 @@ def compile_match_pattern(pattern: str, define: dict[str, str]) -> list:
     return stages
 
 
+def _parse_after_match(after_match: str):
+    """Map the SQL AFTER MATCH clause to the NFA skip strategy.
+
+    Accepted: ``skip_to_next_row``, ``skip_past_last_row``,
+    ``skip_to_first <var>``, ``skip_to_last <var>`` — the reference's
+    full surface (``AfterMatchSkipStrategy``; parsed by
+    ``StreamExecMatch.scala:69`` from the MATCH_RECOGNIZE clause)."""
+    from flink_release_1_10_0_spark.streaming.nfa import (
+        NO_SKIP, SKIP_PAST_LAST, SKIP_TO_FIRST, SKIP_TO_LAST)
+
+    am = after_match.strip().lower()
+    if am == "skip_to_next_row":
+        return NO_SKIP
+    if am == "skip_past_last_row":
+        return SKIP_PAST_LAST
+    parts = after_match.split()
+    if len(parts) == 2 and parts[0].lower() in (SKIP_TO_FIRST, SKIP_TO_LAST):
+        return (parts[0].lower(), parts[1])
+    raise ValueError(f"bad AFTER MATCH clause {after_match!r}")
+
+
 def match_recognize_pattern(events: DataFrame, partition_by: str,
                             define: dict[str, str], pattern: str,
                             within_minutes: float | None = None,
@@ -321,14 +342,125 @@ def match_recognize_pattern(events: DataFrame, partition_by: str,
     DEFINE is evaluated as its stage's predicate, so a row satisfying
     several variables can take whichever edge the NFA position allows,
     the reference's exact behavior)."""
-    from flink_release_1_10_0_spark.streaming.nfa import (
-        NO_SKIP, SKIP_PAST_LAST, match_nfa)
+    from flink_release_1_10_0_spark.streaming.nfa import match_nfa
 
-    skip = {"skip_to_next_row": NO_SKIP,
-            "skip_past_last_row": SKIP_PAST_LAST}[after_match]
     return match_nfa(events, compile_match_pattern(pattern, define),
                      within_minutes=within_minutes, key=partition_by,
-                     after_match=skip)
+                     after_match=_parse_after_match(after_match))
+
+
+_MEASURE_AGG = __import__("re").compile(
+    r"^\s*(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*([A-Za-z_]\w*)\.(\w+|\*)\s*\)\s*$",
+    __import__("re").IGNORECASE)
+
+
+def _parse_measure(spec: str) -> tuple[str, str, str]:
+    """Parse one MEASURES expression: (agg, variable, column).
+
+    Grammar (the reference's ``MatchCodeGenerator.scala`` measure
+    surface, final-value semantics): ``FIRST(V.col)``, ``LAST(V.col)``,
+    ``MIN/MAX/SUM/AVG(V.col)``, ``COUNT(V.*)``/``COUNT(V.col)``, or bare
+    ``V.col`` (= LAST, the SQL:2016 default for a pattern-variable
+    reference)."""
+    m = _MEASURE_AGG.match(spec)
+    if m:
+        return m.group(1).upper(), m.group(2), m.group(3)
+    var, _, col = spec.strip().partition(".")
+    if not col or not var.isidentifier():
+        raise ValueError(f"bad MEASURES expression {spec!r}")
+    return "LAST", var, col.strip()
+
+
+def _measure_sql(spec: str) -> str:
+    """Compile a MEASURES expression to a grouped aggregate over the
+    exploded match rows (columns: event attributes + ``var`` =
+    CLASSIFIER, ``pos`` = position in match)."""
+    fn_, var, col = _parse_measure(spec)
+    flt = f"FILTER (WHERE var = '{var}')"
+    if fn_ == "FIRST":
+        return f"min_by({col}, pos) {flt}"
+    if fn_ == "LAST":
+        return f"max_by({col}, pos) {flt}"
+    if fn_ == "COUNT":
+        return (f"count(*) {flt}" if col == "*" else f"count({col}) {flt}")
+    if fn_ == "SUM" and col == "value":
+        # money: decimal-exact accumulation, double result (the repo's
+        # cross-engine determinism convention)
+        return f"CAST(sum(CAST(value AS DECIMAL(18,2))) {flt} AS DOUBLE)"
+    return f"{fn_.lower()}({col}) {flt}"
+
+
+def _measure_window(spec: str, w):
+    """Same measure as a window aggregate (ALL ROWS PER MATCH attaches
+    the final values to every row of the match without a self-join —
+    FILTER isn't valid in a window spec, so conditionals stand in)."""
+    from pyspark.sql import functions as F
+
+    fn_, var, col = _parse_measure(spec)
+    is_var = F.col("var") == var
+    if fn_ == "COUNT":
+        v = F.lit(1) if col == "*" else F.col(col)
+        return F.count(F.when(is_var, v)).over(w)
+    if fn_ == "SUM" and col == "value":
+        return (F.sum(F.when(is_var, F.col("value").cast("decimal(18,2)")))
+                .over(w).cast("double"))
+    if fn_ in ("SUM", "MIN", "MAX", "AVG"):
+        return getattr(F, fn_.lower())(F.when(is_var, F.col(col))).over(w)
+    # FIRST/LAST: order by pos via struct min/max
+    s = F.when(is_var, F.struct(F.col("pos"), F.col(col).alias("__v")))
+    agg = F.min(s) if fn_ == "FIRST" else F.max(s)
+    return agg.over(w)["__v"]
+
+
+def match_recognize_measures(matches: DataFrame, events: DataFrame,
+                             stage_names: list[str],
+                             measures: dict[str, str],
+                             partition_by: str = "user_id",
+                             rows_per_match: str = "one") -> DataFrame:
+    """MEASURES + ONE/ALL ROWS PER MATCH projection over a completed
+    match log (``StreamExecMatch.scala:69`` / ``MatchCodeGenerator.scala``
+    measure codegen; ``PatternProcessFunctionRunner`` output modes).
+
+    Spark-first layout: the NFA emits each match's consumed event ids
+    (``ev_ids``/``ev_stages``); measures are a *declarative projection*
+    — explode the match to (match, pos, event_id, var=CLASSIFIER) rows,
+    equi-join event attributes back by id, and aggregate per match with
+    FILTER'd min_by/max_by/sum — all JVM-side, no Python in the loop.
+    At scale both sides shuffle on ``event_id`` once; the match log is
+    tiny next to the event log, so AQE broadcasts it.
+
+    - ``rows_per_match="one"``: one row per match — MATCH_NUMBER()
+      (``match_no``, per-partition arrival order) + the measures.
+    - ``rows_per_match="all"``: one row per consumed event — adds
+      ``classifier`` (CLASSIFIER()), ``pos``, ``event_id``; measures are
+      final-value semantics (SQL:2016 FINAL), identical on every row of
+      the match.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if rows_per_match not in ("one", "all"):
+        raise ValueError(f"bad rows_per_match {rows_per_match!r}")
+    w = Window.partitionBy(partition_by).orderBy("start_ts", "start_id", "end_id")
+    mm = matches.withColumn("match_no", F.row_number().over(w))
+    names = F.array(*[F.lit(s) for s in stage_names])
+    ex = (mm.select(partition_by, "match_no",
+                    F.posexplode(F.arrays_zip("ev_ids", "ev_stages"))
+                    .alias("pos", "z"))
+          .select(partition_by, "match_no", "pos",
+                  F.col("z.ev_ids").alias("event_id"),
+                  F.element_at(names, F.col("z.ev_stages") + 1).alias("var")))
+    joined = ex.join(events.drop(partition_by), "event_id")
+    if rows_per_match == "one":
+        aggs = [F.expr(_measure_sql(spec)).alias(name)
+                for name, spec in measures.items()]
+        return joined.groupBy(partition_by, "match_no").agg(*aggs)
+    wm = Window.partitionBy(partition_by, "match_no")
+    out = joined.select(partition_by, "match_no", "pos", "event_id",
+                        F.col("var").alias("classifier"),
+                        *[_measure_window(spec, wm).alias(name)
+                          for name, spec in measures.items()])
+    return out
 
 
 def match_recognize(events: DataFrame, partition_by: str,

@@ -26,9 +26,12 @@ Execution model (Spark-first):
   the run).  ``followedByAny`` keeps the pre-TAKE run alive
   (non-deterministic relaxed contiguity); ``greedy`` suppresses the
   advance branch while the loop stage still matches.
-- After-match skip: ``no_skip`` (the reference's default) or
+- After-match skip: ``no_skip`` (the reference's default),
   ``skip_past_last`` (AfterMatchSkipStrategy.skipPastLastEvent — kills
-  runs begun at/before the match end and suppresses new runs there).
+  runs begun at/before the match end and suppresses new runs there), or
+  ``("skip_to_first"|"skip_to_last", var)`` (skipToFirst/skipToLast —
+  kills runs begun before the first/last event the match mapped to
+  ``var``; the surviving parallel runs are the resume positions).
 
 Scope notes (documented narrowings vs the reference):
 - a trailing ``notFollowedBy`` is supported only via the dedicated
@@ -60,6 +63,8 @@ MAX_RUNS_PER_KEY = 512
 
 NO_SKIP = "no_skip"                    # AfterMatchSkipStrategy.noSkip (default)
 SKIP_PAST_LAST = "skip_past_last"      # AfterMatchSkipStrategy.skipPastLastEvent
+SKIP_TO_FIRST = "skip_to_first"        # AfterMatchSkipStrategy.skipToFirst(var)
+SKIP_TO_LAST = "skip_to_last"          # AfterMatchSkipStrategy.skipToLast(var)
 
 
 @dataclass
@@ -131,9 +136,27 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     Returns an append stream: one row per completed match with the
     consumed event ids / stage indexes (``ev_ids``/``ev_stages``) plus
     scalar start/end columns for oracle-friendly projection.
+
+    ``after_match`` is ``no_skip``, ``skip_past_last``, or a tuple
+    ``("skip_to_first"|"skip_to_last", var)`` naming a pattern variable
+    (``AfterMatchSkipStrategy.skipToFirst/skipToLast``,
+    ``flink-libraries/flink-cep/.../nfa/aftermatch/``): after a match,
+    partial runs that began before the first/last event mapped to
+    ``var`` are discarded — the surviving runs are exactly the ones the
+    reference's NFA would resume from, because the no-skip engine
+    already keeps a parallel run per possible start position.
     """
     _validate(stages)
-    if after_match not in (NO_SKIP, SKIP_PAST_LAST):
+    skip_var_idx: set[int] = set()
+    if isinstance(after_match, tuple):
+        mode, var = after_match
+        if mode not in (SKIP_TO_FIRST, SKIP_TO_LAST):
+            raise ValueError(f"bad after_match {after_match!r}")
+        skip_var_idx = {i for i, s in enumerate(stages) if s.name == var}
+        if not skip_var_idx:
+            raise ValueError(f"skip-to variable {var!r} not in pattern")
+        after_match = mode
+    elif after_match not in (NO_SKIP, SKIP_PAST_LAST):
         raise ValueError(f"bad after_match {after_match!r}")
     n = len(stages)
     within_us = None if within_minutes is None else int(within_minutes * 60_000_000)
@@ -166,7 +189,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     "r_guard array<int>, r_gstrict array<boolean>, "
                     "r_start_us array<bigint>, r_last_us array<bigint>, "
                     "r_evlen array<int>, r_evids array<bigint>, "
-                    "r_evstages array<int>, cut_us bigint")
+                    "r_evstages array<int>, r_evus array<bigint>, cut_us bigint")
 
     # spec captured as plain tuples (tiny, serialized into the closure)
     spec = [(s.contiguity, s.min_times, s.max_times, s.greedy,
@@ -189,28 +212,37 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             (r_stage, r_times, r_guard, r_gstrict, r_start, r_last,
-             r_evlen, r_evids, r_evstages, cut_us) = state.get
-            evids, evstages = list(r_evids), list(r_evstages)
+             r_evlen, r_evids, r_evstages, r_evus, cut_us) = state.get
+            evids, evstages, evus = list(r_evids), list(r_evstages), list(r_evus)
             runs, off = [], 0
             for i in range(len(r_stage)):
                 ln = r_evlen[i]
                 runs.append([int(r_stage[i]), int(r_times[i]),
                              int(r_guard[i]), bool(r_gstrict[i]),
                              int(r_start[i]), int(r_last[i]),
-                             evids[off:off + ln], evstages[off:off + ln]])
+                             evids[off:off + ln], evstages[off:off + ln],
+                             evus[off:off + ln]])
                 off += ln
         else:
             runs, cut_us = [], -1
-        # run record (plain list):
-        # [stage, times, guard, guard_strict, start_us, last_us, ev_ids, ev_stages]
-        S, T, G, GS, A, L, EV, ST = range(8)
+        # run record (plain list): [stage, times, guard, guard_strict,
+        # start_us, last_us, ev_ids, ev_stages, ev_us]
+        S, T, G, GS, A, L, EV, ST, EU = range(9)
         matches: list[tuple] = []   # (start_us, last_us, ev_ids, ev_stages)
 
-        def emit(run_start, run_last, evs, sts):
+        def emit(run_start, run_last, evs, sts, eus):
             nonlocal cut_us
             matches.append((run_start, run_last, evs, sts))
             if after_match == SKIP_PAST_LAST:
                 cut_us = max(cut_us, run_last)
+            elif after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
+                sel = [u for u, st2 in zip(eus, sts) if st2 in skip_var_idx]
+                if sel:
+                    tgt = min(sel) if after_match == SKIP_TO_FIRST else max(sel)
+                    # runs beginning strictly before the skip target die;
+                    # a run beginning AT the target survives (cut is
+                    # exclusive: starts <= cut are pruned)
+                    cut_us = max(cut_us, tgt - 1)
 
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -232,7 +264,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     # oldest-first, so the oldest completion wins and
                     # younger partials die immediately (the reference
                     # prunes the shared buffer the same way)
-                    if after_match == SKIP_PAST_LAST and run[A] <= cut_us:
+                    if after_match != NO_SKIP and run[A] <= cut_us:
                         continue
                     # window expiry kills the run before it can consume
                     if within_us is not None and ts_us - run[A] > within_us:
@@ -252,11 +284,11 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             continue          # loop unsatisfied at stop
                         nxt = real_next(s_ + 1)
                         if nxt >= n:          # trailing loop closes -> match
-                            emit(run[A], run[L], run[EV], run[ST])
+                            emit(run[A], run[L], run[EV], run[ST], run[EU])
                             continue
                         g = guard_between(s_, nxt)
                         run = [nxt, 0, g, g >= 0 and spec[g][CONT] == "strict",
-                               run[A], run[L], run[EV], run[ST]]
+                               run[A], run[L], run[EV], run[ST], run[EU]]
                         s_, t_ = nxt, 0
                     # candidate stages this event could consume into:
                     # the current stage (while below max), then each next
@@ -286,11 +318,12 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         t2 = run[T] + 1 if j == run[S] else 1
                         evs2 = run[EV] + [eid]
                         sts2 = run[ST] + [j]
+                        us2 = run[EU] + [ts_us]
                         mnj, mxj = spec[j][MIN], spec[j][MAX]
                         nxt = real_next(j + 1)
                         if nxt >= n and t2 >= mnj and mxj is not None \
                                 and t2 == mxj:
-                            emit(run[A], ts_us, evs2, sts2)
+                            emit(run[A], ts_us, evs2, sts2, us2)
                             continue
                         if mxj is not None and t2 == mxj and nxt < n:
                             # bounded stage saturated: advance pointer now
@@ -298,10 +331,10 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             new_runs.append(
                                 [nxt, 0, g,
                                  g >= 0 and spec[g][CONT] == "strict",
-                                 run[A], ts_us, evs2, sts2])
+                                 run[A], ts_us, evs2, sts2, us2])
                         else:
                             new_runs.append([j, t2, -1, False,
-                                             run[A], ts_us, evs2, sts2])
+                                             run[A], ts_us, evs2, sts2, us2])
                     if any(spec[j][CONT] == "relaxed_nd" for j in taken):
                         new_runs.append(run)  # keep the pre-TAKE run alive
                 # a matching event always also begins a fresh run
@@ -310,16 +343,16 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     mn0, mx0 = spec[0][MIN], spec[0][MAX]
                     nxt = real_next(1)
                     if nxt >= n and mx0 == 1:
-                        emit(ts_us, ts_us, [eid], [0])
+                        emit(ts_us, ts_us, [eid], [0], [ts_us])
                     elif mx0 == 1:
                         g = guard_between(0, nxt)
                         new_runs.append(
                             [nxt, 0, g, g >= 0 and spec[g][CONT] == "strict",
-                             ts_us, ts_us, [eid], [0]])
+                             ts_us, ts_us, [eid], [0], [ts_us]])
                     else:
                         new_runs.append([0, 1, -1, False,
-                                         ts_us, ts_us, [eid], [0]])
-                if after_match == SKIP_PAST_LAST and cut_us >= 0:
+                                         ts_us, ts_us, [eid], [0], [ts_us]])
+                if after_match != NO_SKIP and cut_us >= 0:
                     new_runs = [r for r in new_runs if r[A] > cut_us]
                 # dedupe branches that converged to the same shape
                 seen = set()
@@ -338,6 +371,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                       [len(r[EV]) for r in runs],
                       [e for r in runs for e in r[EV]],
                       [s2 for r in runs for s2 in r[ST]],
+                      [u for r in runs for u in r[EU]],
                       cut_us))
         if matches:
             yield pd.DataFrame({
