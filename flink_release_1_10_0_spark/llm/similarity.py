@@ -117,26 +117,35 @@ def ivf_build_index(embeddings: DataFrame, path: str,
     logically (every file still listed); searching this index instead
     prunes at the partition-directory level, so a probe touches
     ~1/n_cells of the files — the difference between a filter and real
-    partition pruning at 100 TB."""
+    partition pruning at 100 TB.
+
+    The per-cell centroids (the IVF codebook) are computed ONCE here —
+    the same full pass that writes the index — and stored as a few-KB
+    parquet at ``{path}/_centroids``.  The ``_``-prefixed directory is
+    invisible to Spark's parquet discovery, so index scans never touch
+    it; probes read it instead of re-aggregating the whole corpus."""
     (embeddings.select(id_col, vec_col, label_col)
      .write.mode("overwrite").partitionBy(label_col).parquet(path))
+    cents = label_centroids(embeddings, label_col, vec_col)
+    (cents.groupBy(label_col)
+     .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .alias("cvec"))
+     .withColumnRenamed(label_col, "c_label")
+     .coalesce(1)
+     .write.mode("overwrite").parquet(path + "/_centroids"))
 
 
 def ivf_topk_indexed(spark, index_path: str, query: DataFrame, k: int = 5,
                      id_col: str = "vec_id", label_col: str = "label",
                      vec_col: str = "embedding") -> DataFrame:
     """IVF search against a cell-partitioned index: route the query to
-    its nearest centroid (centroids recomputed from the index — one
-    full pass, amortized across probes in a real deployment), then scan
+    its nearest centroid using the codebook MATERIALIZED at build time
+    (``{index_path}/_centroids``, a few KB — no corpus scan), then scan
     ONLY the routed cell.  The cell filter arrives through a broadcast
     join on the partition column, so Spark's dynamic partition pruning
     skips every other cell directory at runtime."""
     index = spark.read.parquet(index_path)
-    cents = label_centroids(index, label_col, vec_col)
-    cent_vecs = (cents.groupBy(label_col)
-                 .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
-                      .alias("cvec"))
-                 .withColumnRenamed(label_col, "c_label"))
+    cent_vecs = spark.read.parquet(index_path + "/_centroids")
     q = query.select(F.col(vec_col).alias("qvec"))
     qdist = F.expr(
         "round(sqrt(aggregate(zip_with(qvec, cvec, "

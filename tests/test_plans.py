@@ -184,6 +184,10 @@ def test_ivf_index_search_uses_partition_pruning(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
     assert "dynamicpruningexpression" in plan.lower()
+    # the probe must route via the materialized _centroids codebook, not
+    # re-aggregate the full index: no aggregate anywhere in the probe plan
+    assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan, \
+        "probe plan re-computes centroids from the full index"
     # and the result matches the logical-filter variant
     logical = {(r.vec_id, r.cosine)
                for r in S.ivf_topk(emb, emb.filter(F.col("vec_id") == 1), k=5).collect()}
