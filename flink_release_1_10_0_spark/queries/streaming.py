@@ -1020,3 +1020,60 @@ def stream_late_data_side_output(spark, sf_dir):
     return run_to_completion(
         stateful.late_data_split(ev, delay_minutes=60,
                                  allowed_lateness_minutes=1440), "append")
+
+
+# --------------------------------------------------------------------------
+# Early-firing window aggregate (window triggers):
+# EventTimeTriggers.AfterEndOfWindow#withEarlyFirings(ElementTriggers.every())
+# in flink-table-runtime-blink/.../operators/window/triggers/ — a window
+# emits PARTIAL results while open and a FINAL result when the watermark
+# passes its end.  Spark analog: update-mode window agg where every
+# micro-batch is a firing (streaming/triggers.py).  Input arrival is made
+# deterministic by splitting events into two time-interleaved chunks
+# (even/odd event_id) streamed as one file per micro-batch: each window
+# with rows in both chunks fires early on its chunk-0 rows, then finally
+# on the full set; single-chunk windows fire once (final).
+# --------------------------------------------------------------------------
+_STREAM_EARLY_FIRE_ORACLE = """
+WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+                  event_id % 2 AS par
+           FROM events),
+tot AS (SELECT w_start, COUNT(*) AS n FROM e GROUP BY 1),
+ev  AS (SELECT w_start, COUNT(*) AS n FROM e WHERE par = 0 GROUP BY 1),
+od  AS (SELECT DISTINCT w_start FROM e WHERE par = 1)
+SELECT ev.w_start, ev.n, 'early' AS op FROM ev JOIN od USING (w_start)
+UNION ALL
+SELECT w_start, n, 'final' AS op FROM tot
+"""
+
+
+@register("stream_window_early_fire", _STREAM_EARLY_FIRE_ORACLE)
+def stream_window_early_fire(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from flink_release_1_10_0_spark.streaming.triggers import run_with_early_firings
+
+    ev = t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="early_fire_split_")
+    src = tempfile.mkdtemp(prefix="early_fire_src_")
+    # two time-interleaved chunks, one file each; mtimes force
+    # FileStreamSource to process chunk 0 before chunk 1
+    base = time.time() - 600
+    for i in (0, 1):
+        (ev.filter(F.col("event_id") % 2 == i).coalesce(1)
+         .write.mode("overwrite").parquet(f"{tmp}/b{i}"))
+        part = glob.glob(f"{tmp}/b{i}/part-*.parquet")[0]
+        dst = f"{src}/chunk{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (base + i * 60, base + i * 60))
+    schema = spark.read.parquet(src).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    agg = (sdf.groupBy(F.window("ts", "1 hour"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("window.start").alias("w_start"), "n"))
+    return run_with_early_firings(agg, key_cols=["w_start"])

@@ -252,3 +252,23 @@ def test_late_data_surfaced_not_dropped(spark):
         "append")
     flags = {r.event_id: r.is_late for r in out.collect()}
     assert flags == {1: False, 2: False, 3: True, 4: False}
+
+
+def test_early_fire_partial_then_final(spark):
+    """Window triggers (EventTimeTriggers.withEarlyFirings analog): a
+    window spanning two micro-batches fires an early partial then a final
+    total; a single-batch window fires exactly once, as final."""
+    from flink_release_1_10_0_spark.queries.streaming import stream_window_early_fire
+
+    rows = stream_window_early_fire(spark, "/root/testdata/sf0.001").collect()
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r.w_start, []).append(r)
+    multi = [v for v in by_win.values() if len(v) > 1]
+    assert multi, "no window fired more than once"
+    for firings in by_win.values():
+        finals = [r for r in firings if r.op == "final"]
+        earlies = [r for r in firings if r.op == "early"]
+        assert len(finals) == 1
+        # the final firing's count is the window total: >= any early count
+        assert all(finals[0].n >= e.n for e in earlies)
