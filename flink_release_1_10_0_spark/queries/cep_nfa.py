@@ -417,3 +417,77 @@ def cep_mr_skip_to_last(spark, sf_dir):
         after_match="skip_to_last A")
     return run_to_completion(
         m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE — RUNNING measures in ALL ROWS PER MATCH
+# (MatchCodeGenerator.scala RUNNING/FINAL codegen split)
+# --------------------------------------------------------------------------
+_MR_RUNNING_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT a.user_id, a.rn AS a_rn, nx.rn AS c_rn
+  FROM (SELECT * FROM o WHERE event_type = 'click') a,
+  LATERAL (SELECT rn, event_type, value FROM o x
+           WHERE x.user_id = a.user_id AND x.rn > a.rn
+             AND x.event_type <> 'view'
+           ORDER BY x.rn LIMIT 1) nx
+  WHERE nx.event_type = 'purchase' AND nx.value > 10 AND nx.rn > a.rn + 1),
+mm AS (
+  SELECT user_id, a_rn, c_rn,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY c_rn, a_rn)
+              AS BIGINT) AS match_no
+  FROM m),
+rows_ AS (
+  SELECT mm.user_id, mm.match_no,
+         CAST(e.rn - mm.a_rn AS BIGINT) AS pos,
+         e.event_id, e.value,
+         CASE WHEN e.rn = mm.a_rn THEN 'A'
+              WHEN e.rn = mm.c_rn THEN 'C' ELSE 'B' END AS classifier,
+         CAST(mm.c_rn - mm.a_rn - 1 AS BIGINT) AS n_b_final
+  FROM mm JOIN o e
+    ON e.user_id = mm.user_id AND e.rn BETWEEN mm.a_rn AND mm.c_rn)
+SELECT user_id, match_no, pos, event_id, classifier, n_b_final,
+       count(CASE WHEN classifier = 'B' THEN 1 END)
+         OVER (PARTITION BY user_id, match_no ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_b_running,
+       CAST(SUM(CASE WHEN classifier = 'B'
+                     THEN CAST(value AS DECIMAL(18,2)) END)
+              OVER (PARTITION BY user_id, match_no ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS b_sum_running
+FROM rows_
+"""
+
+
+@register("cep_mr_running_measures", _MR_RUNNING_ORACLE)
+def cep_mr_running_measures(spark, sf_dir):
+    """RUNNING vs FINAL measures in ALL ROWS PER MATCH: the running
+    count/sum aggregate the match PREFIX up to each row (SQL:2016
+    RUNNING), next to the whole-match FINAL value on the same row."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.streaming.cep import (
+        match_recognize_measures, match_recognize_pattern)
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = match_recognize_pattern(
+        ev, "user_id",
+        define={"A": "event_type = 'click'",
+                "B": "event_type = 'view'",
+                "C": "event_type = 'purchase' AND value > 10"},
+        pattern="A B+ C")
+    log = run_to_completion(m, "append")
+    out = match_recognize_measures(
+        log, t(spark, sf_dir, "events").select("event_id", "value"),
+        stage_names=["A", "B", "C"],
+        measures={"n_b_final": "COUNT(B.*)",
+                  "n_b_running": "RUNNING COUNT(B.*)",
+                  "b_sum_running": "RUNNING SUM(B.value)"},
+        partition_by="user_id", rows_per_match="all")
+    return (out.withColumn("match_no", F.col("match_no").cast("bigint"))
+            .withColumn("pos", F.col("pos").cast("bigint"))
+            .select("user_id", "match_no", "pos", "event_id", "classifier",
+                    "n_b_final", "n_b_running", "b_sum_running"))

@@ -353,29 +353,48 @@ _MEASURE_AGG = __import__("re").compile(
     r"^\s*(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*([A-Za-z_]\w*)\.(\w+|\*)\s*\)\s*$",
     __import__("re").IGNORECASE)
 
+# Columns carrying money amounts: SUM over these takes the decimal-exact
+# accumulation path (the repo's cross-engine determinism convention, see
+# queries/__init__.py docstring).  Keyed on an explicit set — not a
+# hardcoded name inside the compiler — so SUM over any other column is a
+# visible plain-double narrowing, not a silent one.
+_MONEY_COLS = frozenset({"value"})
 
-def _parse_measure(spec: str) -> tuple[str, str, str]:
-    """Parse one MEASURES expression: (agg, variable, column).
+
+def _parse_measure(spec: str) -> tuple[str, str, str, str]:
+    """Parse one MEASURES expression: (mode, agg, variable, column).
 
     Grammar (the reference's ``MatchCodeGenerator.scala`` measure
-    surface, final-value semantics): ``FIRST(V.col)``, ``LAST(V.col)``,
-    ``MIN/MAX/SUM/AVG(V.col)``, ``COUNT(V.*)``/``COUNT(V.col)``, or bare
-    ``V.col`` (= LAST, the SQL:2016 default for a pattern-variable
-    reference)."""
-    m = _MEASURE_AGG.match(spec)
+    surface): optional ``RUNNING``/``FINAL`` prefix (SQL:2016 per-row
+    semantics in ALL ROWS PER MATCH — RUNNING aggregates over the match
+    prefix up to the current row, FINAL over the whole match), then
+    ``FIRST(V.col)``, ``LAST(V.col)``, ``MIN/MAX/SUM/AVG(V.col)``,
+    ``COUNT(V.*)``/``COUNT(V.col)``, or bare ``V.col`` (= LAST).
+    Documented narrowing: the unprefixed default here is FINAL (SQL:2016
+    defaults ALL ROWS measures to RUNNING; write the keyword for that)."""
+    s = spec.strip()
+    mode = "FINAL"
+    low = s.lower()
+    if low.startswith("running "):
+        mode, s = "RUNNING", s[len("running "):]
+    elif low.startswith("final "):
+        mode, s = "FINAL", s[len("final "):]
+    m = _MEASURE_AGG.match(s)
     if m:
-        return m.group(1).upper(), m.group(2), m.group(3)
-    var, _, col = spec.strip().partition(".")
+        return mode, m.group(1).upper(), m.group(2), m.group(3)
+    var, _, col = s.strip().partition(".")
     if not col or not var.isidentifier():
         raise ValueError(f"bad MEASURES expression {spec!r}")
-    return "LAST", var, col.strip()
+    return mode, "LAST", var, col.strip()
 
 
 def _measure_sql(spec: str) -> str:
     """Compile a MEASURES expression to a grouped aggregate over the
     exploded match rows (columns: event attributes + ``var`` =
-    CLASSIFIER, ``pos`` = position in match)."""
-    fn_, var, col = _parse_measure(spec)
+    CLASSIFIER, ``pos`` = position in match).  ONE ROW PER MATCH output
+    is the final row, where RUNNING and FINAL coincide (SQL:2016), so
+    the mode prefix is accepted and ignored here."""
+    _, fn_, var, col = _parse_measure(spec)
     flt = f"FILTER (WHERE var = '{var}')"
     if fn_ == "FIRST":
         return f"min_by({col}, pos) {flt}"
@@ -383,26 +402,29 @@ def _measure_sql(spec: str) -> str:
         return f"max_by({col}, pos) {flt}"
     if fn_ == "COUNT":
         return (f"count(*) {flt}" if col == "*" else f"count({col}) {flt}")
-    if fn_ == "SUM" and col == "value":
-        # money: decimal-exact accumulation, double result (the repo's
-        # cross-engine determinism convention)
-        return f"CAST(sum(CAST(value AS DECIMAL(18,2))) {flt} AS DOUBLE)"
+    if fn_ == "SUM" and col in _MONEY_COLS:
+        return f"CAST(sum(CAST({col} AS DECIMAL(18,2))) {flt} AS DOUBLE)"
     return f"{fn_.lower()}({col}) {flt}"
 
 
-def _measure_window(spec: str, w):
+def _measure_window(spec: str, w_final, w_running):
     """Same measure as a window aggregate (ALL ROWS PER MATCH attaches
-    the final values to every row of the match without a self-join —
-    FILTER isn't valid in a window spec, so conditionals stand in)."""
+    measure values to every row of the match without a self-join —
+    FILTER isn't valid in a window spec, so conditionals stand in).
+
+    RUNNING measures use the prefix frame ``rowsBetween(unboundedPreceding,
+    currentRow)`` ordered by match position — the reference's
+    RUNNING/FINAL split in ``MatchCodeGenerator.scala`` codegen."""
     from pyspark.sql import functions as F
 
-    fn_, var, col = _parse_measure(spec)
+    mode, fn_, var, col = _parse_measure(spec)
+    w = w_running if mode == "RUNNING" else w_final
     is_var = F.col("var") == var
     if fn_ == "COUNT":
         v = F.lit(1) if col == "*" else F.col(col)
         return F.count(F.when(is_var, v)).over(w)
-    if fn_ == "SUM" and col == "value":
-        return (F.sum(F.when(is_var, F.col("value").cast("decimal(18,2)")))
+    if fn_ == "SUM" and col in _MONEY_COLS:
+        return (F.sum(F.when(is_var, F.col(col).cast("decimal(18,2)")))
                 .over(w).cast("double"))
     if fn_ in ("SUM", "MIN", "MAX", "AVG"):
         return getattr(F, fn_.lower())(F.when(is_var, F.col(col))).over(w)
@@ -430,18 +452,22 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
     tiny next to the event log, so AQE broadcasts it.
 
     - ``rows_per_match="one"``: one row per match — MATCH_NUMBER()
-      (``match_no``, per-partition arrival order) + the measures.
+      (``match_no``, per-partition match-DETECTION order: a match is
+      numbered when it completes, i.e. by (end_ts, end_id), ties broken
+      by start — the reference's completion-order numbering) + the
+      measures.
     - ``rows_per_match="all"``: one row per consumed event — adds
-      ``classifier`` (CLASSIFIER()), ``pos``, ``event_id``; measures are
-      final-value semantics (SQL:2016 FINAL), identical on every row of
-      the match.
+      ``classifier`` (CLASSIFIER()), ``pos``, ``event_id``; measures
+      default to final-value semantics (SQL:2016 FINAL; prefix with
+      ``RUNNING`` for prefix-aggregate semantics per row).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if rows_per_match not in ("one", "all"):
         raise ValueError(f"bad rows_per_match {rows_per_match!r}")
-    w = Window.partitionBy(partition_by).orderBy("start_ts", "start_id", "end_id")
+    w = Window.partitionBy(partition_by).orderBy(
+        "end_ts", "end_id", "start_ts", "start_id")
     mm = matches.withColumn("match_no", F.row_number().over(w))
     names = F.array(*[F.lit(s) for s in stage_names])
     ex = (mm.select(partition_by, "match_no",
@@ -456,9 +482,11 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
                 for name, spec in measures.items()]
         return joined.groupBy(partition_by, "match_no").agg(*aggs)
     wm = Window.partitionBy(partition_by, "match_no")
+    wr = (Window.partitionBy(partition_by, "match_no").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = joined.select(partition_by, "match_no", "pos", "event_id",
                         F.col("var").alias("classifier"),
-                        *[_measure_window(spec, wm).alias(name)
+                        *[_measure_window(spec, wm, wr).alias(name)
                           for name, spec in measures.items()])
     return out
 

@@ -189,7 +189,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     "r_guard array<int>, r_gstrict array<boolean>, "
                     "r_start_us array<bigint>, r_last_us array<bigint>, "
                     "r_evlen array<int>, r_evids array<bigint>, "
-                    "r_evstages array<int>, r_evus array<bigint>, cut_us bigint")
+                    "r_evstages array<int>, r_evus array<bigint>, "
+                    "cut_us bigint, cut_id bigint")
 
     # spec captured as plain tuples (tiny, serialized into the closure)
     spec = [(s.contiguity, s.min_times, s.max_times, s.greedy,
@@ -212,7 +213,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             (r_stage, r_times, r_guard, r_gstrict, r_start, r_last,
-             r_evlen, r_evids, r_evstages, r_evus, cut_us) = state.get
+             r_evlen, r_evids, r_evstages, r_evus, cut_us, cut_id) = state.get
+            cut = (int(cut_us), int(cut_id))
             evids, evstages, evus = list(r_evids), list(r_evstages), list(r_evus)
             runs, off = [], 0
             for i in range(len(r_stage)):
@@ -224,25 +226,31 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                              evus[off:off + ln]])
                 off += ln
         else:
-            runs, cut_us = [], -1
+            runs, cut = [], (-1, -1)
         # run record (plain list): [stage, times, guard, guard_strict,
         # start_us, last_us, ev_ids, ev_stages, ev_us]
         S, T, G, GS, A, L, EV, ST, EU = range(9)
         matches: list[tuple] = []   # (start_us, last_us, ev_ids, ev_stages)
 
+        # the after-match cut is an EVENT POSITION, (ts_us, event_id) —
+        # not a bare timestamp — so two events sharing a microsecond are
+        # still ordered, matching the reference's event-granular pruning
+        # (runs are compared by their start event's position, inclusive:
+        # start <= cut is pruned)
         def emit(run_start, run_last, evs, sts, eus):
-            nonlocal cut_us
+            nonlocal cut
             matches.append((run_start, run_last, evs, sts))
             if after_match == SKIP_PAST_LAST:
-                cut_us = max(cut_us, run_last)
+                cut = max(cut, (run_last, evs[-1]))
             elif after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
-                sel = [u for u, st2 in zip(eus, sts) if st2 in skip_var_idx]
+                sel = [(u, e) for u, e, st2 in zip(eus, evs, sts)
+                       if st2 in skip_var_idx]
                 if sel:
                     tgt = min(sel) if after_match == SKIP_TO_FIRST else max(sel)
                     # runs beginning strictly before the skip target die;
-                    # a run beginning AT the target survives (cut is
-                    # exclusive: starts <= cut are pruned)
-                    cut_us = max(cut_us, tgt - 1)
+                    # a run beginning AT the target survives (the cut is
+                    # inclusive, so step one event-id back)
+                    cut = max(cut, (tgt[0], tgt[1] - 1))
 
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -264,7 +272,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     # oldest-first, so the oldest completion wins and
                     # younger partials die immediately (the reference
                     # prunes the shared buffer the same way)
-                    if after_match != NO_SKIP and run[A] <= cut_us:
+                    if after_match != NO_SKIP and (run[A], run[EV][0]) <= cut:
                         continue
                     # window expiry kills the run before it can consume
                     if within_us is not None and ts_us - run[A] > within_us:
@@ -339,7 +347,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         new_runs.append(run)  # keep the pre-TAKE run alive
                 # a matching event always also begins a fresh run
                 # (the NFA start state is always active — NO_SKIP default)
-                if m[0] and ts_us > cut_us:
+                if m[0] and (ts_us, eid) > cut:
                     mn0, mx0 = spec[0][MIN], spec[0][MAX]
                     nxt = real_next(1)
                     if nxt >= n and mx0 == 1:
@@ -352,8 +360,9 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     else:
                         new_runs.append([0, 1, -1, False,
                                          ts_us, ts_us, [eid], [0], [ts_us]])
-                if after_match != NO_SKIP and cut_us >= 0:
-                    new_runs = [r for r in new_runs if r[A] > cut_us]
+                if after_match != NO_SKIP and cut > (-1, -1):
+                    new_runs = [r for r in new_runs
+                                if (r[A], r[EV][0]) > cut]
                 # dedupe branches that converged to the same shape
                 seen = set()
                 runs = []
@@ -372,7 +381,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                       [e for r in runs for e in r[EV]],
                       [s2 for r in runs for s2 in r[ST]],
                       [u for r in runs for u in r[EU]],
-                      cut_us))
+                      cut[0], cut[1]))
         if matches:
             yield pd.DataFrame({
                 key: [key_[0]] * len(matches),

@@ -156,3 +156,24 @@ def test_nfa_state_carries_across_batches(spark):
         assert [tuple(r.ev_ids) for r in rows] == [(1, 2, 3, 4)]
     finally:
         q.stop()
+
+
+def test_skip_cut_is_event_position_not_timestamp(spark):
+    """Two events in the SAME microsecond: after-match skip prunes by
+    event position (ts, event_id), not bare timestamp.  start@T0, then
+    start(id2) and click(id3) sharing one timestamp, then purchase:
+    SKIP TO LAST B's target is the click (id3), so the run begun at id2
+    — same microsecond, earlier position — must die with it.  A
+    ts-granularity cut (cut = target_ts - 1) would let it survive and
+    emit a spurious (2, 3, 4) match."""
+    same = "2024-01-01 10:05:00"
+    rows = [(1, "2024-01-01 10:00:00", 1, "start", 0.0),
+            (2, same, 1, "start", 0.0),
+            (3, same, 1, "click", 0.0),
+            (4, "2024-01-01 10:06:00", 1, "purchase", 0.0)]
+    stages = [NfaStage(pred="event_type = 'start'", name="A"),
+              NfaStage(pred="event_type = 'click'", name="B",
+                       min_times=1, max_times=None, until="event_type = 'purchase'"),
+              NfaStage(pred="event_type = 'purchase'", name="C")]
+    got = _matches(spark, rows, stages, after_match=("skip_to_last", "B"))
+    assert got == [(1, 3, 4)]
