@@ -36,6 +36,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +44,49 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 INNER = "inner"
 LEFT_OUTER = "left_outer"
+
+
+class _Buf:
+    """Append-only columnar buffer for one join side: numpy columns with
+    capacity doubling (amortized O(1) append) and a TTL head pointer.
+
+    Rows arrive in (event-time, id) order — the operator's input
+    contract — so TTL expiry is always a PREFIX of the buffer: ``lo``
+    advances monotonically instead of rescanning the whole buffer per
+    event (the r3-verdict O(|state|)-per-event fix)."""
+
+    __slots__ = ("cols", "dtypes", "lo", "n")
+
+    def __init__(self, arrays, dtypes):
+        self.dtypes = dtypes
+        self.n = len(arrays[0])
+        self.lo = 0
+        cap = max(16, 2 * self.n)
+        self.cols = []
+        for a, dt in zip(arrays, dtypes):
+            c = np.empty(cap, dt)
+            c[:self.n] = a
+            self.cols.append(c)
+
+    def append(self, *vals):
+        if self.n == len(self.cols[0]):
+            for j, c in enumerate(self.cols):
+                grown = np.empty(2 * len(c), self.dtypes[j])
+                grown[:self.n] = c
+                self.cols[j] = grown
+        for c, v in zip(self.cols, vals):
+            c[self.n] = v
+        self.n += 1
+
+    def expire(self, min_us: int, us_col: int = 1) -> None:
+        """Advance the head past rows with ts < min_us (TTL prune)."""
+        us = self.cols[us_col]
+        while self.lo < self.n and us[self.lo] < min_us:
+            self.lo += 1
+
+    def live(self, j: int) -> np.ndarray:
+        """Snapshot view of live column j (valid until mutation of j)."""
+        return self.cols[j][self.lo:self.n]
 
 
 def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
@@ -88,22 +132,28 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                     "r_ids array<bigint>, r_us array<bigint>, "
                     "r_vals array<double>, seq bigint")
 
+    I64, F64 = np.int64, np.float64
+
     def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             (l_ids, l_us, l_vals, l_n, r_ids, r_us, r_vals, seq) = state.get
-            # lrows: [id, ts_us, value, n_matches]; rrows: [id, ts_us, value]
-            lrows = [list(t) for t in zip(list(l_ids), list(l_us),
-                                          list(l_vals), list(l_n))]
-            rrows = [list(t) for t in zip(list(r_ids), list(r_us), list(r_vals))]
+            lb = _Buf([np.asarray(l_ids, I64), np.asarray(l_us, I64),
+                       np.asarray(l_vals, F64), np.asarray(l_n, I64)],
+                      (I64, I64, F64, I64))
+            rb = _Buf([np.asarray(r_ids, I64), np.asarray(r_us, I64),
+                       np.asarray(r_vals, F64)], (I64, I64, F64))
         else:
-            lrows, rrows, seq = [], [], 0
-        out = []
+            lb = _Buf([[], [], [], []], (I64, I64, F64, I64))
+            rb = _Buf([[], [], []], (I64, I64, F64))
+            seq = 0
+        # emission chunks: (op, l_id f64, l_value f64, r_id f64, r_value
+        # f64) numpy arrays, NaN = null; per-event work is vectorized
+        # over the opposite buffer instead of a Python list scan per
+        # event (the matches themselves are the output, so emission is
+        # O(output); the retraction scan and match-count bump are numpy)
+        chunks: list[tuple[str, np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
         k = key_[0]
-
-        def emit(op, lid, lv, rid, rv):
-            nonlocal seq
-            seq += 1
-            out.append((op, k, lid, lv, rid, rv, seq))
+        nan1 = np.full(1, np.nan)
 
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -115,30 +165,55 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
             vals = pdf["__v"].astype("float64").tolist()
             for s, i, ts_us, v in zip(sides, ids, tss, vals):
                 if ttl_us is not None:
-                    lrows = [r for r in lrows if ts_us - r[1] <= ttl_us]
-                    rrows = [r for r in rrows if ts_us - r[1] <= ttl_us]
+                    lb.expire(ts_us - ttl_us)
+                    rb.expire(ts_us - ttl_us)
                 if s == 0:
-                    n = 0
-                    for (rid, _, rv) in rrows:
-                        emit("+I", i, v, rid, rv)
-                        n += 1
-                    if n == 0 and how == LEFT_OUTER:
-                        emit("+I", i, v, None, None)
-                    lrows.append([i, ts_us, v, n])
+                    m = rb.n - rb.lo
+                    if m > 0:
+                        chunks.append(("+I",
+                                       np.full(m, float(i)), np.full(m, v),
+                                       rb.live(0).astype(F64), rb.live(2).astype(F64)))
+                    elif how == LEFT_OUTER:
+                        chunks.append(("+I", np.full(1, float(i)),
+                                       np.full(1, v), nan1, nan1))
+                    lb.append(i, ts_us, v, m)
                 else:
-                    for lr in lrows:
-                        if lr[3] == 0 and how == LEFT_OUTER:
-                            emit("-D", lr[0], lr[2], None, None)
-                        emit("+I", lr[0], lr[2], i, v)
-                        lr[3] += 1
-                    rrows.append([i, ts_us, v])
-        state.update(([r[0] for r in lrows], [r[1] for r in lrows],
-                      [r[2] for r in lrows], [r[3] for r in lrows],
-                      [r[0] for r in rrows], [r[1] for r in rrows],
-                      [r[2] for r in rrows], seq))
-        if out:
-            yield pd.DataFrame(out, columns=[
-                "op", key, "l_id", "l_value", "r_id", "r_value", "seq"])
+                    m = lb.n - lb.lo
+                    if m > 0:
+                        lid = lb.live(0).astype(F64)
+                        lv = lb.live(2).astype(F64)
+                        zero = lb.live(3) == 0
+                        if how == LEFT_OUTER and zero.any():
+                            # retract the null-padded rows of the
+                            # first-time-matched lefts (batched before
+                            # the inserts: -D/+I of DIFFERENT rows
+                            # commute, so the folded table is identical)
+                            nz = int(zero.sum())
+                            chunks.append(("-D", lid[zero], lv[zero],
+                                           np.full(nz, np.nan), np.full(nz, np.nan)))
+                        chunks.append(("+I", lid, lv,
+                                       np.full(m, float(i)), np.full(m, v)))
+                        lb.cols[3][lb.lo:lb.n] += 1
+                    rb.append(i, ts_us, v)
+        state.update((lb.live(0).tolist(), lb.live(1).tolist(),
+                      lb.live(2).tolist(), lb.live(3).tolist(),
+                      rb.live(0).tolist(), rb.live(1).tolist(),
+                      rb.live(2).tolist(), seq + sum(len(c[1]) for c in chunks)))
+        if chunks:
+            total = sum(len(c[1]) for c in chunks)
+            op = np.concatenate([np.full(len(c[1]), c[0], object) for c in chunks])
+            lid = np.concatenate([c[1] for c in chunks])
+            lv = np.concatenate([c[2] for c in chunks])
+            rid = np.concatenate([c[3] for c in chunks])
+            rv = np.concatenate([c[4] for c in chunks])
+            yield pd.DataFrame({
+                "op": op,
+                key: np.full(total, k, I64),
+                "l_id": pd.Series(lid).astype("Int64"),
+                "l_value": lv,
+                "r_id": pd.Series(rid).astype("Int64"),
+                "r_value": pd.Series(rv).astype("Float64"),
+                "seq": np.arange(seq + 1, seq + total + 1, dtype=I64)})
 
     return (unioned.groupBy("__k")
             .applyInPandasWithState(fn, out_schema, state_schema,

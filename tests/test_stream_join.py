@@ -74,3 +74,27 @@ def test_ttl_prunes_expired_state(spark):
         stream_stream_join(left, right, "user_id", how=INNER,
                            ttl_minutes=10), "append")
     assert clog.count() == 0
+
+
+def test_hot_key_large_state_completes_fast(spark):
+    """Scale guard (r3 verdict #3): one key with 10^4 buffered left rows
+    then a burst of right rows must complete in seconds — the per-event
+    work against the left buffer is vectorized, not a Python list scan.
+    Emits 10^4 retractions + 50*10^4 inserts."""
+    import time
+
+    n_left, n_right = 10_000, 50
+    rows = [(i, f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}",
+             1, "purchase", float(i)) for i in range(n_left)]
+    rows += [(n_left + j, f"2024-01-02 00:00:{j:02d}", 1, "error", 1.0)
+             for j in range(n_right)]
+    left, right = _streams(spark, rows)
+    t0 = time.perf_counter()
+    clog = run_to_completion(
+        stream_stream_join(left, right, "user_id", how=LEFT_OUTER), "append")
+    got = clog.groupBy("op").count().collect()
+    elapsed = time.perf_counter() - t0
+    counts = {r["op"]: r["count"] for r in got}
+    assert counts["-D"] == n_left
+    assert counts["+I"] == n_left + n_left * n_right
+    assert elapsed < 60, f"hot-key join took {elapsed:.1f}s"
