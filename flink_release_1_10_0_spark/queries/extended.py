@@ -184,7 +184,14 @@ SELECT id_a, id_b, cosine FROM cand WHERE cosine >= 0.3
 @register("embedding_lsh_near_dup", _LSH_ORACLE)
 def embedding_lsh_near_dup(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    sig = F.expr("transform(sequence(0, 7), i -> CASE WHEN embedding[i] >= 0 THEN 1 ELSE 0 END)")
+    # the signature is 8 inline CASE terms, NOT a transform() lambda:
+    # Spark's relation dedup does not rewrite lambda-bound attributes in
+    # a duplicated below-join subtree (ATTRIBUTE_NOT_FOUND at execution
+    # under AQE), so the duplicated side of a self-join must be
+    # lambda-free; post-join lambdas (the cosine) are unaffected
+    sig = F.concat(*[
+        F.expr(f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END")
+        for i in range(8)])
     s = emb.select("vec_id", "embedding", sig.alias("s"))
     a = s.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_vec"),
                  F.col("s").alias("s_a"))
