@@ -147,6 +147,11 @@ def sssp(edges: DataFrame, source: int, src: str = "src", dst: str = "dst",
     dist = (sym.sparkSession.createDataFrame([(source, 0)], "id BIGINT, distance INT")
             .localCheckpoint(eager=True))
     frontier = dist
+    # every checkpointed frame the current `dist` union still scans; at
+    # each re-cut these become garbage and are unpersisted EXPLICITLY —
+    # relying on driver GC + ContextCleaner would let per-hop frontier
+    # blocks (memory+disk) pile up across a 100+-hop iteration
+    pending: list[DataFrame] = [dist]
     for step in range(1, max_iterations + 1):
         # localCheckpoint EVERY step (not every N): the frontier plan
         # references dist twice (expand + anti-join), so without a cut the
@@ -162,12 +167,21 @@ def sssp(edges: DataFrame, source: int, src: str = "src", dst: str = "dst",
                         .withColumn("distance", F.lit(step))
                         .localCheckpoint(eager=True))
         if new_frontier.count() == 0:
+            new_frontier.unpersist()
             break
         # dist stays a linear union of checkpointed RDD scans — re-cut
         # every 8 hops so a 100+-hop diameter stays plannable
         new_dist = dist.unionByName(new_frontier)
+        pending.append(new_frontier)
         if step % 8 == 0:
             new_dist = new_dist.localCheckpoint(eager=True)
+            # the new cut owns its own blocks; free everything it
+            # superseded except the live frontier (a localCheckpointed
+            # frame cannot be recomputed once unpersisted)
+            for f in pending:
+                if f is not new_frontier:
+                    f.unpersist()
+            pending = [new_dist, new_frontier]
         dist = new_dist
         frontier = new_frontier
     sym.unpersist()

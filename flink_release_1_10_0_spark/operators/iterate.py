@@ -38,11 +38,17 @@ def bulk_iterate(initial: DataFrame,
     # `state` more than once, doubling the logical plan per iteration —
     # eager checkpoint collapses it to a constant-size LogicalRDD and
     # materializes it before the previous blocks are released (the
-    # exponential-plan hazard fixed in graph.sssp, r2 verdict #2)
+    # exponential-plan hazard fixed in graph.sssp, r2 verdict #2).
+    # The superseded checkpoint is unpersisted EXPLICITLY each step:
+    # eager=True guarantees the new blocks exist first, and without the
+    # unpersist, freeing old blocks would wait on driver GC +
+    # ContextCleaner timing — storage from large per-step states would
+    # accumulate across long iterations.
     state = initial.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         new_state = step(state).localCheckpoint(eager=True)
         done = bool(converged and converged(state, new_state))
+        state.unpersist()
         state = new_state
         if done:
             break
@@ -61,19 +67,25 @@ def delta_iterate(solution: DataFrame, workset: DataFrame,
     is empty — the property that makes delta iterations cheap: cost
     tracks the shrinking workset, not the full solution."""
     keys = key_cols or [solution.columns[0]]
-    # eager localCheckpoint per superstep — same plan-growth reasoning as
-    # bulk_iterate; counts on a checkpointed frame are cheap RDD scans
+    # eager localCheckpoint per superstep — same plan-growth reasoning
+    # and same explicit-unpersist discipline as bulk_iterate; counts on
+    # a checkpointed frame are cheap RDD scans
     sol = solution.localCheckpoint(eager=True)
     ws = workset.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         delta, next_ws = step(sol, ws)
         delta = delta.localCheckpoint(eager=True)
         next_ws = next_ws.localCheckpoint(eager=True)
-        if delta.count() == 0 and next_ws.count() == 0:
-            break
-        sol = (sol.join(delta.select(*keys), keys, "left_anti")
-               .unionByName(delta).localCheckpoint(eager=True))
+        ws.unpersist()
         ws = next_ws
+        if delta.count() == 0 and ws.count() == 0:
+            delta.unpersist()
+            break
+        new_sol = (sol.join(delta.select(*keys), keys, "left_anti")
+                   .unionByName(delta).localCheckpoint(eager=True))
+        sol.unpersist()
+        delta.unpersist()
+        sol = new_sol
         if ws.count() == 0:
             break
     return sol

@@ -78,12 +78,21 @@ def kafka_options(bootstrap_servers: str,
     return opts
 
 
+def configure_kafka_reader(reader, **kwargs):
+    """Apply the FlinkKafkaConsumer-style settings to a (stream) reader:
+    ``format("kafka")`` + the full option map.  Separated from ``load()``
+    so the reader construction is contract-testable without a broker or
+    the kafka package on the classpath."""
+    reader = reader.format("kafka")
+    for k, v in kafka_options(**kwargs).items():
+        reader = reader.option(k, v)
+    return reader
+
+
 def kafka_source(spark: SparkSession, **kwargs) -> DataFrame:
     """Streaming kafka scan.  Raises a clear error when the
     spark-sql-kafka package is not on the classpath (this sandbox)."""
-    reader = spark.readStream.format("kafka")
-    for k, v in kafka_options(**kwargs).items():
-        reader = reader.option(k, v)
+    reader = configure_kafka_reader(spark.readStream, **kwargs)
     try:
         return reader.load()
     except Exception as e:  # pragma: no cover - classpath-dependent

@@ -70,3 +70,54 @@ def test_kafka_sink_frame_packs_json(spark):
     assert row.key == "7"
     assert json.loads(row.value) == {"v": 1.5, "s": "a"}
     assert out.columns == ["key", "value"]
+
+
+class _SpyReader:
+    """Stand-in for DataStreamReader capturing exactly the format/option
+    calls the kafka wiring would send to the JVM."""
+
+    def __init__(self):
+        self.fmt = None
+        self.opts = {}
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+
+def test_reader_construction_contract():
+    """Contract test for the reader plan (no broker in this env): the
+    FlinkKafkaConsumer-style config must reach the reader as the exact
+    spark-kafka option set — format, subscribe, startingOffsets,
+    rate limit, failOnDataLoss."""
+    from flink_release_1_10_0_spark.sources.kafka import configure_kafka_reader
+
+    spy = configure_kafka_reader(
+        _SpyReader(), bootstrap_servers="k1:9092",
+        topics=["orders", "events"], starting_offsets="earliest",
+        group_id="g1", max_offsets_per_trigger=50_000,
+        fail_on_data_loss=False)
+    assert spy.fmt == "kafka"
+    assert spy.opts == {
+        "kafka.bootstrap.servers": "k1:9092",
+        "subscribe": "orders,events",
+        "startingOffsets": "earliest",
+        "kafka.group.id": "g1",
+        "maxOffsetsPerTrigger": "50000",
+        "failOnDataLoss": "false",
+    }
+
+
+def test_kafka_source_raises_clear_error_without_package(spark):
+    """In an env without the kafka package, kafka_source must fail with
+    the actionable classpath message, not a raw AnalysisException."""
+    import pytest
+
+    from flink_release_1_10_0_spark.sources.kafka import kafka_source
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_source(spark, bootstrap_servers="k:9092", topics="t")
