@@ -61,6 +61,8 @@ _PIN = [
     # --- new this round ---
     "stream_window_early_fire",      # early-firing window agg (§2.5 hole)
     "cep_mr_running_measures",       # MATCH_RECOGNIZE RUNNING semantics
+    "source_input_format_splits",    # Python DataSource InputFormat path
+    "source_custom_fn_stream",       # SourceFunction w/ checkpointed offset
     # --- round-3 additions whose code paths have no driver evidence
     #     (ADVICE.md item 5) ---
     "cep_mr_measures_one_row", "cep_mr_all_rows_per_match",

@@ -1121,3 +1121,43 @@ GROUP BY e1.b, e2.b
 def graph_adamic_adar(spark, sf_dir):
     from flink_release_1_10_0_spark.operators.graph import adamic_adar
     return adamic_adar(_cust_supp_edges(spark, sf_dir, 30))
+
+
+# --------------------------------------------------------------------------
+# Generic InputFormat source (StreamExecutionEnvironment.createInput,
+# StreamExecutionEnvironment.java:1434) — a custom Python Data Source
+# whose partitions() are the input splits (GenericInputSplit) and whose
+# read(split) is the record iterator.  StatefulSequenceSource.java range
+# semantics; the id sum/count pin every split's content exactly.
+# --------------------------------------------------------------------------
+_SEQ_SOURCE_ORACLE = """
+SELECT CAST(range AS BIGINT) AS id,
+       CAST(range % 7 AS BIGINT) AS bucket
+FROM range(0, 5000)
+"""
+
+
+@register("source_input_format_splits", _SEQ_SOURCE_ORACLE)
+def source_input_format_splits(spark, sf_dir):
+    from flink_release_1_10_0_spark.sources.datasource import register_sequence_source
+    register_sequence_source(spark)
+    df = (spark.read.format("flink_sequence")
+          .option("end", "5000").option("numPartitions", "8").load())
+    return df.select("id", (F.col("id") % 7).alias("bucket"))
+
+
+# --------------------------------------------------------------------------
+# Custom streaming source fn (StreamExecutionEnvironment.addSource,
+# :1527 / StatefulSequenceSource.java): SimpleDataSourceStreamReader with
+# a checkpointed {"next": n} offset, drained micro-batch by micro-batch.
+# Exactly-once: the emitted set is exactly [0, end) with no duplicates.
+# --------------------------------------------------------------------------
+_SEQ_STREAM_ORACLE = """
+SELECT CAST(range AS BIGINT) AS id FROM range(0, 3000)
+"""
+
+
+@register("source_custom_fn_stream", _SEQ_STREAM_ORACLE)
+def source_custom_fn_stream(spark, sf_dir):
+    from flink_release_1_10_0_spark.sources.datasource import run_sequence_stream_to_end
+    return run_sequence_stream_to_end(spark, end=3000, rows_per_batch=700)

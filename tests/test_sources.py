@@ -265,3 +265,47 @@ def test_file_sink_exactly_once_resume(spark, orders):
         q = file_sink(sdf, out, ckpt, available_now=True)
         q.awaitTermination()
     assert spark.read.parquet(out).count() == 25
+
+
+def test_sequence_source_splits_are_input_splits(spark):
+    """InputFormat analog: numPartitions option -> that many splits, each
+    read by one task; the union is exactly [start, end)."""
+    from flink_release_1_10_0_spark.sources.datasource import register_sequence_source
+
+    register_sequence_source(spark)
+    df = (spark.read.format("flink_sequence")
+          .option("start", "100").option("end", "1100")
+          .option("numPartitions", "4").load())
+    assert df.rdd.getNumPartitions() == 4
+    got = [r.id for r in df.collect()]
+    assert sorted(got) == list(range(100, 1100))
+
+
+def test_sequence_stream_resumes_from_checkpoint_exactly_once(spark):
+    """SourceFunction/CheckpointedFunction analog: a second run on the
+    SAME checkpoint resumes at the committed offset — the union of both
+    runs is exactly [0, end), no duplicates (StatefulSequenceSource's
+    exactly-once contract)."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources.datasource import register_sequence_source
+
+    register_sequence_source(spark)
+    ckpt = tempfile.mkdtemp(prefix="seq_resume_ckpt_")
+    out = tempfile.mkdtemp(prefix="seq_resume_out_")
+
+    def one_availablenow_run():
+        sdf = (spark.readStream.format("flink_sequence")
+               .option("end", "2000").option("rowsPerBatch", "800").load())
+        q = (sdf.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return [r.id for r in spark.read.parquet(out).collect()]
+
+    first = one_availablenow_run()
+    assert sorted(first) == list(range(0, 800))  # one read() slice committed
+    both = one_availablenow_run()
+    # resumed PAST the committed offset: no duplicates, exact continuation
+    assert len(both) == len(set(both)) == 1600
+    assert sorted(both) == list(range(0, 1600))
