@@ -96,3 +96,18 @@ def test_no_iterrows_in_package():
     offenders = [str(p) for p in root.rglob("*.py")
                  if re.search(r"\.iterrows\(", p.read_text())]
     assert offenders == []
+
+
+def test_no_driver_side_collect_in_package():
+    """Guard: no .collect()/.toPandas()/driver-side loops inside the
+    engine package — every operator must stay distributed (the bench
+    and correctness harnesses collect, the package never does).  The
+    one sanctioned exception would need an explicit allowlist entry."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "flink_release_1_10_0_spark"
+    pat = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.toLocalIterator\(")
+    offenders = [str(p) for p in root.rglob("*.py")
+                 if pat.search(p.read_text())]
+    assert offenders == []
