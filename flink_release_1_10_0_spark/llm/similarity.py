@@ -137,13 +137,16 @@ def ivf_build_index(embeddings: DataFrame, path: str,
 
 def ivf_topk_indexed(spark, index_path: str, query: DataFrame, k: int = 5,
                      id_col: str = "vec_id", label_col: str = "label",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
     """IVF search against a cell-partitioned index: route the query to
-    its nearest centroid using the codebook MATERIALIZED at build time
-    (``{index_path}/_centroids``, a few KB — no corpus scan), then scan
-    ONLY the routed cell.  The cell filter arrives through a broadcast
-    join on the partition column, so Spark's dynamic partition pruning
-    skips every other cell directory at runtime."""
+    its ``nprobe`` nearest centroids using the codebook MATERIALIZED at
+    build time (``{index_path}/_centroids``, a few KB — no corpus
+    scan), then scan ONLY the routed cells.  The cell filter arrives
+    through a broadcast join on the partition column, so Spark's
+    dynamic partition pruning skips every other cell directory at
+    runtime.  ``nprobe`` is the standard IVF recall knob: more probed
+    cells -> higher recall, scan cost grows as nprobe/n_cells of the
+    corpus."""
     index = spark.read.parquet(index_path)
     cent_vecs = spark.read.parquet(index_path + "/_centroids")
     q = query.select(F.col(vec_col).alias("qvec"))
@@ -156,7 +159,7 @@ def ivf_topk_indexed(spark, index_path: str, query: DataFrame, k: int = 5,
     routed = (q.crossJoin(F.broadcast(cent_vecs))
               .select("qvec", "c_label", qdist.alias("qd"))
               .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == 1)
+              .filter(F.col("rn") <= nprobe)
               .select("qvec", F.col("c_label").cast("bigint").alias("cell")))
     cell = index.join(F.broadcast(routed),
                       F.col(label_col).cast("bigint") == F.col("cell"))

@@ -68,7 +68,8 @@ _PIN = [
     "cep_mr_measures_one_row", "cep_mr_all_rows_per_match",
     "cep_mr_skip_to_last",
     # --- IVF index path (reworked this round: materialized centroids) ---
-    "similarity_ivf_topk_pruned", "similarity_ivf_assign",
+    "similarity_ivf_topk_pruned", "similarity_ivf_topk_nprobe2",
+    "similarity_ivf_assign",
     # --- remaining never-driver-verified queries, family-ranked ---
     "stream_window_all_agg", "stream_cep_times_or_more",
     "stream_late_data_side_output",

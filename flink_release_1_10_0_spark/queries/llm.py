@@ -494,3 +494,47 @@ def similarity_ivf_topk_pruned(spark, sf_dir):
     S.ivf_build_index(emb, index_path)
     return S.ivf_topk_indexed(spark, index_path,
                               emb.filter(F.col("vec_id") == 1), k=5)
+
+
+# --------------------------------------------------------------------------
+# IVF with multi-cell probing (nprobe=2) — the standard IVF recall knob:
+# scan the 2 nearest cells instead of 1; both reach the scan as dynamic
+# partition pruning filters, so cost grows as nprobe/n_cells of the
+# corpus, never a full scan.
+# --------------------------------------------------------------------------
+_IVF_NPROBE_ORACLE = """
+WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+            FROM embeddings),
+cent AS (SELECT label, pos,
+                CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+         FROM ex GROUP BY label, pos),
+cvec AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1),
+routed AS (
+  SELECT CAST(c_label AS BIGINT) AS cell FROM (
+    SELECT c_label,
+           round(sqrt(list_sum(list_transform(range(1, 65), i ->
+             (CAST(qvec[i] AS DOUBLE) - cv[i]) * (CAST(qvec[i] AS DOUBLE) - cv[i])))), 6) AS qd
+    FROM cvec CROSS JOIN q) s
+  ORDER BY qd, cell LIMIT 2)
+SELECT vec_id, cell,
+       round(
+         list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))), 6) AS cosine
+FROM embeddings
+JOIN routed ON label = cell
+CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+@register("similarity_ivf_topk_nprobe2", _IVF_NPROBE_ORACLE)
+def similarity_ivf_topk_nprobe2(spark, sf_dir):
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    index_path = tempfile.mkdtemp(prefix="ivf_index_np_")
+    S.ivf_build_index(emb, index_path)
+    return S.ivf_topk_indexed(spark, index_path,
+                              emb.filter(F.col("vec_id") == 1), k=5, nprobe=2)
