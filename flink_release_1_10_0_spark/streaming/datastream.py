@@ -137,6 +137,29 @@ class DataStream:
         """Partition-local sort (DataSet.sortPartition) — no global shuffle."""
         return DataStream(self._df.sortWithinPartitions(*cols))
 
+    def partition_custom(self, partitioner, key_col: str,
+                         n: int) -> "DataStream":
+        """Arbitrary user partitioner (``DataStream.java:361``
+        ``partitionCustom(Partitioner, key)``): every record routes to
+        the partition ``partitioner(key) % n`` chooses.
+
+        Spark-first note: Catalyst exposes hash/range/round-robin
+        exchanges only, so an ARBITRARY partitioner drops to the RDD
+        tier — ``partitionBy`` with the user function — and back.  This
+        is the sanctioned last-resort tier (the function must run
+        per-record anyway, there is nothing for Catalyst to optimize);
+        batch-only, like the reference's DataSet.partitionCustom, and
+        the RDD hop severs Catalyst lineage, so apply it LAST in a
+        pipeline (scan/filter pushdown has already happened upstream).
+        """
+        df = self._df
+        spark = df.sparkSession
+        schema = df.schema
+        idx = df.columns.index(key_col)
+        keyed = df.rdd.map(lambda row: (row[idx], row))
+        parted = keyed.partitionBy(n, partitioner).values()
+        return DataStream(spark.createDataFrame(parted, schema))
+
 
 class KeyedStream:
     """Stream partitioned by key (``KeyedStream.java:97``): rolling

@@ -215,3 +215,25 @@ def test_sssp_long_chain(spark):
     out = sssp(chain, source=0, max_iterations=20)
     got = {r.id: r.distance for r in out.collect()}
     assert got[12] == 12 and got[0] == 0 and got[6] == 6
+
+
+def test_partition_custom_routes_by_user_partitioner(spark):
+    """DataStream.partitionCustom (DataStream.java:361): an arbitrary
+    Python partitioner decides each record's partition; verified with
+    spark_partition_id against the same function driver-side."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+
+    def odd_even_mod(key):
+        # deliberately NOT a plain hash: odds to low half, evens to high
+        return (key % 5) if key % 2 else 5 + (key % 3)
+
+    out = (DataStream(df).partition_custom(odd_even_mod, "k", 8)
+           .df.withColumn("pid", F.spark_partition_id()))
+    rows = out.collect()
+    assert len(rows) == 1000
+    for r in rows:
+        assert r.pid == odd_even_mod(r.k) % 8
