@@ -78,7 +78,8 @@ _PIN = [
     "text_quality_stats", "text_token_count", "text_language_id",
     "doc_fingerprint", "dedup_exact_md5", "dedup_wordset_groups",
     "simhash_fingerprint", "ngram_jaccard_pairs",
-    "multimodal_metadata_extract", "sample_by_hash_30pct",
+    "multimodal_metadata_extract", "multimodal_frame_sample",
+    "multimodal_resize_plan", "sample_by_hash_30pct",
     "pipeline_training_data_curation", "sample_stratified_by_lang",
     "embedding_near_dup_pairs", "embedding_lsh_near_dup",
     "udaf_weighted_avg", "udtf_tokenize_lateral", "cogroup_events_orders",

@@ -538,3 +538,54 @@ def similarity_ivf_topk_nprobe2(spark, sf_dir):
     S.ivf_build_index(emb, index_path)
     return S.ivf_topk_indexed(spark, index_path,
                               emb.filter(F.col("vec_id") == 1), k=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Multimodal: video frame-sampling plumbing — one payload fans out to one
+# row per sampled frame (mapInPandas; deterministic fake decode, real
+# Arrow fan-out shape).  Digest column omitted from the oracle (binary
+# concat md5 is python-side); frame count/timestamps pin the fan-out.
+# --------------------------------------------------------------------------
+_FRAME_SAMPLE_ORACLE = """
+WITH d AS (SELECT doc_id,
+                  LEAST(octet_length(CAST(text AS BLOB)), 10000) AS dur
+           FROM documents)
+SELECT doc_id,
+       CAST(unnest(range(0, CAST(ceil(dur / 1000.0) AS BIGINT))) AS BIGINT) AS frame_idx,
+       CAST(unnest(range(0, CAST(ceil(dur / 1000.0) AS BIGINT))) * 1000 AS BIGINT) AS frame_ts_ms
+FROM d WHERE dur > 0
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.multimodal import frame_sample
+    docs = with_binary_payload(t(spark, sf_dir, "documents"))
+    return frame_sample(docs).select("doc_id", "frame_idx", "frame_ts_ms")
+
+
+# --------------------------------------------------------------------------
+# Multimodal: resize planning — aspect-preserving target dimensions as a
+# pure JVM-side column expression over the (fake-)decoded width/height.
+# --------------------------------------------------------------------------
+_RESIZE_PLAN_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 1920 AS INT) + 1 AS w,
+         CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) % 1080 AS INT) + 1 AS h
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(floor(w * s) AS INT) AS resized_width,
+       CAST(floor(h * s) AS INT) AS resized_height,
+       s AS scale
+FROM (SELECT doc_id, w, h,
+             round(LEAST(512.0 / w, 512.0 / h, 1.0), 6) AS s FROM m) q
+"""
+
+
+@register("multimodal_resize_plan", _RESIZE_PLAN_ORACLE)
+def multimodal_resize_plan(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.multimodal import resize_plan
+    docs = with_binary_payload(t(spark, sf_dir, "documents"))
+    return resize_plan(docs)
