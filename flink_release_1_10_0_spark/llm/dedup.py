@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_release_1_10_0_spark.llm.text import hash64_expr, words_expr
+from flink_release_1_10_0_spark.llm.text import (hash64_expr, hash128_expr,
+                                                 words_expr)
 
 
 def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -77,18 +78,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
        for pair-list semantics, and zero wasted verification.
     """
     n_bands = k // band_rows
-    # every internal key is a BIGINT (60-bit md5 prefix), not an md5
-    # string: the candidate join, its distinct, and the verification
-    # joins shuffle 8-byte keys instead of 32-char strings, and the
-    # exact-Jaccard verification intersects bigint word-HASH arrays
-    # instead of string arrays (~2× on the verify stage, measured).
-    # Collision risk at 2^-60 per word pair is below any realistic
-    # corpus size; the oracle compares only the (id_a, id_b, jaccard)
-    # output, where the integer set sizes are unchanged.
+    # key-width policy: band keys and word hashes are 60-bit BIGINTs
+    # (8-byte shuffle keys, bigint array intersects — ~2× on the verify
+    # stage vs md5 strings, measured); a collision there only adds a
+    # candidate pair that exact verification rejects, so 60 bits are
+    # benign.  The document IDENTITY ``fp`` is different: a collision
+    # MERGES distinct documents and emits wrong pairs, and 60 bits hit
+    # 50% birthday probability at ~1.3e9 docs — below 100 TB scale.  fp
+    # is therefore a 120-bit struct<h1,h2 bigint> (16-byte keys,
+    # collision-safe past 1e18 docs); the oracle compares only the
+    # (id_a, id_b, jaccard) output.
     d = (with_words(df, text_col)
          .select(F.col(id_col),
                  F.expr("array_sort(array_distinct(words))").alias("ws"))
-         .withColumn("fp", F.expr(hash64_expr("concat_ws(' ', ws)"))))
+         .withColumn("fp", F.expr(hash128_expr("concat_ws(' ', ws)"))))
     members = d.select("fp", F.col(id_col))
     uniq = (d.groupBy("fp").agg(F.first("ws").alias("ws"))
             .withColumn("wh", F.expr(

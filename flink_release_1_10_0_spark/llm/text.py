@@ -23,6 +23,19 @@ def hash64_expr(s: str) -> str:
     return f"cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
 
 
+def hash128_expr(s: str) -> str:
+    """Deterministic 120-bit identity from md5 as a struct of two BIGINTs.
+
+    Use this (not :func:`hash64_expr`) when the hash IS the identity of a
+    row — e.g. the document fingerprint keying dedup groups.  60 bits
+    reach 50% birthday-collision probability at ~1.3e9 distinct values,
+    which a 100 TB corpus exceeds; 120 bits push that past 1e18.  Struct
+    join/group keys shuffle 16 bytes and compare lexicographically."""
+    return (f"named_struct("
+            f"'h1', cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint), "
+            f"'h2', cast(conv(substr(md5({s}), 17, 15), 16, 10) as bigint))")
+
+
 _STOPWORDS = "('the','a','of','and','to','in','is','it','for','on')"
 
 

@@ -55,7 +55,9 @@ class _Buf:
     advances monotonically instead of rescanning the whole buffer per
     event (the r3-verdict O(|state|)-per-event fix)."""
 
-    __slots__ = ("cols", "dtypes", "lo", "n")
+    __slots__ = ("cols", "dtypes", "lo", "n", "max_ts", "sorted_")
+
+    _TS_COL = 1  # (id, ts_us, value[, match_count]) layout on both sides
 
     def __init__(self, arrays, dtypes):
         self.dtypes = dtypes
@@ -67,6 +69,10 @@ class _Buf:
             c = np.empty(cap, dt)
             c[:self.n] = a
             self.cols.append(c)
+        ts = self.cols[self._TS_COL][:self.n]
+        self.max_ts = int(ts.max()) if self.n else -(2 ** 63)
+        # restored state is ts-sorted iff it was stored sorted; check once
+        self.sorted_ = bool(self.n < 2 or (np.diff(ts) >= 0).all())
 
     def append(self, *vals):
         if self.n == len(self.cols[0]):
@@ -77,12 +83,35 @@ class _Buf:
         for c, v in zip(self.cols, vals):
             c[self.n] = v
         self.n += 1
+        ts = int(vals[self._TS_COL])
+        if ts < self.max_ts:
+            # input contract (event-time ordered arrival) violated —
+            # degrade to rescan-based TTL instead of silently missing
+            # expirations behind the prefix pointer
+            self.sorted_ = False
+        else:
+            self.max_ts = ts
 
-    def expire(self, min_us: int, us_col: int = 1) -> None:
-        """Advance the head past rows with ts < min_us (TTL prune)."""
-        us = self.cols[us_col]
-        while self.lo < self.n and us[self.lo] < min_us:
-            self.lo += 1
+    def expire(self, min_us: int) -> None:
+        """Drop rows with ts < min_us (TTL prune).
+
+        Fast path: rows arrived ts-ordered, so expiry is a prefix and
+        ``lo`` advances monotonically (amortized O(1) per event).  If an
+        out-of-order append was detected, fall back to a full rescan +
+        compaction so TTL stays CORRECT (never silently skips a late row
+        parked behind newer ones)."""
+        us = self.cols[self._TS_COL]
+        if self.sorted_:
+            while self.lo < self.n and us[self.lo] < min_us:
+                self.lo += 1
+            return
+        keep = us[self.lo:self.n] >= min_us
+        if keep.all():
+            return
+        kept = int(keep.sum())
+        for j, c in enumerate(self.cols):
+            c[:kept] = c[self.lo:self.n][keep]
+        self.lo, self.n = 0, kept
 
     def live(self, j: int) -> np.ndarray:
         """Snapshot view of live column j (valid until mutation of j)."""
@@ -146,14 +175,19 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
             lb = _Buf([[], [], [], []], (I64, I64, F64, I64))
             rb = _Buf([[], [], []], (I64, I64, F64))
             seq = 0
-        # emission chunks: (op, l_id f64, l_value f64, r_id f64, r_value
-        # f64) numpy arrays, NaN = null; per-event work is vectorized
-        # over the opposite buffer instead of a Python list scan per
-        # event (the matches themselves are the output, so emission is
-        # O(output); the retraction scan and match-count bump are numpy)
-        chunks: list[tuple[str, np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        # emission chunks: (op, l_id i64, l_null bool, l_value f64,
+        # r_id i64, r_null bool, r_value f64) numpy arrays.  Ids stay
+        # int64 end-to-end with an explicit null-mask (never routed
+        # through float64/NaN, which silently corrupts ids > 2^53 —
+        # snowflake-style ids at 100 TB exceed that); only the double
+        # value columns use NaN-as-null.  Per-event work is vectorized
+        # over the opposite buffer (emission is O(output); the
+        # retraction scan and match-count bump are numpy).
+        chunks: list[tuple] = []
         k = key_[0]
         nan1 = np.full(1, np.nan)
+        zero1, true1, false1 = (np.zeros(1, I64), np.ones(1, bool),
+                                np.zeros(1, bool))
 
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -170,17 +204,19 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                 if s == 0:
                     m = rb.n - rb.lo
                     if m > 0:
+                        mf = np.zeros(m, bool)
                         chunks.append(("+I",
-                                       np.full(m, float(i)), np.full(m, v),
-                                       rb.live(0).astype(F64), rb.live(2).astype(F64)))
+                                       np.full(m, i, I64), mf, np.full(m, v),
+                                       rb.live(0).copy(), mf,
+                                       rb.live(2).astype(F64)))
                     elif how == LEFT_OUTER:
-                        chunks.append(("+I", np.full(1, float(i)),
-                                       np.full(1, v), nan1, nan1))
+                        chunks.append(("+I", np.full(1, i, I64), false1,
+                                       np.full(1, v), zero1, true1, nan1))
                     lb.append(i, ts_us, v, m)
                 else:
                     m = lb.n - lb.lo
                     if m > 0:
-                        lid = lb.live(0).astype(F64)
+                        lid = lb.live(0).copy()
                         lv = lb.live(2).astype(F64)
                         zero = lb.live(3) == 0
                         if how == LEFT_OUTER and zero.any():
@@ -189,10 +225,14 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                             # the inserts: -D/+I of DIFFERENT rows
                             # commute, so the folded table is identical)
                             nz = int(zero.sum())
-                            chunks.append(("-D", lid[zero], lv[zero],
-                                           np.full(nz, np.nan), np.full(nz, np.nan)))
-                        chunks.append(("+I", lid, lv,
-                                       np.full(m, float(i)), np.full(m, v)))
+                            chunks.append(("-D", lid[zero],
+                                           np.zeros(nz, bool), lv[zero],
+                                           np.zeros(nz, I64),
+                                           np.ones(nz, bool),
+                                           np.full(nz, np.nan)))
+                        mf = np.zeros(m, bool)
+                        chunks.append(("+I", lid, mf, lv,
+                                       np.full(m, i, I64), mf, np.full(m, v)))
                         lb.cols[3][lb.lo:lb.n] += 1
                     rb.append(i, ts_us, v)
         state.update((lb.live(0).tolist(), lb.live(1).tolist(),
@@ -203,15 +243,19 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
             total = sum(len(c[1]) for c in chunks)
             op = np.concatenate([np.full(len(c[1]), c[0], object) for c in chunks])
             lid = np.concatenate([c[1] for c in chunks])
-            lv = np.concatenate([c[2] for c in chunks])
-            rid = np.concatenate([c[3] for c in chunks])
-            rv = np.concatenate([c[4] for c in chunks])
+            lmask = np.concatenate([c[2] for c in chunks])
+            lv = np.concatenate([c[3] for c in chunks])
+            rid = np.concatenate([c[4] for c in chunks])
+            rmask = np.concatenate([c[5] for c in chunks])
+            rv = np.concatenate([c[6] for c in chunks])
             yield pd.DataFrame({
                 "op": op,
                 key: np.full(total, k, I64),
-                "l_id": pd.Series(lid).astype("Int64"),
+                # IntegerArray(values, mask) keeps ids exact at any
+                # magnitude (no float64 round-trip)
+                "l_id": pd.arrays.IntegerArray(lid, lmask.copy()),
                 "l_value": lv,
-                "r_id": pd.Series(rid).astype("Int64"),
+                "r_id": pd.arrays.IntegerArray(rid, rmask.copy()),
                 "r_value": pd.Series(rv).astype("Float64"),
                 "seq": np.arange(seq + 1, seq + total + 1, dtype=I64)})
 

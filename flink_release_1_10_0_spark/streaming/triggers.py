@@ -59,6 +59,14 @@ def run_with_early_firings(agg: DataFrame,
         (batch_df.withColumn("batch_id", F.lit(epoch_id).cast("bigint"))
          .write.mode("append").parquet(out_dir))
 
+    # seed the sink with a zero-row frame in the firing-log schema so an
+    # empty source (zero micro-batches => foreachBatch never runs) still
+    # yields an empty firing log instead of an unable-to-infer-schema
+    # AnalysisException on read-back
+    empty = (spark.createDataFrame([], agg.schema)
+             .withColumn("batch_id", F.lit(None).cast("bigint")))
+    empty.write.mode("append").parquet(out_dir)
+
     q = (agg.writeStream
          .outputMode("update")
          .foreachBatch(sink)
@@ -67,7 +75,7 @@ def run_with_early_firings(agg: DataFrame,
          .start())
     q.awaitTermination()
 
-    fired = spark.read.parquet(out_dir)
+    fired = spark.read.parquet(out_dir).filter(F.col("batch_id").isNotNull())
     out_cols = [c for c in fired.columns if c != "batch_id"]
     # a firing is final iff no later batch re-fired the same window key;
     # window identity = the aggregation's grouping columns (default: the

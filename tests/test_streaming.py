@@ -272,3 +272,22 @@ def test_early_fire_partial_then_final(spark):
         assert len(finals) == 1
         # the final firing's count is the window total: >= any early count
         assert all(finals[0].n >= e.n for e in earlies)
+
+
+def test_early_fire_empty_source_yields_empty_log(spark):
+    """Zero micro-batches (empty source) must return an empty firing log
+    in the agg schema, not an unable-to-infer-schema error (ADVICE r4)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.triggers import run_with_early_firings
+
+    src = tempfile.mkdtemp(prefix="early_fire_empty_src_")
+    sdf = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    agg = (sdf.withWatermark("ts", "1 minute")
+           .groupBy(F.window("ts", "1 hour").getField("start").alias("w_start"))
+           .agg(F.sum("v").alias("s")))
+    out = run_with_early_firings(agg, key_cols=["w_start"])
+    assert out.count() == 0
+    assert out.columns == ["w_start", "s", "op"]
