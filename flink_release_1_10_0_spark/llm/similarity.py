@@ -94,12 +94,14 @@ def ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 5,
         "round(sqrt(aggregate(zip_with(qvec, cvec, "
         "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
         "cast(0.0 as double), (acc, v) -> acc + v)), 6)")
-    from pyspark.sql import Window
-    w = Window.orderBy(F.asc("qd"), F.asc("c_label"))
+    # routing = ORDER BY dist LIMIT 1 over the (1 query × n_cells) cross
+    # product: TakeOrderedAndProject, not a row_number over a global
+    # window (which would force everything onto one partition and is a
+    # copy-paste trap at real cardinalities)
     routed = (q.crossJoin(F.broadcast(cent_vecs))
               .select("qvec", "c_label", qdist.alias("qd"))
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == 1)
+              .orderBy(F.asc("qd"), F.asc("c_label"))
+              .limit(1)
               .select("qvec", F.col("c_label").alias("cell")))
     cell = embeddings.join(F.broadcast(routed),
                            F.col(label_col) == F.col("cell"))
@@ -154,12 +156,13 @@ def ivf_topk_indexed(spark, index_path: str, query: DataFrame, k: int = 5,
         "round(sqrt(aggregate(zip_with(qvec, cvec, "
         "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
         "cast(0.0 as double), (acc, v) -> acc + v)), 6)")
-    from pyspark.sql import Window
-    w = Window.orderBy(F.asc("qd"), F.asc("c_label"))
+    # routing = ORDER BY dist LIMIT nprobe (TakeOrderedAndProject) over
+    # the few-KB codebook — no global window, no single-partition
+    # WindowExec warning
     routed = (q.crossJoin(F.broadcast(cent_vecs))
               .select("qvec", "c_label", qdist.alias("qd"))
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= nprobe)
+              .orderBy(F.asc("qd"), F.asc("c_label"))
+              .limit(nprobe)
               .select("qvec", F.col("c_label").cast("bigint").alias("cell")))
     cell = index.join(F.broadcast(routed),
                       F.col(label_col).cast("bigint") == F.col("cell"))
