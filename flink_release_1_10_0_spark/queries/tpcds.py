@@ -1,0 +1,497 @@
+"""TPC-DS-shaped report queries.
+
+The reference's published batch-SQL correctness baseline is TPC-DS
+103/103 variants at SF1 (``flink-end-to-end-tests/flink-tpcds-test/
+src/main/java/org/apache/flink/table/tpcds/TpcdsTestProgram.java:56-70``,
+``test_tpcds.sh:22``) with stats-driven join reordering
+(``TpcdsStatsProvider.java``).  The synthetic star schema here has no
+TPC-DS tables, so this module reproduces the *query shapes* a Flink
+batch-SQL user migrating TPC-DS-style reports actually relies on, one
+per family, over the available schema:
+
+- date-dimension-driven fact scan + LIMIT report (q3 family)
+- multi-fact star join through shared dimensions (q25/q29)
+- rollup report with GROUPING() labels (q27/q36)
+- windowed rank over an aggregated star join (q67/q98)
+- EXISTS / NOT EXISTS customer segmentation (q10/q35)
+- channel UNION ALL roll-together (q5/q71)
+- over-average correlated comparison (q1/q30)
+- year-over-year self-join of aggregates (q74)
+- multi-level COUNT(DISTINCT) by period (q14 class)
+- revenue-share-of-total window (ratio_to_report, q98)
+- price-band CASE segmentation (q48 class)
+- period INTERSECT of customer sets (q38)
+
+Scale notes: every dimension join is broadcast (nation/region/part are
+small by star-schema design); fact-fact combination happens through
+pre-aggregated per-key frames, never a raw fact×fact join; window
+functions are always partitioned.  All aggregates use the package's
+exact-decimal conventions so oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.queries import register
+from flink_release_1_10_0_spark.queries.helpers import (MONEY, disc_price,
+                                                        dsum, dsum_expr,
+                                                        money, t)
+
+# --------------------------------------------------------------------------
+# q3 family: date-dim filter -> star join -> top-N revenue report.
+# The date dimension is derived (year/month of o_orderdate); the filter
+# reaches the orders scan as a pushed predicate, exactly how a date_dim
+# join prunes at 100 TB (here: partition/row-group pruning on the fact).
+# --------------------------------------------------------------------------
+_DATE_BRAND_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part   ON l_partkey = p_partkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_year, p_brand
+ORDER BY revenue DESC, o_year, p_brand
+LIMIT 10
+"""
+
+
+@register("tpcds_q_date_brand_topn", _DATE_BRAND_ORACLE)
+def tpcds_q_date_brand_topn(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    part = t(spark, sf_dir, "part")
+    star = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(part), li.l_partkey == part.p_partkey))
+    return (star.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                         "p_brand")
+            .agg(dsum_expr(disc_price(), "revenue"))
+            .orderBy(F.desc("revenue"), "o_year", "p_brand")
+            .limit(10))
+
+
+# --------------------------------------------------------------------------
+# q25/q29 family: TWO fact measures through shared dimensions.  Facts are
+# pre-aggregated per customer BEFORE combining (never fact×fact raw):
+# order revenue per customer x lineitem return quantity per customer,
+# reported by nation.
+# --------------------------------------------------------------------------
+_MULTI_FACT_ORACLE = """
+WITH ord AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_rev
+  FROM orders GROUP BY o_custkey
+), ret AS (
+  SELECT o_custkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ret_qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+)
+SELECT n_name,
+       CAST(SUM(CAST(order_rev AS DECIMAL(18,2))) AS DOUBLE) AS total_rev,
+       CAST(SUM(CAST(COALESCE(ret_qty, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_ret_qty,
+       COUNT(*) AS n_customers
+FROM customer
+JOIN ord ON c_custkey = ord.o_custkey
+LEFT JOIN ret ON c_custkey = ret.o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("tpcds_q_multi_fact_star", _MULTI_FACT_ORACLE)
+def tpcds_q_multi_fact_star(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    ord_agg = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "order_rev"))
+    ret_agg = (li.filter(F.col("l_returnflag") == "R")
+               .join(orders.select("o_orderkey", "o_custkey"),
+                     li.l_orderkey == orders.o_orderkey)
+               .groupBy("o_custkey").agg(dsum("l_quantity", "ret_qty")))
+    joined = (cust.join(ord_agg, cust.c_custkey == ord_agg.o_custkey)
+              .join(ret_agg.withColumnRenamed("o_custkey", "r_custkey"),
+                    cust.c_custkey == F.col("r_custkey"), "left")
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    return (joined.groupBy("n_name")
+            .agg(dsum("order_rev", "total_rev"),
+                 dsum_expr(F.coalesce(F.col("ret_qty"), F.lit(0)).cast(MONEY),
+                           "total_ret_qty"),
+                 F.count(F.lit(1)).alias("n_customers")))
+
+
+# --------------------------------------------------------------------------
+# q27/q36 family: hierarchy rollup with GROUPING() labels — the report
+# shape where subtotal lines are tagged by aggregation level.
+# --------------------------------------------------------------------------
+_ROLLUP_LABEL_ORACLE = """
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS lochierarchy,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("tpcds_q_rollup_hierarchy", _ROLLUP_LABEL_ORACLE)
+def tpcds_q_rollup_hierarchy(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    star = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    return (star.rollup("r_name", "n_name")
+            .agg((F.grouping("r_name").cast("bigint") * 2
+                  + F.grouping("n_name").cast("bigint")).alias("lochierarchy"),
+                 dsum("o_totalprice", "revenue"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+                    "lochierarchy", "revenue"))
+
+
+# --------------------------------------------------------------------------
+# q67/q98 family: windowed rank over an aggregated star join — top-3
+# revenue brands WITHIN each part type (partitioned window, never global).
+# --------------------------------------------------------------------------
+_RANK_STAR_ORACLE = """
+WITH agg AS (
+  SELECT p_type, p_brand,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand, revenue,
+       CAST(rank() OVER (PARTITION BY p_type ORDER BY revenue DESC, p_brand) AS BIGINT) AS rk
+FROM agg
+QUALIFY rk <= 3
+"""
+
+
+@register("tpcds_q_rank_in_category", _RANK_STAR_ORACLE)
+def tpcds_q_rank_in_category(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    agg = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .groupBy("p_type", "p_brand")
+           .agg(dsum("l_extendedprice", "revenue")))
+    w = Window.partitionBy("p_type").orderBy(F.desc("revenue"), "p_brand")
+    return (agg.withColumn("rk", F.rank().over(w).cast("bigint"))
+            .filter(F.col("rk") <= 3))
+
+
+# --------------------------------------------------------------------------
+# q10/q35 family: EXISTS-heavy customer segmentation — customers active
+# in 1997 (EXISTS) with no 1996 activity (NOT EXISTS), i.e. the
+# new-customer cohort, counted by market segment.  Both decorrelated
+# subqueries become semi/anti joins against the fact.
+# --------------------------------------------------------------------------
+_EXISTS_SEG_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1996)
+GROUP BY c_mktsegment
+"""
+
+
+@register("tpcds_q_exists_segmentation", _EXISTS_SEG_ORACLE)
+def tpcds_q_exists_segmentation(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    o97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    o96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return (cust
+            .join(o97, cust.c_custkey == o97.o_custkey, "left_semi")
+            .join(o96, cust.c_custkey == o96.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 dsum("c_acctbal", "total_acctbal")))
+
+
+# --------------------------------------------------------------------------
+# q5/q71 family: channel UNION ALL rolled together — revenue by nation
+# and "channel" where channels are unioned sub-facts (here: fulfilled
+# orders vs open orders as the two channels).
+# --------------------------------------------------------------------------
+_CHANNEL_UNION_ORACLE = """
+WITH channels AS (
+  SELECT 'fulfilled' AS channel, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT 'open' AS channel, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT channel, n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM channels
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY channel, n_name
+"""
+
+
+@register("tpcds_q_channel_union", _CHANNEL_UNION_ORACLE)
+def tpcds_q_channel_union(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    chan = (orders.filter(F.col("o_orderstatus") == "F")
+            .select(F.lit("fulfilled").alias("channel"), "o_custkey", "o_totalprice")
+            .unionByName(
+                orders.filter(F.col("o_orderstatus") == "O")
+                .select(F.lit("open").alias("channel"), "o_custkey", "o_totalprice")))
+    return (chan.join(cust, chan.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("channel", "n_name")
+            .agg(dsum("o_totalprice", "revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+# --------------------------------------------------------------------------
+# q1/q30 family: over-average comparison — customers whose total spend
+# exceeds 1.2x their nation's average customer spend.  The correlated
+# subquery decorrelates into a per-nation aggregate broadcast back.
+# --------------------------------------------------------------------------
+_OVER_AVG_ORACLE = """
+WITH spend AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_name, c_nationkey
+), nat_avg AS (
+  -- exact decimal sum / count, not AVG over doubles: float summation
+  -- order differs between engines and the > filter must not flip
+  SELECT c_nationkey,
+         CAST(SUM(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_spend
+  FROM spend GROUP BY c_nationkey
+)
+SELECT c_custkey, c_name, round(total_spend, 2) AS total_spend,
+       round(avg_spend, 6) AS nation_avg
+FROM spend JOIN nat_avg USING (c_nationkey)
+WHERE total_spend > 1.2 * avg_spend
+"""
+
+
+@register("tpcds_q_over_nation_avg", _OVER_AVG_ORACLE)
+def tpcds_q_over_nation_avg(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    spend = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+             .groupBy("c_custkey", "c_name", "c_nationkey")
+             .agg(dsum("o_totalprice", "total_spend")))
+    nat_avg = spend.groupBy("c_nationkey").agg(
+        (F.sum(money("total_spend")).cast("double")
+         / F.count(F.lit(1))).alias("avg_spend"))
+    return (spend.join(F.broadcast(nat_avg), "c_nationkey")
+            .filter(F.col("total_spend") > 1.2 * F.col("avg_spend"))
+            .select("c_custkey", "c_name",
+                    F.round("total_spend", 2).alias("total_spend"),
+                    F.round("avg_spend", 6).alias("nation_avg")))
+
+
+# --------------------------------------------------------------------------
+# q74 family: year-over-year growth — per-customer revenue in 1996 vs
+# 1997, customers whose 1997/1996 ratio > 1.  Self-join of the SAME
+# per-(customer, year) aggregate, pivoted by year.
+# --------------------------------------------------------------------------
+_YOY_ORACLE = """
+WITH per_year AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey, o_year
+)
+SELECT a.o_custkey AS c_custkey, round(a.rev, 2) AS rev_1996,
+       round(b.rev, 2) AS rev_1997,
+       round(b.rev / a.rev, 6) AS growth
+FROM per_year a JOIN per_year b
+  ON a.o_custkey = b.o_custkey AND a.o_year = 1996 AND b.o_year = 1997
+WHERE b.rev > a.rev
+"""
+
+
+@register("tpcds_q_year_over_year", _YOY_ORACLE)
+def tpcds_q_year_over_year(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    per_year = (orders
+                .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+                .filter(F.col("o_year").isin(1996, 1997))
+                .groupBy("o_custkey", "o_year")
+                .agg(dsum("o_totalprice", "rev")))
+    a = per_year.filter(F.col("o_year") == 1996).alias("a")
+    b = per_year.filter(F.col("o_year") == 1997).alias("b")
+    return (a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"))
+            .filter(F.col("b.rev") > F.col("a.rev"))
+            .select(F.col("a.o_custkey").alias("c_custkey"),
+                    F.round(F.col("a.rev"), 2).alias("rev_1996"),
+                    F.round(F.col("b.rev"), 2).alias("rev_1997"),
+                    F.round(F.col("b.rev") / F.col("a.rev"), 6).alias("growth")))
+
+
+# --------------------------------------------------------------------------
+# q14 class: multi-level COUNT(DISTINCT) per period — distinct customers
+# and distinct orders per month alongside exact revenue.
+# --------------------------------------------------------------------------
+_MULTI_DISTINCT_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_year, o_month
+"""
+
+
+@register("tpcds_q_monthly_distinct_counts", _MULTI_DISTINCT_ORACLE)
+def tpcds_q_monthly_distinct_counts(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return (orders.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                           F.month("o_orderdate").cast("bigint").alias("o_month"))
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.countDistinct("o_orderkey").alias("n_orders"),
+                 dsum("o_totalprice", "revenue")))
+
+
+# --------------------------------------------------------------------------
+# q98 family: revenue share of total within a category —
+# ratio_to_report expressed as a partitioned sum window.
+# --------------------------------------------------------------------------
+_REV_SHARE_ORACLE = """
+WITH agg AS (
+  SELECT p_type, p_brand,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand, revenue,
+       round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                            OVER (PARTITION BY p_type) AS DOUBLE), 6) AS rev_share
+FROM agg
+"""
+
+
+@register("tpcds_q_revenue_share", _REV_SHARE_ORACLE)
+def tpcds_q_revenue_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    agg = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .groupBy("p_type", "p_brand")
+           .agg(dsum("l_extendedprice", "revenue")))
+    w = Window.partitionBy("p_type")
+    # exact decimal window sum: float summation order differs per engine
+    return agg.withColumn(
+        "rev_share",
+        F.round(F.col("revenue")
+                / F.sum(money("revenue")).over(w).cast("double"), 6))
+
+
+# --------------------------------------------------------------------------
+# q48 class: CASE price-band segmentation — quantity buckets x band
+# revenue in one scan-side CASE aggregation.
+# --------------------------------------------------------------------------
+_PRICE_BAND_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_quantity < 10 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS rev_small,
+       CAST(SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 30 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS rev_mid,
+       CAST(SUM(CASE WHEN l_quantity >= 30 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS rev_large,
+       CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("tpcds_q_price_band_case", _PRICE_BAND_ORACLE)
+def tpcds_q_price_band_case(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+
+    def band(cond, alias):
+        return (F.sum(F.when(cond, money("l_extendedprice"))
+                      .otherwise(F.lit(0).cast(MONEY)))
+                .cast("double").alias(alias))
+
+    return li.groupBy("l_returnflag").agg(
+        band(F.col("l_quantity") < 10, "rev_small"),
+        band((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 30), "rev_mid"),
+        band(F.col("l_quantity") >= 30, "rev_large"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"))
+
+
+# --------------------------------------------------------------------------
+# q38 family: period INTERSECT — customers active in BOTH 1996 and 1997
+# (set intersection of keyed projections), counted by nation.
+# --------------------------------------------------------------------------
+_INTERSECT_ORACLE = """
+WITH both_years AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT n_name, COUNT(*) AS n_repeat_customers
+FROM both_years
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("tpcds_q_repeat_customers_intersect", _INTERSECT_ORACLE)
+def tpcds_q_repeat_customers_intersect(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = y96.intersect(y97)
+    return (both.join(cust, both.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_repeat_customers")))
+
+
+# --------------------------------------------------------------------------
+# q15 class: top segment per period via aggregated max-join (a GROUP BY
+# feeding a having-max filter — the "best performer" report).
+# --------------------------------------------------------------------------
+_BEST_SEGMENT_ORACLE = """
+WITH seg AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_year, c_mktsegment
+), mx AS (
+  SELECT o_year, MAX(revenue) AS max_rev FROM seg GROUP BY o_year
+)
+SELECT seg.o_year, c_mktsegment, revenue
+FROM seg JOIN mx ON seg.o_year = mx.o_year AND seg.revenue = mx.max_rev
+"""
+
+
+@register("tpcds_q_best_segment_per_year", _BEST_SEGMENT_ORACLE)
+def tpcds_q_best_segment_per_year(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    seg = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+           .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                    "c_mktsegment")
+           .agg(dsum("o_totalprice", "revenue")))
+    mx = seg.groupBy("o_year").agg(F.max("revenue").alias("max_rev"))
+    return (seg.join(F.broadcast(mx.withColumnRenamed("o_year", "m_year")),
+                     (seg.o_year == F.col("m_year"))
+                     & (seg.revenue == F.col("max_rev")))
+            .select("o_year", "c_mktsegment", "revenue"))
