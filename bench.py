@@ -29,6 +29,7 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
     "minhash_lsh_dup_pairs",
+    "minhash_lsh_dup_pairs_xxh",
     "stream_topn_per_key",
     "cep_nfa_four_stage",
     "graph_connected_components",

@@ -17,20 +17,33 @@ def words_expr(col: str = "text") -> str:
             "x -> x != '')")
 
 
-def hash64_expr(s: str) -> str:
-    """Deterministic 60-bit hash from md5 (portable to any engine with md5):
-    first 15 hex chars as a BIGINT."""
+def hash64_expr(s: str, method: str = "md5") -> str:
+    """Deterministic 64-bit-class hash of a string expression.
+
+    ``method='md5'`` (default): first 15 md5 hex chars as a BIGINT —
+    60 bits, bit-identical on any engine with md5 (the oracle-portable
+    choice).  ``method='xxhash64'``: Spark's JVM-native xxHash64 —
+    no md5 digest or hex/string round-trip per hash, the faster choice
+    in hash-dense pipelines (MinHash computes k hashes per word); use
+    when cross-engine reproducibility is not required."""
+    if method == "xxhash64":
+        return f"xxhash64({s})"
     return f"cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
 
 
-def hash128_expr(s: str) -> str:
-    """Deterministic 120-bit identity from md5 as a struct of two BIGINTs.
+def hash128_expr(s: str, method: str = "md5") -> str:
+    """Deterministic 120/128-bit identity as a struct of two BIGINTs.
 
     Use this (not :func:`hash64_expr`) when the hash IS the identity of a
     row — e.g. the document fingerprint keying dedup groups.  60 bits
     reach 50% birthday-collision probability at ~1.3e9 distinct values,
-    which a 100 TB corpus exceeds; 120 bits push that past 1e18.  Struct
-    join/group keys shuffle 16 bytes and compare lexicographically."""
+    which a 100 TB corpus exceeds; 120+ bits push that past 1e18.  Struct
+    join/group keys shuffle 16 bytes and compare lexicographically.
+    ``method`` as in :func:`hash64_expr`; the xxhash64 variant derives
+    the second word with a distinct seed column."""
+    if method == "xxhash64":
+        return (f"named_struct('h1', xxhash64({s}), "
+                f"'h2', xxhash64(1L, {s}))")
     return (f"named_struct("
             f"'h1', cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint), "
             f"'h2', cast(conv(substr(md5({s}), 17, 15), 16, 10) as bigint))")

@@ -81,12 +81,14 @@ _PIN = [
     "tpcds_q_monthly_distinct_counts", "tpcds_q_revenue_share",
     "tpcds_q_price_band_case", "tpcds_q_repeat_customers_intersect",
     "tpcds_q_best_segment_per_year",
-    # --- (c) oldest-evidence fill (r1-only): 10 slots to reach 50 ---
+    # --- (b) new this round: DeltaTrigger analog ---
+    "stream_delta_trigger",
+    # --- (c) oldest-evidence fill (r1-only): 9 slots to reach 50 ---
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",
-    "subquery_scalar",
     # --- overflow (ordered r1-only remainder; rotates next round) ---
+    "subquery_scalar",
     "setop_union_distinct", "setop_intersect_all", "setop_except_all",
     "join_full_outer", "join_anti_not_exists", "join_theta_nonequi",
     "join_cross", "agg_count_distinct", "agg_min_max_sumsq", "agg_cube",

@@ -206,6 +206,18 @@ def minhash_lsh_dup_pairs(spark, sf_dir):
                                k=_K, band_rows=_BAND_ROWS, threshold=0.8)
 
 
+# rows-only check: xxhash64 is JVM-native (not computable in DuckDB), so
+# there is no portable oracle; correctness evidence is the pytest
+# self-consistency gate (tests/test_llm.py: exact-dup pairs identical to
+# the md5 path, shared pairs carry identical exact Jaccard).  Registered
+# so the production hash path is bench-visible and driver-smoke-checked.
+@register("minhash_lsh_dup_pairs_xxh", None)
+def minhash_lsh_dup_pairs_xxh(spark, sf_dir):
+    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), "doc_id",
+                               k=_K, band_rows=_BAND_ROWS, threshold=0.8,
+                               method="xxhash64")
+
+
 # --------------------------------------------------------------------------
 # SimHash fingerprints
 # --------------------------------------------------------------------------

@@ -1077,3 +1077,38 @@ def stream_window_early_fire(spark, sf_dir):
            .agg(F.count("*").alias("n"))
            .select(F.col("window.start").alias("w_start"), "n"))
     return run_with_early_firings(agg, key_cols=["w_start"])
+
+
+# --------------------------------------------------------------------------
+# DeltaTrigger (DeltaTrigger.java:38): fire when the delta between the
+# last-fired element and the current one exceeds a threshold.  The
+# oracle replays the same baseline walk with a recursive CTE (the
+# firing history is inherently sequential — exactly why the reference
+# models it as trigger ValueState).
+# --------------------------------------------------------------------------
+_DELTA_TRIGGER_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, rn, event_id, ts, value,
+         value AS baseline, FALSE AS fired, CAST(NULL AS DOUBLE) AS delta
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.event_id, s.ts, s.value,
+         CASE WHEN abs(s.value - w.baseline) > 100.0
+              THEN s.value ELSE w.baseline END,
+         abs(s.value - w.baseline) > 100.0,
+         round(abs(s.value - w.baseline), 6)
+  FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, event_id, ts, value, delta FROM walk WHERE fired
+"""
+
+
+@register("stream_delta_trigger", _DELTA_TRIGGER_ORACLE)
+def stream_delta_trigger(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.triggers import delta_trigger_firings
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(delta_trigger_firings(ev, threshold=100.0), "append")

@@ -151,6 +151,17 @@ class DataStream:
         batch-only, like the reference's DataSet.partitionCustom, and
         the RDD hop severs Catalyst lineage, so apply it LAST in a
         pipeline (scan/filter pushdown has already happened upstream).
+
+        COST WARNING (100 TB): this exchange runs the Python
+        partitioner per ROW on the driver-shipped closure plus a full
+        Row pickle/unpickle round trip — on a large shuffle it will be
+        the slowest exchange in the plan by an order of magnitude.  Use
+        it only when the routing genuinely cannot be expressed as a
+        key: ``partition_by_hash`` (hashpartitioning) and
+        ``partition_by_range`` (rangepartitioning) stay entirely
+        JVM-side and cover hash-/order-based routing; a computed
+        routing KEY (e.g. a CASE expression or UDF-derived column) fed
+        to ``partition_by_hash`` covers most of the rest.
         """
         df = self._df
         spark = df.sparkSession

@@ -27,9 +27,13 @@ from __future__ import annotations
 
 import itertools
 import tempfile
+from collections.abc import Iterator
+from typing import Any
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _counter = itertools.count()
 
@@ -86,3 +90,62 @@ def run_with_early_firings(agg: DataFrame,
             .withColumn("op", F.when(F.col("batch_id") == F.col("_mx"),
                                      F.lit("final")).otherwise(F.lit("early")))
             .select(*out_cols, "op"))
+
+
+def delta_trigger_firings(events: DataFrame, threshold: float,
+                          key: str = "user_id") -> DataFrame:
+    """DeltaTrigger analog (``flink-streaming-java/.../windowing/
+    triggers/DeltaTrigger.java:38`` with ``DeltaFunction``): per key, in
+    (event-time, id) order, fire when the delta between the element that
+    triggered the LAST firing and the current element exceeds
+    ``threshold``; the fired element becomes the new baseline.  The
+    first element only seeds the baseline (the reference stores it in
+    the trigger's ValueState without firing).
+
+    Delta function: ``abs(value - baseline.value)``.  Emits one row per
+    firing: (key, event_id, ts, value, delta).
+
+    Scale: keyed stateful op (applyInPandasWithState) with O(1) state
+    per key (the baseline value) — the same footprint the reference's
+    ValueState<T> holds; per-batch work walks plain lists, no pandas
+    row boxing."""
+    out_schema = (f"{key} bigint, event_id bigint, ts timestamp, "
+                  "value double, delta double")
+    state_schema = "baseline double"
+
+    def fn(key_: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        baseline = state.get[0] if state.exists else None
+        ids_o: list[int] = []
+        ts_o: list = []
+        val_o: list[float] = []
+        d_o: list[float] = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ids = pdf["event_id"].astype("int64").tolist()
+            tss = list(pdf["ts"])
+            vals = pdf["value"].astype("float64").tolist()
+            for i, ts, v in zip(ids, tss, vals):
+                if baseline is None:
+                    baseline = v
+                    continue
+                d = abs(v - baseline)
+                if d > threshold:
+                    ids_o.append(i)
+                    ts_o.append(ts)
+                    val_o.append(v)
+                    d_o.append(round(d, 6))
+                    baseline = v
+        if baseline is not None:
+            state.update((baseline,))
+        if ids_o:
+            yield pd.DataFrame({
+                key: [key_[0]] * len(ids_o), "event_id": ids_o,
+                "ts": ts_o, "value": val_o, "delta": d_o})
+
+    pruned = events.select(key, "ts", "event_id", "value")
+    return (pruned.groupBy(key)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -35,6 +35,29 @@ def test_minhash_lsh_finds_known_dups(spark):
         assert pairs.filter("jaccard < 0.999").count() == 0
 
 
+def test_minhash_lsh_xxhash64_mode_consistent(spark):
+    """The xxhash64 production path must agree with the md5 oracle path:
+    exact-duplicate (jaccard=1) pairs are identical (fp grouping is
+    hash-family independent), shared near-dup pairs carry the SAME exact
+    jaccard (verification is on true word sets), and overall pair
+    overlap is high (candidate sets differ only at the LSH s-curve
+    margin where the two hash families band differently)."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    md5 = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(docs, "doc_id", method="md5").collect()}
+    xxh = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(docs, "doc_id", method="xxhash64").collect()}
+    md5_exact = {p for p, j in md5.items() if j == 1.0}
+    xxh_exact = {p for p, j in xxh.items() if j == 1.0}
+    assert md5_exact == xxh_exact
+    common = set(md5) & set(xxh)
+    assert all(md5[p] == xxh[p] for p in common)
+    assert len(common) / max(len(md5), 1) > 0.7
+
+
 def test_multimodal_decode_stub():
     from flink_release_1_10_0_spark.llm.multimodal import decode_image
     with pytest.raises(NotImplementedError):

@@ -193,3 +193,25 @@ def test_ivf_index_search_uses_partition_pruning(spark):
                for r in S.ivf_topk(emb, emb.filter(F.col("vec_id") == 1), k=5).collect()}
     indexed = {(r.vec_id, r.cosine) for r in df.collect()}
     assert indexed == logical
+
+
+def test_dataframe_tier_partitioners_stay_rdd_free(spark):
+    """partition_by_hash / partition_by_range / rebalance compile to
+    Catalyst Exchange nodes (hashpartitioning / rangepartitioning /
+    roundrobin) with NO RDD hop — only partition_custom (the arbitrary
+    Python partitioner escape hatch) is allowed to sever lineage into
+    an ExistingRDD scan."""
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    hashed = plan(DataStream(df).partition_by_hash(8, "k").df)
+    assert "hashpartitioning" in hashed and "ExistingRDD" not in hashed
+    ranged = plan(DataStream(df).partition_by_range(8, "k").df)
+    assert "rangepartitioning" in ranged and "ExistingRDD" not in ranged
+    rr = plan(DataStream(df).rebalance(8).df)
+    assert "RoundRobinPartitioning" in rr.replace(" ", "") or "roundrobin" in rr.lower()
+    assert "ExistingRDD" not in rr

@@ -291,3 +291,29 @@ def test_early_fire_empty_source_yields_empty_log(spark):
     out = run_with_early_firings(agg, key_cols=["w_start"])
     assert out.count() == 0
     assert out.columns == ["w_start", "s", "op"]
+
+
+def test_delta_trigger_fires_on_threshold_crossing(spark):
+    """DeltaTrigger semantics: baseline starts at the first element (no
+    firing); each firing resets the baseline to the fired element."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.triggers import delta_trigger_firings
+
+    rows = [(1, "2024-01-01 10:00:00", 1, "a", 10.0),
+            (2, "2024-01-01 10:01:00", 1, "a", 50.0),   # d=40 <= 45: no fire
+            (3, "2024-01-01 10:02:00", 1, "a", 60.0),   # d=50 > 45: fire, base=60
+            (4, "2024-01-01 10:03:00", 1, "a", 90.0),   # d=30: no fire
+            (5, "2024-01-01 10:04:00", 1, "a", 10.0)]   # d=50: fire, base=10
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="delta_trig_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = run_to_completion(delta_trigger_firings(sdf, threshold=45.0), "append")
+    got = [(r.event_id, r.delta) for r in out.orderBy("event_id").collect()]
+    assert got == [(3, 50.0), (5, 50.0)]
