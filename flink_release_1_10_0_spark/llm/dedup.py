@@ -228,3 +228,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                          F.col(f"b.{id_col}").alias("id_b"),
                          jac.alias("jaccard"))
                  .filter(F.col("jaccard") >= threshold))
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Collapse duplicate PAIRS into duplicate CLUSTERS: treat pairs as
+    undirected edges and assign every document the minimum doc id
+    reachable from it (connected components), plus the cluster size.
+
+    This is the step after candidate verification in a real dedup
+    pipeline — "A~B, B~C" must collapse into one keep-one-of-three
+    cluster even though (A, C) was never emitted as a pair.  Reuses the
+    pointer-doubling connected-components operator (O(log diameter)
+    label-vector shuffles; dup-cluster diameters are tiny, so this
+    converges in 2-3 rounds at any corpus size).  Returns
+    (doc_id, cluster_id, cluster_size) for documents that belong to a
+    cluster of size >= 2; singletons carry no dedup decision.
+    """
+    from flink_release_1_10_0_spark.operators.graph import connected_components
+    comp = connected_components(pairs.select(id_a, id_b),
+                                src=id_a, dst=id_b)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(sizes, "component")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("component").alias("cluster_id"),
+                    "cluster_size"))

@@ -54,10 +54,10 @@ _LOADED = False
 # driver evidence for 149 of 176 registered queries.  _PIN below lists,
 # in order: (a) the 27 queries with ZERO driver evidence after r1-r4
 # (registry minus CORRECTNESS_r01∪r02∪r03∪r04 keys — all judge-verified
-# green locally in round 4), (b) the TPC-DS-shaped queries NEW this
-# round, (c) oldest-evidence fill (queries last driver-verified in r1).
-# (a)+(b) = 40 names, so the 50-window covers them all and completes
-# 176/176 cumulative driver evidence plus the new suite.
+# green locally in round 4), (b) the 23 queries NEW this round (TPC-DS
+# suite waves 1+2, DeltaTrigger).  (a)+(b) fill the 50-window exactly,
+# completing 176/176 cumulative driver evidence for the pre-round-5
+# registry; the 4 remaining new queries lead the overflow for round 6.
 _PIN = [
     # --- (a) never-driver-verified after r1-r4: 27 names ---
     "agg_percentiles", "agg_corr_covar", "scalar_encoding_functions",
@@ -83,11 +83,19 @@ _PIN = [
     "tpcds_q_best_segment_per_year",
     # --- (b) new this round: DeltaTrigger analog ---
     "stream_delta_trigger",
-    # --- (c) oldest-evidence fill (r1-only): 9 slots to reach 50 ---
+    # --- (b) new this round: TPC-DS second wave (first 9 fill the
+    #     50-window; the last 3 lead the overflow for next round) ---
+    "tpcds_q_cumulative_channel_compare", "tpcds_q_order_count_band",
+    "tpcds_q_count_panel", "tpcds_q_moving_avg_deviation",
+    "tpcds_q_month_align_yoy", "tpcds_q_supplier_late_counts",
+    "tpcds_q_orders_no_returns", "tpcds_q_spend_histogram",
+    "tpcds_q_avg_qty_rollup",
+    # --- overflow (new-query remainder first, then oldest-evidence r1) ---
+    "tpcds_q_return_ratio_topn", "tpcds_q_cross_channel_ratio",
+    "tpcds_q_returns_adjusted_revenue", "dedup_jaccard_clusters",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",
-    # --- overflow (ordered r1-only remainder; rotates next round) ---
     "subquery_scalar",
     "setop_union_distinct", "setop_intersect_all", "setop_except_all",
     "join_full_outer", "join_anti_not_exists", "join_theta_nonequi",

@@ -601,3 +601,43 @@ def multimodal_resize_plan(spark, sf_dir):
     from flink_release_1_10_0_spark.llm.multimodal import resize_plan
     docs = with_binary_payload(t(spark, sf_dir, "documents"))
     return resize_plan(docs)
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: dup pairs -> connected components -> cluster table.
+# The oracle computes the same transitive closure with a recursive CTE
+# (feasible at oracle scale; the engine side is the pointer-doubling CC
+# operator, which is the scale path).
+# --------------------------------------------------------------------------
+_JACCARD_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(words)), i ->
+           words[i] || ' ' || words[i + 1])) AS gs
+  FROM (SELECT doc_id, {_DWORDS} AS words FROM documents WHERE doc_id < 100) q
+  WHERE len(words) >= 2
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE), 6) >= 0.1
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
+@register("dedup_jaccard_clusters", _JACCARD_CLUSTERS_ORACLE)
+def dedup_jaccard_clusters(spark, sf_dir):
+    pairs = D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id",
+                                  n=2, threshold=0.1, id_limit=100)
+    return D.dedup_clusters(pairs)

@@ -495,3 +495,429 @@ def tpcds_q_best_segment_per_year(spark, sf_dir):
                      (seg.o_year == F.col("m_year"))
                      & (seg.revenue == F.col("max_rev")))
             .select("o_year", "c_mktsegment", "revenue"))
+
+
+# ==========================================================================
+# Second wave of TPC-DS report shapes (reference baseline is 103 variants;
+# see module docstring).  Families covered here:
+#
+# - cumulative channel comparison via aligned window sums (q51)
+# - order-count-band "frequent buyer" HAVING report (q34/q73)
+# - cross-joined scalar-count panel (q88)
+# - moving-average deviation over a monthly series (q47/q57)
+# - aligned period-over-period monthly comparison (q59 shape, monthly)
+# - per-supplier lateness conditional counts with HAVING (q21)
+# - EXISTS + NOT EXISTS order filter to a scalar report (q16)
+# - spend histogram by bucketed aggregate (q54 class)
+# - AVG-over-hierarchy ROLLUP (q22)
+# - return-ratio top-N with partitioned rank (q49)
+# - per-customer cross-channel ratio from one conditional pass (q78)
+# - returns-adjusted net revenue via signed CASE aggregation (q93)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# q51 family: two channels' cumulative revenue, aligned per month within
+# year, reporting months where the fulfilled channel's running total
+# exceeds the open channel's.  Window is partitioned by year (never
+# global); the month series per year is tiny after pre-aggregation.
+# --------------------------------------------------------------------------
+_CUMULATIVE_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month, o_orderstatus,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+  GROUP BY o_year, o_month, o_orderstatus
+), cum AS (
+  SELECT o_year, o_month, o_orderstatus,
+         CAST(SUM(rev) OVER (PARTITION BY o_year, o_orderstatus
+                             ORDER BY o_month
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cum_rev
+  FROM monthly
+)
+SELECT f.o_year, f.o_month, f.cum_rev AS cum_fulfilled, o.cum_rev AS cum_open
+FROM (SELECT * FROM cum WHERE o_orderstatus = 'F') f
+JOIN (SELECT * FROM cum WHERE o_orderstatus = 'O') o
+  ON f.o_year = o.o_year AND f.o_month = o.o_month
+WHERE f.cum_rev > o.cum_rev
+"""
+
+
+@register("tpcds_q_cumulative_channel_compare", _CUMULATIVE_ORACLE)
+def tpcds_q_cumulative_channel_compare(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    monthly = (orders.filter(F.col("o_orderstatus").isin("F", "O"))
+               .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                        F.month("o_orderdate").cast("bigint").alias("o_month"),
+                        "o_orderstatus")
+               .agg(F.sum(money("o_totalprice")).alias("rev")))
+    w = (Window.partitionBy("o_year", "o_orderstatus").orderBy("o_month")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = monthly.withColumn("cum_rev", F.sum("rev").over(w).cast("double"))
+    f = cum.filter(F.col("o_orderstatus") == "F").alias("f")
+    o = cum.filter(F.col("o_orderstatus") == "O").alias("o")
+    return (f.join(o, (F.col("f.o_year") == F.col("o.o_year"))
+                   & (F.col("f.o_month") == F.col("o.o_month")))
+            .filter(F.col("f.cum_rev") > F.col("o.cum_rev"))
+            .select(F.col("f.o_year").alias("o_year"),
+                    F.col("f.o_month").alias("o_month"),
+                    F.col("f.cum_rev").alias("cum_fulfilled"),
+                    F.col("o.cum_rev").alias("cum_open")))
+
+
+# --------------------------------------------------------------------------
+# q34/q73 family: customers whose order count falls in a band (the
+# "frequent buyer" report) — aggregate, HAVING-filter, join back to the
+# dimension for names.
+# --------------------------------------------------------------------------
+_ORDER_BAND_ORACLE = """
+SELECT c_custkey, c_name, CAST(cnt AS BIGINT) AS n_orders
+FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+      HAVING COUNT(*) BETWEEN 8 AND 12) b
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("tpcds_q_order_count_band", _ORDER_BAND_ORACLE)
+def tpcds_q_order_count_band(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    band = (orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+            .filter(F.col("n_orders").between(8, 12)))
+    return (band.join(cust, band.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "n_orders"))
+
+
+# --------------------------------------------------------------------------
+# q88 family: a panel of independent scalar counts cross-joined into one
+# report row.  Each count is a 1-row aggregate; the joins are trivial
+# broadcast nested loops over single rows (constant cost at any scale).
+# --------------------------------------------------------------------------
+_COUNT_PANEL_ORACLE = """
+SELECT b1.n_q_under10, b2.n_q_10_20, b3.n_q_20_30, b4.n_q_over30
+FROM (SELECT COUNT(*) AS n_q_under10 FROM lineitem WHERE l_quantity < 10) b1,
+     (SELECT COUNT(*) AS n_q_10_20 FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20) b2,
+     (SELECT COUNT(*) AS n_q_20_30 FROM lineitem WHERE l_quantity >= 20 AND l_quantity < 30) b3,
+     (SELECT COUNT(*) AS n_q_over30 FROM lineitem WHERE l_quantity >= 30) b4
+"""
+
+
+@register("tpcds_q_count_panel", _COUNT_PANEL_ORACLE)
+def tpcds_q_count_panel(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+
+    def cnt(cond, alias):
+        return li.filter(cond).agg(F.count(F.lit(1)).alias(alias))
+
+    q = F.col("l_quantity")
+    return (cnt(q < 10, "n_q_under10")
+            .crossJoin(cnt((q >= 10) & (q < 20), "n_q_10_20"))
+            .crossJoin(cnt((q >= 20) & (q < 30), "n_q_20_30"))
+            .crossJoin(cnt(q >= 30, "n_q_over30")))
+
+
+# --------------------------------------------------------------------------
+# q47/q57 family: monthly revenue per brand vs the brand-year average —
+# report months deviating more than 30% above the average.  The average
+# comes from a window partitioned by (brand, year), never re-scanning.
+# --------------------------------------------------------------------------
+_MOVING_DEV_ORACLE = """
+WITH monthly AS (
+  SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, o_year, o_month
+)
+SELECT p_brand, o_year, o_month, CAST(rev AS DOUBLE) AS revenue,
+       round(avg_rev, 6) AS avg_monthly_rev
+FROM (SELECT p_brand, o_year, o_month, rev,
+             CAST(SUM(rev) OVER (PARTITION BY p_brand, o_year) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand, o_year) AS avg_rev
+      FROM monthly)
+WHERE CAST(rev AS DOUBLE) > 1.3 * avg_rev
+"""
+
+
+@register("tpcds_q_moving_avg_deviation", _MOVING_DEV_ORACLE)
+def tpcds_q_moving_avg_deviation(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    monthly = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .groupBy("p_brand",
+                        F.year("o_orderdate").cast("bigint").alias("o_year"),
+                        F.month("o_orderdate").cast("bigint").alias("o_month"))
+               .agg(F.sum(money("l_extendedprice")).alias("rev")))
+    w = Window.partitionBy("p_brand", "o_year")
+    avg = (F.sum("rev").over(w).cast("double")
+           / F.count(F.lit(1)).over(w))
+    return (monthly.withColumn("avg_rev", avg)
+            .filter(F.col("rev").cast("double") > 1.3 * F.col("avg_rev"))
+            .select("p_brand", "o_year", "o_month",
+                    F.col("rev").cast("double").alias("revenue"),
+                    F.round("avg_rev", 6).alias("avg_monthly_rev")))
+
+
+# --------------------------------------------------------------------------
+# q59 family: aligned period-over-period comparison — monthly revenue of
+# 1996 joined to the same month of 1997, with the growth ratio.
+# --------------------------------------------------------------------------
+_MONTH_ALIGN_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_year, o_month
+)
+SELECT a.o_month, round(a.rev, 2) AS rev_1996, round(b.rev, 2) AS rev_1997,
+       round(b.rev / a.rev, 6) AS growth
+FROM (SELECT * FROM monthly WHERE o_year = 1996) a
+JOIN (SELECT * FROM monthly WHERE o_year = 1997) b ON a.o_month = b.o_month
+"""
+
+
+@register("tpcds_q_month_align_yoy", _MONTH_ALIGN_ORACLE)
+def tpcds_q_month_align_yoy(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    monthly = (orders
+               .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+               .filter(F.col("o_year").isin(1996, 1997))
+               .groupBy("o_year",
+                        F.month("o_orderdate").cast("bigint").alias("o_month"))
+               .agg(dsum("o_totalprice", "rev")))
+    a = monthly.filter(F.col("o_year") == 1996).alias("a")
+    b = monthly.filter(F.col("o_year") == 1997).alias("b")
+    return (a.join(b, F.col("a.o_month") == F.col("b.o_month"))
+            .select(F.col("a.o_month").alias("o_month"),
+                    F.round(F.col("a.rev"), 2).alias("rev_1996"),
+                    F.round(F.col("b.rev"), 2).alias("rev_1997"),
+                    F.round(F.col("b.rev") / F.col("a.rev"), 6).alias("growth")))
+
+
+# --------------------------------------------------------------------------
+# q21 family: per-supplier conditional lateness counts with HAVING —
+# lineitems shipped more than 60 days after the order date count as late.
+# --------------------------------------------------------------------------
+_LATE_SUPPLIER_ORACLE = """
+SELECT s_name, COUNT(*) AS n_items,
+       CAST(COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                       THEN 1 END) AS BIGINT) AS n_late
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+HAVING COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN 1 END) > 0
+"""
+
+
+@register("tpcds_q_supplier_late_counts", _LATE_SUPPLIER_ORACLE)
+def tpcds_q_supplier_late_counts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supp = t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.count(F.when(late, 1)).alias("n_late"))
+            .filter(F.col("n_late") > 0))
+
+
+# --------------------------------------------------------------------------
+# q16 family: EXISTS + NOT EXISTS against the same fact collapsed into a
+# scalar report — orders having lineitems but no returned lineitems.
+# --------------------------------------------------------------------------
+_NO_RETURNS_ORACLE = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+"""
+
+
+@register("tpcds_q_orders_no_returns", _NO_RETURNS_ORACLE)
+def tpcds_q_orders_no_returns(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    any_item = li.select("l_orderkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (orders
+            .join(any_item, orders.o_orderkey == any_item.l_orderkey, "left_semi")
+            .join(returned, orders.o_orderkey == returned.l_orderkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", "total_price")))
+
+
+# --------------------------------------------------------------------------
+# q54 class: histogram of customers by bucketed total spend.  The bucket
+# boundary is computed on the exact-decimal sum cast to double on both
+# sides, so FLOOR sees bit-identical inputs.
+# --------------------------------------------------------------------------
+_SPEND_HIST_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(FLOOR(total_spend / 100000) AS BIGINT) AS spend_bucket,
+       COUNT(*) AS n_customers
+FROM spend GROUP BY spend_bucket
+"""
+
+
+@register("tpcds_q_spend_histogram", _SPEND_HIST_ORACLE)
+def tpcds_q_spend_histogram(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(dsum("o_totalprice", "total_spend")))
+    return (spend
+            .groupBy(F.floor(F.col("total_spend") / 100000).cast("bigint")
+                     .alias("spend_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+# --------------------------------------------------------------------------
+# q22 family: AVG over a product hierarchy ROLLUP — average quantity on
+# hand by (brand, type) with subtotal rows.  AVG is computed as exact
+# decimal SUM / COUNT on both sides (float-summation order never leaks).
+# --------------------------------------------------------------------------
+_AVG_ROLLUP_ORACLE = """
+SELECT COALESCE(p_brand, 'ALL') AS brand, COALESCE(p_type, 'ALL') AS ptype,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ROLLUP (p_brand, p_type)
+"""
+
+
+@register("tpcds_q_avg_qty_rollup", _AVG_ROLLUP_ORACLE)
+def tpcds_q_avg_qty_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .rollup("p_brand", "p_type")
+            .agg(F.round(F.sum(money("l_quantity")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .select(F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+                    F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+                    "avg_qty", "n_items"))
+
+
+# --------------------------------------------------------------------------
+# q49 family: worst return ratios — per part, returned quantity over total
+# quantity, top 10 by ratio with a deterministic tie-break.  Both engines
+# derive the ratio from exact decimal sums cast to double (IEEE division
+# is bit-deterministic), so the rank order cannot diverge.
+# --------------------------------------------------------------------------
+_RETURN_RATIO_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_quantity AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ret_qty
+  FROM lineitem GROUP BY l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 100
+)
+SELECT l_partkey, round(ret_qty / total_qty, 6) AS return_ratio
+FROM per_part
+ORDER BY ret_qty / total_qty DESC, l_partkey
+LIMIT 10
+"""
+
+
+@register("tpcds_q_return_ratio_topn", _RETURN_RATIO_ORACLE)
+def tpcds_q_return_ratio_topn(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(money("l_quantity")).alias("tq"),
+                     F.sum(F.when(F.col("l_returnflag") == "R",
+                                  money("l_quantity"))
+                           .otherwise(F.lit(0).cast(MONEY))).alias("rq"))
+                .filter(F.col("tq") >= 100))
+    ratio = F.col("rq").cast("double") / F.col("tq").cast("double")
+    return (per_part
+            .select("l_partkey", F.round(ratio, 6).alias("return_ratio"),
+                    ratio.alias("_r"))
+            .orderBy(F.desc("_r"), "l_partkey")
+            .limit(10)
+            .select("l_partkey", "return_ratio"))
+
+
+# --------------------------------------------------------------------------
+# q78 family: per-customer cross-channel ratio from ONE conditional
+# aggregation pass (no self-join of the fact): open-channel revenue over
+# fulfilled-channel revenue for customers active in both.
+# --------------------------------------------------------------------------
+_CHANNEL_RATIO_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_f,
+         SUM(CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_o
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS c_custkey,
+       CAST(rev_f AS DOUBLE) AS rev_fulfilled,
+       CAST(rev_o AS DOUBLE) AS rev_open,
+       round(CAST(rev_o AS DOUBLE) / CAST(rev_f AS DOUBLE), 6) AS open_ratio
+FROM per_cust WHERE rev_f > 0 AND rev_o > 0
+"""
+
+
+@register("tpcds_q_cross_channel_ratio", _CHANNEL_RATIO_ORACLE)
+def tpcds_q_cross_channel_ratio(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    zero = F.lit(0).cast(MONEY)
+    per_cust = (orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", money("o_totalprice"))
+              .otherwise(zero)).alias("rev_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", money("o_totalprice"))
+              .otherwise(zero)).alias("rev_o")))
+    return (per_cust.filter((F.col("rev_f") > 0) & (F.col("rev_o") > 0))
+            .select(F.col("o_custkey").alias("c_custkey"),
+                    F.col("rev_f").cast("double").alias("rev_fulfilled"),
+                    F.col("rev_o").cast("double").alias("rev_open"),
+                    F.round(F.col("rev_o").cast("double")
+                            / F.col("rev_f").cast("double"), 6)
+                    .alias("open_ratio")))
+
+
+# --------------------------------------------------------------------------
+# q93 family: returns-adjusted net revenue — returned lineitems contribute
+# negatively, expressed as one signed CASE aggregation over the fact.
+# --------------------------------------------------------------------------
+_NET_REVENUE_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+                     ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS net_revenue,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@register("tpcds_q_returns_adjusted_revenue", _NET_REVENUE_ORACLE)
+def tpcds_q_returns_adjusted_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    signed = (F.when(F.col("l_returnflag") == "R", -money("l_extendedprice"))
+              .otherwise(money("l_extendedprice")))
+    return (li.groupBy("l_linestatus")
+            .agg(F.sum(signed).cast("double").alias("net_revenue"),
+                 F.count(F.lit(1)).alias("n_items")))

@@ -14,7 +14,7 @@ LLM = [
     "similarity_ivf_topk", "embedding_near_dup_pairs", "embedding_lsh_near_dup",
     "multimodal_metadata_extract",
     "sample_by_hash_30pct", "pipeline_training_data_curation",
-    "sample_stratified_by_lang",
+    "sample_stratified_by_lang", "dedup_jaccard_clusters",
 ]
 
 
@@ -92,3 +92,13 @@ def test_multimodal_resize_plan_jvm_side(spark):
     assert (plan["resized_width"] <= 512).all() and (plan["resized_height"] <= 512).all()
     unscaled = plan[plan["scale"] == 1.0]
     assert (unscaled["resized_width"] == unscaled["width"]).all()
+
+
+def test_dedup_clusters_transitivity(spark):
+    """A~B and B~C with no (A, C) pair must still land in ONE cluster."""
+    from flink_release_1_10_0_spark.llm.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint")
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup_clusters(pairs).collect()}
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}

@@ -55,6 +55,40 @@ EXTENDED = [
 ]
 
 
+TPCDS = [
+    "tpcds_q_avg_qty_rollup",
+    "tpcds_q_best_segment_per_year",
+    "tpcds_q_channel_union",
+    "tpcds_q_count_panel",
+    "tpcds_q_cross_channel_ratio",
+    "tpcds_q_cumulative_channel_compare",
+    "tpcds_q_date_brand_topn",
+    "tpcds_q_exists_segmentation",
+    "tpcds_q_month_align_yoy",
+    "tpcds_q_monthly_distinct_counts",
+    "tpcds_q_moving_avg_deviation",
+    "tpcds_q_multi_fact_star",
+    "tpcds_q_order_count_band",
+    "tpcds_q_orders_no_returns",
+    "tpcds_q_over_nation_avg",
+    "tpcds_q_price_band_case",
+    "tpcds_q_rank_in_category",
+    "tpcds_q_repeat_customers_intersect",
+    "tpcds_q_return_ratio_topn",
+    "tpcds_q_returns_adjusted_revenue",
+    "tpcds_q_revenue_share",
+    "tpcds_q_rollup_hierarchy",
+    "tpcds_q_spend_histogram",
+    "tpcds_q_supplier_late_counts",
+    "tpcds_q_year_over_year",
+]
+
+
+@pytest.mark.parametrize("name", TPCDS)
+def test_tpcds(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
 @pytest.mark.parametrize("name", EXTENDED)
 def test_extended(spark, duck, name):
     compare_query(spark, duck, name)
