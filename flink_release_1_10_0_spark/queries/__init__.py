@@ -93,6 +93,9 @@ _PIN = [
     # --- overflow (new-query remainder first, then oldest-evidence r1) ---
     "tpcds_q_return_ratio_topn", "tpcds_q_cross_channel_ratio",
     "tpcds_q_returns_adjusted_revenue", "dedup_jaccard_clusters",
+    "tpcds_q_cov_filter", "tpcds_q_cross_sell", "tpcds_q_topn_then_detail",
+    "tpcds_q_share_shift", "tpcds_q_net_minus_returns",
+    "tpcds_q_mom_decline", "tpcds_q_grouping_sets_channels",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

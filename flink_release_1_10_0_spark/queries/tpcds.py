@@ -921,3 +921,313 @@ def tpcds_q_returns_adjusted_revenue(spark, sf_dir):
     return (li.groupBy("l_linestatus")
             .agg(F.sum(signed).cast("double").alias("net_revenue"),
                  F.count(F.lit(1)).alias("n_items")))
+
+
+# ==========================================================================
+# Third wave: the remaining distinct TPC-DS report mechanics —
+# coefficient-of-variation filters (q39), cross-sell semi-join pairs
+# (q23), top-N-then-detail two-phase reports (q15), share-shift across
+# periods (q31), LEFT-JOIN netting (q80), lag-based month-over-month
+# decline (q47 mechanics), and independent-dimension GROUPING SETS (q5).
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# q39 family: volatility screen — brands whose monthly revenue series has
+# a high coefficient of variation.  stddev is DERIVED from exact decimal
+# SUM and SUM-of-squares (never a float stddev aggregate, whose summation
+# order differs between engines); the final arithmetic is identical
+# double expressions on both sides.
+# --------------------------------------------------------------------------
+_COV_ORACLE = """
+WITH monthly AS (
+  SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, o_year, o_month
+), stats AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(rev) AS DOUBLE) AS s,
+         CAST(SUM(rev * rev) AS DOUBLE) AS sq,
+         COUNT(*) AS n_months
+  FROM monthly GROUP BY p_brand
+)
+SELECT p_brand, n_months,
+       round(sqrt(sq / n - (s / n) * (s / n)) / (s / n), 6) AS rev_cov
+FROM stats
+WHERE sqrt(sq / n - (s / n) * (s / n)) / (s / n) > 0.25
+"""
+
+
+@register("tpcds_q_cov_filter", _COV_ORACLE)
+def tpcds_q_cov_filter(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    monthly = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .groupBy("p_brand",
+                        F.year("o_orderdate").cast("bigint").alias("o_year"),
+                        F.month("o_orderdate").cast("bigint").alias("o_month"))
+               .agg(F.sum(money("l_extendedprice")).alias("rev")))
+    stats = monthly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rev").cast("double").alias("s"),
+        F.sum((F.col("rev") * F.col("rev"))).cast("double").alias("sq"),
+        F.count(F.lit(1)).alias("n_months"))
+    mean = F.col("s") / F.col("n")
+    cov = F.sqrt(F.col("sq") / F.col("n") - mean * mean) / mean
+    return (stats.filter(cov > 0.25)
+            .select("p_brand", "n_months", F.round(cov, 6).alias("rev_cov")))
+
+
+# --------------------------------------------------------------------------
+# q23 family: cross-sell — customers who bought BOTH a STANDARD-type and
+# an ECONOMY-type part (two independent semi joins through the fact),
+# counted by market segment.
+# --------------------------------------------------------------------------
+_CROSS_SELL_ORACLE = """
+WITH bought AS (
+  SELECT DISTINCT o_custkey, split_part(p_type, ' ', 1) AS type_class
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE split_part(p_type, ' ', 1) IN ('STANDARD', 'ECONOMY')
+)
+SELECT c_mktsegment, COUNT(*) AS n_cross_sell
+FROM customer
+WHERE EXISTS (SELECT 1 FROM bought b
+              WHERE b.o_custkey = c_custkey AND type_class = 'STANDARD')
+  AND EXISTS (SELECT 1 FROM bought b
+              WHERE b.o_custkey = c_custkey AND type_class = 'ECONOMY')
+GROUP BY c_mktsegment
+"""
+
+
+@register("tpcds_q_cross_sell", _CROSS_SELL_ORACLE)
+def tpcds_q_cross_sell(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    cust = t(spark, sf_dir, "customer")
+    bought = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .withColumn("type_class", F.split("p_type", " ").getItem(0))
+              .filter(F.col("type_class").isin("STANDARD", "ECONOMY"))
+              .select("o_custkey", "type_class").distinct())
+    std = bought.filter(F.col("type_class") == "STANDARD").select("o_custkey")
+    eco = bought.filter(F.col("type_class") == "ECONOMY").select("o_custkey")
+    return (cust
+            .join(std, cust.c_custkey == std.o_custkey, "left_semi")
+            .join(eco, cust.c_custkey == eco.o_custkey, "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_cross_sell")))
+
+
+# --------------------------------------------------------------------------
+# q15 family: top-N-then-detail — pick the top 3 nations by revenue, then
+# report the per-segment breakdown ONLY for those nations.  The top-N set
+# is tiny and broadcasts into a semi join (no second full aggregation).
+# --------------------------------------------------------------------------
+_TOPN_DETAIL_ORACLE = """
+WITH nat AS (
+  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+), top3 AS (
+  SELECT n_name FROM nat ORDER BY rev DESC, n_name LIMIT 3
+)
+SELECT n_name, c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN (SELECT n_name FROM top3)
+GROUP BY n_name, c_mktsegment
+"""
+
+
+@register("tpcds_q_topn_then_detail", _TOPN_DETAIL_ORACLE)
+def tpcds_q_topn_then_detail(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    star = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    top3 = (star.groupBy("n_name")
+            .agg(F.sum(money("o_totalprice")).alias("rev"))
+            .orderBy(F.desc("rev"), "n_name").limit(3).select("n_name"))
+    return (star.join(F.broadcast(top3), "n_name", "left_semi")
+            .groupBy("n_name", "c_mktsegment")
+            .agg(dsum("o_totalprice", "revenue")))
+
+
+# --------------------------------------------------------------------------
+# q31 family: share shift — each nation's share of yearly revenue in 1996
+# vs 1997; nations whose share grew.  Shares divide a nation aggregate by
+# the year total (a 2-row broadcast), all double arithmetic identical on
+# both sides.
+# --------------------------------------------------------------------------
+_SHARE_SHIFT_ORACLE = """
+WITH nat_year AS (
+  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY n_name, o_year
+), shares AS (
+  SELECT n_name, o_year,
+         CAST(rev AS DOUBLE)
+           / CAST(SUM(rev) OVER (PARTITION BY o_year) AS DOUBLE) AS share
+  FROM nat_year
+)
+SELECT a.n_name, round(a.share, 6) AS share_1996, round(b.share, 6) AS share_1997
+FROM (SELECT * FROM shares WHERE o_year = 1996) a
+JOIN (SELECT * FROM shares WHERE o_year = 1997) b ON a.n_name = b.n_name
+WHERE b.share > a.share
+"""
+
+
+@register("tpcds_q_share_shift", _SHARE_SHIFT_ORACLE)
+def tpcds_q_share_shift(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    nat_year = (orders
+                .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+                .filter(F.col("o_year").isin(1996, 1997))
+                .join(cust, orders.o_custkey == cust.c_custkey)
+                .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+                .groupBy("n_name", "o_year")
+                .agg(F.sum(money("o_totalprice")).alias("rev")))
+    w = Window.partitionBy("o_year")
+    shares = nat_year.withColumn(
+        "share", F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"))
+    a = shares.filter(F.col("o_year") == 1996).alias("a")
+    b = shares.filter(F.col("o_year") == 1997).alias("b")
+    return (a.join(b, F.col("a.n_name") == F.col("b.n_name"))
+            .filter(F.col("b.share") > F.col("a.share"))
+            .select(F.col("a.n_name").alias("n_name"),
+                    F.round(F.col("a.share"), 6).alias("share_1996"),
+                    F.round(F.col("b.share"), 6).alias("share_1997")))
+
+
+# --------------------------------------------------------------------------
+# q80 family: LEFT-JOIN netting — monthly gross revenue from orders minus
+# the month's returned-lineitem revenue (absent months net the full
+# gross via COALESCE).  Subtraction stays in exact decimals until the
+# final DOUBLE cast.
+# --------------------------------------------------------------------------
+_NET_RETURNS_ORACLE = """
+WITH gross AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS gross_rev
+  FROM orders GROUP BY o_year, o_month
+), ret AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ret_rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_year, o_month
+)
+SELECT g.o_year, g.o_month,
+       CAST(g.gross_rev AS DOUBLE) AS gross_revenue,
+       CAST(g.gross_rev - COALESCE(r.ret_rev, CAST(0 AS DECIMAL(18,2)))
+            AS DOUBLE) AS net_revenue
+FROM gross g LEFT JOIN ret r ON g.o_year = r.o_year AND g.o_month = r.o_month
+"""
+
+
+@register("tpcds_q_net_minus_returns", _NET_RETURNS_ORACLE)
+def tpcds_q_net_minus_returns(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ym = [F.year("o_orderdate").cast("bigint").alias("o_year"),
+          F.month("o_orderdate").cast("bigint").alias("o_month")]
+    gross = orders.groupBy(*ym).agg(F.sum(money("o_totalprice")).alias("gross_rev"))
+    ret = (li.filter(F.col("l_returnflag") == "R")
+           .join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy(*ym).agg(F.sum(money("l_extendedprice")).alias("ret_rev")))
+    g = gross.alias("g")
+    r = ret.alias("r")
+    return (g.join(r, (F.col("g.o_year") == F.col("r.o_year"))
+                   & (F.col("g.o_month") == F.col("r.o_month")), "left")
+            .select(F.col("g.o_year").alias("o_year"),
+                    F.col("g.o_month").alias("o_month"),
+                    F.col("gross_rev").cast("double").alias("gross_revenue"),
+                    (F.col("gross_rev")
+                     - F.coalesce(F.col("ret_rev"), F.lit(0).cast(MONEY)))
+                    .cast("double").alias("net_revenue")))
+
+
+# --------------------------------------------------------------------------
+# q47 mechanics: lag-based decline detection — months whose revenue fell
+# below the previous month within the same year (LAG over a partitioned
+# ordered window on a pre-aggregated series).
+# --------------------------------------------------------------------------
+_MOM_DECLINE_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_year, o_month
+)
+SELECT o_year, o_month, rev,
+       prev_rev
+FROM (SELECT o_year, o_month, rev,
+             lag(rev) OVER (PARTITION BY o_year ORDER BY o_month) AS prev_rev
+      FROM monthly)
+WHERE prev_rev IS NOT NULL AND rev < prev_rev
+"""
+
+
+@register("tpcds_q_mom_decline", _MOM_DECLINE_ORACLE)
+def tpcds_q_mom_decline(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                              F.month("o_orderdate").cast("bigint").alias("o_month"))
+               .agg(dsum("o_totalprice", "rev")))
+    w = Window.partitionBy("o_year").orderBy("o_month")
+    return (monthly.withColumn("prev_rev", F.lag("rev").over(w))
+            .filter(F.col("prev_rev").isNotNull()
+                    & (F.col("rev") < F.col("prev_rev"))))
+
+
+# --------------------------------------------------------------------------
+# q5 family: independent-dimension GROUPING SETS — one pass producing a
+# by-nation report AND a by-segment report (not a hierarchy: neither set
+# contains the other), labeled by GROUPING().
+# --------------------------------------------------------------------------
+_GS_CHANNELS_ORACLE = """
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+"""
+
+
+@register("tpcds_q_grouping_sets_channels", _GS_CHANNELS_ORACLE)
+def tpcds_q_grouping_sets_channels(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    star = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    star.createOrReplaceTempView("_tpcds_gs_star")
+    return spark.sql("""
+        SELECT COALESCE(n_name, 'ALL') AS n_name,
+               COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+               CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM _tpcds_gs_star
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+    """)

@@ -60,14 +60,19 @@ TPCDS = [
     "tpcds_q_best_segment_per_year",
     "tpcds_q_channel_union",
     "tpcds_q_count_panel",
+    "tpcds_q_cov_filter",
     "tpcds_q_cross_channel_ratio",
+    "tpcds_q_cross_sell",
     "tpcds_q_cumulative_channel_compare",
     "tpcds_q_date_brand_topn",
     "tpcds_q_exists_segmentation",
+    "tpcds_q_grouping_sets_channels",
+    "tpcds_q_mom_decline",
     "tpcds_q_month_align_yoy",
     "tpcds_q_monthly_distinct_counts",
     "tpcds_q_moving_avg_deviation",
     "tpcds_q_multi_fact_star",
+    "tpcds_q_net_minus_returns",
     "tpcds_q_order_count_band",
     "tpcds_q_orders_no_returns",
     "tpcds_q_over_nation_avg",
@@ -78,8 +83,10 @@ TPCDS = [
     "tpcds_q_returns_adjusted_revenue",
     "tpcds_q_revenue_share",
     "tpcds_q_rollup_hierarchy",
+    "tpcds_q_share_shift",
     "tpcds_q_spend_histogram",
     "tpcds_q_supplier_late_counts",
+    "tpcds_q_topn_then_detail",
     "tpcds_q_year_over_year",
 ]
 
