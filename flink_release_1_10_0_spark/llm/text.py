@@ -123,3 +123,39 @@ def sample_stratified(df, id_col: str, strata_col: str,
         num = F.when(F.col(strata_col) == stratum, n).otherwise(num)
         den = F.when(F.col(strata_col) == stratum, d).otherwise(den)
     return df.filter((h % den) < num)
+
+
+def repetition_stats(df, id_col: str, text_col: str = "text"):
+    """Gopher-style repetition quality signals: the share of the document
+    taken by its most frequent word and most frequent word-bigram (high
+    values flag boilerplate / degenerate generations).
+
+    Scale shape: ONE scan, ONE shuffle — words and bigrams are labeled
+    and exploded together, counted per (doc, kind, token), then reduced
+    to per-doc maxima.  The per-token counting is a distributed groupBy
+    (never an O(len^2) per-row array expression, which would blow up on
+    long documents); n_words rides along as a grouping key so no join
+    back to the source is needed."""
+    from pyspark.sql import functions as F
+    w = words_expr(text_col)
+    d = (df.select(F.col(id_col), F.expr(w).alias("ws"))
+         .filter(F.expr("size(ws) >= 2")))
+    kt = ("concat("
+          " transform(ws, x -> struct('w' as kind, x as tok)),"
+          " transform(sequence(0, size(ws) - 2),"
+          "           i -> struct('b' as kind, concat_ws(' ', ws[i], ws[i+1]) as tok)))")
+    tokens = (d.select(F.col(id_col),
+                       F.expr("cast(size(ws) as bigint)").alias("n_words"),
+                       F.explode(F.expr(kt)).alias("kt"))
+              .select(id_col, "n_words", "kt.kind", "kt.tok"))
+    counts = tokens.groupBy(id_col, "n_words", "kind", "tok").count()
+    return (counts.groupBy(id_col, "n_words").agg(
+                F.max(F.when(F.col("kind") == "w", F.col("count"))).alias("twc"),
+                F.max(F.when(F.col("kind") == "b", F.col("count"))).alias("tbc"))
+            .select(F.col(id_col),
+                    F.col("n_words"),
+                    F.round(F.col("twc") / F.col("n_words").cast("double"), 6)
+                    .alias("top_word_ratio"),
+                    F.round(F.col("tbc")
+                            / (F.col("n_words") - 1).cast("double"), 6)
+                    .alias("top_bigram_ratio")))

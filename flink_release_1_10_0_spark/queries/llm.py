@@ -641,3 +641,37 @@ def dedup_jaccard_clusters(spark, sf_dir):
     pairs = D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id",
                                   n=2, threshold=0.1, id_limit=100)
     return D.dedup_clusters(pairs)
+
+
+# --------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style boilerplate detection)
+# --------------------------------------------------------------------------
+_REPETITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, words, len(words) AS n_words
+  FROM (SELECT doc_id, {_DWORDS} AS words FROM documents) q
+  WHERE len(words) >= 2
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(words) AS word FROM base) u
+  GROUP BY doc_id, word
+), bc AS (
+  SELECT doc_id, gram, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                      i -> words[i] || ' ' || words[i + 1])) AS gram
+        FROM base) u
+  GROUP BY doc_id, gram
+), topw AS (SELECT doc_id, MAX(c) AS twc FROM wc GROUP BY doc_id),
+   topb AS (SELECT doc_id, MAX(c) AS tbc FROM bc GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+       round(twc / CAST(b.n_words AS DOUBLE), 6) AS top_word_ratio,
+       round(tbc / CAST(b.n_words - 1 AS DOUBLE), 6) AS top_bigram_ratio
+FROM base b JOIN topw USING (doc_id) JOIN topb USING (doc_id)
+"""
+
+
+@register("text_repetition_stats", _REPETITION_ORACLE)
+def text_repetition_stats(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import repetition_stats
+    return repetition_stats(t(spark, sf_dir, "documents"), "doc_id")

@@ -15,6 +15,7 @@ LLM = [
     "multimodal_metadata_extract",
     "sample_by_hash_30pct", "pipeline_training_data_curation",
     "sample_stratified_by_lang", "dedup_jaccard_clusters",
+    "text_repetition_stats",
 ]
 
 
