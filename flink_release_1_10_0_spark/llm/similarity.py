@@ -170,3 +170,26 @@ def ivf_topk_indexed(spark, index_path: str, query: DataFrame, k: int = 5,
     return (cell.select(F.col(id_col), F.col("cell"), cos.alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))
+
+
+def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage layout that
+    makes a 100 TB float32 embedding corpus a 25 TB int8 one (plus one
+    float scale per vector).  ``q[i] = floor(v[i] * 127 / max|v| + 0.5)``
+    (explicit floor(x + 0.5), not engine round(): HALF_UP vs HALF_EVEN
+    differs between engines, floor does not).  Returns the quantized
+    array, the scale, and the L2 reconstruction error — all map-side
+    expressions, no shuffle, no Python."""
+    maxabs = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+    qexpr = (f"transform({vec_col}, x -> cast(floor(cast(x as double) * 127.0 "
+             f"/ {maxabs} + 0.5) as int))")
+    # reconstruction: q * scale; error = l2(v - recon)
+    err = (f"sqrt(aggregate(zip_with({vec_col}, q, (x, qi) -> "
+           f"(cast(x as double) - qi * scale) * (cast(x as double) - qi * scale)), "
+           "cast(0.0 as double), (acc, v) -> acc + v))")
+    return (embeddings
+            .filter(F.expr(f"{maxabs} > 0"))
+            .withColumn("scale", F.expr(f"{maxabs} / 127.0"))
+            .withColumn("q", F.expr(qexpr))
+            .withColumn("recon_err", F.expr(f"round({err}, 6)")))

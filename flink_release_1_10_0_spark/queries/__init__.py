@@ -96,7 +96,8 @@ _PIN = [
     "tpcds_q_cov_filter", "tpcds_q_cross_sell", "tpcds_q_topn_then_detail",
     "tpcds_q_share_shift", "tpcds_q_net_minus_returns",
     "tpcds_q_mom_decline", "tpcds_q_grouping_sets_channels",
-    "text_repetition_stats",
+    "text_repetition_stats", "embedding_quantize_int8",
+    "embedding_quantized_topk_recall",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

@@ -675,3 +675,101 @@ FROM base b JOIN topw USING (doc_id) JOIN topb USING (doc_id)
 def text_repetition_stats(spark, sf_dir):
     from flink_release_1_10_0_spark.llm.text import repetition_stats
     return repetition_stats(t(spark, sf_dir, "documents"), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization audit (scale-path storage layout)
+# --------------------------------------------------------------------------
+_QUANTIZE_ORACLE = """
+WITH prep AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+         embedding
+  FROM embeddings
+  WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+), q AS (
+  SELECT vec_id, maxabs / 127.0 AS scale,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INTEGER)) AS qv,
+         embedding
+  FROM prep
+)
+SELECT vec_id, round(scale, 6) AS scale_r,
+       round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+         (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)
+         * (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)))), 6) AS recon_err,
+       CAST(list_sum(list_transform(qv, x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_saturated
+FROM q
+"""
+
+
+@register("embedding_quantize_int8", _QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark, sf_dir):
+    q = S.quantize_int8(t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", F.round("scale", 6).alias("scale_r"), "recon_err",
+        F.expr("cast(aggregate(q, 0, (acc, x) -> acc + "
+               "CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END) as bigint)")
+        .alias("n_saturated"))
+
+
+# --------------------------------------------------------------------------
+# Quantized-search recall audit: top-10 cosine over int8-reconstructed
+# vectors vs exact float vectors — the measurement that justifies (or
+# rejects) the 4x storage cut for a given corpus.
+# --------------------------------------------------------------------------
+_QRECALL_ORACLE = """
+WITH prep AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+         embedding
+  FROM embeddings
+  WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+), recon AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INTEGER)
+           * (maxabs / 127.0)) AS rvec
+  FROM prep
+), q AS (SELECT embedding AS qvec, rvec AS qrvec FROM recon WHERE vec_id = 0),
+exact_top AS (
+  SELECT vec_id FROM recon CROSS JOIN q
+  ORDER BY round(
+    list_sum(list_transform(range(1, len(embedding) + 1), i ->
+      CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i ->
+          CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))), 6) DESC, vec_id
+  LIMIT 10
+), quant_top AS (
+  SELECT vec_id FROM recon CROSS JOIN q
+  ORDER BY round(
+    list_sum(list_transform(range(1, len(rvec) + 1), i -> rvec[i] * qrvec[i]))
+    / (sqrt(list_sum(list_transform(range(1, len(rvec) + 1), i -> rvec[i] * rvec[i])))
+       * sqrt(list_sum(list_transform(range(1, len(qrvec) + 1), i -> qrvec[i] * qrvec[i])))), 6) DESC, vec_id
+  LIMIT 10
+)
+SELECT CAST((SELECT COUNT(*) FROM exact_top WHERE vec_id IN (SELECT vec_id FROM quant_top)) AS BIGINT) AS n_common,
+       round((SELECT COUNT(*) FROM exact_top WHERE vec_id IN (SELECT vec_id FROM quant_top)) / 10.0, 6) AS recall_at_10
+"""
+
+
+@register("embedding_quantized_topk_recall", _QRECALL_ORACLE)
+def embedding_quantized_topk_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    recon = (S.quantize_int8(emb)
+             .withColumn("rvec", F.expr("transform(q, qi -> qi * scale)"))
+             .select("vec_id", "embedding", "rvec"))
+    exact_top = S.cosine_topk(recon.select("vec_id", "embedding"),
+                              recon.filter(F.col("vec_id") == 0)
+                              .select("vec_id", "embedding"), k=10)
+    quant_top = S.cosine_topk(
+        recon.select("vec_id", F.col("rvec").alias("embedding")),
+        recon.filter(F.col("vec_id") == 0)
+        .select("vec_id", F.col("rvec").alias("embedding")), k=10)
+    common = (exact_top.select("vec_id")
+              .join(quant_top.select("vec_id"), "vec_id", "left_semi"))
+    return common.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_10"))

@@ -15,7 +15,8 @@ LLM = [
     "multimodal_metadata_extract",
     "sample_by_hash_30pct", "pipeline_training_data_curation",
     "sample_stratified_by_lang", "dedup_jaccard_clusters",
-    "text_repetition_stats",
+    "text_repetition_stats", "embedding_quantize_int8",
+    "embedding_quantized_topk_recall",
 ]
 
 
