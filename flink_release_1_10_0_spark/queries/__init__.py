@@ -98,6 +98,8 @@ _PIN = [
     "tpcds_q_mom_decline", "tpcds_q_grouping_sets_channels",
     "text_repetition_stats", "embedding_quantize_int8",
     "embedding_quantized_topk_recall",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "stream_purging_count_trigger",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

@@ -1161,3 +1161,85 @@ SELECT CAST(range AS BIGINT) AS id FROM range(0, 3000)
 def source_custom_fn_stream(spark, sf_dir):
     from flink_release_1_10_0_spark.sources.datasource import run_sequence_stream_to_end
     return run_sequence_stream_to_end(spark, end=3000, rows_per_batch=700)
+
+
+# --------------------------------------------------------------------------
+# Format round-trips: parquet -> (csv | json | orc) -> read back through
+# this engine's format layer -> aggregate; the oracle computes the same
+# aggregate straight from the parquet.  This upgrades the CSV/JSON/ORC
+# format rows from pytest-only evidence to oracle-gated evidence: any
+# type-mapping, quoting, or header defect in the round trip flips the
+# value hash.  (CSV/JSON carry ints and strings; ORC, being a typed
+# columnar format, round-trips the full row including timestamps.)
+# --------------------------------------------------------------------------
+_CSV_RT_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("source_csv_roundtrip", _CSV_RT_ORACLE)
+def source_csv_roundtrip(spark, sf_dir):
+    """CsvRowDeserializationSchema.java round-trip analog."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources import formats as FMT
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = tempfile.mkdtemp(prefix="csv_rt_") + "/customer_csv"
+    FMT.write_csv(cust, out)
+    back = FMT.read_csv(spark, out,
+                        schema="c_custkey bigint, c_mktsegment string")
+    return (back.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("c_custkey").alias("key_sum")))
+
+
+_JSON_RT_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@register("source_json_roundtrip", _JSON_RT_ORACLE)
+def source_json_roundtrip(spark, sf_dir):
+    """JsonRowDeserializationSchema.java:77 round-trip analog."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources import formats as FMT
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    out = tempfile.mkdtemp(prefix="json_rt_") + "/orders_json"
+    FMT.write_json(orders, out)
+    back = FMT.read_json(
+        spark, out,
+        schema="o_orderkey bigint, o_orderstatus string, o_orderpriority string")
+    return (back.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_sum")))
+
+
+_ORC_RT_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+       CAST(MAX(l_shipdate) AS TIMESTAMP) AS max_shipdate
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("source_orc_roundtrip", _ORC_RT_ORACLE)
+def source_orc_roundtrip(spark, sf_dir):
+    """OrcColumnarRowSplitReader.java round-trip analog — full typed rows
+    including timestamps and doubles through the ORC vectorized path."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.queries.helpers import money
+    li = t(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/lineitem_orc"
+    li.write.mode("overwrite").orc(out)
+    from flink_release_1_10_0_spark.sources import formats as FMT
+    back = FMT.read_orc(spark, out)
+    return (back.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(money("l_extendedprice")).cast("double").alias("price_sum"),
+                 F.max("l_shipdate").alias("max_shipdate")))

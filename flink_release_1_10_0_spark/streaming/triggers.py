@@ -149,3 +149,40 @@ def delta_trigger_firings(events: DataFrame, threshold: float,
     return (pruned.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def purging_count_trigger_firings(events: DataFrame, n: int,
+                                  key: str = "user_id",
+                                  ts_col: str = "ts",
+                                  id_col: str = "event_id",
+                                  val_col: str = "value",
+                                  window_unit: str = "day") -> DataFrame:
+    """``PurgingTrigger(CountTrigger.of(n))`` analog
+    (``flink-streaming-java/.../windowing/triggers/PurgingTrigger.java:33``
+    wrapping ``CountTrigger.java:35``) over event-time windows of one
+    ``window_unit``:
+    every time a (key, window) pane accumulates ``n`` elements the pane
+    FIREs and is PURGED — each firing aggregates only the elements since
+    the previous firing, and a trailing partial pane never fires (no
+    event-time trigger inside the purging wrapper; its state is dropped
+    at window cleanup).
+
+    Declarative bounded-stream analog: firing index =
+    ``(row_number within (key, window) in (ts, id) order - 1) div n``;
+    exactly the panes with a full ``n`` elements fire.  All windows are
+    partitioned by (key, window) — no global ordering, shuffles once on
+    the keys the state would live under."""
+    w = F.date_trunc(window_unit, F.col(ts_col))
+    rn = F.row_number().over(
+        Window.partitionBy(key, "w_start").orderBy(ts_col, id_col))
+    paned = (events
+             .withColumn("w_start", w)
+             .withColumn("firing_seq",
+                         ((rn - 1) / n).cast("bigint")))
+    return (paned.groupBy(key, "w_start", "firing_seq")
+            .agg(F.count(F.lit(1)).alias("n_elems"),
+                 F.sum(F.col(val_col).cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value"),
+                 F.max(ts_col).alias("fire_ts"))
+            .filter(F.col("n_elems") == n)
+            .drop("n_elems"))

@@ -52,6 +52,7 @@ EXTENDED = [
     "agg_percentiles", "agg_corr_covar", "scalar_encoding_functions",
     "scalar_interval_year_month", "scalar_time_of_day",
     "join_null_safe_equal", "window_first_last_nth_value",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
 ]
 
 

@@ -40,6 +40,7 @@ STREAMING = [
     "stream_over_range_bounded",
     "stream_window_all_agg",
     "stream_cep_times_or_more",
+    "stream_purging_count_trigger",
 ]
 
 
