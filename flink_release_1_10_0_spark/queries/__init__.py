@@ -100,6 +100,8 @@ _PIN = [
     "embedding_quantized_topk_recall",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_purging_count_trigger",
+    "tpcds_q_below_avg_quantity", "tpcds_q_market_share",
+    "tpcds_q_high_value_pct",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

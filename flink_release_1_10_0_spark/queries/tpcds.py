@@ -1231,3 +1231,108 @@ def tpcds_q_grouping_sets_channels(spark, sf_dir):
         FROM _tpcds_gs_star
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
     """)
+
+
+# ==========================================================================
+# Fourth wave: correlated-fact comparison (q17/q32), market-share
+# conditional ratio (q8), and percentage-of-group report (q85 tail).
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# q17/q32 family: fact rows compared against their OWN group's average —
+# revenue from lineitems whose quantity is below half their part's
+# average quantity.  The per-part average decorrelates into an aggregate
+# joined back to the fact (AQE picks broadcast when it fits).
+# --------------------------------------------------------------------------
+_BELOW_AVG_ORACLE = """
+WITH part_avg AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part_avg USING (l_partkey)
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+@register("tpcds_q_below_avg_quantity", _BELOW_AVG_ORACLE)
+def tpcds_q_below_avg_quantity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part_avg = (li.groupBy("l_partkey")
+                .agg((F.sum(money("l_quantity")).cast("double")
+                      / F.count(F.lit(1))).alias("avg_qty")))
+    return (li.join(part_avg, "l_partkey")
+            .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum("l_extendedprice", "revenue")))
+
+
+# --------------------------------------------------------------------------
+# q8 family: market share — one nation's fraction of its region's yearly
+# revenue, computed as a conditional share inside ONE aggregation pass
+# over the region-filtered star (no second scan for the denominator).
+# --------------------------------------------------------------------------
+_MARKET_SHARE_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n_name = 'NATION_1'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS region_rev,
+       round(CAST(SUM(CASE WHEN n_name = 'NATION_1'
+                           THEN CAST(o_totalprice AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS mkt_share
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+GROUP BY o_year
+"""
+
+
+@register("tpcds_q_market_share", _MARKET_SHARE_ORACLE)
+def tpcds_q_market_share(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    zero = F.lit(0).cast(MONEY)
+    star = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    nat = F.sum(F.when(F.col("n_name") == "NATION_1",
+                       money("o_totalprice")).otherwise(zero))
+    tot = F.sum(money("o_totalprice"))
+    return (star.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(nat.cast("double").alias("nation_rev"),
+                 tot.cast("double").alias("region_rev"),
+                 F.round(nat.cast("double") / tot.cast("double"), 6)
+                 .alias("mkt_share")))
+
+
+# --------------------------------------------------------------------------
+# q85 tail shape: percentage-of-group report — share of high-value
+# orders within each order priority, a conditional-count ratio.
+# --------------------------------------------------------------------------
+_PCT_REPORT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS BIGINT) AS n_high,
+       round(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS high_pct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("tpcds_q_high_value_pct", _PCT_REPORT_ORACLE)
+def tpcds_q_high_value_pct(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    high = F.count(F.when(F.col("o_totalprice") > 200000, 1))
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 high.alias("n_high"),
+                 F.round(high / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("high_pct")))

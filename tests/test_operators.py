@@ -58,6 +58,7 @@ EXTENDED = [
 
 TPCDS = [
     "tpcds_q_avg_qty_rollup",
+    "tpcds_q_below_avg_quantity",
     "tpcds_q_best_segment_per_year",
     "tpcds_q_channel_union",
     "tpcds_q_count_panel",
@@ -68,6 +69,8 @@ TPCDS = [
     "tpcds_q_date_brand_topn",
     "tpcds_q_exists_segmentation",
     "tpcds_q_grouping_sets_channels",
+    "tpcds_q_high_value_pct",
+    "tpcds_q_market_share",
     "tpcds_q_mom_decline",
     "tpcds_q_month_align_yoy",
     "tpcds_q_monthly_distinct_counts",
