@@ -215,3 +215,43 @@ def test_dataframe_tier_partitioners_stay_rdd_free(spark):
     rr = plan(DataStream(df).rebalance(8).df)
     assert "RoundRobinPartitioning" in rr.replace(" ", "") or "roundrobin" in rr.lower()
     assert "ExistingRDD" not in rr
+
+
+def test_tpcds_plans_have_no_python(spark):
+    """Every TPC-DS-shaped report must compile to pure JVM operators."""
+    for name in all_queries():
+        if not name.startswith("tpcds_"):
+            continue
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tpcds_date_filter_pushdown(spark):
+    """The date-dim-driven scan must push its predicate into parquet —
+    the local analog of date-partition pruning at 100 TB."""
+    plan = plan_of(spark, "tpcds_q_date_brand_topn")
+    assert "PushedFilters:" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_tpcds_rollup_broadcasts_dims(spark):
+    """nation/region joins in the rollup report must broadcast."""
+    plan = plan_of(spark, "tpcds_q_rollup_hierarchy")
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_repetition_stats_single_token_shuffle(spark):
+    """Repetition stats must stay JVM-side and shuffle the exploded
+    token stream at most twice (token count + per-doc reduce) — never a
+    per-row O(len^2) array expression or a Python stage."""
+    plan = plan_of(spark, "text_repetition_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_quantize_int8_is_map_only(spark):
+    """int8 quantization is a pure map-side projection: no shuffle at all."""
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
