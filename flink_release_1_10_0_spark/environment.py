@@ -228,6 +228,23 @@ class TableEnvironment:
     def execute_sql(self, stmt: str) -> DataFrame:
         return self.spark.sql(stmt)
 
+    def sql_update(self, stmt: str) -> None:
+        """``TableEnvironmentImpl.sqlUpdate:483`` — accepts Flink 1.10
+        DDL/DML verbatim: ``CREATE TABLE ... WITH ('connector.type' =
+        'filesystem', ...)`` (incl. the 1.10 ``WATERMARK FOR`` clause),
+        ``DROP TABLE``, and ``INSERT INTO/OVERWRITE`` (see sql_ddl.py)."""
+        if not hasattr(self, "_ddl"):
+            from flink_release_1_10_0_spark.sql_ddl import DdlCatalog
+            self._ddl = DdlCatalog(self.spark)
+        self._ddl.execute(stmt)
+
+    @property
+    def ddl_catalog(self):
+        if not hasattr(self, "_ddl"):
+            from flink_release_1_10_0_spark.sql_ddl import DdlCatalog
+            self._ddl = DdlCatalog(self.spark)
+        return self._ddl
+
 
 class Tumble:
     """Group-window builders (``flink-table-api-java/.../api/Tumble.java:47``,

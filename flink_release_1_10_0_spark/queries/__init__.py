@@ -101,7 +101,7 @@ _PIN = [
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_purging_count_trigger",
     "tpcds_q_below_avg_quantity", "tpcds_q_market_share",
-    "tpcds_q_high_value_pct",
+    "tpcds_q_high_value_pct", "ddl_filesystem_pipeline",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

@@ -1243,3 +1243,47 @@ def source_orc_roundtrip(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(money("l_extendedprice")).cast("double").alias("price_sum"),
                  F.max("l_shipdate").alias("max_shipdate")))
+
+
+# --------------------------------------------------------------------------
+# Flink 1.10 SQL DDL end-to-end: CREATE TABLE ... WITH (filesystem/csv),
+# INSERT INTO from a SELECT, then aggregate FROM the DDL table.  The
+# oracle computes the same aggregate straight from the parquet, so the
+# whole DDL -> insert -> format -> read-back chain is value-hashed.
+# --------------------------------------------------------------------------
+_DDL_PIPELINE_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey % 4 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@register("ddl_filesystem_pipeline", _DDL_PIPELINE_ORACLE)
+def ddl_filesystem_pipeline(spark, sf_dir):
+    """SqlCreateTable.java + TableEnvironmentImpl.sqlUpdate:483 analog."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.environment import TableEnvironment
+    env = TableEnvironment(spark)
+    base = tempfile.mkdtemp(prefix="ddl_pipeline_")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_ddl_orders_src")
+    env.sql_update(f"""
+        CREATE TABLE orders_ddl (
+            o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+        ) WITH (
+            'connector.type' = 'filesystem',
+            'connector.path' = '{base}/orders_ddl',
+            'format.type' = 'csv'
+        )
+    """)
+    env.sql_update("""
+        INSERT INTO orders_ddl
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM _ddl_orders_src WHERE o_orderkey % 4 = 0
+    """)
+    return spark.sql("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_ddl GROUP BY o_orderstatus
+    """)

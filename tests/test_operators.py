@@ -53,6 +53,7 @@ EXTENDED = [
     "scalar_interval_year_month", "scalar_time_of_day",
     "join_null_safe_equal", "window_first_last_nth_value",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "ddl_filesystem_pipeline",
 ]
 
 
