@@ -81,6 +81,12 @@ _DROP_RE = re.compile(
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(?P<select>SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+    r"\s+AS\s+(?P<query>SELECT\s+.*)$", re.IGNORECASE | re.DOTALL)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$",
+    re.IGNORECASE)
 _WATERMARK_RE = re.compile(
     r"WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'([\d.]+)'\s+(\w+)",
     re.IGNORECASE)
@@ -174,6 +180,16 @@ class DdlCatalog:
         s = stmt.strip().rstrip(";")
         if _CREATE_RE.match(s):
             self._create(parse_create_table(s))
+            return None
+        vm = _CREATE_VIEW_RE.match(s)
+        if vm:
+            # Flink views are session-scoped catalog objects
+            # (TableEnvironmentImpl view operations); temp views match
+            self.spark.sql(vm.group("query")).createOrReplaceTempView(vm.group(1))
+            return None
+        dv = _DROP_VIEW_RE.match(s)
+        if dv:
+            self.spark.catalog.dropTempView(dv.group(1))
             return None
         dm = _DROP_RE.match(s)
         if dm:

@@ -94,3 +94,14 @@ def test_ddl_watermark_stream(spark):
     assert sdf.isStreaming
     # the watermark node is in the logical plan
     assert "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
+
+
+def test_ddl_create_drop_view(spark):
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(1, 5.0), (2, 7.0)], "id bigint, v double") \
+         .createOrReplaceTempView("_vsrc")
+    env.sql_update("CREATE VIEW v_doubled AS SELECT id, v * 2 AS v2 FROM _vsrc")
+    got = sorted((r.id, r.v2) for r in spark.sql("SELECT * FROM v_doubled").collect())
+    assert got == [(1, 10.0), (2, 14.0)]
+    env.sql_update("DROP VIEW v_doubled")
+    assert "v_doubled" not in [t.name for t in spark.catalog.listTables()]
