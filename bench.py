@@ -30,6 +30,8 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",
     "minhash_lsh_dup_pairs",
     "minhash_lsh_dup_pairs_xxh",
+    "tpcds_q_multi_fact_star",
+    "text_repetition_stats",
     "stream_topn_per_key",
     "cep_nfa_four_stage",
     "graph_connected_components",
