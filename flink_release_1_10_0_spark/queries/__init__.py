@@ -102,6 +102,8 @@ _PIN = [
     "stream_purging_count_trigger",
     "tpcds_q_below_avg_quantity", "tpcds_q_market_share",
     "tpcds_q_high_value_pct", "ddl_filesystem_pipeline",
+    "source_text_roundtrip", "source_elements_join",
+    "datastream_table_roundtrip",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

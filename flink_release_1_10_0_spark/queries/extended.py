@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from flink_release_1_10_0_spark.functions.udf import AggregateFunction, TableFunction
 from flink_release_1_10_0_spark.operators.cogroup import cogroup_counts
 from flink_release_1_10_0_spark.queries import register
-from flink_release_1_10_0_spark.queries.helpers import t
+from flink_release_1_10_0_spark.queries.helpers import dsum, t
 
 # --------------------------------------------------------------------------
 # AggregateFunction (UDAF): quantity-weighted average price per returnflag
@@ -1287,3 +1287,105 @@ def ddl_filesystem_pipeline(spark, sf_dir):
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders_ddl GROUP BY o_orderstatus
     """)
+
+
+# --------------------------------------------------------------------------
+# Text source round-trip: table -> pipe-delimited text lines -> read_text
+# -> parse -> aggregate (readTextFile analog with oracle-grade evidence).
+# --------------------------------------------------------------------------
+_TEXT_RT_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("source_text_roundtrip", _TEXT_RT_ORACLE)
+def source_text_roundtrip(spark, sf_dir):
+    """StreamExecutionEnvironment.java:1072 readTextFile analog: lines
+    are opaque strings; parsing is an explicit downstream map."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources import formats as FMT
+    cust = t(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="text_rt_") + "/customer_txt"
+    (cust.select(F.concat_ws("|", F.col("c_custkey"), F.col("c_mktsegment"))
+         .alias("value"))
+     .write.mode("overwrite").text(out))
+    lines = FMT.read_text(spark, out)
+    parsed = lines.select(
+        F.split("value", r"\|").getItem(0).cast("bigint").alias("c_custkey"),
+        F.split("value", r"\|").getItem(1).alias("c_mktsegment"))
+    return (parsed.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("c_custkey").alias("key_sum")))
+
+
+# --------------------------------------------------------------------------
+# Collection/element source: a literal in-memory dimension (fromElements)
+# joined against a scanned fact — the oracle reproduces the literals as
+# a VALUES clause.
+# --------------------------------------------------------------------------
+_ELEMENTS_ORACLE = """
+WITH bands(band_name, lo, hi) AS (
+  VALUES ('LOW', 0.0, 100000.0), ('MID', 100000.0, 250000.0),
+         ('HIGH', 250000.0, 1000000000.0)
+)
+SELECT band_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_name
+"""
+
+
+@register("source_elements_join", _ELEMENTS_ORACLE)
+def source_elements_join(spark, sf_dir):
+    """StreamExecutionEnvironment.fromElements / fromCollection analog:
+    the literal dimension broadcasts into a range (theta) join."""
+    from flink_release_1_10_0_spark.environment import TableEnvironment
+    env = TableEnvironment(spark)
+    bands = env.from_elements(
+        [("LOW", 0.0, 100000.0), ("MID", 100000.0, 250000.0),
+         ("HIGH", 250000.0, 1000000000.0)],
+        "band_name string, lo double, hi double").df
+    orders = t(spark, sf_dir, "orders")
+    return (orders.join(F.broadcast(bands),
+                        (orders.o_totalprice >= bands.lo)
+                        & (orders.o_totalprice < bands.hi))
+            .groupBy("band_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", "revenue")))
+
+
+# --------------------------------------------------------------------------
+# DataStream <-> Table round-trip: table scan -> DataStream transforms
+# (map / filter / flat_map) -> back to a table aggregate.  The oracle is
+# the equivalent relational pipeline in SQL.
+# --------------------------------------------------------------------------
+_DS_TABLE_ORACLE = """
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')) AS word
+  FROM documents WHERE lang = 'en'
+)
+SELECT lang, COUNT(*) AS n_words,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+FROM words GROUP BY lang
+"""
+
+
+@register("datastream_table_roundtrip", _DS_TABLE_ORACLE)
+def datastream_table_roundtrip(spark, sf_dir):
+    """StreamTableEnvironment.fromDataStream/toAppendStream analog
+    (flink-table-api-java-bridge): Table -> DataStream ops -> Table."""
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+    docs = t(spark, sf_dir, "documents")
+    ds = (DataStream(docs)
+          .filter("lang = 'en'")
+          .map("doc_id", "lang",
+               "filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), "
+               "' +'), x -> x != '') as words")
+          .flat_map("words", "word", "doc_id", "lang"))
+    return (ds.df.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.countDistinct("word").alias("n_distinct")))

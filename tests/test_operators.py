@@ -53,7 +53,8 @@ EXTENDED = [
     "scalar_interval_year_month", "scalar_time_of_day",
     "join_null_safe_equal", "window_first_last_nth_value",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "ddl_filesystem_pipeline",
+    "ddl_filesystem_pipeline", "source_text_roundtrip",
+    "source_elements_join", "datastream_table_roundtrip",
 ]
 
 
