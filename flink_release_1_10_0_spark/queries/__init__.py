@@ -104,6 +104,8 @@ _PIN = [
     "tpcds_q_high_value_pct", "ddl_filesystem_pipeline",
     "source_text_roundtrip", "source_elements_join",
     "datastream_table_roundtrip",
+    "tpcds_q_quarter_pivot", "tpcds_q_union_rank_channels",
+    "tpcds_q_order_count_histogram", "tpcds_q_cohort_stats",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

@@ -1336,3 +1336,158 @@ def tpcds_q_high_value_pct(spark, sf_dir):
                  high.alias("n_high"),
                  F.round(high / F.count(F.lit(1)).cast("double"), 6)
                  .alias("high_pct")))
+
+
+# ==========================================================================
+# Fifth wave: month-pivot wide report (q66), union + per-channel rank
+# (q49), zero-fill LEFT-JOIN histogram (q13), semi-join cohort stats
+# (q35).
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# q66 family: months pivoted into columns — one wide row per nation with
+# per-quarter revenue columns from a single conditional aggregation pass
+# (the columnar "sales by period" report).
+# --------------------------------------------------------------------------
+_MONTH_PIVOT_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 1 AND 3
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q1_rev,
+       CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 4 AND 6
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q2_rev,
+       CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 7 AND 9
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q3_rev,
+       CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 10 AND 12
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q4_rev
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("tpcds_q_quarter_pivot", _MONTH_PIVOT_ORACLE)
+def tpcds_q_quarter_pivot(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    zero = F.lit(0).cast(MONEY)
+    m = F.month("o_orderdate")
+
+    def quarter(lo, hi, alias):
+        return (F.sum(F.when(m.between(lo, hi), money("o_totalprice"))
+                      .otherwise(zero)).cast("double").alias(alias))
+
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(quarter(1, 3, "q1_rev"), quarter(4, 6, "q2_rev"),
+                 quarter(7, 9, "q3_rev"), quarter(10, 12, "q4_rev")))
+
+
+# --------------------------------------------------------------------------
+# q49 family: union of two channel facts, rank WITHIN each channel, top 5
+# per channel — union + partitioned rank in one report.
+# --------------------------------------------------------------------------
+_UNION_RANK_ORACLE = """
+WITH per_chan AS (
+  SELECT 'fulfilled' AS channel, c_mktsegment,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderstatus = 'F' GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'open' AS channel, c_mktsegment,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderstatus = 'O' GROUP BY c_mktsegment
+)
+SELECT channel, c_mktsegment, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rank() OVER (PARTITION BY channel ORDER BY rev DESC, c_mktsegment)
+            AS BIGINT) AS rk
+FROM per_chan
+QUALIFY rk <= 3
+"""
+
+
+@register("tpcds_q_union_rank_channels", _UNION_RANK_ORACLE)
+def tpcds_q_union_rank_channels(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def chan(status, label):
+        return (orders.filter(F.col("o_orderstatus") == status)
+                .join(cust, orders.o_custkey == cust.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(F.sum(money("o_totalprice")).alias("rev"))
+                .select(F.lit(label).alias("channel"), "c_mktsegment", "rev"))
+
+    per_chan = chan("F", "fulfilled").unionByName(chan("O", "open"))
+    w = Window.partitionBy("channel").orderBy(F.desc("rev"), "c_mktsegment")
+    return (per_chan.withColumn("rk", F.rank().over(w).cast("bigint"))
+            .filter(F.col("rk") <= 3)
+            .select("channel", "c_mktsegment",
+                    F.col("rev").cast("double").alias("revenue"), "rk"))
+
+
+# --------------------------------------------------------------------------
+# q13 family: zero-fill histogram — the distribution of order counts per
+# customer INCLUDING zero-order customers (LEFT JOIN + COALESCE before
+# the second aggregation).
+# --------------------------------------------------------------------------
+_ZERO_FILL_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, COALESCE(cnt, 0) AS n_orders
+  FROM customer LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+  ) o ON c_custkey = o_custkey
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+"""
+
+
+@register("tpcds_q_order_count_histogram", _ZERO_FILL_ORACLE)
+def tpcds_q_order_count_histogram(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cnt = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left")
+            .select(F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_orders"))
+            .groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+# --------------------------------------------------------------------------
+# q35 family: cohort stats — balance statistics (count, exact-decimal
+# avg, min, max) per segment for customers with 1997 activity (semi
+# join), the "profile the active cohort" report.
+# --------------------------------------------------------------------------
+_COHORT_STATS_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_active,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_bal,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c_custkey AND year(o.o_orderdate) = 1997)
+GROUP BY c_mktsegment
+"""
+
+
+@register("tpcds_q_cohort_stats", _COHORT_STATS_ORACLE)
+def tpcds_q_cohort_stats(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    active = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return (cust.join(active, cust.c_custkey == active.o_custkey, "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_active"),
+                 F.round(F.sum(money("c_acctbal")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_bal"),
+                 F.min("c_acctbal").cast("double").alias("min_bal"),
+                 F.max("c_acctbal").cast("double").alias("max_bal")))

@@ -63,6 +63,7 @@ TPCDS = [
     "tpcds_q_below_avg_quantity",
     "tpcds_q_best_segment_per_year",
     "tpcds_q_channel_union",
+    "tpcds_q_cohort_stats",
     "tpcds_q_count_panel",
     "tpcds_q_cov_filter",
     "tpcds_q_cross_channel_ratio",
@@ -80,9 +81,11 @@ TPCDS = [
     "tpcds_q_multi_fact_star",
     "tpcds_q_net_minus_returns",
     "tpcds_q_order_count_band",
+    "tpcds_q_order_count_histogram",
     "tpcds_q_orders_no_returns",
     "tpcds_q_over_nation_avg",
     "tpcds_q_price_band_case",
+    "tpcds_q_quarter_pivot",
     "tpcds_q_rank_in_category",
     "tpcds_q_repeat_customers_intersect",
     "tpcds_q_return_ratio_topn",
@@ -93,6 +96,7 @@ TPCDS = [
     "tpcds_q_spend_histogram",
     "tpcds_q_supplier_late_counts",
     "tpcds_q_topn_then_detail",
+    "tpcds_q_union_rank_channels",
     "tpcds_q_year_over_year",
 ]
 
