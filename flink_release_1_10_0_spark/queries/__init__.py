@@ -106,6 +106,8 @@ _PIN = [
     "datastream_table_roundtrip",
     "tpcds_q_quarter_pivot", "tpcds_q_union_rank_channels",
     "tpcds_q_order_count_histogram", "tpcds_q_cohort_stats",
+    "tpcds_q_time_hierarchy_rollup", "tpcds_q_snowflake_trade_flow",
+    "tpcds_q_frequent_items_revenue",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

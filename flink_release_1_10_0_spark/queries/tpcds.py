@@ -1491,3 +1491,124 @@ def tpcds_q_cohort_stats(spark, sf_dir):
                          / F.count(F.lit(1)), 6).alias("avg_bal"),
                  F.min("c_acctbal").cast("double").alias("min_bal"),
                  F.max("c_acctbal").cast("double").alias("max_bal")))
+
+
+# ==========================================================================
+# Sixth wave: time-hierarchy rollup, snowflake detail join, and the
+# frequent-items two-phase filter.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Time-hierarchy ROLLUP (q27-on-dates): revenue by (year, quarter, month)
+# with subtotals at each level of the TIME hierarchy.
+# --------------------------------------------------------------------------
+_TIME_ROLLUP_ORACLE = """
+SELECT CAST(COALESCE(o_year, -1) AS BIGINT) AS o_year,
+       CAST(COALESCE(o_quarter, -1) AS BIGINT) AS o_quarter,
+       CAST(COALESCE(o_month, -1) AS BIGINT) AS o_month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM (SELECT year(o_orderdate) AS o_year, quarter(o_orderdate) AS o_quarter,
+             month(o_orderdate) AS o_month, o_totalprice
+      FROM orders)
+GROUP BY ROLLUP (o_year, o_quarter, o_month)
+"""
+
+
+@register("tpcds_q_time_hierarchy_rollup", _TIME_ROLLUP_ORACLE)
+def tpcds_q_time_hierarchy_rollup(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    derived = orders.select(
+        F.year("o_orderdate").alias("o_year"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_totalprice")
+    return (derived.rollup("o_year", "o_quarter", "o_month")
+            .agg(dsum("o_totalprice", "revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select(F.coalesce("o_year", F.lit(-1)).cast("bigint").alias("o_year"),
+                    F.coalesce("o_quarter", F.lit(-1)).cast("bigint").alias("o_quarter"),
+                    F.coalesce("o_month", F.lit(-1)).cast("bigint").alias("o_month"),
+                    "revenue", "n_orders"))
+
+
+# --------------------------------------------------------------------------
+# q64 family: wide snowflake detail join — lineitem through part,
+# supplier, supplier-nation, orders, customer, customer-nation in one
+# plan; the aggregate keys cross both dimension arms (customer nation x
+# supplier nation trade-flow matrix).
+# --------------------------------------------------------------------------
+_SNOWFLAKE_ORACLE = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE p_retailprice > 905
+GROUP BY cust_nation, supp_nation
+"""
+
+
+@register("tpcds_q_snowflake_trade_flow", _SNOWFLAKE_ORACLE)
+def tpcds_q_snowflake_trade_flow(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 905)
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("supp_nation"))
+    star = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey))
+    return (star.groupBy("cust_nation", "supp_nation")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum_expr(disc_price(), "volume")))
+
+
+# --------------------------------------------------------------------------
+# q23 head: frequent items — parts bought in more than N orders overall,
+# then the monthly revenue restricted to those parts (broadcast semi
+# join of the frequent-item set back onto the fact).
+# --------------------------------------------------------------------------
+_FREQ_ITEMS_ORACLE = """
+WITH freq AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) > 30
+)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_partkey IN (SELECT l_partkey FROM freq)
+GROUP BY o_year, o_month
+"""
+
+
+@register("tpcds_q_frequent_items_revenue", _FREQ_ITEMS_ORACLE)
+def tpcds_q_frequent_items_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    freq = (li.groupBy("l_partkey")
+            .agg(F.countDistinct("l_orderkey").alias("cnt"))
+            .filter(F.col("cnt") > 30).select("l_partkey"))
+    return (li.join(F.broadcast(freq), "l_partkey", "left_semi")
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                     F.month("o_orderdate").cast("bigint").alias("o_month"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum("l_extendedprice", "revenue")))

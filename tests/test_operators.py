@@ -71,6 +71,7 @@ TPCDS = [
     "tpcds_q_cumulative_channel_compare",
     "tpcds_q_date_brand_topn",
     "tpcds_q_exists_segmentation",
+    "tpcds_q_frequent_items_revenue",
     "tpcds_q_grouping_sets_channels",
     "tpcds_q_high_value_pct",
     "tpcds_q_market_share",
@@ -93,8 +94,10 @@ TPCDS = [
     "tpcds_q_revenue_share",
     "tpcds_q_rollup_hierarchy",
     "tpcds_q_share_shift",
+    "tpcds_q_snowflake_trade_flow",
     "tpcds_q_spend_histogram",
     "tpcds_q_supplier_late_counts",
+    "tpcds_q_time_hierarchy_rollup",
     "tpcds_q_topn_then_detail",
     "tpcds_q_union_rank_channels",
     "tpcds_q_year_over_year",
