@@ -159,3 +159,47 @@ def repetition_stats(df, id_col: str, text_col: str = "text"):
                     F.round(F.col("tbc")
                             / (F.col("n_words") - 1).cast("double"), 6)
                     .alias("top_bigram_ratio")))
+
+
+def vocab_top_tokens(df, text_col: str = "text", k: int = 100):
+    """Corpus-level vocabulary: top-k tokens by frequency with a
+    deterministic tie-break — the counting pass tokenizer training
+    starts from.  One explode + one distributed count; the top-k is a
+    TakeOrdered over the (distinct-token-sized, not corpus-sized)
+    count table."""
+    from pyspark.sql import functions as F
+    w = words_expr(text_col)
+    return (df.select(F.explode(F.expr(w)).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "token")
+            .limit(k))
+
+
+def ngram_contamination(train, eval_df, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5):
+    """Benchmark-contamination detection: for each training document,
+    the number of distinct word n-grams it shares with ANY document of
+    the evaluation set, and how many eval documents it collides with.
+
+    Scale shape: both sides explode to distinct (doc, gram) pairs and
+    meet in an equi-join on the gram (at 100 TB: hash the gram to a
+    bigint key and pre-aggregate the eval side per gram — the eval set
+    is tiny relative to the corpus, so the join broadcasts).  Never an
+    all-pairs document comparison."""
+    from pyspark.sql import functions as F
+    w = words_expr(text_col)
+
+    def grams(df, id_alias):
+        g = (f"array_distinct(transform(sequence(0, size(words) - {n}), "
+             f"i -> concat_ws(' ', slice(words, i + 1, {n}))))")
+        return (df.select(F.col(id_col).alias(id_alias),
+                          F.expr(w).alias("words"))
+                .filter(F.expr(f"size(words) >= {n}"))
+                .select(id_alias, F.explode(F.expr(g)).alias("gram")))
+
+    tg = grams(train, "doc_id")
+    eg = grams(eval_df, "eval_doc_id")
+    hits = tg.join(eg, "gram")
+    return (hits.groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_shared_grams"),
+                 F.countDistinct("eval_doc_id").alias("n_eval_docs")))

@@ -773,3 +773,52 @@ def embedding_quantized_topk_recall(spark, sf_dir):
     return common.agg(
         F.count(F.lit(1)).alias("n_common"),
         F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_10"))
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary (tokenizer-training counting pass)
+# --------------------------------------------------------------------------
+_VOCAB_ORACLE = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_DWORDS}) AS token FROM documents) u
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+"""
+
+
+@register("vocab_top_tokens", _VOCAB_ORACLE)
+def vocab_top_tokens_q(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import vocab_top_tokens
+    return vocab_top_tokens(t(spark, sf_dir, "documents"), k=100)
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination: training docs sharing 5-grams with the
+# held-out eval source (src0)
+# --------------------------------------------------------------------------
+_CONTAMINATION_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(words) - 3), i ->
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+           words[i+3] || ' ' || words[i+4]))) AS gram
+  FROM (SELECT doc_id, source, {_DWORDS} AS words FROM documents) q
+  WHERE len(words) >= 5
+)
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+       CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+FROM (SELECT * FROM g WHERE source <> 'src0') tr
+JOIN (SELECT * FROM g WHERE source = 'src0') ev ON tr.gram = ev.gram
+GROUP BY tr.doc_id
+"""
+
+
+@register("contamination_5gram_vs_eval", _CONTAMINATION_ORACLE)
+def contamination_5gram_vs_eval(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import ngram_contamination
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    return ngram_contamination(train, eval_df, n=5)

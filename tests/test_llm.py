@@ -16,7 +16,8 @@ LLM = [
     "sample_by_hash_30pct", "pipeline_training_data_curation",
     "sample_stratified_by_lang", "dedup_jaccard_clusters",
     "text_repetition_stats", "embedding_quantize_int8",
-    "embedding_quantized_topk_recall",
+    "embedding_quantized_topk_recall", "vocab_top_tokens",
+    "contamination_5gram_vs_eval",
 ]
 
 
