@@ -189,13 +189,54 @@ class GroupedTable:
     agg = select
 
 
+class TableConfig:
+    """``flink-table-api-java/.../api/TableConfig.java`` analog — the
+    session knobs that survive the mapping onto Spark:
+
+    - ``setIdleStateRetentionTime(min, max)`` (TableConfig.java:222) ->
+      the ``ttl_minutes`` every stateful operator here accepts
+      (stream-stream join, dedup, top-N); ``idle_state_retention_minutes``
+      is what ``TableEnvironment``-built stateful ops read.  Flink keeps
+      state between min and max; the micro-batch analog prunes at the
+      single TTL bound (= min), the conservative end of that contract.
+    - ``setLocalTimeZone`` -> ``spark.sql.session.timeZone``.
+    Null-check / codegen-length knobs have no Spark equivalent and are
+    accepted as no-ops only where harmless (not represented here).
+    """
+
+    def __init__(self):
+        self.idle_state_retention_minutes: float | None = None
+
+    def set_idle_state_retention_time(self, min_minutes: float,
+                                      max_minutes: float | None = None) -> None:
+        if min_minutes < 0:
+            raise ValueError("retention must be >= 0")
+        self.idle_state_retention_minutes = min_minutes or None
+
+    def get_min_idle_state_retention_time(self) -> float | None:
+        return self.idle_state_retention_minutes
+
+
 class TableEnvironment:
     """``TableEnvironmentImpl`` analog: catalog + SQL + Table factory."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self.config = TableConfig()
         from flink_release_1_10_0_spark.functions.registry import register_flink_functions
         register_flink_functions(spark)
+
+    def set_local_timezone(self, tz: str) -> None:
+        """TableConfig.setLocalTimeZone -> session timezone conf."""
+        self.spark.conf.set("spark.sql.session.timeZone", tz)
+
+    def stream_join(self, left, right, key: str, how: str = "inner",
+                    **kwargs):
+        """Two-sided stream join honoring the config's idle-state
+        retention (``StreamExecJoin.scala`` + ``table.exec.state.ttl``)."""
+        from flink_release_1_10_0_spark.streaming.stream_join import stream_stream_join
+        kwargs.setdefault("ttl_minutes", self.config.idle_state_retention_minutes)
+        return stream_stream_join(left, right, key, how=how, **kwargs)
 
     @classmethod
     def create(cls, spark: SparkSession | None = None) -> "TableEnvironment":

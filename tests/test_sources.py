@@ -309,3 +309,50 @@ def test_sequence_stream_resumes_from_checkpoint_exactly_once(spark):
     # resumed PAST the committed offset: no duplicates, exact continuation
     assert len(both) == len(set(both)) == 1600
     assert sorted(both) == list(range(0, 1600))
+
+
+def test_socket_source_live(spark):
+    """Live socket round-trip (StreamExecutionEnvironment.java:1322
+    socketTextStream): a local server feeds lines; the streaming query
+    must deliver them through the socket source."""
+    import socket
+    import threading
+    import time
+
+    from flink_release_1_10_0_spark.sources.streams import socket_source
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(b"alpha\nbeta\ngamma\n")
+        # keep the connection open until the query has read the lines
+        stop.wait(timeout=30)
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    try:
+        lines = socket_source(spark, "127.0.0.1", port)
+        assert lines.isStreaming
+        q = (lines.writeStream.format("memory")
+             .queryName("_socket_rows").outputMode("append").start())
+        try:
+            deadline = time.time() + 25
+            while time.time() < deadline:
+                got = {r.value for r in spark.sql(
+                    "SELECT value FROM _socket_rows").collect()}
+                if {"alpha", "beta", "gamma"} <= got:
+                    break
+                time.sleep(0.5)
+            assert {"alpha", "beta", "gamma"} <= got
+        finally:
+            q.stop()
+    finally:
+        stop.set()
+        srv.close()

@@ -133,3 +133,20 @@ def test_hot_key_large_state_completes_fast(spark):
     assert counts["-D"] == n_left
     assert counts["+I"] == n_left + n_left * n_right
     assert elapsed < 60, f"hot-key join took {elapsed:.1f}s"
+
+
+def test_table_config_idle_state_retention_wires_ttl(spark):
+    """TableConfig.setIdleStateRetentionTime must flow into the
+    env-built stream join as its TTL: with 5-minute retention, a left
+    row older than the TTL at the right row's arrival never matches."""
+    from flink_release_1_10_0_spark.environment import TableEnvironment
+    env = TableEnvironment(spark)
+    env.config.set_idle_state_retention_time(5)
+    rows = [_ev(1, 0, "purchase", 10.0),   # expires before the error
+            _ev(2, 30, "purchase", 20.0),  # fresh
+            _ev(3, 31, "error", 5.0)]
+    left, right = _streams(spark, rows)
+    clog = run_to_completion(
+        env.stream_join(left, right, "user_id", how=INNER), "append")
+    pairs = {(r.l_id, r.r_id) for r in clog.filter("op = '+I'").collect()}
+    assert pairs == {(2, 3)}
