@@ -19,7 +19,7 @@ from flink_release_1_10_0_spark.streaming import stateful
 # (StreamExecGroupWindowAggregate + WindowOperator.java:98)
 # --------------------------------------------------------------------------
 _STREAM_TUMBLE_ORACLE = """
-SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
        event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -46,7 +46,7 @@ def stream_tumble_agg(spark, sf_dir):
 _STREAM_WM_ORACLE = """
 WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
 SELECT * FROM (
-  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, COUNT(*) AS n
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, COUNT(*) AS n
   FROM events GROUP BY 1) q
 WHERE w_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
 """
@@ -436,7 +436,7 @@ def stream_cep_not_followed_by(spark, sf_dir):
 _STREAM_HOP_ORACLE = """
 WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
 edges AS (
-  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+  SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP)
          + INTERVAL (30 * CAST(floor(EXTRACT(minute FROM ts) / 30) AS INT) - 30 * g.i) MINUTE AS w_start
   FROM events, (SELECT unnest([0, 1]) AS i) g),
 agg AS (
@@ -729,7 +729,7 @@ def stream_cep_optional_middle(spark, sf_dir):
 # per (user, 1h tumble), one shuffle total, missing side = 0.
 # --------------------------------------------------------------------------
 _STREAM_COGROUP_ORACLE = """
-SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, user_id,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, user_id,
        COUNT(*) FILTER (WHERE event_type = 'click') AS n_left,
        COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_right
 FROM events WHERE event_type IN ('click', 'purchase')
@@ -851,7 +851,7 @@ def stream_over_range_bounded(spark, sf_dir):
 # single-reducer final merge per window.
 # --------------------------------------------------------------------------
 _STREAM_WINDOW_ALL_ORACLE = """
-SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM events GROUP BY 1
@@ -1035,7 +1035,7 @@ def stream_late_data_side_output(spark, sf_dir):
 # on the full set; single-chunk windows fire once (final).
 # --------------------------------------------------------------------------
 _STREAM_EARLY_FIRE_ORACLE = """
-WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
                   event_id % 2 AS par
            FROM events),
 tot AS (SELECT w_start, COUNT(*) AS n FROM e GROUP BY 1),
