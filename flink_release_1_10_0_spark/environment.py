@@ -264,10 +264,15 @@ class TableEnvironment:
 
     # SQL ----------------------------------------------------------------
     def sql_query(self, query: str) -> Table:
-        return Table(self.spark.sql(query))
+        """Accepts Flink SQL incl. group-window functions (TUMBLE/HOP/
+        SESSION + *_START/*_END selectors — rewritten to Spark's
+        window()/session_window(), see sql_windows.py)."""
+        from flink_release_1_10_0_spark.sql_windows import rewrite_group_windows
+        return Table(self.spark.sql(rewrite_group_windows(query)))
 
     def execute_sql(self, stmt: str) -> DataFrame:
-        return self.spark.sql(stmt)
+        from flink_release_1_10_0_spark.sql_windows import rewrite_group_windows
+        return self.spark.sql(rewrite_group_windows(stmt))
 
     def sql_update(self, stmt: str) -> None:
         """``TableEnvironmentImpl.sqlUpdate:483`` — accepts Flink 1.10

@@ -1389,3 +1389,33 @@ def datastream_table_roundtrip(spark, sf_dir):
     return (ds.df.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.countDistinct("word").alias("n_distinct")))
+
+
+# --------------------------------------------------------------------------
+# Flink group-window SQL accepted verbatim: TUMBLE / HOP / SESSION in
+# GROUP BY with *_START/*_END selectors (FlinkSqlOperatorTable group
+# window functions), rewritten to Spark window()/session_window() by
+# sql_windows.py.  The oracle expresses the same tumble with
+# date_trunc (1-hour tumble == hour truncation).
+# --------------------------------------------------------------------------
+_FLINK_TUMBLE_SQL_ORACLE = """
+SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+@register("flink_sql_tumble_group_window", _FLINK_TUMBLE_SQL_ORACLE)
+def flink_sql_tumble_group_window(spark, sf_dir):
+    from flink_release_1_10_0_spark.environment import TableEnvironment
+    env = TableEnvironment(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("_fw_events")
+    return env.sql_query("""
+        SELECT user_id, TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM _fw_events
+        GROUP BY user_id, TUMBLE(ts, INTERVAL '1' HOUR)
+    """).df
