@@ -230,6 +230,30 @@ class TableEnvironment:
         """TableConfig.setLocalTimeZone -> session timezone conf."""
         self.spark.conf.set("spark.sql.session.timeZone", tz)
 
+    def explain(self, table) -> str:
+        """``TableEnvironment.explain`` (TableEnvironmentImpl.java:567):
+        the optimized physical plan as a string."""
+        df = table.df if isinstance(table, Table) else table
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def to_append_stream(self, table) -> "DataStream":
+        """``StreamTableEnvironment.toAppendStream`` — the table's rows
+        as an insert-only DataStream."""
+        from flink_release_1_10_0_spark.streaming.datastream import DataStream
+        df = table.df if isinstance(table, Table) else table
+        return DataStream(df)
+
+    def to_retract_stream(self, table) -> "DataStream":
+        """``StreamTableEnvironment.toRetractStream`` — rows tagged with
+        the (add, row) flag; for an insert-only table every row is an
+        add (the changelog-producing operators in streaming/ emit their
+        own +I/-D ops)."""
+        from pyspark.sql import functions as F
+
+        from flink_release_1_10_0_spark.streaming.datastream import DataStream
+        df = table.df if isinstance(table, Table) else table
+        return DataStream(df.select(F.lit(True).alias("add"), "*"))
+
     def stream_join(self, left, right, key: str, how: str = "inner",
                     **kwargs):
         """Two-sided stream join honoring the config's idle-state

@@ -292,3 +292,14 @@ def test_partition_custom_routes_by_user_partitioner(spark):
     assert len(rows) == 1000
     for r in rows:
         assert r.pid == odd_even_mod(r.k) % 8
+
+
+def test_env_explain_and_stream_bridges(spark):
+    """TableEnvironment.explain + toAppendStream/toRetractStream."""
+    from flink_release_1_10_0_spark.environment import TableEnvironment
+    env = TableEnvironment(spark)
+    t = env.from_elements([(1, "a"), (2, "b")], "id bigint, s string")
+    assert "Scan" in env.explain(t) or "LocalTableScan" in env.explain(t)
+    assert len(env.to_append_stream(t).df.collect()) == 2
+    rows = env.to_retract_stream(t).df.collect()
+    assert all(r.add for r in rows) and len(rows) == 2
