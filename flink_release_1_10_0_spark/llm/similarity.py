@@ -193,3 +193,64 @@ def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
             .withColumn("scale", F.expr(f"{maxabs} / 127.0"))
             .withColumn("q", F.expr(qexpr))
             .withColumn("recon_err", F.expr(f"round({err}, 6)")))
+
+
+def kmeans_fit_predict(embeddings: DataFrame, k: int = 4,
+                       iterations: int = 3, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Deterministic distributed k-means — the codebook-training step a
+    real IVF index needs when no labels exist (``ivf_build_index`` uses
+    label centroids; this trains centroids from scratch).
+
+    Determinism contract (so an unrolled SQL oracle can replay it):
+    - init: the k vectors with the smallest ids are the initial
+      centroids (cid = dense_rank over id);
+    - assignment: squared L2 in IEEE doubles, ties broken by cid
+      (min over struct(dist, cid));
+    - update: per-(cid, pos) mean via exact DECIMAL(28,12) sums (the
+      same convention as :func:`label_centroids`), so no float
+      summation order leaks between engines.
+
+    Scale: each iteration is one broadcast of the k×dim codebook (a few
+    KB) + a map-side assignment + one (cid, pos)-keyed aggregation —
+    the canonical parallel Lloyd's step; nothing driver-side but the
+    loop counter.  Returns (id, cid, dist_r) for every vector.
+    """
+    dim_probe = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+
+    def assign(df, cents):
+        j = df.crossJoin(F.broadcast(cents))
+        sq = F.expr(
+            f"aggregate(zip_with({vec_col}, cvec, (x, c) -> "
+            "(cast(x as double) - c) * (cast(x as double) - c)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)")
+        scored = j.select(F.col(id_col), F.col(vec_col),
+                          F.col("cid"), sq.alias("sqdist"))
+        best = (scored.groupBy(id_col)
+                .agg(F.min(F.struct("sqdist", "cid")).alias("b")))
+        return (scored.join(best, id_col)
+                .filter((F.col("sqdist") == F.col("b.sqdist"))
+                        & (F.col("cid") == F.col("b.cid")))
+                .select(id_col, vec_col, "cid", "sqdist"))
+
+    # init: smallest-k ids, cid by id order
+    from pyspark.sql import Window
+    w = Window.orderBy(id_col)
+    init = (embeddings.orderBy(id_col).limit(k)
+            .withColumn("cid", F.row_number().over(w).cast("bigint") - 1)
+            .select("cid", F.expr(
+                f"transform({vec_col}, x -> cast(x as double))").alias("cvec")))
+    cents = init
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign(embeddings, cents)
+        upd = (assigned.select("cid", F.posexplode(vec_col).alias("pos", "v"))
+               .groupBy("cid", "pos")
+               .agg((F.sum(F.col("v").cast(_DEC)).cast("double")
+                     / F.count("*")).alias("c")))
+        cents = (upd.groupBy("cid")
+                 .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), "
+                             "s -> s.c)").alias("cvec")))
+        cents = cents.localCheckpoint(eager=True)  # cut the iterative lineage
+    return assigned.select(id_col, "cid",
+                           F.round(F.col("sqdist"), 6).alias("dist_r"))

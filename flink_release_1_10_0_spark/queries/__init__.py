@@ -109,7 +109,7 @@ _PIN = [
     "tpcds_q_time_hierarchy_rollup", "tpcds_q_snowflake_trade_flow",
     "tpcds_q_frequent_items_revenue",
     "vocab_top_tokens", "contamination_5gram_vs_eval",
-    "flink_sql_tumble_group_window",
+    "flink_sql_tumble_group_window", "similarity_kmeans_fit",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

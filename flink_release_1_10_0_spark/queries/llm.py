@@ -822,3 +822,73 @@ def contamination_5gram_vs_eval(spark, sf_dir):
     train = docs.filter(F.col("source") != "src0")
     eval_df = docs.filter(F.col("source") == "src0")
     return ngram_contamination(train, eval_df, n=5)
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means codebook training (deterministic Lloyd's, see
+# similarity.kmeans_fit_predict).  The oracle replays all 3
+# iterations as unrolled CTEs with the same init / tie-break / exact-
+# decimal update conventions.
+# --------------------------------------------------------------------------
+_KMEANS_ORACLE = """
+WITH cents_init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4) q
+),
+asg0 AS (
+  SELECT vec_id, embedding, cid, sqdist FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           list_sum(list_transform(range(1, 65), i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS sqdist,
+           min(struct_pack(s := list_sum(list_transform(range(1, 65), i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c := c.cid))
+             OVER (PARTITION BY e.vec_id) AS b
+    FROM embeddings e CROSS JOIN cents_init c)
+  WHERE sqdist = b.s AND cid = b.c
+), upd0 AS (
+  SELECT cid, pos, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT cid, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v FROM asg0) x
+  GROUP BY cid, pos
+), cents0 AS (
+  SELECT cid, list(c ORDER BY pos) AS cvec FROM upd0 GROUP BY cid
+),
+asg1 AS (
+  SELECT vec_id, embedding, cid, sqdist FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           list_sum(list_transform(range(1, 65), i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS sqdist,
+           min(struct_pack(s := list_sum(list_transform(range(1, 65), i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c := c.cid))
+             OVER (PARTITION BY e.vec_id) AS b
+    FROM embeddings e CROSS JOIN cents0 c)
+  WHERE sqdist = b.s AND cid = b.c
+), upd1 AS (
+  SELECT cid, pos, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT cid, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v FROM asg1) x
+  GROUP BY cid, pos
+), cents1 AS (
+  SELECT cid, list(c ORDER BY pos) AS cvec FROM upd1 GROUP BY cid
+),
+asg2 AS (
+  SELECT vec_id, embedding, cid, sqdist FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           list_sum(list_transform(range(1, 65), i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS sqdist,
+           min(struct_pack(s := list_sum(list_transform(range(1, 65), i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c := c.cid))
+             OVER (PARTITION BY e.vec_id) AS b
+    FROM embeddings e CROSS JOIN cents1 c)
+  WHERE sqdist = b.s AND cid = b.c
+), upd2 AS (
+  SELECT cid, pos, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT cid, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v FROM asg2) x
+  GROUP BY cid, pos
+), cents2 AS (
+  SELECT cid, list(c ORDER BY pos) AS cvec FROM upd2 GROUP BY cid
+)
+SELECT vec_id, cid, round(sqdist, 6) AS dist_r FROM asg2
+"""
+
+
+@register("similarity_kmeans_fit", _KMEANS_ORACLE)
+def similarity_kmeans_fit(spark, sf_dir):
+    return S.kmeans_fit_predict(t(spark, sf_dir, "embeddings"), k=4,
+                                iterations=3)

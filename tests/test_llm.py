@@ -17,7 +17,7 @@ LLM = [
     "sample_stratified_by_lang", "dedup_jaccard_clusters",
     "text_repetition_stats", "embedding_quantize_int8",
     "embedding_quantized_topk_recall", "vocab_top_tokens",
-    "contamination_5gram_vs_eval",
+    "contamination_5gram_vs_eval", "similarity_kmeans_fit",
 ]
 
 
