@@ -110,6 +110,8 @@ _PIN = [
     "tpcds_q_frequent_items_revenue",
     "vocab_top_tokens", "contamination_5gram_vs_eval",
     "flink_sql_tumble_group_window", "similarity_kmeans_fit",
+    "tpcds_q_not_in_inactive", "tpcds_q_rollup_subtotals_only",
+    "tpcds_q_aging_buckets", "tpcds_q_cte_reuse_above_avg",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

@@ -1612,3 +1612,139 @@ def tpcds_q_frequent_items_revenue(spark, sf_dir):
                      F.month("o_orderdate").cast("bigint").alias("o_month"))
             .agg(F.count(F.lit(1)).alias("n_items"),
                  dsum("l_extendedprice", "revenue")))
+
+
+# ==========================================================================
+# Seventh wave: NOT IN decorrelation, GROUPING()-filtered subtotal rows,
+# date-arithmetic aging buckets, and a reused-CTE chain.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# NOT IN -> anti join decorrelation (the q16/q69 sub-mechanic on its
+# own): customers with no 1996 order, counted by nation.  (o_custkey is
+# non-null, so NOT IN and NOT EXISTS coincide — the difference only
+# matters under nullable keys, which the schema rules out.)
+# --------------------------------------------------------------------------
+_NOT_IN_ORACLE = """
+SELECT n_name, COUNT(*) AS n_inactive
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE year(o_orderdate) = 1996)
+GROUP BY n_name
+"""
+
+
+@register("tpcds_q_not_in_inactive", _NOT_IN_ORACLE)
+def tpcds_q_not_in_inactive(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    active96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return (cust.join(active96, cust.c_custkey == active96.o_custkey, "left_anti")
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name").agg(F.count(F.lit(1)).alias("n_inactive")))
+
+
+# --------------------------------------------------------------------------
+# Subtotal-row extraction: ROLLUP report filtered with GROUPING() so only
+# the per-region subtotal and grand-total lines remain (the "summary
+# rows only" variant of the q27/q36 family).
+# --------------------------------------------------------------------------
+_SUBTOTALS_ORACLE = """
+SELECT COALESCE(r_name, 'TOTAL') AS region_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+HAVING GROUPING(n_name) = 1
+"""
+
+
+@register("tpcds_q_rollup_subtotals_only", _SUBTOTALS_ORACLE)
+def tpcds_q_rollup_subtotals_only(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    star = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    return (star.rollup("r_name", "n_name")
+            .agg(dsum("o_totalprice", "revenue"),
+                 F.grouping("n_name").alias("_gn"))
+            .filter(F.col("_gn") == 1)
+            .select(F.coalesce("r_name", F.lit("TOTAL")).alias("region_name"),
+                    "revenue"))
+
+
+# --------------------------------------------------------------------------
+# Aging buckets: orders bucketed by age (days between order date and the
+# corpus watermark date) — the receivables-aging report mechanic.
+# --------------------------------------------------------------------------
+_AGING_ORACLE = """
+SELECT CASE WHEN age_days < 180 THEN '0-179'
+            WHEN age_days < 365 THEN '180-364'
+            WHEN age_days < 730 THEN '365-729'
+            ELSE '730+' END AS age_bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM (SELECT o_totalprice,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02')
+               AS age_days
+      FROM orders)
+GROUP BY age_bucket
+"""
+
+
+@register("tpcds_q_aging_buckets", _AGING_ORACLE)
+def tpcds_q_aging_buckets(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    age = F.datediff(F.lit("1998-08-02").cast("date"),
+                     F.col("o_orderdate").cast("date"))
+    bucket = (F.when(age < 180, "0-179")
+              .when(age < 365, "180-364")
+              .when(age < 730, "365-729")
+              .otherwise("730+"))
+    return (orders.select(bucket.alias("age_bucket"), "o_totalprice")
+            .groupBy("age_bucket")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", "revenue")))
+
+
+# --------------------------------------------------------------------------
+# Reused-CTE chain (q95 mechanic / SubplanReuseTest): the monthly
+# aggregate feeds BOTH the average subquery and the final join — the
+# DataFrame is bound once so Catalyst can reuse the exchange instead of
+# recomputing the aggregation.
+# --------------------------------------------------------------------------
+_CTE_REUSE_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_year, o_month
+), avg_rev AS (
+  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS a FROM monthly
+)
+SELECT o_year, o_month, CAST(rev AS DOUBLE) AS revenue,
+       round(a, 6) AS avg_monthly
+FROM monthly CROSS JOIN avg_rev
+WHERE CAST(rev AS DOUBLE) > a
+"""
+
+
+@register("tpcds_q_cte_reuse_above_avg", _CTE_REUSE_ORACLE)
+def tpcds_q_cte_reuse_above_avg(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                              F.month("o_orderdate").cast("bigint").alias("o_month"))
+               .agg(F.sum(money("o_totalprice")).alias("rev")))
+    avg_rev = monthly.agg((F.sum("rev").cast("double")
+                           / F.count(F.lit(1))).alias("a"))
+    return (monthly.crossJoin(F.broadcast(avg_rev))
+            .filter(F.col("rev").cast("double") > F.col("a"))
+            .select("o_year", "o_month",
+                    F.col("rev").cast("double").alias("revenue"),
+                    F.round("a", 6).alias("avg_monthly")))

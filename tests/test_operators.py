@@ -60,6 +60,7 @@ EXTENDED = [
 
 
 TPCDS = [
+    "tpcds_q_aging_buckets",
     "tpcds_q_avg_qty_rollup",
     "tpcds_q_below_avg_quantity",
     "tpcds_q_best_segment_per_year",
@@ -69,6 +70,7 @@ TPCDS = [
     "tpcds_q_cov_filter",
     "tpcds_q_cross_channel_ratio",
     "tpcds_q_cross_sell",
+    "tpcds_q_cte_reuse_above_avg",
     "tpcds_q_cumulative_channel_compare",
     "tpcds_q_date_brand_topn",
     "tpcds_q_exists_segmentation",
@@ -82,6 +84,7 @@ TPCDS = [
     "tpcds_q_moving_avg_deviation",
     "tpcds_q_multi_fact_star",
     "tpcds_q_net_minus_returns",
+    "tpcds_q_not_in_inactive",
     "tpcds_q_order_count_band",
     "tpcds_q_order_count_histogram",
     "tpcds_q_orders_no_returns",
@@ -94,6 +97,7 @@ TPCDS = [
     "tpcds_q_returns_adjusted_revenue",
     "tpcds_q_revenue_share",
     "tpcds_q_rollup_hierarchy",
+    "tpcds_q_rollup_subtotals_only",
     "tpcds_q_share_shift",
     "tpcds_q_snowflake_trade_flow",
     "tpcds_q_spend_histogram",
