@@ -1715,9 +1715,11 @@ def tpcds_q_aging_buckets(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Reused-CTE chain (q95 mechanic / SubplanReuseTest): the monthly
-# aggregate feeds BOTH the average subquery and the final join — the
-# DataFrame is bound once so Catalyst can reuse the exchange instead of
-# recomputing the aggregation.
+# aggregate feeds BOTH the average subquery and the final join.  The
+# DataFrame is bound once, which makes the subplans identical and
+# exchange reuse *possible*; whether Catalyst/AQE reuses or recomputes
+# is a cost call (at this size it recomputes the cheap agg — at scale,
+# identical subtrees over a large fact are where ReuseExchange pays).
 # --------------------------------------------------------------------------
 _CTE_REUSE_ORACLE = """
 WITH monthly AS (

@@ -105,3 +105,59 @@ def test_dedup_clusters_transitivity(spark):
     out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
            for r in dedup_clusters(pairs).collect()}
     assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    """CC over an empty edge set returns an empty cluster table."""
+    from flink_release_1_10_0_spark.llm.dedup import dedup_clusters
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dedup_clusters(pairs).count() == 0
+
+
+def test_repetition_stats_skips_short_docs(spark):
+    """Docs with <2 tokens carry no bigram and are excluded entirely."""
+    from flink_release_1_10_0_spark.llm.text import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words here two words")],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in repetition_stats(df, "doc_id").collect()}
+    assert set(rows) == {2}
+    # "two"/"words" appear twice in 5 words; "two words" bigram twice in 4
+    assert rows[2].top_word_ratio == 0.4
+    assert rows[2].top_bigram_ratio == 0.5
+
+
+def test_quantize_int8_reconstruction_bound(spark):
+    """Symmetric int8: |v - q*scale| <= scale/2 element-wise (+eps)."""
+    from flink_release_1_10_0_spark.llm.similarity import quantize_int8
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_int8(emb)
+    bad = q.select(F.expr(
+        "size(filter(zip_with(embedding, q, (x, qi) -> "
+        "abs(cast(x as double) - qi * scale)), e -> e > scale / 2 + 1e-12))"
+    ).alias("n")).agg(F.sum("n").alias("total")).first()["total"]
+    assert bad == 0
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """3 Lloyd's iterations on a small slice must equal a numpy replay
+    with the same init/tie-break conventions."""
+    import numpy as np
+
+    from flink_release_1_10_0_spark.llm.similarity import kmeans_fit_predict
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id < 60"))
+    got = {r.vec_id: r.cid for r in
+           kmeans_fit_predict(emb, k=3, iterations=3).collect()}
+    rows = sorted((r.vec_id, np.array(r.embedding, dtype=np.float64))
+                  for r in emb.collect())
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    cents = X[:3].copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes the lowest cid on ties
+        cents = np.stack([X[assign == c].mean(axis=0) for c in range(3)])
+    want = {i: int(c) for i, c in zip(ids, assign)}
+    assert got == want
