@@ -112,6 +112,7 @@ _PIN = [
     "flink_sql_tumble_group_window", "similarity_kmeans_fit",
     "tpcds_q_not_in_inactive", "tpcds_q_rollup_subtotals_only",
     "tpcds_q_aging_buckets", "tpcds_q_cte_reuse_above_avg",
+    "source_avro_roundtrip",
     "calc_project_filter", "values_literal", "setop_union_all",
     "setop_intersect", "setop_except", "join_inner_equi",
     "join_left_outer", "join_semi_exists", "agg_grouping_sets",

@@ -1419,3 +1419,40 @@ def flink_sql_tumble_group_window(spark, sf_dir):
         FROM _fw_events
         GROUP BY user_id, TUMBLE(ts, INTERVAL '1' HOUR)
     """).df
+
+
+# --------------------------------------------------------------------------
+# Avro round-trip through the pure-Python container codec (avro_py.py):
+# parquet -> avro container files (one per partition, deflate codec) ->
+# binaryFile + mapInPandas decode -> aggregate; oracle aggregates the
+# parquet directly.  (No external Avro implementation exists in this
+# environment to cross-validate interop; the codec is spec-derived —
+# zigzag varints, raw-deflate blocks, sync markers — and the write/read
+# halves are validated against each other at the byte level in
+# tests/test_sources.py.)
+# --------------------------------------------------------------------------
+_AVRO_RT_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("source_avro_roundtrip", _AVRO_RT_ORACLE)
+def source_avro_roundtrip(spark, sf_dir):
+    """AvroRowDeserializationSchema.java:79 round-trip analog."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources import formats as FMT
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    out = tempfile.mkdtemp(prefix="avro_rt_") + "/orders_avro"
+    FMT.write_avro(orders, out)
+    back = FMT.read_avro(
+        spark, out,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double")
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 dsum("o_totalprice", "total")))

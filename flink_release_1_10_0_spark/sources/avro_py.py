@@ -1,0 +1,299 @@
+"""Pure-Python Avro Object Container File support.
+
+The environment ships no ``spark-avro`` JAR and no ``fastavro``, so the
+Avro format row (``flink-formats/flink-avro/.../AvroRowDeserializationSchema.java:79``,
+``AvroRowSerializationSchema.java``) is implemented directly against the
+Avro 1.x container spec (magic ``Obj\\x01``, metadata map with
+``avro.schema``/``avro.codec``, sync-marker-delimited data blocks,
+zigzag-varint primitives; null and deflate codecs).
+
+Scale shape: reading uses ``spark.read.format("binaryFile")`` +
+``mapInPandas`` — each container file decodes on an executor, so a
+directory of N files decodes with N-way parallelism and no driver
+involvement (the file is the split unit, matching Avro's design where a
+container file is the unit of appendability).  Writing encodes each
+DataFrame partition to one container file on an executor.
+
+Supported types: boolean, int, long, float, double, string, bytes,
+timestamp (as the ``timestamp-micros`` logical type over long), and
+``["null", T]`` unions (nullable columns); records are flat (one record
+schema per file) — the same surface the reference's Row (de)serializers
+cover for flat Rows.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean", "int": "int", "bigint": "long",
+    "float": "float", "double": "double", "string": "string",
+    "binary": "bytes",
+}
+_AVRO_TO_SPARK = {v: k for k, v in _SPARK_TO_AVRO.items()}
+
+
+# -- primitive codec -------------------------------------------------------
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    n = _zigzag_encode(n)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _zigzag_decode(acc)
+        shift += 7
+
+
+def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    _write_long(buf, len(b))
+    buf.write(b)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    return buf.read(_read_long(buf))
+
+
+def _write_ts(buf: io.BytesIO, v) -> None:
+    """datetime -> micros since epoch (timestamp-micros logical type)."""
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        v = int(v.timestamp() * 1_000_000)
+    _write_long(buf, int(v))
+
+
+def _read_ts(buf: io.BytesIO):
+    import datetime as _dt
+    us = _read_long(buf)
+    return _dt.datetime.fromtimestamp(us / 1_000_000, tz=_dt.timezone.utc) \
+              .replace(tzinfo=None)
+
+
+_WRITERS = {
+    "timestamp": _write_ts,
+    "boolean": lambda buf, v: buf.write(b"\x01" if v else b"\x00"),
+    "int": _write_long,
+    "long": _write_long,
+    "float": lambda buf, v: buf.write(struct.pack("<f", float(v))),
+    "double": lambda buf, v: buf.write(struct.pack("<d", float(v))),
+    "string": lambda buf, v: _write_bytes(buf, str(v).encode("utf-8")),
+    "bytes": lambda buf, v: _write_bytes(buf, bytes(v)),
+}
+
+_READERS = {
+    "timestamp": _read_ts,
+    "boolean": lambda buf: buf.read(1) == b"\x01",
+    "int": _read_long,
+    "long": _read_long,
+    "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
+    "double": lambda buf: struct.unpack("<d", buf.read(8))[0],
+    "string": lambda buf: _read_bytes(buf).decode("utf-8"),
+    "bytes": _read_bytes,
+}
+
+
+# -- schema mapping --------------------------------------------------------
+
+def spark_schema_to_avro(fields: list[tuple[str, str]],
+                         name: str = "row") -> dict:
+    """[(col, spark_type)] -> Avro record schema (all fields nullable)."""
+    avro_fields = []
+    for col, styp in fields:
+        if styp.startswith("timestamp"):
+            t = {"type": "long", "logicalType": "timestamp-micros"}
+        elif styp in _SPARK_TO_AVRO:
+            t = _SPARK_TO_AVRO[styp]
+        else:
+            raise NotImplementedError(f"avro_py does not map spark type {styp!r}")
+        avro_fields.append({"name": col, "type": ["null", t]})
+    return {"type": "record", "name": name, "fields": avro_fields}
+
+
+def avro_schema_to_spark(schema: dict) -> list[tuple[str, str]]:
+    out = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):  # ["null", T]
+            t = next(x for x in t if x != "null")
+        if isinstance(t, dict):
+            if t.get("logicalType") == "timestamp-micros":
+                out.append((f["name"], "timestamp"))
+                continue
+            t = t["type"]
+        if t not in _AVRO_TO_SPARK:
+            raise NotImplementedError(f"avro_py does not map avro type {t!r}")
+        out.append((f["name"], _AVRO_TO_SPARK[t]))
+    return out
+
+
+# -- container file --------------------------------------------------------
+
+def write_container(rows, fields: list[tuple[str, str]], path: str,
+                    codec: str = "deflate", sync: bytes | None = None,
+                    block_rows: int = 4096) -> None:
+    """Write rows (iterable of tuples, column order = fields) to one
+    Avro container file."""
+    schema = spark_schema_to_avro(fields)
+    sync = sync or os.urandom(16)
+    types = ["timestamp" if t.startswith("timestamp") else _SPARK_TO_AVRO[t]
+             for _, t in fields]
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    _write_long(buf, len(meta))
+    for k, v in meta.items():
+        _write_bytes(buf, k.encode())
+        _write_bytes(buf, v)
+    _write_long(buf, 0)
+    buf.write(sync)
+
+    block: list = []
+
+    def flush():
+        if not block:
+            return
+        body = io.BytesIO()
+        for row in block:
+            for typ, v in zip(types, row):
+                if v is None:
+                    _write_long(body, 0)        # union branch: null
+                else:
+                    _write_long(body, 1)        # union branch: value
+                    _WRITERS[typ](body, v)
+        payload = body.getvalue()
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-1]  # raw deflate per spec
+        _write_long(buf, len(block))
+        _write_long(buf, len(payload))
+        buf.write(payload)
+        buf.write(sync)
+        block.clear()
+
+    for row in rows:
+        block.append(row)
+        if len(block) >= block_rows:
+            flush()
+    flush()
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def read_container(data: bytes):
+    """-> (fields [(name, spark_type)], rows [tuple])."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(buf)  # block byte size, unused
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(buf).decode()
+            meta[k] = _read_bytes(buf)
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf.read(16)
+    fields = avro_schema_to_spark(schema)
+    # union-awareness per field: list fields can be plain T too
+    unions = []
+    for f in schema["fields"]:
+        unions.append(isinstance(f["type"], list))
+    types = [t for _, t in fields]
+    atypes = ["timestamp" if t == "timestamp" else _SPARK_TO_AVRO[t]
+              for t in types]
+
+    rows = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, 1)
+        n_rows = _read_long(buf)
+        n_bytes = _read_long(buf)
+        payload = buf.read(n_bytes)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        body = io.BytesIO(payload)
+        for _ in range(n_rows):
+            row = []
+            for atyp, is_union in zip(atypes, unions):
+                if is_union:
+                    branch = _read_long(body)
+                    row.append(None if branch == 0 else _READERS[atyp](body))
+                else:
+                    row.append(_READERS[atyp](body))
+            rows.append(tuple(row))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+    return fields, rows
+
+
+# -- Spark integration -----------------------------------------------------
+
+def write_avro_pure(df, path: str) -> None:
+    """Encode each partition to one container file under ``path``."""
+    os.makedirs(path, exist_ok=True)
+    fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    def write_part(idx, it):
+        rows = [tuple(r) for r in it]
+        write_container(rows, fields,
+                        os.path.join(path, f"part-{idx:05d}.avro"))
+        return iter([])
+
+    df.rdd.mapPartitionsWithIndex(write_part).count()  # force execution
+
+
+def read_avro_pure(spark, path: str, schema: str):
+    """Decode a directory of container files with file-level parallelism:
+    binaryFile scan -> mapInPandas(decode) -> typed DataFrame.  The
+    explicit ``schema`` keeps planning scan-free (no driver peek)."""
+    import pandas as pd
+
+    names = [c.split()[0] for c in schema.split(",")]
+
+    def decode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                _, rows = read_container(bytes(row["content"]))
+                if rows:
+                    yield pd.DataFrame(rows, columns=names)
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.avro").load(path)
+             .select("content"))
+    return files.mapInPandas(decode, schema)

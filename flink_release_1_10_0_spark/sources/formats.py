@@ -73,24 +73,35 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(spark: SparkSession, path: str,
+              schema: str | None = None) -> DataFrame:
     """Avro (``flink-formats/flink-avro/.../AvroRowDeserializationSchema.java:79``).
-    Spark ships Avro as the external ``spark-avro`` module; raise a clear
-    error when it is not on the classpath (it is not in this container)."""
+
+    Prefers the JVM ``spark-avro`` reader when the package is on the
+    classpath; otherwise falls back to the pure-Python container codec
+    (``avro_py.py`` — binaryFile scan + mapInPandas decode, file-level
+    parallelism).  The fallback needs an explicit ``schema`` so planning
+    stays scan-free."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: Failed to find data source
-        raise NotImplementedError(
-            "avro requires the spark-avro package on the classpath "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-        ) from e
+    except Exception:
+        if schema is None:
+            raise NotImplementedError(
+                "spark-avro is not on the classpath; the pure-Python "
+                "fallback needs an explicit schema: read_avro(spark, path, "
+                "schema='col type, ...')")
+        from flink_release_1_10_0_spark.sources.avro_py import read_avro_pure
+        return read_avro_pure(spark, path, schema)
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JVM spark-avro writer when available, else the pure-Python
+    container encoder (one file per partition)."""
     try:
         df.write.mode(mode).format("avro").save(path)
-    except Exception as e:
-        raise NotImplementedError(
-            "avro requires the spark-avro package on the classpath "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-        ) from e
+    except Exception:
+        import shutil
+        if mode == "overwrite":
+            shutil.rmtree(path, ignore_errors=True)
+        from flink_release_1_10_0_spark.sources.avro_py import write_avro_pure
+        write_avro_pure(df, path)

@@ -55,7 +55,7 @@ EXTENDED = [
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "ddl_filesystem_pipeline", "source_text_roundtrip",
     "source_elements_join", "datastream_table_roundtrip",
-    "flink_sql_tumble_group_window",
+    "flink_sql_tumble_group_window", "source_avro_roundtrip",
 ]
 
 

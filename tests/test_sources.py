@@ -170,22 +170,19 @@ def test_broadcast_rules_refresh_per_batch(spark):
     assert rows == {(10.0, 1), (20.0, 2)}
 
 
-def test_avro_gated_with_clear_error(spark, orders):
+def test_avro_fallback_requires_schema(spark, orders):
+    """Without spark-avro on the classpath, the pure-Python fallback
+    engages — and demands an explicit schema for scan-free planning."""
     import tempfile
 
     from flink_release_1_10_0_spark.sources.formats import read_avro, write_avro
+    path = tempfile.mkdtemp(prefix="avro_rt_") + "/d"
+    write_avro(orders.limit(5), path)
     try:
         spark.range(1).write.format("avro").save(tempfile.mkdtemp(prefix="avro_probe_"))
-        has_avro = True
     except Exception:
-        has_avro = False
-    if has_avro:
-        path = tempfile.mkdtemp(prefix="avro_rt_")
-        write_avro(orders.limit(5), path)
-        assert read_avro(spark, path).count() == 5
-    else:
-        with pytest.raises(NotImplementedError, match="spark-avro"):
-            write_avro(orders.limit(5), tempfile.mkdtemp(prefix="avro_rt_"))
+        with pytest.raises(NotImplementedError, match="schema"):
+            read_avro(spark, path)
 
 
 def test_ddl_and_partitioned_insert_overwrite(spark, orders):
@@ -356,3 +353,48 @@ def test_socket_source_live(spark):
     finally:
         stop.set()
         srv.close()
+
+
+def test_avro_container_codec_bytes():
+    """Byte-level write/read round-trip of the pure-Python Avro codec:
+    nullable unions, deflate + null codecs, multi-block files, negative
+    longs, unicode, and binary payloads."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources.avro_py import (read_container,
+                                                            write_container)
+    rows = [(1, "a", 1.5, None, True), (2, None, -2.25, b"\x00\xff", False),
+            (-(2 ** 40), "é漢", 0.0, b"", None)]
+    fields = [("id", "bigint"), ("s", "string"), ("d", "double"),
+              ("b", "binary"), ("flag", "boolean")]
+    p = tempfile.mktemp(suffix=".avro")
+    for codec in ("deflate", "null"):
+        write_container(rows, fields, p, codec=codec)
+        got_fields, got_rows = read_container(open(p, "rb").read())
+        assert got_fields == fields and got_rows == rows
+    many = [(i, f"s{i}", i * 0.5, None, i % 2 == 0) for i in range(5000)]
+    write_container(many, fields, p, block_rows=700)
+    assert read_container(open(p, "rb").read())[1] == many
+
+
+def test_avro_spark_roundtrip(spark, orders):
+    """DataFrame -> avro container files -> distributed decode."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources.formats import read_avro, write_avro
+    sub = orders.select("o_orderkey", "o_orderstatus").limit(200)
+    path = tempfile.mkdtemp(prefix="avro_rt_") + "/data"
+    write_avro(sub, path)
+    back = read_avro(spark, path, schema="o_orderkey bigint, o_orderstatus string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sub.collect()))
+
+
+def test_avro_spark_roundtrip_with_timestamp(spark, orders):
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources.formats import read_avro, write_avro
+    sub = orders.select("o_orderkey", "o_orderdate").limit(50)
+    path = tempfile.mkdtemp(prefix="avro_ts_") + "/data"
+    write_avro(sub, path)
+    back = read_avro(spark, path, schema="o_orderkey bigint, o_orderdate timestamp")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sub.collect()))
