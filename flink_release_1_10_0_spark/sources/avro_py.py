@@ -288,8 +288,10 @@ def read_avro_pure(spark, path: str, schema: str):
 
     def decode(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                _, rows = read_container(bytes(row["content"]))
+            # one element per FILE (binaryFile scan), not per record —
+            # walk the column as a plain list, no per-row pandas boxing
+            for blob in pdf["content"].tolist():
+                _, rows = read_container(bytes(blob))
                 if rows:
                     yield pd.DataFrame(rows, columns=names)
 
