@@ -1,0 +1,156 @@
+"""LLM training-data curation queries, wave 2 — segment-level
+boilerplate detection, per-source quota sampling, and token-budget shard
+packing.  All three are pure DataFrame/SQL plans (no Python row path)
+and shuffle only on uniform keys, so they hold at corpus scale.
+
+These extend the reference beyond its own operator set per the brief's
+LLM-pipeline mandate (same tier as llm/dedup.py, llm/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.queries import register
+from flink_release_1_10_0_spark.queries.helpers import t
+
+# --------------------------------------------------------------------------
+# Segment-level boilerplate: CCNet-style cross-document duplicate-passage
+# detection, adapted to the corpus (no newlines, so "paragraph" = each
+# complete 8-token window).  Per doc: how many of its segments appear in
+# at least one OTHER document.  Plan: tokenize map-side, explode to
+# (doc, segment), one shuffle keyed on the segment string (uniform:
+# segments are near-unique), shuffle join back, per-doc re-aggregate.
+# The frequency table is O(distinct segments) — never driver-collected.
+# --------------------------------------------------------------------------
+_SEGMENT_W = 8
+
+_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST(FLOOR((ord - 1) / {_SEGMENT_W}.0) AS BIGINT) AS seg_no,
+         string_agg(tok, ' ' ORDER BY ord) AS segment
+  FROM toks GROUP BY doc_id, seg_no
+  HAVING COUNT(*) = {_SEGMENT_W}
+), freq AS (
+  SELECT segment, COUNT(DISTINCT doc_id) AS n_docs FROM seg GROUP BY segment
+)
+SELECT seg.doc_id AS doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments,
+       ROUND(CAST(SUM(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS boilerplate_ratio
+FROM seg JOIN freq ON seg.segment = freq.segment
+GROUP BY seg.doc_id
+"""
+
+
+@register("dedup_segment_boilerplate", _BOILERPLATE_ORACLE)
+def dedup_segment_boilerplate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = _SEGMENT_W
+    # complete w-token windows only; the guard CASE avoids sequence(0,-1)
+    # flipping into a descending range on docs shorter than one window
+    segs = (docs
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .select("doc_id", F.expr(
+                f"CASE WHEN size(toks) >= {w} THEN "
+                f"transform(sequence(0, int(floor(size(toks)/{w})) - 1), "
+                f"          i -> concat_ws(' ', slice(toks, i*{w}+1, {w}))) "
+                f"ELSE array() END").alias("segs"))
+            .select("doc_id", F.explode("segs").alias("segment")))
+    freq = (segs.groupBy("segment")
+            .agg(F.countDistinct("doc_id").alias("n_docs")))
+    joined = segs.join(freq, "segment")
+    dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 dup.alias("dup_segments"))
+            .select("doc_id", "n_segments", "dup_segments",
+                    F.round(F.col("dup_segments").cast("double")
+                            / F.col("n_segments").cast("double"), 6)
+                    .alias("boilerplate_ratio")))
+
+
+# --------------------------------------------------------------------------
+# Per-source quota sampling: cap every source at K documents, chosen by
+# deterministic hash order (reproducible across runs/engines, unlike
+# rand()).  The standard over-represented-domain cap in pretraining
+# mixes.  One shuffle keyed on source; the window is per-source, never
+# global.  Skew note: a single giant source makes one fat partition —
+# at real scale pre-filter with sample_by_hash to ~K' >> K per source
+# first (documented here, same pattern as llm/text.py sampling).
+# --------------------------------------------------------------------------
+_QUOTA_K = 10
+
+_QUOTA_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, rn FROM ranked WHERE rn <= {_QUOTA_K}
+"""
+
+
+@register("sample_quota_per_source", _QUOTA_ORACLE)
+def sample_quota_per_source(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= _QUOTA_K)
+            .select("doc_id", "source", "rn"))
+
+
+# --------------------------------------------------------------------------
+# Token-budget shard packing: assign documents to fixed-token-budget
+# shards per source (sequence-packing planning for pretraining).  Docs
+# are laid out in deterministic hash order; a running token sum places
+# each doc in shard floor(tokens_before_doc / budget).  Cumulative sum
+# is a per-source window (partitioned, merge-sort within partition);
+# output is one row per (source, shard) — tiny.
+# --------------------------------------------------------------------------
+_SHARD_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), cum AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok
+)
+SELECT source,
+       CAST(FLOOR((cum - n_tok) / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM cum GROUP BY source, shard_id
+"""
+
+
+@register("pack_token_budget_shards", _PACK_ORACLE)
+def pack_token_budget_shards(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        "doc_id")
+    w = (Window.partitionBy("source").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = tok.withColumn("cum", F.sum("n_tok").over(w))
+    shard = F.floor((F.col("cum") - F.col("n_tok"))
+                    / F.lit(float(_SHARD_BUDGET))).cast("bigint")
+    return (cum.groupBy("source", shard.alias("shard_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("shard_tokens")))
