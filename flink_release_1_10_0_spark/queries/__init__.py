@@ -60,7 +60,10 @@ _LOADED = False
 # registry.  The rest of round 5's new queries (TPC-DS waves 3-7, LLM
 # ops, DDL/format round-trips — all locally oracle-green at sf0.001 AND
 # sf0.01 via tools/compare.py) lead the overflow in registration order
-# and rotate into the window next round.
+# and rotate into the window next round.  Queries added after the pin
+# list was frozen (TPC-DS wave 8 in tpcds2.py, LLM curation wave 2 in
+# llm2.py — all locally oracle-green at sf0.001 AND sf0.01) follow the
+# overflow in registration order.
 _PIN = [
     # --- (a) never-driver-verified after r1-r4: 27 names ---
     "agg_percentiles", "agg_corr_covar", "scalar_encoding_functions",

@@ -255,3 +255,24 @@ def test_quantize_int8_is_map_only(spark):
     plan = plan_of(spark, "embedding_quantize_int8")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_segment_boilerplate_uniform_shuffle(spark):
+    """Segment boilerplate detection: JVM-only, shuffles keyed on the
+    segment string / doc_id (uniform), never a cartesian pair join."""
+    plan = plan_of(spark, "dedup_segment_boilerplate")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_windows_are_partitioned(spark):
+    """Quota sampling and shard packing must window per-source — a
+    global (unpartitioned) window would single-thread the corpus."""
+    for name in ("sample_quota_per_source", "pack_token_budget_shards"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        # every Window operator carries the source partition key
+        for frag in plan.split("\n"):
+            if frag.strip().startswith(("Window ", "+- Window", ":- Window")):
+                assert "source" in frag, (name, frag)
+        assert "Window" in plan, name
