@@ -23,6 +23,16 @@ onto the synthetic star schema:
   Spark must rewrite as a marker left join (OR over a semi join)
 - q77: per-channel totals combined by FULL OUTER JOIN with COALESCE
 
+Wave 9 (appended below):
+
+- q4/q11: cross-channel growth-ratio comparison per customer
+- q9/q28: banded scalar-subquery single-row report (sum + count distinct
+  per quantity band, expressed as one conditional-aggregation pass)
+- q13: OR-of-ANDs selective filter across dimension attributes
+- q61: single-row promotional-share ratio
+- q97: channel-overlap matrix from a FULL OUTER join of key sets
+- q87: EXCEPT inside an aggregate (lapsed-customer count)
+
 Scale notes: identical conventions to tpcds.py — dimensions broadcast,
 fact-fact correlation through pre-aggregated frames keyed on the join
 column, windows always partitioned, money math in DECIMAL so comparisons
@@ -585,3 +595,245 @@ def tpcds_q_channel_full_outer(spark, sf_dir):
                     .alias("rev_urgent"),
                     F.coalesce("rev_returned", zero).cast("double")
                     .alias("rev_returned")))
+
+
+# --------------------------------------------------------------------------
+# q4/q11 family: growth-ratio comparison across channels — customers whose
+# urgent-order revenue grew faster from 1996 to 1997 than their
+# non-urgent revenue.  The ratio-of-ratios filter u97/u96 > n97/n96 is
+# evaluated as the exact decimal cross-multiplication u97*n96 > n97*u96.
+# --------------------------------------------------------------------------
+_GROWTH_COMPARE_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'u' ELSE 'n' END AS chan,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY o_custkey, chan, yr
+)
+SELECT u96.o_custkey AS custkey,
+       CAST(u96.rev AS DOUBLE) AS urgent_1996,
+       CAST(u97.rev AS DOUBLE) AS urgent_1997,
+       CAST(n96.rev AS DOUBLE) AS other_1996,
+       CAST(n97.rev AS DOUBLE) AS other_1997
+FROM rev u96
+JOIN rev u97 ON u96.o_custkey = u97.o_custkey
+            AND u96.chan = 'u' AND u96.yr = 1996 AND u97.chan = 'u' AND u97.yr = 1997
+JOIN rev n96 ON u96.o_custkey = n96.o_custkey AND n96.chan = 'n' AND n96.yr = 1996
+JOIN rev n97 ON u96.o_custkey = n97.o_custkey AND n97.chan = 'n' AND n97.yr = 1997
+WHERE CAST(u97.rev AS DECIMAL(18,2)) * CAST(n96.rev AS DECIMAL(18,2))
+      > CAST(n97.rev AS DECIMAL(18,2)) * CAST(u96.rev AS DECIMAL(18,2))
+"""
+
+
+@register("tpcds_q_growth_ratio_compare", _GROWTH_COMPARE_ORACLE)
+def tpcds_q_growth_ratio_compare(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    rev = (orders
+           .filter((F.col("o_orderdate")
+                    >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                   & (F.col("o_orderdate")
+                      < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+           .groupBy("o_custkey",
+                    F.when(F.col("o_orderpriority") == "1-URGENT", "u")
+                    .otherwise("n").alias("chan"),
+                    F.year("o_orderdate").cast("bigint").alias("yr"))
+           .agg(F.sum(money("o_totalprice")).alias("rev")))
+
+    def leg(chan, yr, alias):
+        return (rev.filter((F.col("chan") == chan) & (F.col("yr") == yr))
+                .select(F.col("o_custkey").alias(f"k_{alias}"),
+                        F.col("rev").alias(alias)))
+
+    u96, u97 = leg("u", 1996, "u96"), leg("u", 1997, "u97")
+    n96, n97 = leg("n", 1996, "n96"), leg("n", 1997, "n97")
+    dec = lambda c: F.col(c).cast(MONEY)  # noqa: E731
+    return (u96.join(u97, F.col("k_u96") == F.col("k_u97"))
+            .join(n96, F.col("k_u96") == F.col("k_n96"))
+            .join(n97, F.col("k_u96") == F.col("k_n97"))
+            .filter(dec("u97") * dec("n96") > dec("n97") * dec("u96"))
+            .select(F.col("k_u96").alias("custkey"),
+                    F.col("u96").cast("double").alias("urgent_1996"),
+                    F.col("u97").cast("double").alias("urgent_1997"),
+                    F.col("n96").cast("double").alias("other_1996"),
+                    F.col("n97").cast("double").alias("other_1997")))
+
+
+# --------------------------------------------------------------------------
+# q9/q28 family: banded scalar-subquery report — one output row whose
+# columns are independent aggregates over disjoint quantity bands
+# (sum + count distinct per band).  Spark expresses the five scalar
+# subqueries as ONE conditional-aggregation pass (no repeated scans).
+# --------------------------------------------------------------------------
+_BAND_REPORT_ORACLE = """
+SELECT
+  CAST((SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem
+        WHERE l_quantity >= 1  AND l_quantity < 11) AS DOUBLE) AS rev_b1,
+  CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+        WHERE l_quantity >= 1  AND l_quantity < 11) AS BIGINT) AS parts_b1,
+  CAST((SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem
+        WHERE l_quantity >= 11 AND l_quantity < 21) AS DOUBLE) AS rev_b2,
+  CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+        WHERE l_quantity >= 11 AND l_quantity < 21) AS BIGINT) AS parts_b2,
+  CAST((SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem
+        WHERE l_quantity >= 21 AND l_quantity < 31) AS DOUBLE) AS rev_b3,
+  CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+        WHERE l_quantity >= 21 AND l_quantity < 31) AS BIGINT) AS parts_b3
+"""
+
+
+@register("tpcds_q_band_scalar_report", _BAND_REPORT_ORACLE)
+def tpcds_q_band_scalar_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+
+    def band(lo, hi, idx):
+        inb = (q >= lo) & (q < hi)
+        rev = (F.sum(F.when(inb, money("l_extendedprice")))
+               .cast("double").alias(f"rev_b{idx}"))
+        parts = (F.count_distinct(F.when(inb, F.col("l_partkey")))
+                 .cast("bigint").alias(f"parts_b{idx}"))
+        return [rev, parts]
+
+    return li.agg(*band(1, 11, 1), *band(11, 21, 2), *band(21, 31, 3))
+
+
+# --------------------------------------------------------------------------
+# q13 family: OR-of-ANDs selective filter across dimension attributes —
+# each disjunct pins a different (segment, price-band) combination, the
+# classic demographic-cluster filter that defeats simple pushdown.
+# --------------------------------------------------------------------------
+_OR_OF_ANDS_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE (c_mktsegment = 'BUILDING'  AND o_totalprice >= 100000 AND o_totalprice < 200000)
+   OR (c_mktsegment = 'MACHINERY' AND o_totalprice >= 50000  AND o_totalprice < 150000)
+   OR (c_mktsegment = 'AUTOMOBILE' AND o_totalprice < 50000)
+GROUP BY c_mktsegment
+"""
+
+
+@register("tpcds_q_or_of_ands_filter", _OR_OF_ANDS_ORACLE)
+def tpcds_q_or_of_ands_filter(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    p = F.col("o_totalprice")
+    seg = F.col("c_mktsegment")
+    cond = (((seg == "BUILDING") & (p >= 100000) & (p < 200000))
+            | ((seg == "MACHINERY") & (p >= 50000) & (p < 150000))
+            | ((seg == "AUTOMOBILE") & (p < 50000)))
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .filter(cond)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", "revenue")))
+
+
+# --------------------------------------------------------------------------
+# q61 family: single-row promotional-share report — urgent-priority
+# revenue as a share of total revenue, two aggregates over one scan.
+# --------------------------------------------------------------------------
+_PROMO_RATIO_ORACLE = """
+SELECT
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(o_totalprice AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_rev,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev,
+  ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS urgent_share
+FROM orders
+"""
+
+
+@register("tpcds_q_promo_ratio", _PROMO_RATIO_ORACLE)
+def tpcds_q_promo_ratio(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    zero = F.lit(0).cast(MONEY)
+    urgent = F.sum(F.when(F.col("o_orderpriority") == "1-URGENT",
+                          money("o_totalprice")).otherwise(zero))
+    total = F.sum(money("o_totalprice"))
+    agg = orders.agg(urgent.cast("double").alias("urgent_rev"),
+                     total.cast("double").alias("total_rev"))
+    return agg.select("urgent_rev", "total_rev",
+                      F.round(F.col("urgent_rev") / F.col("total_rev"), 6)
+                      .alias("urgent_share"))
+
+
+# --------------------------------------------------------------------------
+# q97 family: channel-overlap matrix — how many customers appear in both
+# channels vs only one, computed from a FULL OUTER join of the two
+# distinct-customer sets (single-row report).
+# --------------------------------------------------------------------------
+_OVERLAP_ORACLE = """
+WITH urg AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), ret AS (
+  SELECT DISTINCT o_custkey FROM orders
+  JOIN lineitem ON o_orderkey = l_orderkey WHERE l_returnflag = 'R'
+)
+SELECT
+  CAST(SUM(CASE WHEN urg.o_custkey IS NOT NULL AND ret.o_custkey IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+  CAST(SUM(CASE WHEN urg.o_custkey IS NOT NULL AND ret.o_custkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+  CAST(SUM(CASE WHEN urg.o_custkey IS NULL AND ret.o_custkey IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS returned_only
+FROM urg FULL JOIN ret ON urg.o_custkey = ret.o_custkey
+"""
+
+
+@register("tpcds_q_channel_overlap_matrix", _OVERLAP_ORACLE)
+def tpcds_q_channel_overlap_matrix(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    urg = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+           .select(F.col("o_custkey").alias("uk")).distinct())
+    ret = (orders.join(li.filter(F.col("l_returnflag") == "R"),
+                       orders.o_orderkey == li.l_orderkey, "left_semi")
+           .select(F.col("o_custkey").alias("rk")).distinct())
+    j = urg.join(ret, F.col("uk") == F.col("rk"), "full_outer")
+    n = lambda c: F.col(c).isNotNull()  # noqa: E731
+    cnt = lambda cond, a: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(a)  # noqa: E731
+    return j.agg(cnt(n("uk") & n("rk"), "both_channels"),
+                 cnt(n("uk") & ~n("rk"), "urgent_only"),
+                 cnt(~n("uk") & n("rk"), "returned_only"))
+
+
+# --------------------------------------------------------------------------
+# q87 family: EXCEPT in an aggregate context — count of customers who
+# ordered in 1996 but placed no order in 1997 (set difference of key
+# projections, then COUNT).
+# --------------------------------------------------------------------------
+_EXCEPT_COUNT_ORACLE = """
+SELECT COUNT(*) AS n_lapsed FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+"""
+
+
+@register("tpcds_q_except_count", _EXCEPT_COUNT_ORACLE)
+def tpcds_q_except_count(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+
+    def yr(lo, hi):
+        return (orders
+                .filter((F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp")))
+                .select("o_custkey").distinct())
+
+    lapsed = (yr("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+              .exceptAll(yr("1997-01-01 00:00:00", "1998-01-01 00:00:00")))
+    return lapsed.agg(F.count(F.lit(1)).alias("n_lapsed"))
