@@ -32,6 +32,7 @@ HEADLINE = [
     "minhash_lsh_dup_pairs_xxh",
     "tpcds_q_multi_fact_star",
     "text_repetition_stats",
+    "dedup_segment_boilerplate",
     "stream_topn_per_key",
     "cep_nfa_four_stage",
     "graph_connected_components",

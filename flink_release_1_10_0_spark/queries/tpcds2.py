@@ -33,6 +33,12 @@ Wave 9 (appended below):
 - q97: channel-overlap matrix from a FULL OUTER join of key sets
 - q87: EXCEPT inside an aggregate (lapsed-customer count)
 
+Wave 10 (appended below):
+
+- q36: rank WITHIN each rollup level (PARTITION BY lochierarchy +
+  parent-key CASE idiom over GROUPING())
+- q2: ISO week-of-year revenue joined across two years
+
 Scale notes: identical conventions to tpcds.py — dimensions broadcast,
 fact-fact correlation through pre-aggregated frames keyed on the join
 column, windows always partitioned, money math in DECIMAL so comparisons
@@ -837,3 +843,108 @@ def tpcds_q_except_count(spark, sf_dir):
     lapsed = (yr("1996-01-01 00:00:00", "1997-01-01 00:00:00")
               .exceptAll(yr("1997-01-01 00:00:00", "1998-01-01 00:00:00")))
     return lapsed.agg(F.count(F.lit(1)).alias("n_lapsed"))
+
+
+# --------------------------------------------------------------------------
+# q36 family: rank WITHIN each rollup level — leaf rows rank against
+# their siblings under the same parent, subtotal rows rank against other
+# subtotals (the `PARTITION BY lochierarchy, CASE WHEN grouping(...)` =
+# 0 THEN parent END` idiom).  Rank is over an exact decimal sum.
+# --------------------------------------------------------------------------
+_RANK_IN_ROLLUP_ORACLE = """
+WITH r AS (
+  SELECT COALESCE(r_name, 'ALL') AS region_name,
+         COALESCE(n_name, 'ALL') AS nation_name,
+         CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS lochierarchy,
+         CASE WHEN GROUPING(n_name) = 0 THEN r_name END AS parent_key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+)
+SELECT region_name, nation_name, lochierarchy,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(RANK() OVER (PARTITION BY lochierarchy, parent_key
+                         ORDER BY rev DESC, nation_name) AS BIGINT)
+         AS rank_within_parent
+FROM r
+"""
+
+
+@register("tpcds_q_rank_within_rollup_level", _RANK_IN_ROLLUP_ORACLE)
+def tpcds_q_rank_within_rollup_level(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    r = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+         .rollup("r_name", "n_name")
+         .agg(F.sum(money("o_totalprice")).alias("rev"),
+              (F.grouping("r_name") * 2 + F.grouping("n_name"))
+              .cast("bigint").alias("lochierarchy"),
+              F.when(F.grouping("n_name") == 0, F.col("r_name"))
+              .alias("parent_key"))
+         .select(F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+                 F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+                 "lochierarchy", "parent_key", "rev"))
+    w = (Window.partitionBy("lochierarchy", "parent_key")
+         .orderBy(F.desc("rev"), "nation_name"))
+    return r.select("region_name", "nation_name", "lochierarchy",
+                    F.col("rev").cast("double").alias("revenue"),
+                    F.rank().over(w).cast("bigint")
+                    .alias("rank_within_parent"))
+
+
+# --------------------------------------------------------------------------
+# q2 family: week-over-year comparison — per ISO week-of-year revenue in
+# 1996 joined to the same week in 1997, ratio report.  Both engines use
+# ISO week numbering.
+# --------------------------------------------------------------------------
+_WEEKLY_YOY_ORACLE = """
+WITH w96 AS (
+  SELECT weekofyear(o_orderdate) AS wk,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY wk
+), w97 AS (
+  SELECT weekofyear(o_orderdate) AS wk,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY wk
+)
+SELECT CAST(w96.wk AS BIGINT) AS wk,
+       CAST(w96.rev AS DOUBLE) AS rev_1996,
+       CAST(w97.rev AS DOUBLE) AS rev_1997,
+       ROUND(CAST(w97.rev AS DOUBLE) / CAST(w96.rev AS DOUBLE), 6) AS yoy_ratio
+FROM w96 JOIN w97 ON w96.wk = w97.wk
+"""
+
+
+@register("tpcds_q_weekly_yoy_ratio", _WEEKLY_YOY_ORACLE)
+def tpcds_q_weekly_yoy_ratio(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+
+    def yr(lo, hi, suffix):
+        return (orders
+                .filter((F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp")))
+                .groupBy(F.weekofyear("o_orderdate").cast("bigint")
+                         .alias(f"wk{suffix}"))
+                .agg(F.sum(money("o_totalprice")).alias(f"rev{suffix}")))
+
+    w96 = yr("1996-01-01 00:00:00", "1997-01-01 00:00:00", "96")
+    w97 = yr("1997-01-01 00:00:00", "1998-01-01 00:00:00", "97")
+    j = w96.join(w97, F.col("wk96") == F.col("wk97"))
+    r96 = F.col("rev96").cast("double")
+    r97 = F.col("rev97").cast("double")
+    return j.select(F.col("wk96").alias("wk"), r96.alias("rev_1996"),
+                    r97.alias("rev_1997"),
+                    F.round(r97 / r96, 6).alias("yoy_ratio"))
