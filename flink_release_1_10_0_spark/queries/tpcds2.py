@@ -396,8 +396,10 @@ def tpcds_q_top_states_rollup(spark, sf_dir):
 # --------------------------------------------------------------------------
 # q31 family: quarter-over-quarter growth acceleration.  Nations where Q2
 # revenue grew faster into Q3 than Q1 did into Q2 — the ratio comparison
-# q3/q2 > q2/q1 is evaluated as the exact decimal cross-multiplication
-# q3*q1 > q2*q2, so no engine sees a float division.
+# q3/q2 > q2/q1 is evaluated as the cross-multiplication q3*q1 > q2*q2 in
+# DOUBLE over exact decimal sums: both engines perform the same two IEEE
+# multiplications on bit-identical inputs (decimal cross-multiplication
+# overflows DuckDB's DECIMAL(18) product path at sf>=0.1 magnitudes).
 # --------------------------------------------------------------------------
 _QOQ_ORACLE = """
 WITH q AS (
@@ -417,8 +419,8 @@ SELECT q1.n_name AS n_name,
 FROM q q1
 JOIN q q2 ON q1.n_name = q2.n_name AND q1.qt = 1 AND q2.qt = 2
 JOIN q q3 ON q1.n_name = q3.n_name AND q3.qt = 3
-WHERE CAST(q3.rev AS DECIMAL(18,2)) * CAST(q1.rev AS DECIMAL(18,2))
-      > CAST(q2.rev AS DECIMAL(18,2)) * CAST(q2.rev AS DECIMAL(18,2))
+WHERE CAST(q3.rev AS DOUBLE) * CAST(q1.rev AS DOUBLE)
+      > CAST(q2.rev AS DOUBLE) * CAST(q2.rev AS DOUBLE)
 """
 
 
@@ -442,10 +444,10 @@ def tpcds_q_qoq_growth(spark, sf_dir):
                                            F.col("rev").alias("r2"))
     q3 = q.filter(F.col("qt") == 3).select(F.col("n_name").alias("n3"),
                                            F.col("rev").alias("r3"))
-    dec = lambda c: F.col(c).cast(MONEY)  # noqa: E731
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     return (q1.join(q2, F.col("n1") == F.col("n2"))
             .join(q3, F.col("n1") == F.col("n3"))
-            .filter(dec("r3") * dec("r1") > dec("r2") * dec("r2"))
+            .filter(dbl("r3") * dbl("r1") > dbl("r2") * dbl("r2"))
             .select(F.col("n1").alias("n_name"),
                     F.col("r1").cast("double").alias("rev_q1"),
                     F.col("r2").cast("double").alias("rev_q2"),
@@ -607,7 +609,9 @@ def tpcds_q_channel_full_outer(spark, sf_dir):
 # q4/q11 family: growth-ratio comparison across channels — customers whose
 # urgent-order revenue grew faster from 1996 to 1997 than their
 # non-urgent revenue.  The ratio-of-ratios filter u97/u96 > n97/n96 is
-# evaluated as the exact decimal cross-multiplication u97*n96 > n97*u96.
+# evaluated as the cross-multiplication u97*n96 > n97*u96 in DOUBLE over
+# exact decimal sums (IEEE-deterministic on both engines; decimal
+# products overflow DuckDB's int64 decimal path at scale).
 # --------------------------------------------------------------------------
 _GROWTH_COMPARE_ORACLE = """
 WITH rev AS (
@@ -630,8 +634,8 @@ JOIN rev u97 ON u96.o_custkey = u97.o_custkey
             AND u96.chan = 'u' AND u96.yr = 1996 AND u97.chan = 'u' AND u97.yr = 1997
 JOIN rev n96 ON u96.o_custkey = n96.o_custkey AND n96.chan = 'n' AND n96.yr = 1996
 JOIN rev n97 ON u96.o_custkey = n97.o_custkey AND n97.chan = 'n' AND n97.yr = 1997
-WHERE CAST(u97.rev AS DECIMAL(18,2)) * CAST(n96.rev AS DECIMAL(18,2))
-      > CAST(n97.rev AS DECIMAL(18,2)) * CAST(u96.rev AS DECIMAL(18,2))
+WHERE CAST(u97.rev AS DOUBLE) * CAST(n96.rev AS DOUBLE)
+      > CAST(n97.rev AS DOUBLE) * CAST(u96.rev AS DOUBLE)
 """
 
 
@@ -656,11 +660,11 @@ def tpcds_q_growth_ratio_compare(spark, sf_dir):
 
     u96, u97 = leg("u", 1996, "u96"), leg("u", 1997, "u97")
     n96, n97 = leg("n", 1996, "n96"), leg("n", 1997, "n97")
-    dec = lambda c: F.col(c).cast(MONEY)  # noqa: E731
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     return (u96.join(u97, F.col("k_u96") == F.col("k_u97"))
             .join(n96, F.col("k_u96") == F.col("k_n96"))
             .join(n97, F.col("k_u96") == F.col("k_n97"))
-            .filter(dec("u97") * dec("n96") > dec("n97") * dec("u96"))
+            .filter(dbl("u97") * dbl("n96") > dbl("n97") * dbl("u96"))
             .select(F.col("k_u96").alias("custkey"),
                     F.col("u96").cast("double").alias("urgent_1996"),
                     F.col("u97").cast("double").alias("urgent_1997"),
