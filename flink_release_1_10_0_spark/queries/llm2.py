@@ -154,3 +154,73 @@ def pack_token_budget_shards(spark, sf_dir):
     return (cum.groupBy("source", shard.alias("shard_id"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").cast("bigint").alias("shard_tokens")))
+
+
+# --------------------------------------------------------------------------
+# PII scrub audit: the synthetic corpus carries no PII, so the query
+# plants deterministic identifiers (an email on every doc_id % 7 == 0,
+# a phone on every doc_id % 11 == 0) IDENTICALLY on both engines, runs
+# the scrubber, and reports per-source found/redacted counts plus a
+# zero post-scrub-hit invariant.  Everything is regexp expressions —
+# JVM-side in Spark, RE2 in DuckDB, patterns restricted to the common
+# dialect (character classes + bounded quantifiers).
+# --------------------------------------------------------------------------
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "\\+?[0-9][0-9 ()-]{7,13}[0-9]"
+
+_PII_AUDIT_ORACLE = f"""
+WITH planted AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE text END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1 415 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                 ELSE '' END AS text
+  FROM documents
+), counted AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_email,
+         len(regexp_extract_all(text, '{_PHONE_PAT}')) AS n_phone,
+         regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                        '{_PHONE_PAT}', '<PHONE>', 'g') AS scrubbed
+  FROM planted
+)
+SELECT source,
+       CAST(SUM(n_email) AS BIGINT) AS emails_found,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_found,
+       CAST(SUM(len(regexp_extract_all(scrubbed, '{_EMAIL_PAT}'))
+                + len(regexp_extract_all(scrubbed, '{_PHONE_PAT}'))) AS BIGINT)
+         AS post_scrub_hits
+FROM counted GROUP BY source
+"""
+
+
+@register("pii_scrub_audit", _PII_AUDIT_ORACLE)
+def pii_scrub_audit(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    email = F.concat(F.col("text"), F.lit(" contact user"),
+                     F.col("doc_id").cast("string"), F.lit("@example.com"))
+    phone = F.concat(F.lit(" call +1 415 555-01"),
+                     F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"))
+    planted = docs.select(
+        "source",
+        F.concat(F.when(F.col("doc_id") % 7 == 0, email)
+                 .otherwise(F.col("text")),
+                 F.when(F.col("doc_id") % 11 == 0, phone)
+                 .otherwise(F.lit(""))).alias("text"))
+    hits = lambda c, p: F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0)))  # noqa: E731
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_PAT, "<EMAIL>"),
+        _PHONE_PAT, "<PHONE>")
+    counted = planted.select(
+        "source",
+        hits(F.col("text"), _EMAIL_PAT).alias("n_email"),
+        hits(F.col("text"), _PHONE_PAT).alias("n_phone"),
+        scrubbed.alias("scrubbed"))
+    return (counted.groupBy("source")
+            .agg(F.sum("n_email").cast("bigint").alias("emails_found"),
+                 F.sum("n_phone").cast("bigint").alias("phones_found"),
+                 F.sum(hits(F.col("scrubbed"), _EMAIL_PAT)
+                       + hits(F.col("scrubbed"), _PHONE_PAT))
+                 .cast("bigint").alias("post_scrub_hits")))

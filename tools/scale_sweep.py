@@ -45,6 +45,7 @@ HEADS = [
     "tpcds_q_multi_fact_star",      # two pre-aggregated facts
     "minhash_lsh_dup_pairs_xxh",    # LSH dedup (the heavy head)
     "text_repetition_stats",        # explode + two-level agg
+    "dedup_segment_boilerplate",    # segment freq join-back (round 5)
 ]
 
 
