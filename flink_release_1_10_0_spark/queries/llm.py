@@ -644,6 +644,58 @@ def dedup_jaccard_clusters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Near-dup REMOVAL: the surviving corpus after MinHash+LSH dedup.  The
+# end-product a pretraining pipeline actually ships: verified dup pairs
+# collapse into clusters (pointer-doubling connected components), every
+# cluster keeps its minimum doc_id, and the corpus is anti-joined
+# against the losers.  One extra uniform-key shuffle (the anti-join on
+# doc_id) on top of the LSH pair plan; the loser list is
+# O(duplicate docs), never driver-collected.  The oracle replays the
+# same LSH geometry and closes the pairs with a recursive CTE.
+# --------------------------------------------------------------------------
+_LSH_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents
+), sig AS (SELECT doc_id, {_sig_cols_duck} FROM w),
+bands AS ({_band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+dup AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN w wa ON wa.doc_id = id_a
+  JOIN w wb ON wb.doc_id = id_b
+  WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6) >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM dup UNION SELECT id_b, id_a FROM dup
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+"""
+
+
+@register("dedup_lsh_survivors", _LSH_SURVIVORS_ORACLE)
+def dedup_lsh_survivors(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", k=_K, band_rows=_BAND_ROWS,
+                                threshold=0.8)
+    clusters = D.dedup_clusters(pairs)
+    losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select("doc_id"))
+    return (docs.join(losers, "doc_id", "left_anti")
+            .select("doc_id", "source", "n_chars"))
+
+
+# --------------------------------------------------------------------------
 # Repetition quality signals (Gopher-style boilerplate detection)
 # --------------------------------------------------------------------------
 _REPETITION_ORACLE = f"""

@@ -224,3 +224,107 @@ def pii_scrub_audit(spark, sf_dir):
                  F.sum(hits(F.col("scrubbed"), _EMAIL_PAT)
                        + hits(F.col("scrubbed"), _PHONE_PAT))
                  .cast("bigint").alias("post_scrub_hits")))
+
+
+# --------------------------------------------------------------------------
+# Boilerplate SCRUB: the removal counterpart of dedup_segment_boilerplate.
+# Drops every complete 8-token segment that appears in more than one
+# document (cross-corpus duplicated passage), keeps the trailing partial
+# segment verbatim (it is not a complete window, so it never enters the
+# frequency table), and reassembles the cleaned text in segment order.
+# CCNet-style paragraph scrubbing adapted to the corpus.
+#
+# Plan shape: tokenize map-side, one shuffle keyed on the segment string
+# for the frequency table (uniform — segments are near-unique), join
+# back, per-doc re-aggregate with an array_sort on (seg_no, segment)
+# structs — no window function, no Python, no driver collect.  The
+# frequency table is O(distinct segments) and the reassembly shuffle is
+# keyed on doc_id; both hold at corpus scale.
+# --------------------------------------------------------------------------
+_SCRUB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), stats AS (
+  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+), seg AS (
+  SELECT doc_id, CAST(FLOOR((ord - 1) / {_SEGMENT_W}.0) AS BIGINT) AS seg_no,
+         string_agg(tok, ' ' ORDER BY ord) AS segment
+  FROM toks GROUP BY doc_id, seg_no
+  HAVING COUNT(*) = {_SEGMENT_W}
+), freq AS (
+  SELECT segment, COUNT(DISTINCT doc_id) AS n_docs FROM seg GROUP BY segment
+), det AS (
+  SELECT seg.doc_id, COUNT(*) AS n_segments,
+         SUM(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS n_removed
+  FROM seg JOIN freq ON seg.segment = freq.segment
+  GROUP BY seg.doc_id
+), keptfull AS (
+  SELECT seg.doc_id, seg.seg_no, seg.segment
+  FROM seg JOIN freq ON seg.segment = freq.segment
+  WHERE freq.n_docs = 1
+), rem AS (
+  SELECT t.doc_id, CAST(s.n // {_SEGMENT_W} AS BIGINT) AS seg_no,
+         string_agg(t.tok, ' ' ORDER BY t.ord) AS segment
+  FROM toks t JOIN stats s ON t.doc_id = s.doc_id
+  WHERE t.ord > (s.n // {_SEGMENT_W}) * {_SEGMENT_W}
+  GROUP BY t.doc_id, s.n
+), clean AS (
+  SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_no) AS clean_text
+  FROM (SELECT * FROM keptfull UNION ALL SELECT * FROM rem) u
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(det.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(det.n_removed, 0) AS BIGINT) AS n_removed,
+       COALESCE(clean.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN det ON d.doc_id = det.doc_id
+LEFT JOIN clean ON d.doc_id = clean.doc_id
+"""
+
+
+@register("dedup_scrub_boilerplate", _SCRUB_ORACLE)
+def dedup_scrub_boilerplate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = _SEGMENT_W
+    base = (docs
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .withColumn("n", F.size("toks"))
+            .withColumn("f", F.floor(F.col("n") / w).cast("int")))
+    full = (base
+            .select("doc_id", F.posexplode(F.expr(
+                f"CASE WHEN n >= {w} THEN "
+                f"transform(sequence(0, f - 1), "
+                f"          i -> concat_ws(' ', slice(toks, i*{w}+1, {w}))) "
+                f"ELSE array() END")).alias("seg_no", "segment")))
+    rem = (base.filter(F.col("n") % w > 0)
+           .select("doc_id", F.col("f").alias("seg_no"),
+                   F.expr(f"concat_ws(' ', slice(toks, f*{w}+1, n - f*{w}))")
+                   .alias("segment")))
+    freq = full.groupBy("segment").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    joined = full.join(freq, "segment")
+    det = (joined.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_segments"),
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                .alias("n_removed")))
+    kept = (joined.filter(F.col("n_docs") == 1)
+            .select("doc_id", "seg_no", "segment")
+            .unionByName(rem))
+    clean = (kept.groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list(F.struct("seg_no", "segment")))
+                  .alias("ordered"))
+             .select("doc_id", F.expr(
+                 "concat_ws(' ', transform(ordered, x -> x.segment))")
+                 .alias("clean_text")))
+    return (docs.select("doc_id")
+            .join(det, "doc_id", "left").join(clean, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint")
+                    .alias("n_segments"),
+                    F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint")
+                    .alias("n_removed"),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                    .alias("clean_text")))

@@ -1139,3 +1139,42 @@ def stream_purging_count_trigger(spark, sf_dir):
         purging_count_trigger_firings)
     events = t(spark, sf_dir, "events")
     return purging_count_trigger_firings(events, n=3)
+
+
+# --------------------------------------------------------------------------
+# ContinuousEventTimeTrigger (ContinuousEventTimeTrigger.java:38): fire
+# the accumulated window contents at every event-time interval boundary
+# (CONTINUE, no purge) from the first element's boundary through the
+# window end.  Fully declarative on a bounded stream — see
+# streaming/triggers.py for the timer-chain semantics being reproduced.
+# --------------------------------------------------------------------------
+_CONTINUOUS_TRIGGER_ORACLE = """
+WITH slots AS (
+  SELECT user_id, date_trunc('day', ts) AS w_start,
+         CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS INT) AS slot,
+         COUNT(*) AS n_slot, SUM(CAST(value AS DECIMAL(18,2))) AS sum_slot
+  FROM events GROUP BY 1, 2, 3
+), grid AS (
+  SELECT DISTINCT user_id, w_start, i
+  FROM slots, (SELECT unnest(range(1, 5)) AS i) ticks
+), cum AS (
+  SELECT g.user_id, g.w_start, g.i,
+         SUM(s.n_slot) AS n_so_far, SUM(s.sum_slot) AS sum_so_far
+  FROM grid g JOIN slots s
+    ON s.user_id = g.user_id AND s.w_start = g.w_start AND s.slot < g.i
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, CAST(w_start AS TIMESTAMP) AS w_start,
+       CAST(w_start + to_hours(CAST(6 * i AS BIGINT)) AS TIMESTAMP) AS fire_at,
+       CAST(n_so_far AS BIGINT) AS n_so_far,
+       CAST(sum_so_far AS DOUBLE) AS sum_value_so_far
+FROM cum WHERE n_so_far > 0
+"""
+
+
+@register("stream_continuous_trigger", _CONTINUOUS_TRIGGER_ORACLE)
+def stream_continuous_trigger(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.triggers import (
+        continuous_event_time_trigger_firings)
+    events = t(spark, sf_dir, "events")
+    return continuous_event_time_trigger_firings(events, interval_hours=6)

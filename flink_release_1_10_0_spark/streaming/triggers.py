@@ -186,3 +186,57 @@ def purging_count_trigger_firings(events: DataFrame, n: int,
                  F.max(ts_col).alias("fire_ts"))
             .filter(F.col("n_elems") == n)
             .drop("n_elems"))
+
+
+def continuous_event_time_trigger_firings(events: DataFrame,
+                                          interval_hours: int = 6,
+                                          key: str = "user_id",
+                                          ts_col: str = "ts",
+                                          val_col: str = "value") -> DataFrame:
+    """``ContinuousEventTimeTrigger.of(interval)`` analog
+    (``flink-streaming-java/.../windowing/triggers/
+    ContinuousEventTimeTrigger.java:38``) over one-day event-time
+    windows: the first element of a (key, window) registers a timer at
+    the next ``interval`` boundary; every time the watermark passes a
+    boundary the window FIREs with its contents accumulated so far
+    (CONTINUE, no purge) and re-registers the next boundary — so each
+    (key, day) emits a cumulative firing at every interval tick from
+    the first element's boundary through the window end, including
+    ticks where no new elements arrived (the timer chain re-arms
+    unconditionally).
+
+    Bounded-stream analog, fully declarative: tick i (i = 1..24/h) at
+    ``w_start + i*interval`` covers elements with ts in
+    ``[w_start, tick)``; slot-level partial aggregates roll up into
+    cumulative firings with one window pass.  Plan: one shuffle keyed
+    on (key, w_start) for the slot aggregation; the tick grid is a
+    ``sequence()`` explode of at most 24/h rows per key-window — no
+    per-event fan-out, no Python.  Emits (key, w_start, fire_at,
+    n_so_far, sum_value_so_far)."""
+    n_ticks = 24 // interval_hours
+    w_start = F.date_trunc("day", F.col(ts_col))
+    slot = (F.hour(ts_col) / interval_hours).cast("int")
+    slot_agg = (events
+                .withColumn("w_start", w_start)
+                .withColumn("slot", slot)
+                .groupBy(key, "w_start", "slot")
+                .agg(F.count(F.lit(1)).alias("n_slot"),
+                     F.sum(F.col(val_col).cast("decimal(18,2)"))
+                     .alias("sum_slot")))
+    grid = (slot_agg.select(key, "w_start").distinct()
+            .withColumn("i", F.explode(F.expr(f"sequence(1, {n_ticks})"))))
+    joined = grid.join(
+        slot_agg.withColumnRenamed("slot", "s"),
+        on=[key, "w_start"], how="left").filter(
+            (F.col("s").isNull()) | (F.col("s") < F.col("i")))
+    cum = (joined.groupBy(key, "w_start", "i")
+           .agg(F.sum("n_slot").alias("n_so_far"),
+                F.sum("sum_slot").alias("sum_so_far")))
+    return (cum.filter(F.col("n_so_far") > 0)
+            .select(F.col(key), F.col("w_start"),
+                    (F.col("w_start")
+                     + F.expr(f"make_interval(0,0,0,0,i*{interval_hours},0,0)")
+                     ).alias("fire_at"),
+                    F.col("n_so_far").cast("bigint").alias("n_so_far"),
+                    F.col("sum_so_far").cast("double")
+                    .alias("sum_value_so_far")))

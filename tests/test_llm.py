@@ -161,3 +161,46 @@ def test_kmeans_matches_numpy_reference(spark):
         cents = np.stack([X[assign == c].mean(axis=0) for c in range(3)])
     want = {i: int(c) for i, c in zip(ids, assign)}
     assert got == want
+
+
+def test_scrub_boilerplate_known_corpus(spark):
+    """A segment shared by two docs is removed from both; unique
+    segments and the trailing partial segment survive in order."""
+    from flink_release_1_10_0_spark.queries import all_queries
+    import tempfile, os
+    shared = " ".join(f"s{i}" for i in range(8))         # dup segment
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"b{i}" for i in range(8))
+    rows = [(0, f"{shared} {uniq_a} tail0", "en", "s", 1),
+            (1, f"{shared} {uniq_b}", "en", "s", 1),
+            (2, "short doc", "en", "s", 1)]               # < one window
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int")
+    d = tempfile.mkdtemp(prefix="scrub_corpus_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in
+           all_queries()["dedup_scrub_boilerplate"](spark, d).collect()}
+    assert out[0].clean_text == f"{uniq_a} tail0"
+    assert (out[0].n_segments, out[0].n_removed) == (2, 1)
+    assert out[1].clean_text == uniq_b
+    assert out[2].clean_text == "short doc"
+    assert (out[2].n_segments, out[2].n_removed) == (0, 0)
+
+
+def test_lsh_survivors_keep_min_id_per_cluster(spark):
+    """Near-dup cluster keeps its minimum doc_id; unrelated docs all
+    survive."""
+    from flink_release_1_10_0_spark.queries import all_queries
+    import tempfile, os
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"   # jaccard ~0.94
+    other = " ".join(f"x{i}" for i in range(30))
+    rows = [(5, base, "en", "s", 1), (9, near, "en", "s", 1),
+            (7, other, "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int")
+    d = tempfile.mkdtemp(prefix="surv_corpus_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = sorted(r.doc_id for r in
+                 all_queries()["dedup_lsh_survivors"](spark, d).collect())
+    assert got == [5, 7]

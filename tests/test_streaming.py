@@ -318,3 +318,28 @@ def test_delta_trigger_fires_on_threshold_crossing(spark):
     out = run_to_completion(delta_trigger_firings(sdf, threshold=45.0), "append")
     got = [(r.event_id, r.delta) for r in out.orderBy("event_id").collect()]
     assert got == [(3, 50.0), (5, 50.0)]
+
+
+def test_continuous_trigger_cumulative_ticks(spark):
+    """ContinuousEventTimeTrigger semantics: a (key, day) fires at every
+    6h boundary from the first element's boundary through the window
+    end; each firing accumulates (no purge), so counts are cumulative
+    and ticks after the last element still fire with unchanged totals."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.triggers import (
+        continuous_event_time_trigger_firings)
+
+    rows = [(1, "2024-01-01 07:00:00", 1, "a", 10.0),   # slot 1
+            (2, "2024-01-01 08:00:00", 1, "a", 20.0),   # slot 1
+            (3, "2024-01-01 20:00:00", 1, "a", 30.0)]   # slot 3
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = continuous_event_time_trigger_firings(df, interval_hours=6)
+    got = [(r.fire_at.hour or 24 if r.fire_at.day == 1 else 24,
+            r.n_so_far, r.sum_value_so_far)
+           for r in out.orderBy("fire_at").collect()]
+    # tick 06:00 precedes the first element -> no firing; 12:00 and
+    # 18:00 see slots 0-1; day-end tick (00:00 next day) sees all three
+    assert got == [(12, 2, 30.0), (18, 2, 30.0), (24, 3, 60.0)]
