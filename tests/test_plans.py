@@ -276,3 +276,23 @@ def test_curation_windows_are_partitioned(spark):
             if frag.strip().startswith(("Window ", "+- Window", ":- Window")):
                 assert "source" in frag, (name, frag)
         assert "Window" in plan, name
+
+
+def test_scrub_and_survivors_stay_jvm_side(spark):
+    """The removal-side curation ops (boilerplate scrub, LSH survivors)
+    compile to pure JVM plans: no Python eval, no cartesian product,
+    and the survivors anti-join stays an equi-join on doc_id."""
+    for name in ("dedup_scrub_boilerplate", "dedup_lsh_survivors"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_continuous_trigger_no_global_window(spark):
+    """Continuous-trigger firings must never use an unpartitioned
+    window or a Python path: the cumulative roll-up is a keyed
+    re-aggregation, so the plan is pure JVM exchanges on (key, window)."""
+    plan = plan_of(spark, "stream_continuous_trigger")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window " not in plan  # re-aggregation, not a window function
+    assert "CartesianProduct" not in plan

@@ -111,3 +111,89 @@ def test_no_driver_side_collect_in_package():
     offenders = [str(p) for p in root.rglob("*.py")
                  if pat.search(p.read_text())]
     assert offenders == []
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=9),
+                     min_size=1, max_size=12),
+       mode=st.sampled_from(["relaxed", "relaxed_nd"]))
+@settings(**_SETTINGS)
+def test_nfa_two_stage_matches_bruteforce(spark, vals, mode):
+    """Randomized CEP check: a two-stage pattern (A then B) under
+    no-skip must equal the brute-force model — relaxed (followedBy)
+    takes the FIRST B after each A, relaxed_nd (followedByAny) takes
+    EVERY B after each A, with a parallel run per A occurrence."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.nfa import NfaStage, match_nfa
+
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "m", float(v))
+            for i, v in enumerate(vals, 1)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="nfa_prop_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    stages = [NfaStage(pred="value >= 5"),
+              NfaStage(pred="value < 5", contiguity=mode)]
+    out = run_to_completion(match_nfa(sdf, stages), "append")
+    got = sorted((r.start_id, r.end_id) for r in out.collect())
+
+    expect = []
+    for i, v in enumerate(vals):
+        if v >= 5:
+            laters = [j for j in range(i + 1, len(vals)) if vals[j] < 5]
+            take = laters[:1] if mode == "relaxed" else laters
+            expect += [(i + 1, j + 1) for j in take]
+    assert got == sorted(expect)
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=9),
+                     min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_nfa_skip_past_last_bruteforce(spark, vals):
+    """skipPastLastEvent model: among matches completing at the same
+    event, only the earliest-starting one emits; every other run (and
+    completed match) containing an event at or before the emitted
+    match's end is discarded (the reference docs' ``b+ c`` example:
+    only ``b1 b2 b3 c`` survives)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.nfa import (
+        SKIP_PAST_LAST, NfaStage, match_nfa)
+
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "m", float(v))
+            for i, v in enumerate(vals, 1)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="nfa_prop_skip_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    stages = [NfaStage(pred="value >= 5"), NfaStage(pred="value < 5")]
+    out = run_to_completion(
+        match_nfa(sdf, stages, after_match=SKIP_PAST_LAST), "append")
+    got = sorted((r.start_id, r.end_id) for r in out.collect())
+
+    first_b_after = {}
+    for i in range(len(vals)):
+        if vals[i] >= 5:
+            laters = [j for j in range(i + 1, len(vals)) if vals[j] < 5]
+            if laters:
+                first_b_after[i] = laters[0]
+    expect, cut = [], -1
+    for j in sorted(set(first_b_after.values())):
+        starts = [i for i, jj in sorted(first_b_after.items())
+                  if jj == j and i > cut]
+        if starts:
+            expect.append((starts[0] + 1, j + 1))
+            cut = j
+    assert got == sorted(expect)
