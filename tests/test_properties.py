@@ -197,3 +197,46 @@ def test_nfa_skip_past_last_bruteforce(spark, vals):
             expect.append((starts[0] + 1, j + 1))
             cut = j
     assert got == sorted(expect)
+
+
+@given(evs=st.lists(st.tuples(st.sampled_from(["purchase", "error"]),
+                              st.integers(min_value=1, max_value=2)),
+                    min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_stream_join_changelog_folds_to_batch_join(spark, evs):
+    """Any arrival interleaving: folding the update-join changelog must
+    equal the batch left join of the final tables (the retraction
+    invariant the reference's StreamingJoinOperator maintains)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.stream_join import (
+        LEFT_OUTER, fold_join_changelog, stream_stream_join)
+
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", u, et, float(i))
+            for i, (et, u) in enumerate(evs, 1)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="ssj_prop_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    clog = run_to_completion(
+        stream_stream_join(sdf.filter("event_type = 'purchase'"),
+                           sdf.filter("event_type = 'error'"),
+                           "user_id", how=LEFT_OUTER), "append")
+    got = {(r.user_id, r.l_id, r.r_id)
+           for r in fold_join_changelog(clog, "user_id").collect()}
+
+    expect = set()
+    for u in (1, 2):
+        ls = [i + 1 for i, (et, uu) in enumerate(evs)
+              if uu == u and et == "purchase"]
+        rs = [i + 1 for i, (et, uu) in enumerate(evs)
+              if uu == u and et == "error"]
+        for l in ls:
+            expect |= {(u, l, r) for r in rs} if rs else {(u, l, None)}
+    assert got == expect
