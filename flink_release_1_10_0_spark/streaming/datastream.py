@@ -137,6 +137,39 @@ class DataStream:
         """Partition-local sort (DataSet.sortPartition) — no global shuffle."""
         return DataStream(self._df.sortWithinPartitions(*cols))
 
+    def shuffle(self, n: int) -> "DataStream":
+        """Random redistribute (``DataStream.java:422`` ``shuffle()``,
+        ShufflePartitioner).  Spark's round-robin exchange is the
+        deterministic analog — uniform spread without a key, which is
+        the property shuffle() exists for."""
+        return DataStream(self._df.repartition(n))
+
+    def forward(self) -> "DataStream":
+        """``DataStream.java:470`` ``forward()`` (ForwardPartitioner):
+        keep records in their current partition.  In Spark, adjacent
+        narrow transformations are already fused into one stage
+        (operator chaining == whole-stage codegen), so this is the
+        identity — declared for API parity."""
+        return self
+
+    def global_(self) -> "DataStream":
+        """``DataStream.java:488`` ``global()`` (GlobalPartitioner):
+        route every record to a single downstream instance.  Analog:
+        repartition(1) — one partition, one task.  COST: serializes the
+        whole stream through one task; at scale prefer a keyed
+        aggregation or ``coalesce`` tree."""
+        return DataStream(self._df.repartition(1))
+
+    def broadcast(self) -> DataFrame:
+        """``DataStream.java:418`` ``broadcast()`` (BroadcastPartitioner):
+        replicate the stream to every downstream instance.  Spark has no
+        replicate-exchange on a DataFrame; the idiom the reference
+        pattern maps to is a broadcast JOIN against the consuming side —
+        so this returns the frame wrapped in the broadcast hint, ready
+        to be joined (see streaming/broadcast.py for the broadcast-state
+        pattern built on it)."""
+        return F.broadcast(self._df)
+
     def partition_custom(self, partitioner, key_col: str,
                          n: int) -> "DataStream":
         """Arbitrary user partitioner (``DataStream.java:361``

@@ -307,3 +307,22 @@ def test_env_explain_and_stream_bridges(spark):
     assert len(env.to_append_stream(t).df.collect()) == 2
     rows = env.to_retract_stream(t).df.collect()
     assert all(r.add for r in rows) and len(rows) == 2
+
+
+def test_routing_partitioners_full_family(spark):
+    """shuffle/forward/global/broadcast close the DataStream.java
+    361-505 routing family: shuffle spreads uniformly without a key,
+    forward is the identity (no new exchange), global lands on one
+    partition, broadcast returns a broadcast-hinted frame that joins
+    without a shuffle on the probe side."""
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    ds = DataStream(df)
+    assert ds.shuffle(8).df.rdd.getNumPartitions() == 8
+    assert ds.forward() is ds
+    assert ds.global_().df.rdd.getNumPartitions() == 1
+    probe = spark.range(1000).withColumnRenamed("id", "k")
+    plan = probe.join(ds.broadcast(), "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
