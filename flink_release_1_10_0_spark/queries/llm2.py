@@ -328,3 +328,79 @@ def dedup_scrub_boilerplate(spark, sf_dir):
                     .alias("n_removed"),
                     F.coalesce(F.col("clean_text"), F.lit(""))
                     .alias("clean_text")))
+
+
+# --------------------------------------------------------------------------
+# Cluster-level quality curation (DataComp/SemDeDup-style): assign every
+# document's embedding to its nearest label centroid (the IVF routing
+# already oracle-verified in similarity_ivf_assign), join the per-doc
+# text-quality stats across the modality boundary (vec_id == doc_id),
+# and aggregate quality per cluster — the table a curation pipeline
+# uses to drop entire low-quality semantic clusters rather than
+# filtering doc-by-doc.
+#
+# Plan: centroids are a tiny broadcast; assignment is map-side zip_with
+# math; the cross-modal join and the cluster aggregate shuffle on
+# uniform keys (doc_id, then cluster label).  Averages go through exact
+# decimal sums so they are order-independent on both engines.
+# --------------------------------------------------------------------------
+_CLUSTER_QUALITY_ORACLE = """
+WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+            FROM embeddings),
+cent AS (SELECT label, pos,
+                CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+         FROM ex GROUP BY label, pos),
+cvec AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+scored AS (
+  SELECT vec_id, c_label,
+         round(sqrt(list_sum(list_transform(range(1, 65), i ->
+           (CAST(embedding[i] AS DOUBLE) - cv[i]) * (CAST(embedding[i] AS DOUBLE) - cv[i])))), 6) AS dist
+  FROM embeddings CROSS JOIN cvec),
+assign AS (
+  SELECT vec_id, assigned_label FROM (
+    SELECT vec_id, c_label AS assigned_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+    FROM scored) q
+  WHERE rn = 1
+), stats AS (
+  SELECT doc_id,
+         round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS distinct_ratio,
+         round(CAST(len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+               / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                           x -> x <> '') AS words
+        FROM documents) w
+)
+SELECT a.assigned_label AS cluster, COUNT(*) AS n_docs,
+       round(CAST(SUM(CAST(s.distinct_ratio AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_distinct_ratio,
+       round(CAST(SUM(CAST(s.stopword_ratio AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_stopword_ratio,
+       CAST(SUM(CASE WHEN s.distinct_ratio < 0.55 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_quality
+FROM assign a JOIN stats s ON a.vec_id = s.doc_id
+GROUP BY a.assigned_label
+"""
+
+
+@register("curation_cluster_quality", _CLUSTER_QUALITY_ORACLE)
+def curation_cluster_quality(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm import similarity as S
+    from flink_release_1_10_0_spark.llm.text import with_text_stats
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    assign = S.ivf_assign(emb)
+    stats = (with_text_stats(docs)
+             .select("doc_id", "distinct_ratio", "stopword_ratio"))
+    joined = assign.join(stats, assign.vec_id == stats.doc_id)
+    return (joined.groupBy(F.col("assigned_label").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(F.col("distinct_ratio").cast("decimal(18,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_distinct_ratio"),
+                 F.round(F.sum(F.col("stopword_ratio").cast("decimal(18,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_stopword_ratio"),
+                 F.sum(F.when(F.col("distinct_ratio") < 0.55, 1).otherwise(0))
+                 .cast("bigint").alias("n_low_quality")))
