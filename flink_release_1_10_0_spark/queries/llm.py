@@ -944,3 +944,62 @@ SELECT vec_id, cid, round(sqdist, 6) AS dist_r FROM asg2
 def similarity_kmeans_fit(spark, sf_dir):
     return S.kmeans_fit_predict(t(spark, sf_dir, "embeddings"), k=4,
                                 iterations=3)
+
+
+# --------------------------------------------------------------------------
+# Train/eval split leakage audit: deterministic 90/10 hash split, then
+# count verified LSH near-dup pairs by which sides they land on — the
+# cross-split bucket is test-set leakage (a near-duplicate of a training
+# document sitting in the held-out split).  The audit every pretraining
+# data pipeline runs before freezing a split; reuses the verified LSH
+# pair plan and adds only two broadcast-joinable label lookups plus a
+# 3-row aggregate.
+# --------------------------------------------------------------------------
+_LEAKAGE_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents),
+sig AS (SELECT doc_id, {_sig_cols_duck} FROM w),
+bands AS ({_band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+dup AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN w wa ON wa.doc_id = id_a
+  JOIN w wb ON wb.doc_id = id_b
+  WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6) >= 0.8
+), split AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10 < 9
+              THEN 'train' ELSE 'eval' END AS part
+  FROM documents
+)
+SELECT CASE WHEN sa.part = sb.part THEN sa.part ELSE 'cross' END AS bucket,
+       COUNT(*) AS n_pairs
+FROM dup JOIN split sa ON dup.id_a = sa.doc_id
+         JOIN split sb ON dup.id_b = sb.doc_id
+GROUP BY bucket
+"""
+
+
+@register("split_leakage_audit", _LEAKAGE_ORACLE)
+def split_leakage_audit(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", k=_K, band_rows=_BAND_ROWS,
+                                threshold=0.8)
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("bigint"))
+    split = docs.select(
+        "doc_id",
+        F.when(h % 10 < 9, F.lit("train")).otherwise(F.lit("eval"))
+        .alias("part"))
+    sa = split.withColumnRenamed("doc_id", "id_a") \
+              .withColumnRenamed("part", "part_a")
+    sb = split.withColumnRenamed("doc_id", "id_b") \
+              .withColumnRenamed("part", "part_b")
+    labeled = pairs.join(sa, "id_a").join(sb, "id_b")
+    bucket = F.when(F.col("part_a") == F.col("part_b"),
+                    F.col("part_a")).otherwise(F.lit("cross"))
+    return (labeled.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
