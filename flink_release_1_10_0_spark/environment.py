@@ -290,7 +290,14 @@ class TableEnvironment:
     def sql_query(self, query: str) -> Table:
         """Accepts Flink SQL incl. group-window functions (TUMBLE/HOP/
         SESSION + *_START/*_END selectors — rewritten to Spark's
-        window()/session_window(), see sql_windows.py)."""
+        window()/session_window(), see sql_windows.py) and the full
+        MATCH_RECOGNIZE clause (excised and run on the NFA stack, see
+        sql_match.py)."""
+        import re as _re
+        if _re.search(r"\bMATCH_RECOGNIZE\b", query, _re.IGNORECASE):
+            from flink_release_1_10_0_spark.sql_match import (
+                execute_match_recognize_sql)
+            return Table(execute_match_recognize_sql(self.spark, query))
         from flink_release_1_10_0_spark.sql_windows import rewrite_group_windows
         return Table(self.spark.sql(rewrite_group_windows(query)))
 

@@ -491,3 +491,41 @@ def cep_mr_running_measures(spark, sf_dir):
             .withColumn("pos", F.col("pos").cast("bigint"))
             .select("user_id", "match_no", "pos", "event_id", "classifier",
                     "n_b_final", "n_b_running", "b_sum_running"))
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE as raw SQL text (sql_match.py front end): the full
+# Flink 1.10 clause — PARTITION BY / ORDER BY / MEASURES incl.
+# MATCH_NUMBER() / ONE ROW PER MATCH / AFTER MATCH / PATTERN / DEFINE —
+# parsed from the statement and executed on the same NFA + measures
+# stack the structured API uses, so the oracle is the verified
+# cep_mr_measures_one_row replay.
+# --------------------------------------------------------------------------
+_SQL_MR_TEXT = """
+SELECT user_id, CAST(match_no AS BIGINT) AS match_no, a_val, n_b, b_sum, c_val
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(A.value) AS a_val, COUNT(B.*) AS n_b,
+           SUM(B.value) AS b_sum, LAST(C.value) AS c_val,
+           MATCH_NUMBER() AS match_no
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B+ C)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'view',
+         C AS event_type = 'purchase' AND C.value > 10
+) AS m
+"""
+
+
+@register("flink_sql_match_recognize", _MR_MEASURES_ORACLE)
+def flink_sql_match_recognize(spark, sf_dir):
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))

@@ -1,0 +1,314 @@
+"""SQL-text MATCH_RECOGNIZE front end.
+
+Accepts the full Flink 1.10 / SQL:2016 row-pattern clause verbatim —
+
+    SELECT ... FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(A.value) AS a_val, COUNT(B.*) AS n_b
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B+ C)
+      WITHIN INTERVAL '90' MINUTE
+      DEFINE A AS event_type = 'click', ...
+    ) [AS m] ...
+
+— and executes it on the engine's NFA + declarative-measures stack
+(``streaming/cep.py``), exactly the path the reference compiles this
+clause onto (``flink-table-planner-blink/.../physical/stream/
+StreamExecMatch.scala:69`` parsing into ``org.apache.flink.cep``).
+
+Spark-first split: Spark SQL has no MATCH_RECOGNIZE, so the clause is
+excised from the statement, run as the stateful NFA + a JVM-side
+measures projection, registered as a temp view, and the REMAINDER of
+the statement (projection, filters, joins around the clause) runs
+through ``spark.sql`` untouched — Catalyst still owns everything
+Catalyst can do.
+
+Documented narrowings (each raises, never silently degrades):
+- one PARTITION BY column, one ORDER BY column (the event-time column);
+- DEFINE predicates may reference the current row (own-variable
+  prefix is stripped, e.g. ``B AS B.value < 10``) but not OTHER
+  pattern variables (``LAST(A.price)`` navigation inside DEFINE);
+- MEASURES use the grammar of ``cep.py _parse_measure`` (FIRST/LAST/
+  MIN/MAX/SUM/AVG/COUNT/ bare col, RUNNING/FINAL prefixes) plus
+  ``MATCH_NUMBER()``.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_counter = itertools.count()
+
+_MR_HEAD = re.compile(
+    r"FROM\s+([A-Za-z_][\w.]*)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+_ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", re.IGNORECASE)
+
+# clause keywords in grammar order; matched only at paren-depth 0
+_CLAUSES = ["PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
+            "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "WITHIN",
+            "DEFINE"]
+
+
+@dataclass
+class MatchSpec:
+    table: str
+    partition_by: str
+    order_by: str
+    measures: dict[str, str] = field(default_factory=dict)
+    match_number_alias: str | None = None
+    rows_per_match: str = "one"
+    after_match: str = "skip_to_next_row"
+    pattern: str = ""
+    within_minutes: float | None = None
+    define: dict[str, str] = field(default_factory=dict)
+    outer: str = ""          # statement with the clause replaced by {VIEW}
+
+
+def _find_balanced(s: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at open_idx (quote-aware)."""
+    depth, i, n = 0, open_idx, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parens in MATCH_RECOGNIZE")
+
+
+def _split_clauses(body: str) -> list[tuple[str, str]]:
+    """Split the clause body at top-level grammar keywords."""
+    marks: list[tuple[int, int, str]] = []
+    depth, i, n = 0, 0, len(body)
+    up = body.upper()
+    while i < n:
+        c = body[i]
+        if c == "'":
+            i += 1
+            while i < n and body[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            for kw in _CLAUSES:
+                if (up.startswith(kw, i)
+                        and (i == 0 or not up[i - 1].isalnum())
+                        and (i + len(kw) == n
+                             or not up[i + len(kw)].isalnum())):
+                    marks.append((i, i + len(kw), kw))
+                    i += len(kw) - 1
+                    break
+        i += 1
+    out = []
+    for j, (s0, s1, kw) in enumerate(marks):
+        end = marks[j + 1][0] if j + 1 < len(marks) else n
+        out.append((kw, body[s1:end].strip()))
+    return out
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            cur.append(c)
+            i += 1
+            while i < n and s[i] != "'":
+                cur.append(s[i])
+                i += 1
+            if i < n:
+                cur.append(s[i])
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
+_INTERVAL = re.compile(
+    r"INTERVAL\s+'(\d+(?:\.\d+)?)'\s+(SECOND|MINUTE|HOUR|DAY)S?",
+    re.IGNORECASE)
+_AS_SPLIT = re.compile(r"\s+AS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+_MATCH_NO = re.compile(r"^\s*MATCH_NUMBER\s*\(\s*\)\s*$", re.IGNORECASE)
+
+
+def parse_match_recognize(query: str) -> MatchSpec:
+    m = _MR_HEAD.search(query)
+    if not m:
+        raise ValueError("no MATCH_RECOGNIZE clause found")
+    table = m.group(1)
+    open_idx = query.index("(", m.end() - 1)
+    close_idx = _find_balanced(query, open_idx)
+    body = query[open_idx + 1:close_idx]
+    tail = query[close_idx + 1:]
+    am = _ALIAS.match(tail)
+    alias = ""
+    # an alias must not swallow the next SQL keyword (WHERE/GROUP/...)
+    if am and am.group(1).upper() not in (
+            "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "JOIN",
+            "LEFT", "RIGHT", "INNER", "CROSS", "ON"):
+        alias = " AS " + am.group(1)
+        tail = tail[am.end():]
+    outer = query[:m.start()] + "FROM {VIEW}" + alias + tail
+
+    spec = MatchSpec(table=table, partition_by="", order_by="", outer=outer)
+    for kw, content in _split_clauses(body):
+        if kw == "PARTITION BY":
+            cols = _split_top_commas(content)
+            if len(cols) != 1:
+                raise NotImplementedError(
+                    "exactly one PARTITION BY column is supported")
+            spec.partition_by = cols[0]
+        elif kw == "ORDER BY":
+            cols = _split_top_commas(content)
+            if len(cols) != 1:
+                raise NotImplementedError(
+                    "exactly one ORDER BY column (event time) is supported")
+            spec.order_by = cols[0]
+        elif kw == "MEASURES":
+            for item in _split_top_commas(content):
+                am_ = _AS_SPLIT.search(item)
+                if not am_:
+                    raise ValueError(f"MEASURES item needs AS: {item!r}")
+                name, expr = am_.group(1), item[:am_.start()].strip()
+                if _MATCH_NO.match(expr):
+                    spec.match_number_alias = name
+                else:
+                    spec.measures[name] = expr
+        elif kw == "ONE ROW PER MATCH":
+            spec.rows_per_match = "one"
+        elif kw == "ALL ROWS PER MATCH":
+            spec.rows_per_match = "all"
+        elif kw == "AFTER MATCH":
+            s = re.sub(r"^\s*SKIP\s+", "", content, flags=re.IGNORECASE)
+            s = s.strip().lower()
+            if s in ("to next row", "to_next_row"):
+                spec.after_match = "skip_to_next_row"
+            elif s in ("past last row", "past_last_row"):
+                spec.after_match = "skip_past_last_row"
+            else:
+                mm = re.match(r"to\s+(first|last)\s+([A-Za-z_]\w*)$", s)
+                if not mm:
+                    raise ValueError(f"bad AFTER MATCH clause: {content!r}")
+                spec.after_match = f"skip_to_{mm.group(1)} {mm.group(2)}"
+        elif kw == "PATTERN":
+            inner = content.strip()
+            if not (inner.startswith("(") and inner.endswith(")")):
+                raise ValueError("PATTERN needs parentheses")
+            spec.pattern = inner[1:-1].strip()
+        elif kw == "WITHIN":
+            im = _INTERVAL.match(content.strip())
+            if not im:
+                raise ValueError(f"bad WITHIN interval: {content!r}")
+            v = float(im.group(1))
+            unit = im.group(2).upper()
+            spec.within_minutes = v * {"SECOND": 1 / 60, "MINUTE": 1,
+                                       "HOUR": 60, "DAY": 1440}[unit]
+        else:
+            for item in _split_top_commas(content):
+                dm = re.match(r"([A-Za-z_]\w*)\s+AS\s+(.+)$", item,
+                              re.IGNORECASE | re.DOTALL)
+                if not dm:
+                    raise ValueError(f"bad DEFINE item: {item!r}")
+                spec.define[dm.group(1)] = dm.group(2).strip()
+    if not spec.pattern or not spec.define:
+        raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE")
+    if not spec.partition_by or not spec.order_by:
+        raise NotImplementedError(
+            "PARTITION BY and ORDER BY are required (keyed event time)")
+    return spec
+
+
+_OTHER_VAR_NAV = re.compile(
+    r"\b(FIRST|LAST|PREV|NEXT)\s*\(", re.IGNORECASE)
+
+
+def _strip_self_refs(spec: MatchSpec) -> dict[str, str]:
+    """``B AS B.value < 10`` → predicate over the bare row.  Navigation
+    to OTHER variables inside DEFINE is a documented narrowing."""
+    out = {}
+    for var, pred in spec.define.items():
+        if _OTHER_VAR_NAV.search(pred):
+            raise NotImplementedError(
+                "DEFINE navigation (FIRST/LAST/PREV/NEXT of another "
+                "variable) is not supported — express it as a measure")
+        for v in spec.define:
+            if v != var and re.search(rf"\b{v}\s*\.", pred):
+                raise NotImplementedError(
+                    f"DEFINE for {var!r} references variable {v!r}")
+        out[var] = re.sub(rf"\b{var}\s*\.", "", pred)
+    return out
+
+
+def _bounded_stream(df: DataFrame) -> DataFrame:
+    """Replay a bounded table as a micro-stream (one ordered part file —
+    the NFA's event-time-ordered arrival contract)."""
+    spark = df.sparkSession
+    src = tempfile.mkdtemp(prefix=f"sqlmatch_src_{next(_counter)}_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+def execute_match_recognize_sql(spark: SparkSession, query: str,
+                                batch_df: DataFrame | None = None,
+                                stream_df: DataFrame | None = None,
+                                id_col: str = "event_id") -> DataFrame:
+    """Parse + run a statement containing MATCH_RECOGNIZE; returns the
+    result of the FULL statement (outer projection included).
+
+    ``batch_df`` overrides the FROM-table resolution (otherwise
+    ``spark.table(name)``); ``stream_df`` overrides the micro-stream
+    replay (callers that already have a streaming frame)."""
+    from flink_release_1_10_0_spark.streaming.cep import (
+        compile_match_pattern, match_recognize_measures)
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.nfa import match_nfa
+
+    spec = parse_match_recognize(query)
+    batch = batch_df if batch_df is not None else spark.table(spec.table)
+    stream = stream_df if stream_df is not None else _bounded_stream(batch)
+    define = _strip_self_refs(spec)
+    stages = compile_match_pattern(spec.pattern, define)
+
+    from flink_release_1_10_0_spark.streaming.cep import _parse_after_match
+    log = run_to_completion(
+        match_nfa(stream, stages, within_minutes=spec.within_minutes,
+                  key=spec.partition_by,
+                  after_match=_parse_after_match(spec.after_match),
+                  ts_col=spec.order_by, id_col=id_col), "append")
+    out = match_recognize_measures(
+        log, batch, stage_names=list(define),
+        measures=spec.measures, partition_by=spec.partition_by,
+        rows_per_match=spec.rows_per_match)
+    if spec.match_number_alias:
+        out = out.withColumnRenamed("match_no", spec.match_number_alias)
+    view = f"_match_recognize_{next(_counter)}"
+    out.createOrReplaceTempView(view)
+    return spark.sql(spec.outer.replace("{VIEW}", view))

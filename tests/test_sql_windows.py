@@ -49,3 +49,59 @@ def test_hop_sql_matches_dataframe_window(spark):
                .agg(F.count(F.lit(1)).alias("n"))
                .select(F.col("window.start").alias("ws"), "n").collect())
     assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, df_rows))
+
+
+def test_match_recognize_sql_through_table_environment(spark):
+    """The raw MATCH_RECOGNIZE clause runs through sql_query: pattern
+    A B C over registered rows, outer projection applied around the
+    excised clause."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.environment import TableEnvironment
+
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 5.0),
+            (2, "2024-01-01 10:01:00", 1, "view", 1.0),
+            (3, "2024-01-01 10:02:00", 1, "purchase", 20.0),
+            (4, "2024-01-01 10:03:00", 1, "click", 7.0)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    df.createOrReplaceTempView("mr_events")
+    env = TableEnvironment(spark)
+    out = env.sql_query("""
+        SELECT user_id, a_val, c_val
+        FROM mr_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.value) AS a_val, LAST(C.value) AS c_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B C)
+          DEFINE A AS event_type = 'click',
+                 B AS event_type = 'view',
+                 C AS event_type = 'purchase'
+        ) WHERE a_val > 0
+    """).df.collect()
+    assert [(r.user_id, r.a_val, r.c_val) for r in out] == [(1, 5.0, 20.0)]
+
+
+def test_match_recognize_sql_narrowings_raise():
+    """Documented narrowings fail loudly: cross-variable DEFINE
+    navigation and multi-column PARTITION BY."""
+    import pytest
+
+    from flink_release_1_10_0_spark.sql_match import (
+        MatchSpec, _strip_self_refs, parse_match_recognize)
+
+    q = """SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k, k2 ORDER BY ts
+        PATTERN (A) DEFINE A AS x > 0)"""
+    with pytest.raises(NotImplementedError):
+        parse_match_recognize(q)
+
+    spec = MatchSpec(table="t", partition_by="k", order_by="ts",
+                     define={"A": "x > 0", "B": "value > LAST(A.value)"},
+                     pattern="A B")
+    with pytest.raises(NotImplementedError):
+        _strip_self_refs(spec)
