@@ -404,3 +404,39 @@ def curation_cluster_quality(spark, sf_dir):
                  .alias("avg_stopword_ratio"),
                  F.sum(F.when(F.col("distinct_ratio") < 0.55, 1).otherwise(0))
                  .cast("bigint").alias("n_low_quality")))
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted sampling: keep each document with probability equal
+# to its quality score, DETERMINISTICALLY — the acceptance test is
+# hash(doc_id) scaled into [0, 1) against the score, so the same corpus
+# always yields the same sample (reproducible mixes, unlike rand()),
+# and acceptance is embarrassingly parallel map-side work.  The soft
+# alternative to a hard quality cutoff in pretraining-mix construction.
+# --------------------------------------------------------------------------
+_QWEIGHT_ORACLE = """
+WITH stats AS (
+  SELECT doc_id, source,
+         round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS quality
+  FROM (SELECT doc_id, source,
+               list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                           x -> x <> '') AS words
+        FROM documents) w
+)
+SELECT doc_id, source, quality
+FROM stats
+WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 AS DOUBLE)
+      < quality * 1000000.0
+"""
+
+
+@register("sample_quality_weighted", _QWEIGHT_ORACLE)
+def sample_quality_weighted(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import with_text_stats
+    docs = t(spark, sf_dir, "documents")
+    stats = (with_text_stats(docs)
+             .select("doc_id", "source",
+                     F.col("distinct_ratio").alias("quality")))
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("bigint") % 1000000).cast("double")
+    return stats.filter(h < F.col("quality") * 1000000.0)
