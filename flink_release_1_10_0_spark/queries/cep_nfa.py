@@ -529,3 +529,34 @@ def flink_sql_match_recognize(spark, sf_dir):
         spark, _SQL_MR_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# SQL-text variant of ALL ROWS PER MATCH: CLASSIFIER()/MATCH_NUMBER()
+# surfaced through the raw clause, same verified oracle replay.
+_SQL_MR_ALL_TEXT = """
+SELECT user_id, CAST(match_no AS BIGINT) AS match_no,
+       CAST(pos AS BIGINT) AS pos, event_id, classifier, n_b
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES COUNT(B.*) AS n_b, MATCH_NUMBER() AS match_no
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B+ C)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'view',
+         C AS event_type = 'purchase' AND C.value > 10
+) AS m
+"""
+
+
+@register("flink_sql_match_recognize_all_rows", _MR_ALL_ROWS_ORACLE)
+def flink_sql_match_recognize_all_rows(spark, sf_dir):
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_ALL_TEXT,
+        batch_df=t(spark, sf_dir, "events").select("event_id", "value"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))
