@@ -1178,3 +1178,41 @@ def stream_continuous_trigger(spark, sf_dir):
         continuous_event_time_trigger_firings)
     events = t(spark, sf_dir, "events")
     return continuous_event_time_trigger_firings(events, interval_hours=6)
+
+
+# --------------------------------------------------------------------------
+# File streaming sink round trip (StreamingFileSink.java:98 +
+# PartitionableTableSink): streaming scan -> calc -> checkpointed
+# PARTITIONED parquet sink -> batch read-back of the committed files,
+# aggregated to a compact result the oracle recomputes directly.  This
+# upgrades the sink row from pytest-only to oracle-gated: the values
+# that survive the sink's commit protocol (and the partition-column
+# round trip through directory names) must equal the source-side
+# aggregate exactly.
+# --------------------------------------------------------------------------
+_FILE_SINK_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events WHERE value > 50 GROUP BY event_type
+"""
+
+
+@register("sink_file_streaming_roundtrip", _FILE_SINK_ORACLE)
+def sink_file_streaming_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources.streams import file_sink
+
+    sdf = (read_stream_table(spark, sf_dir, "events")
+           .filter("value > 50")
+           .select("event_id", "event_type", "value"))
+    out = tempfile.mkdtemp(prefix="file_sink_rt_out_")
+    ckpt = tempfile.mkdtemp(prefix="file_sink_rt_ckpt_")
+    q = file_sink(sdf, out, ckpt, partition_by=["event_type"],
+                  available_now=True)
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast(MONEY)).cast("double")
+                 .alias("sum_value")))
