@@ -296,3 +296,21 @@ def test_continuous_trigger_no_global_window(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window " not in plan  # re-aggregation, not a window function
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_quality_broadcasts_centroids(spark):
+    """The cross-modal cluster-quality roll-up: the centroid codebook is
+    a broadcast (never a shuffled join side), and the whole plan stays
+    JVM-side with no cartesian product."""
+    plan = plan_of(spark, "curation_cluster_quality")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_leakage_audit_equi_joins_only(spark):
+    """Split-leakage audit: the label lookups join on doc ids (equi),
+    no cartesian, no Python."""
+    plan = plan_of(spark, "split_leakage_audit")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
