@@ -58,3 +58,59 @@ def async_enrich(df: DataFrame, key_col: str, out_col: str,
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def async_enrich_unordered(df: DataFrame, key_col: str, out_col: str,
+                           service: Callable[[int], Awaitable[str]],
+                           capacity: int = 100,
+                           timeout_s: float | None = None,
+                           on_timeout: str | None = None) -> DataFrame:
+    """``AsyncDataStream.unorderedWait`` analog
+    (``AsyncDataStream.java`` / ``AsyncWaitOperator.java:76`` UNORDERED
+    mode): results are appended in COMPLETION order, so a slow
+    head-of-line request never delays faster ones.  In Spark a
+    DataFrame carries no intra-partition order semantics, so unordered
+    mode differs from :func:`async_enrich` only in batch latency — the
+    result SET is identical, which is exactly the reference's
+    ordered/unordered contract.
+
+    ``timeout_s`` reproduces the reference's async-wait timeout: a
+    request exceeding it resolves to ``on_timeout`` (the
+    ``AsyncFunction.timeout`` override returning a fallback) instead of
+    failing the job."""
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        async def lookup_all(keys: list[int]) -> list[tuple[int, str]]:
+            sem = asyncio.Semaphore(capacity)
+
+            async def one(i: int, k: int) -> tuple[int, str]:
+                async with sem:
+                    if timeout_s is None:
+                        return i, await service(k)
+                    try:
+                        return i, await asyncio.wait_for(service(k),
+                                                         timeout_s)
+                    except asyncio.TimeoutError:
+                        return i, on_timeout
+
+            done: list[tuple[int, str]] = []
+            for fut in asyncio.as_completed(
+                    [one(i, k) for i, k in enumerate(keys)]):
+                done.append(await fut)
+            return done
+
+        for pdf in batches:
+            if len(pdf):
+                order_vals = asyncio.run(
+                    lookup_all([int(k) for k in pdf[key_col]]))
+                idx = [i for i, _ in order_vals]
+                pdf = pdf.iloc[idx].copy()
+                pdf[out_col] = [v for _, v in order_vals]
+            else:
+                pdf = pdf.copy()
+                pdf[out_col] = pd.Series(dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

@@ -326,3 +326,37 @@ def test_routing_partitioners_full_family(spark):
     plan = probe.join(ds.broadcast(), "k")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_async_unordered_same_set_and_timeout_fallback(spark):
+    """unorderedWait: same result SET as ordered mode (order is the only
+    difference, and Spark frames are unordered); a request exceeding the
+    timeout resolves to the fallback instead of failing the job."""
+    import asyncio
+
+    from flink_release_1_10_0_spark.streaming.async_io import (
+        async_enrich, async_enrich_unordered)
+
+    async def svc(k: int) -> str:
+        await asyncio.sleep(0.01 if k % 2 else 0.0)
+        return f"v{k}"
+
+    df = spark.range(20).withColumnRenamed("id", "k")
+    ordered = {(r.k, r.v) for r in
+               async_enrich(df, "k", "v", svc, capacity=4).collect()}
+    unordered = {(r.k, r.v) for r in
+                 async_enrich_unordered(df, "k", "v", svc,
+                                        capacity=4).collect()}
+    assert ordered == unordered == {(k, f"v{k}") for k in range(20)}
+
+    async def slow(k: int) -> str:
+        if k == 3:
+            await asyncio.sleep(5.0)
+        return f"v{k}"
+
+    got = {(r.k, r.v) for r in
+           async_enrich_unordered(df, "k", "v", slow, capacity=4,
+                                  timeout_s=0.5,
+                                  on_timeout="TIMEOUT").collect()}
+    assert (3, "TIMEOUT") in got
+    assert all(v == f"v{k}" for k, v in got if k != 3)
