@@ -1456,3 +1456,43 @@ def source_avro_roundtrip(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("o_orderkey").alias("key_sum"),
                  dsum("o_totalprice", "total")))
+
+
+# --------------------------------------------------------------------------
+# Partitioned OVERWRITE table sink round trip (OverwritableTableSink +
+# PartitionableTableSink, physical/stream/StreamExecSink.scala): write
+# orders partitioned by status, dynamically overwrite ONLY the 'F'
+# partition with a filtered replacement, read the committed table back
+# and aggregate.  Untouched partitions must survive byte-identical;
+# the rewritten partition must reflect exactly the replacement rows —
+# INSERT OVERWRITE ... PARTITION semantics.
+# --------------------------------------------------------------------------
+_SINK_OVERWRITE_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus <> 'F' OR o_totalprice > 100000
+GROUP BY o_orderstatus
+"""
+
+
+@register("sink_partition_overwrite_roundtrip", _SINK_OVERWRITE_ORACLE)
+def sink_partition_overwrite_roundtrip(spark, sf_dir):
+    import tempfile
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    out = tempfile.mkdtemp(prefix="sink_ovw_") + "/orders_part"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (orders.filter("o_orderstatus = 'F' AND o_totalprice > 100000")
+         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total")))
