@@ -651,12 +651,22 @@ def dedup_jaccard_clusters(spark, sf_dir):
 # against the losers.  One extra uniform-key shuffle (the anti-join on
 # doc_id) on top of the LSH pair plan; the loser list is
 # O(duplicate docs), never driver-collected.  The oracle replays the
-# same LSH geometry and closes the pairs with a recursive CTE.
+# same LSH geometry AND the same order of operations: identical
+# word-sets collapse to one representative (min doc id) BEFORE banding
+# and closure, exactly like the engine plan — a doc-level closure would
+# materialize O(k^2) reach rows per k-member exact-dup clique (the
+# sf0.1 corpus has a 3,692-doc clique: ~7e9 intermediate join rows),
+# while the set-level graph stays tiny.  A doc then survives iff it IS
+# its cluster's minimum id: COALESCE(component rep, own group rep).
 # --------------------------------------------------------------------------
 _LSH_SURVIVORS_ORACLE = f"""
 WITH RECURSIVE w AS (
-  SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents
-), sig AS (SELECT doc_id, {_sig_cols_duck} FROM w),
+  SELECT doc_id, list_sort(list_distinct({_DWORDS})) AS ws FROM documents
+), w2 AS (
+  SELECT doc_id, ws, MIN(doc_id) OVER (PARTITION BY ws) AS rep FROM w
+), uw AS (
+  SELECT rep AS doc_id, ws FROM w2 WHERE doc_id = rep
+), sig AS (SELECT doc_id, {_sig_cols_duck} FROM uw),
 bands AS ({_band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
@@ -664,8 +674,8 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 dup AS (
   SELECT id_a, id_b
   FROM cand
-  JOIN w wa ON wa.doc_id = id_a
-  JOIN w wb ON wb.doc_id = id_b
+  JOIN uw wa ON wa.doc_id = id_a
+  JOIN uw wb ON wb.doc_id = id_b
   WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6) >= 0.8
 ), edges AS (
@@ -675,11 +685,13 @@ dup AS (
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 ), comp AS (
-  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+  SELECT u AS rep, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u
 )
 SELECT d.doc_id, d.source, d.n_chars
 FROM documents d
-WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+JOIN w2 ON d.doc_id = w2.doc_id
+LEFT JOIN comp ON w2.rep = comp.rep
+WHERE d.doc_id = COALESCE(comp.cluster_rep, w2.rep)
 """
 
 
