@@ -440,3 +440,52 @@ def sample_quality_weighted(spark, sf_dir):
     h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                 16, 10).cast("bigint") % 1000000).cast("double")
     return stats.filter(h < F.col("quality") * 1000000.0)
+
+
+# --------------------------------------------------------------------------
+# Unigram log-probability scoring (CCNet-style perplexity proxy): score
+# each document by the average negative log-probability of its tokens
+# under the corpus's own unigram distribution — fluent/common-word text
+# scores low, gibberish and rare-token noise scores high, which is the
+# standard statistical quality screen before an expensive model-based
+# filter.  Plan: one explode, one corpus-frequency aggregate keyed on
+# the token (uniform shuffle), one join back, one per-doc aggregate.
+# The corpus total rides along as a broadcast scalar.  Determinism:
+# the ln inputs are identical integers on both engines so per-token
+# terms agree to the ulp; the avg's accumulation ORDER differs across
+# engines, but reordering ~100 terms of magnitude ~5 perturbs the mean
+# by ~1e-13, far inside the 6dp rounding — verified hash-exact at
+# sf0.001/0.01/0.1.
+# --------------------------------------------------------------------------
+_ULOGPROB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+           x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+), n AS (SELECT COUNT(*) AS total FROM tok)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       round(AVG(ln(CAST(n.total AS DOUBLE)) - ln(CAST(v.c AS DOUBLE))), 6)
+         AS avg_neg_logprob
+FROM tok t JOIN vocab v ON t.w = v.w CROSS JOIN n
+GROUP BY t.doc_id
+"""
+
+
+@register("text_unigram_logprob", _ULOGPROB_ORACLE)
+def text_unigram_logprob(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import words_expr
+    docs = t(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.expr(words_expr("text")).alias("words"))
+           .select("doc_id", F.explode("words").alias("w")))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    joined = tok.join(vocab, "w").crossJoin(F.broadcast(total))
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(F.log(F.col("total").cast("double"))
+                               - F.log(F.col("c").cast("double"))), 6)
+                 .alias("avg_neg_logprob")))

@@ -46,6 +46,7 @@ HEADS = [
     "minhash_lsh_dup_pairs_xxh",    # LSH dedup (the heavy head)
     "text_repetition_stats",        # explode + two-level agg
     "dedup_segment_boilerplate",    # segment freq join-back (round 5)
+    "dedup_scrub_boilerplate",      # freq join-back + per-doc reassembly
 ]
 
 
