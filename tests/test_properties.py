@@ -240,3 +240,46 @@ def test_stream_join_changelog_folds_to_batch_join(spark, evs):
         for l in ls:
             expect |= {(u, l, r) for r in rs} if rs else {(u, l, None)}
     assert got == expect
+
+
+@given(evs=st.lists(st.tuples(st.sampled_from(["error", "purchase"]),
+                              st.integers(min_value=1, max_value=2),
+                              st.integers(min_value=0, max_value=59)),
+                    min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_temporal_join_matches_bruteforce_asof(spark, evs):
+    """Randomized as-of check: each probe joins the LATEST build version
+    with ts <= probe ts for its key ((ts, id) order breaks ties) —
+    TemporalRowTimeJoinOperator semantics under any interleaving,
+    including multiple versions at the same timestamp."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.stateful import temporal_join
+
+    rows = [(i, f"2024-01-01 10:{mn:02d}:00", u, et, float(i))
+            for i, (et, u, mn) in enumerate(evs, 1)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="tj_prop_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = run_to_completion(
+        temporal_join(sdf, build_type="error", probe_type="purchase"),
+        "append")
+    got = sorted((r.probe_id, r.version_id) for r in out.collect())
+
+    expect = []
+    ordered = sorted(((mn, i + 1, et, u) for i, (et, u, mn) in enumerate(evs)))
+    for mn, eid, et, u in ordered:
+        if et != "purchase":
+            continue
+        builds = [(m, e) for m, e, t, uu in ordered
+                  if uu == u and t == "error" and (m, e) <= (mn, eid)]
+        if builds:
+            expect.append((eid, max(builds)[1]))
+    assert got == sorted(expect)
