@@ -62,8 +62,12 @@ _LOADED = False
 # sf0.01 via tools/compare.py) lead the overflow in registration order
 # and rotate into the window next round.  Queries added after the pin
 # list was frozen (TPC-DS wave 8 in tpcds2.py, LLM curation wave 2 in
-# llm2.py — all locally oracle-green at sf0.001 AND sf0.01) follow the
-# overflow in registration order.
+# llm2.py, and the round-5 session-2 wave: continuous trigger,
+# boilerplate scrub, LSH survivors, cluster quality, split-leakage
+# audit, quality-weighted sampling, unigram logprob, SQL-text
+# MATCH_RECOGNIZE x2, file-sink and partition-overwrite round trips —
+# all oracle-green at sf0.001 AND sf0.01, and at sf0.1 per
+# VERIFY_FULL_r05.txt) follow the overflow in registration order.
 _PIN = [
     # --- (a) never-driver-verified after r1-r4: 27 names ---
     "agg_percentiles", "agg_corr_covar", "scalar_encoding_functions",
