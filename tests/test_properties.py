@@ -283,3 +283,50 @@ def test_temporal_join_matches_bruteforce_asof(spark, evs):
         if builds:
             expect.append((eid, max(builds)[1]))
     assert got == sorted(expect)
+
+
+@given(docs=st.lists(st.lists(st.sampled_from(["a", "b"]),
+                              min_size=1, max_size=20),
+                     min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_scrub_boilerplate_equals_bruteforce(spark, docs):
+    """Randomized scrub check over a tiny vocabulary (so duplicated
+    8-token windows actually occur): the cleaned text must equal a
+    Python replay — complete windows shared by 2+ docs dropped, unique
+    windows and the trailing partial kept in order."""
+    import os
+    import tempfile
+
+    from flink_release_1_10_0_spark.queries import all_queries
+
+    W = 8
+    rows = [(i, " ".join(toks), "en", "s", 1)
+            for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int")
+    d = tempfile.mkdtemp(prefix="scrub_prop_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: (r.clean_text, r.n_segments, r.n_removed) for r in
+           all_queries()["dedup_scrub_boilerplate"](spark, d).collect()}
+
+    segs = {}
+    for i, toks in enumerate(docs):
+        for s in range(len(toks) // W):
+            seg = " ".join(toks[s * W:(s + 1) * W])
+            segs.setdefault(seg, set()).add(i)
+    expect = {}
+    for i, toks in enumerate(docs):
+        f = len(toks) // W
+        kept = []
+        removed = 0
+        for s in range(f):
+            seg = " ".join(toks[s * W:(s + 1) * W])
+            if len(segs[seg]) > 1:
+                removed += 1
+            else:
+                kept.append(seg)
+        rem = toks[f * W:]
+        if rem:
+            kept.append(" ".join(rem))
+        expect[i] = (" ".join(kept), f, removed)
+    assert got == expect
