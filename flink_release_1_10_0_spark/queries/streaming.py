@@ -1216,3 +1216,45 @@ def sink_file_streaming_roundtrip(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("value").cast(MONEY)).cast("double")
                  .alias("sum_value")))
+
+
+# --------------------------------------------------------------------------
+# CountEvictor analog (flink-streaming-java/.../windowing/evictors/
+# CountEvictor.java:35): before the window function fires, evict all but
+# the LAST n elements of the pane — the aggregate sees only the n most
+# recent events per (key, window).  Declarative bounded-stream analog:
+# rank within the pane in (ts, id) DESC order, keep rank <= n,
+# aggregate.  One shuffle on (key, window) — the keys the evictor's
+# pane state lives under; no global window, no Python.
+# --------------------------------------------------------------------------
+_COUNT_EVICTOR_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('day', ts) AS w_start, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, CAST(w_start AS TIMESTAMP) AS w_start,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_kept,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+FROM ranked WHERE rn <= 3
+GROUP BY user_id, w_start
+"""
+
+
+@register("stream_count_evictor_window", _COUNT_EVICTOR_ORACLE)
+def stream_count_evictor_window(spark, sf_dir):
+    from pyspark.sql import Window
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "w_start").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    ranked = (events
+              .withColumn("w_start", F.date_trunc("day", F.col("ts")))
+              .withColumn("rn", F.row_number().over(w)))
+    return (ranked.filter(F.col("rn") <= 3)
+            .groupBy("user_id", "w_start")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum(F.col("value").cast(MONEY)).cast("double")
+                 .alias("sum_kept"),
+                 F.max("ts").alias("last_ts")))
