@@ -293,10 +293,11 @@ class TableEnvironment:
         window()/session_window(), see sql_windows.py) and the full
         MATCH_RECOGNIZE clause (excised and run on the NFA stack, see
         sql_match.py)."""
-        import re as _re
-        if _re.search(r"\bMATCH_RECOGNIZE\b", query, _re.IGNORECASE):
-            from flink_release_1_10_0_spark.sql_match import (
-                execute_match_recognize_sql)
+        from flink_release_1_10_0_spark.sql_match import (
+            execute_match_recognize_sql, has_match_recognize)
+        if has_match_recognize(query):
+            # the executor applies rewrite_group_windows to the outer
+            # remainder, so MR + TUMBLE/HOP/SESSION in one statement works
             return Table(execute_match_recognize_sql(self.spark, query))
         from flink_release_1_10_0_spark.sql_windows import rewrite_group_windows
         return Table(self.spark.sql(rewrite_group_windows(query)))

@@ -1484,10 +1484,20 @@ def sink_partition_overwrite_roundtrip(spark, sf_dir):
         "o_orderkey", "o_totalprice", "o_orderstatus")
     out = tempfile.mkdtemp(prefix="sink_ovw_") + "/orders_part"
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    replacement = orders.filter(
+        "o_orderstatus = 'F' AND o_totalprice > 100000")
+    # dynamic overwrite touches ONLY partitions present in the write: an
+    # empty replacement would leave the old 'F' partition intact and
+    # silently diverge from the oracle — fail loudly instead (ADVICE r5)
+    if replacement.isEmpty():
+        raise AssertionError(
+            "partition-overwrite replacement is empty at this scale; the "
+            "round trip needs >=1 'F' row above 100000 to rewrite the "
+            "partition (use an explicit static overwrite for empties)")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (orders.filter("o_orderstatus = 'F' AND o_totalprice > 100000")
+        (replacement
          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

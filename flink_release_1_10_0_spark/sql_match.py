@@ -107,10 +107,14 @@ def _split_clauses(body: str) -> list[tuple[str, str]]:
             depth -= 1
         elif depth == 0:
             for kw in _CLAUSES:
+                # '_' is a word character: a column named url_pattern or
+                # x_define must not be detected as a clause keyword
                 if (up.startswith(kw, i)
-                        and (i == 0 or not up[i - 1].isalnum())
+                        and (i == 0 or not (up[i - 1].isalnum()
+                                            or up[i - 1] == "_"))
                         and (i + len(kw) == n
-                             or not up[i + len(kw)].isalnum())):
+                             or not (up[i + len(kw)].isalnum()
+                                     or up[i + len(kw)] == "_"))):
                     marks.append((i, i + len(kw), kw))
                     i += len(kw) - 1
                     break
@@ -157,6 +161,15 @@ _INTERVAL = re.compile(
     re.IGNORECASE)
 _AS_SPLIT = re.compile(r"\s+AS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
 _MATCH_NO = re.compile(r"^\s*MATCH_NUMBER\s*\(\s*\)\s*$", re.IGNORECASE)
+
+
+def has_match_recognize(query: str) -> bool:
+    """True only when a REAL ``FROM <tbl> MATCH_RECOGNIZE (`` clause is
+    present — the keyword inside a string literal or a ``--`` comment
+    must not route the statement to the MR executor."""
+    scrubbed = re.sub(r"'(?:[^']|'')*'", "''", query)
+    scrubbed = re.sub(r"--[^\n]*", "", scrubbed)
+    return _MR_HEAD.search(scrubbed) is not None
 
 
 def parse_match_recognize(query: str) -> MatchSpec:
@@ -311,4 +324,7 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
         out = out.withColumnRenamed("match_no", spec.match_number_alias)
     view = f"_match_recognize_{next(_counter)}"
     out.createOrReplaceTempView(view)
-    return spark.sql(spec.outer.replace("{VIEW}", view))
+    # the outer remainder may itself use Flink group-window functions
+    # (TUMBLE/HOP/SESSION over the match output) — rewrite them too
+    from flink_release_1_10_0_spark.sql_windows import rewrite_group_windows
+    return spark.sql(rewrite_group_windows(spec.outer.replace("{VIEW}", view)))

@@ -213,7 +213,10 @@ def continuous_event_time_trigger_firings(events: DataFrame,
     ``sequence()`` explode of at most 24/h rows per key-window — no
     per-event fan-out, no Python.  Emits (key, w_start, fire_at,
     n_so_far, sum_value_so_far)."""
-    n_ticks = 24 // interval_hours
+    # ceiling, so the final (window-end) firing covers every trailing
+    # slot even when the interval does not divide 24 (e.g. 5 or 7 h —
+    # the reference's timer chain registers min(next_tick, window_end))
+    n_ticks = -(-24 // interval_hours)
     w_start = F.date_trunc("day", F.col(ts_col))
     slot = (F.hour(ts_col) / interval_hours).cast("int")
     slot_agg = (events
@@ -234,9 +237,13 @@ def continuous_event_time_trigger_firings(events: DataFrame,
                 F.sum("sum_slot").alias("sum_so_far")))
     return (cum.filter(F.col("n_so_far") > 0)
             .select(F.col(key), F.col("w_start"),
-                    (F.col("w_start")
-                     + F.expr(f"make_interval(0,0,0,0,i*{interval_hours},0,0)")
-                     ).alias("fire_at"),
+                    # the trailing tick fires AT the window end, never
+                    # past it (Flink registers min(next_tick, maxTs))
+                    F.least(
+                        F.col("w_start")
+                        + F.expr(f"make_interval(0,0,0,0,i*{interval_hours},0,0)"),
+                        F.col("w_start") + F.expr("make_interval(0,0,0,1,0,0,0)")
+                    ).alias("fire_at"),
                     F.col("n_so_far").cast("bigint").alias("n_so_far"),
                     F.col("sum_so_far").cast("double")
                     .alias("sum_value_so_far")))

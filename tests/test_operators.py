@@ -349,14 +349,16 @@ def test_async_unordered_same_set_and_timeout_fallback(spark):
                                         capacity=4).collect()}
     assert ordered == unordered == {(k, f"v{k}") for k in range(20)}
 
+    # wide margin (2s timeout vs 30s slow path) so a loaded CI host
+    # cannot flip a fast request into TIMEOUT (ADVICE r5)
     async def slow(k: int) -> str:
         if k == 3:
-            await asyncio.sleep(5.0)
+            await asyncio.sleep(30.0)
         return f"v{k}"
 
     got = {(r.k, r.v) for r in
            async_enrich_unordered(df, "k", "v", slow, capacity=4,
-                                  timeout_s=0.5,
+                                  timeout_s=2.0,
                                   on_timeout="TIMEOUT").collect()}
     assert (3, "TIMEOUT") in got
     assert all(v == f"v{k}" for k, v in got if k != 3)

@@ -33,6 +33,46 @@ def test_rewrite_leaves_plain_sql_alone():
     assert rewrite_group_windows(sql) == sql
 
 
+def test_clause_keywords_ignore_underscore_identifiers():
+    """A column named url_pattern / x_define inside MEASURES or DEFINE
+    must not be mis-detected as a top-level clause keyword (ADVICE r5:
+    '_' is a word character in the boundary check)."""
+    from flink_release_1_10_0_spark.sql_match import parse_match_recognize
+
+    spec = parse_match_recognize("""
+        SELECT * FROM t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES FIRST(A.url_pattern) AS url_pattern,
+                   LAST(B.x_define) AS x_define
+          ONE ROW PER MATCH
+          PATTERN (A B)
+          DEFINE A AS url_pattern = 'x',
+                 B AS x_define > 0)""")
+    assert spec.measures == {"url_pattern": "FIRST(A.url_pattern)",
+                             "x_define": "LAST(B.x_define)"}
+    assert spec.define == {"A": "url_pattern = 'x'", "B": "x_define > 0"}
+
+
+def test_match_recognize_routing_ignores_literals_and_comments(spark):
+    """MATCH_RECOGNIZE inside a string literal or -- comment must NOT
+    route the statement to the MR executor (ADVICE r5)."""
+    from flink_release_1_10_0_spark.environment import TableEnvironment
+    from flink_release_1_10_0_spark.sql_match import has_match_recognize
+
+    assert not has_match_recognize(
+        "SELECT 'FROM x MATCH_RECOGNIZE (' AS s FROM t")
+    assert not has_match_recognize(
+        "SELECT a FROM t -- FROM t MATCH_RECOGNIZE (todo)\nWHERE a > 0")
+    assert has_match_recognize(
+        "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts "
+        "PATTERN (A) DEFINE A AS x > 0)")
+
+    env = TableEnvironment(spark)
+    out = env.sql_query(
+        "SELECT 'no FROM x MATCH_RECOGNIZE ( here' AS s").df.collect()
+    assert out[0].s == "no FROM x MATCH_RECOGNIZE ( here"
+
+
 def test_hop_sql_matches_dataframe_window(spark):
     """HOP SQL through the rewrite equals the native window() result."""
     from pyspark.sql import functions as F

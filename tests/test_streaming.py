@@ -343,3 +343,27 @@ def test_continuous_trigger_cumulative_ticks(spark):
     # tick 06:00 precedes the first element -> no firing; 12:00 and
     # 18:00 see slots 0-1; day-end tick (00:00 next day) sees all three
     assert got == [(12, 2, 30.0), (18, 2, 30.0), (24, 3, 60.0)]
+
+
+def test_continuous_trigger_interval_not_dividing_day(spark):
+    """interval=7h does not divide 24: the tick grid must still cover
+    the trailing hours (21:00-24:00) via a final firing AT the window
+    end — events there must not be silently dropped (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.triggers import (
+        continuous_event_time_trigger_firings)
+
+    rows = [(1, "2024-01-01 01:00:00", 1, "a", 10.0),   # slot 0
+            (2, "2024-01-01 22:00:00", 1, "a", 40.0)]   # slot 3 (>21h)
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = continuous_event_time_trigger_firings(df, interval_hours=7)
+    got = [((r.fire_at - r.w_start).total_seconds() / 3600,
+            r.n_so_far, r.sum_value_so_far)
+           for r in out.orderBy("fire_at").collect()]
+    # ticks at 7h/14h/21h see only slot 0; the final tick is capped at
+    # the 24h window end (not 28h) and includes the 22:00 event
+    assert got == [(7.0, 1, 10.0), (14.0, 1, 10.0), (21.0, 1, 10.0),
+                   (24.0, 2, 50.0)]
