@@ -141,6 +141,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bk"),
     ).select("fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
+    # singleton-bucket pruning (measured r6): most (band, key) buckets
+    # hold ONE fp and can never emit a pair, but the self-join still
+    # shuffles and probes them.  A narrow pre-aggregation (map-side
+    # partial combine, 20-byte rows) finds the multi-occupancy buckets;
+    # a semi-join (AQE broadcasts the bucket list when small) drops the
+    # singleton rows BEFORE the self-join, so the expensive stage only
+    # sees buckets that can produce candidates.  The pair set is
+    # unchanged by construction — singletons contribute nothing.
+    multi = (banded.groupBy("band", "key")
+             .agg(F.count(F.lit(1)).alias("bn"))
+             .filter(F.col("bn") > 1)
+             .select("band", "key"))
+    banded = banded.join(multi, ["band", "key"], "leftsemi")
+
     # candidate order of operations (measured at sf0.1, skewed band
     # buckets from a shared template): distinct() FIRST on the bare
     # (fp_a, fp_b) pairs — a 2.7M-row shuffle of 32-byte keys — then

@@ -560,3 +560,130 @@ def flink_sql_match_recognize_all_rows(spark, sf_dir):
         spark, _SQL_MR_ALL_TEXT,
         batch_df=t(spark, sf_dir, "events").select("event_id", "value"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# DEFINE navigation (round-6 residual closer): cross-variable LAST/FIRST
+# inside DEFINE, the reference's IterativeCondition path
+# (flink-table-planner-blink/.../codegen/MatchCodeGenerator.scala
+# navigation codegen; flink-cep/.../nfa/NFA.java:85 match buffer).
+# Strict SQL row-pattern contiguity makes the oracle exact: a match is
+# four CONSECUTIVE rows (rn .. rn+3) per user satisfying the navigated
+# comparisons, and match_no is completion order (end rn, then start rn)
+# — the same numbering match_recognize_measures emits.
+# --------------------------------------------------------------------------
+_MR_NAV_LAST_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT a.user_id, a.rn AS a_rn, c.rn AS c_rn,
+         a.value AS a_val, b1.value AS b_first, b2.value AS b_last,
+         c.value AS c_val
+  FROM o a
+  JOIN o b1 ON b1.user_id = a.user_id AND b1.rn = a.rn + 1
+  JOIN o b2 ON b2.user_id = a.user_id AND b2.rn = a.rn + 2
+  JOIN o c  ON c.user_id  = a.user_id AND c.rn  = a.rn + 3
+  WHERE a.event_type = 'click'
+    AND b1.event_type = 'view' AND b1.value > a.value
+    AND b2.event_type = 'view' AND b2.value > a.value
+    AND c.event_type = 'purchase' AND c.value < b1.value)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY c_rn, a_rn)
+            AS BIGINT) AS match_no,
+       a_val, b_first, b_last, c_val
+FROM m
+"""
+
+_SQL_MR_NAV_TEXT = """
+SELECT user_id, CAST(match_no AS BIGINT) AS match_no,
+       a_val, b_first, b_last, c_val
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(A.value) AS a_val, FIRST(B.value) AS b_first,
+           LAST(B.value) AS b_last, LAST(C.value) AS c_val,
+           MATCH_NUMBER() AS match_no
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B{2} C)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'view' AND B.value > LAST(A.value),
+         C AS event_type = 'purchase' AND C.value < FIRST(B.value)
+) AS m
+"""
+
+
+@register("flink_sql_mr_define_last_nav", _MR_NAV_LAST_ORACLE)
+def flink_sql_mr_define_last_nav(spark, sf_dir):
+    """DEFINE with cross-variable navigation: B must exceed the matched
+    A's value (LAST(A.value)), C must drop below the first B
+    (FIRST(B.value)) — evaluated per run against the NFA's bounded
+    match buffer, never precomputable as a static column."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_NAV_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# PREV physical navigation: ascending value run over consecutive
+# partition rows (SQL:2016 PREV navigates physical rows — under strict
+# row-pattern contiguity that is the previously consumed row for U>=2
+# and the S row for the first U).
+# --------------------------------------------------------------------------
+_MR_NAV_PREV_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT s.user_id, s.rn AS s_rn, u3.rn AS e_rn,
+         s.value AS s_val, u1.value AS u_first, u3.value AS u_last
+  FROM o s
+  JOIN o u1 ON u1.user_id = s.user_id AND u1.rn = s.rn + 1
+  JOIN o u2 ON u2.user_id = s.user_id AND u2.rn = s.rn + 2
+  JOIN o u3 ON u3.user_id = s.user_id AND u3.rn = s.rn + 3
+  WHERE u1.value > s.value AND u2.value > u1.value AND u3.value > u2.value)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY e_rn, s_rn)
+            AS BIGINT) AS match_no,
+       s_val, u_first, u_last
+FROM m
+"""
+
+_SQL_MR_PREV_TEXT = """
+SELECT user_id, CAST(match_no AS BIGINT) AS match_no,
+       s_val, u_first, u_last
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(S.value) AS s_val, FIRST(U.value) AS u_first,
+           LAST(U.value) AS u_last, MATCH_NUMBER() AS match_no
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (S U{3})
+  DEFINE S AS TRUE,
+         U AS U.value > PREV(U.value)
+) AS m
+"""
+
+
+@register("flink_sql_mr_prev_ascending", _MR_NAV_PREV_ORACLE)
+def flink_sql_mr_prev_ascending(spark, sf_dir):
+    """PREV physical navigation in DEFINE: a 4-row strictly ascending
+    value run per user — the per-run closure reads the previous
+    partition row tracked in the stateful operator."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_PREV_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))

@@ -25,11 +25,20 @@ the statement (projection, filters, joins around the clause) runs
 through ``spark.sql`` untouched — Catalyst still owns everything
 Catalyst can do.
 
+DEFINE predicates come in two tiers:
+- no navigation (``B AS B.value < 10``): own-variable prefix stripped,
+  evaluated as a JVM-side Spark SQL boolean column (the fast path);
+- with navigation (``B AS B.price > LAST(A.price)``, ``C AS C.v <
+  A.v``, ``U AS U.value > PREV(U.value)``): compiled by
+  ``streaming/navexpr.py`` into a per-run closure the NFA evaluates
+  against its bounded match buffer — the reference's
+  IterativeCondition path (``MatchCodeGenerator.scala`` navigation
+  codegen over ``flink-cep`` NFA state).
+
 Documented narrowings (each raises, never silently degrades):
 - one PARTITION BY column, one ORDER BY column (the event-time column);
-- DEFINE predicates may reference the current row (own-variable
-  prefix is stripped, e.g. ``B AS B.value < 10``) but not OTHER
-  pattern variables (``LAST(A.price)`` navigation inside DEFINE);
+- ``NEXT(...)`` inside DEFINE (needs lookahead; the reference rejects
+  it outside MEASURES too) and navigation over non-scalar columns;
 - MEASURES use the grammar of ``cep.py _parse_measure`` (FIRST/LAST/
   MIN/MAX/SUM/AVG/COUNT/ bare col, RUNNING/FINAL prefixes) plus
   ``MATCH_NUMBER()``.
@@ -259,25 +268,31 @@ def parse_match_recognize(query: str) -> MatchSpec:
     return spec
 
 
-_OTHER_VAR_NAV = re.compile(
-    r"\b(FIRST|LAST|PREV|NEXT)\s*\(", re.IGNORECASE)
+def _compile_define(spec: MatchSpec) -> tuple[dict[str, str], dict]:
+    """Split DEFINE into the Spark-SQL fast path and the navigation path.
 
+    A predicate WITHOUT navigation (``B AS B.value < 10``) has its
+    own-variable prefix stripped and stays a JVM-side boolean column.
+    A predicate WITH navigation — ``FIRST/LAST/PREV`` calls or a
+    qualified reference to ANOTHER pattern variable (``B AS B.price >
+    LAST(A.price)``, ``C AS C.v < A.v``) — compiles to a per-run
+    closure (``streaming/navexpr.py``) evaluated inside the NFA, the
+    reference's IterativeCondition path (``MatchCodeGenerator.scala``).
+    Returns ``(sql_define, nav)`` where nav stages' SQL bit is ``true``.
+    """
+    from flink_release_1_10_0_spark.streaming.navexpr import (
+        compile_nav_predicate, has_navigation)
 
-def _strip_self_refs(spec: MatchSpec) -> dict[str, str]:
-    """``B AS B.value < 10`` → predicate over the bare row.  Navigation
-    to OTHER variables inside DEFINE is a documented narrowing."""
-    out = {}
+    sql_define: dict[str, str] = {}
+    nav: dict = {}
+    all_vars = list(spec.define)
     for var, pred in spec.define.items():
-        if _OTHER_VAR_NAV.search(pred):
-            raise NotImplementedError(
-                "DEFINE navigation (FIRST/LAST/PREV/NEXT of another "
-                "variable) is not supported — express it as a measure")
-        for v in spec.define:
-            if v != var and re.search(rf"\b{v}\s*\.", pred):
-                raise NotImplementedError(
-                    f"DEFINE for {var!r} references variable {v!r}")
-        out[var] = re.sub(rf"\b{var}\s*\.", "", pred)
-    return out
+        if has_navigation(pred, var, all_vars):
+            nav[var] = compile_nav_predicate(pred, var, all_vars)
+            sql_define[var] = "true"
+        else:
+            sql_define[var] = re.sub(rf"\b{var}\s*\.", "", pred)
+    return sql_define, nav
 
 
 def _bounded_stream(df: DataFrame) -> DataFrame:
@@ -307,8 +322,8 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
     spec = parse_match_recognize(query)
     batch = batch_df if batch_df is not None else spark.table(spec.table)
     stream = stream_df if stream_df is not None else _bounded_stream(batch)
-    define = _strip_self_refs(spec)
-    stages = compile_match_pattern(spec.pattern, define)
+    define, nav = _compile_define(spec)
+    stages = compile_match_pattern(spec.pattern, define, nav=nav)
 
     from flink_release_1_10_0_spark.streaming.cep import _parse_after_match
     log = run_to_completion(

@@ -267,7 +267,8 @@ _PATTERN_TOKEN = __import__("re").compile(
     r"\s*([A-Za-z_]\w*)\s*(\*|\+|\?|\{\d+(?:,\d*)?\})?(\??)")
 
 
-def compile_match_pattern(pattern: str, define: dict[str, str]) -> list:
+def compile_match_pattern(pattern: str, define: dict[str, str],
+                          nav: dict | None = None) -> list:
     """Compile a MATCH_RECOGNIZE PATTERN string — ``A B+ C``,
     ``A B{2,4} C?`` is rejected only where the NFA documents a narrowing
     — into generic NFA stages (``StreamExecMatch.scala:69`` compiles the
@@ -278,6 +279,12 @@ def compile_match_pattern(pattern: str, define: dict[str, str]) -> list:
     variable kills the run); quantifiers are greedy by default, and a
     trailing ``?`` on a quantifier (``B*?``) makes it reluctant —
     exactly the SQL:2016 / reference grammar.
+
+    ``nav`` maps variables whose DEFINE uses navigation (``LAST(A.x)``
+    of another variable, ``PREV``) to compiled ``navexpr.NavPred``
+    closures; those stages carry the per-run refinement the NFA
+    evaluates like the reference's IterativeConditions
+    (``MatchCodeGenerator.scala`` navigation codegen).
     """
     from flink_release_1_10_0_spark.streaming.nfa import NfaStage
 
@@ -307,7 +314,8 @@ def compile_match_pattern(pattern: str, define: dict[str, str]) -> list:
         stages.append(NfaStage(
             pred=define[var], name=var, contiguity="strict",
             min_times=mn, max_times=mx,
-            greedy=not reluctant and not (mn == 1 and mx == 1)))
+            greedy=not reluctant and not (mn == 1 and mx == 1),
+            nav=(nav or {}).get(var)))
         pos = m.end()
     return stages
 

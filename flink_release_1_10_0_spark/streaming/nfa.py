@@ -15,7 +15,12 @@ Execution model (Spark-first):
   boolean column by ``F.expr`` *before* the stateful operator, so the
   Python loop never evaluates predicates row-at-a-time — it walks
   precomputed bit vectors (the analog of the reference's codegen'd
-  IterativeConditions).
+  IterativeConditions).  Predicates with MATCH_RECOGNIZE *navigation*
+  (``LAST(A.price)`` of another variable, ``PREV``) additionally carry
+  a compiled per-run closure (``navexpr.py``) ANDed with the SQL bit —
+  runs then track the bounded first/last values each navigation
+  references (never the event history), like the reference's
+  per-variable match buffer.
 - Per key, a list of partial-match *runs* evolves event-by-event in
   (ts, event_id) order; state is the run list (typed Arrow arrays),
   bounded by the within-window and a hard run cap — never the event
@@ -72,7 +77,15 @@ class NfaStage:
     """One pattern stage.  ``pred``/``until`` are Spark SQL boolean
     expressions over the event row (e.g. ``"event_type = 'click' AND
     value < 50"``) — or-conditions (``Pattern.where(...).or(...)``) are
-    plain SQL ``OR`` inside ``pred``."""
+    plain SQL ``OR`` inside ``pred``.
+
+    ``nav`` (a ``navexpr.NavPred``) is the per-run refinement for
+    predicates with MATCH_RECOGNIZE navigation (``LAST(A.price)`` of
+    another variable, ``PREV(...)``): the SQL ``pred`` bit is still
+    precomputed JVM-side (set it to the nav-free residual, or ``true``)
+    and the nav closure is ANDed per (event, run) inside the stateful
+    operator — the reference's IterativeCondition evaluated against the
+    match buffer (``flink-cep/.../nfa/NFA.java:85``)."""
 
     pred: str
     name: str = ""
@@ -82,6 +95,7 @@ class NfaStage:
     greedy: bool = False
     until: str | None = None         # loop stop condition
     negated: bool = False            # guard stage: consumes nothing
+    nav: Any = None                  # navexpr.NavPred | None
 
     def is_loop(self) -> bool:
         return self.max_times is None or self.max_times > 1
@@ -112,6 +126,11 @@ def _validate(stages: list[NfaStage]) -> None:
         if s.contiguity not in ("strict", "relaxed", "relaxed_nd"):
             raise ValueError(f"bad contiguity {s.contiguity!r}")
         if s.negated:
+            if s.nav is not None:
+                raise NotImplementedError(
+                    "navigation predicates on negation guards are not "
+                    "supported (guards are evaluated against every "
+                    "in-between event, not a consuming edge)")
             if s.is_loop() or s.min_times != 1 or s.until:
                 raise NotImplementedError("negation stages take no quantifier")
             if stages[i - 1].is_loop() or stages[i - 1].min_times == 0 \
@@ -161,6 +180,40 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     n = len(stages)
     within_us = None if within_minutes is None else int(within_minutes * 60_000_000)
 
+    # navigation bookkeeping (MatchCodeGenerator.scala's IterativeCondition
+    # analog): which per-run closures refine which stages, which (var, col)
+    # values each run must remember (bounded head/tail, never the event
+    # history), and how many physical rows back PREV reaches
+    nav_fns = {i: s.nav.fn for i, s in enumerate(stages) if s.nav is not None}
+    merged_tracked: dict[str, dict[str, list[int]]] = {}
+    nav_row_cols: set[str] = set()
+    prev_depth = 0
+    for s in stages:
+        if s.nav is None:
+            continue
+        nav_row_cols |= set(s.nav.row_cols)
+        prev_depth = max(prev_depth, s.nav.prev_depth)
+        for var, cols in s.nav.tracked.items():
+            for col, (nf, nl) in cols.items():
+                cur = merged_tracked.setdefault(var, {}).setdefault(
+                    col, [0, 0])
+                cur[0], cur[1] = max(cur[0], nf), max(cur[1], nl)
+    stage_var = [s.name for s in stages]
+    if nav_fns:
+        # nav values round-trip through the state store as JSON — keep
+        # them scalar (the reference's match buffer is rows; ours is the
+        # handful of navigated values)
+        from pyspark.sql.types import BooleanType, NumericType, StringType
+        by_name = {f.name: f.dataType for f in events.schema.fields}
+        for c in sorted(nav_row_cols):
+            dt = by_name.get(c)
+            if dt is None:
+                raise ValueError(f"navigation column {c!r} not in input")
+            if not isinstance(dt, (NumericType, StringType, BooleanType)):
+                raise NotImplementedError(
+                    f"navigation over column {c!r} of type {dt}: only "
+                    "numeric/string/boolean columns are supported")
+
     # JVM-side predicate evaluation: one boolean column per stage pred /
     # until condition — the Python NFA walks bit vectors only.
     tagged = events
@@ -174,8 +227,10 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     # prune before the keyed shuffle: Catalyst cannot see through the
     # Python state function, so an explicit projection is what keeps the
     # wide event payload out of the exchange — the NFA only needs the
-    # key, time, id, and the precomputed predicate bits
-    tagged = tagged.select(key, ts_col, id_col, *pred_cols)
+    # key, time, id, the precomputed predicate bits, and (nav only) the
+    # navigated value columns
+    extra_cols = sorted(nav_row_cols - {key, ts_col, id_col})
+    tagged = tagged.select(key, ts_col, id_col, *pred_cols, *extra_cols)
 
     out_schema = (f"{key} bigint, start_id bigint, end_id bigint, "
                   "start_ts timestamp, end_ts timestamp, n_events int, "
@@ -185,12 +240,16 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     # one array with per-run lengths (``r_evlen``) for reslicing.  The
     # state store then holds packed Arrow arrays — no json.dumps/loads
     # per key per micro-batch (r2 verdict #5).
+    # r_nav/prev_rows: tiny JSON blobs (a few navigated scalars per run /
+    # the last prev_depth rows), populated ONLY for navigation patterns —
+    # empty strings otherwise, so non-nav patterns pay nothing
     state_schema = ("r_stage array<int>, r_times array<int>, "
                     "r_guard array<int>, r_gstrict array<boolean>, "
                     "r_start_us array<bigint>, r_last_us array<bigint>, "
                     "r_evlen array<int>, r_evids array<bigint>, "
                     "r_evstages array<int>, r_evus array<bigint>, "
-                    "cut_us bigint, cut_id bigint")
+                    "cut_us bigint, cut_id bigint, "
+                    "r_nav array<string>, prev_rows string")
 
     # spec captured as plain tuples (tiny, serialized into the closure)
     spec = [(s.contiguity, s.min_times, s.max_times, s.greedy,
@@ -211,25 +270,57 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         return -1
 
     def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import json as _json
+        EMPTY_NAV = ({}, {})
         if state.exists:
             (r_stage, r_times, r_guard, r_gstrict, r_start, r_last,
-             r_evlen, r_evids, r_evstages, r_evus, cut_us, cut_id) = state.get
+             r_evlen, r_evids, r_evstages, r_evus, cut_us, cut_id,
+             r_nav, prev_json) = state.get
             cut = (int(cut_us), int(cut_id))
             evids, evstages, evus = list(r_evids), list(r_evstages), list(r_evus)
             runs, off = [], 0
             for i in range(len(r_stage)):
                 ln = r_evlen[i]
+                nv = EMPTY_NAV
+                if i < len(r_nav) and r_nav[i]:
+                    d = _json.loads(r_nav[i])
+                    nv = (d["v"], d["n"])
                 runs.append([int(r_stage[i]), int(r_times[i]),
                              int(r_guard[i]), bool(r_gstrict[i]),
                              int(r_start[i]), int(r_last[i]),
                              evids[off:off + ln], evstages[off:off + ln],
-                             evus[off:off + ln]])
+                             evus[off:off + ln], nv])
                 off += ln
+            prev_rows = _json.loads(prev_json) if prev_json else []
         else:
-            runs, cut = [], (-1, -1)
+            runs, cut, prev_rows = [], (-1, -1), []
         # run record (plain list): [stage, times, guard, guard_strict,
-        # start_us, last_us, ev_ids, ev_stages, ev_us]
-        S, T, G, GS, A, L, EV, ST, EU = range(9)
+        # start_us, last_us, ev_ids, ev_stages, ev_us, nav]
+        # nav = (navvals: {var: {col: [firsts, lasts]}}, navn: {var: count})
+        S, T, G, GS, A, L, EV, ST, EU, NV = range(10)
+
+        def nav_take(nv, var, rowvals):
+            """Copy-on-write nav update when an event is consumed into
+            ``var``: append the tracked columns' values (bounded head +
+            tail) and bump the per-variable count."""
+            spec_v = merged_tracked.get(var)
+            if spec_v is None:
+                return nv
+            navvals, navn = nv
+            vd = dict(navvals)
+            old = vd.get(var) or {}
+            new_cols = {}
+            for col, (nf, nl) in spec_v.items():
+                f, l = old.get(col, ([], []))
+                val = rowvals.get(col)
+                if len(f) < nf:
+                    f = list(f) + [val]
+                l = (list(l) + [val])[-nl:] if nl else list(l)
+                new_cols[col] = (f, l)
+            vd[var] = new_cols
+            nn = dict(navn)
+            nn[var] = nn.get(var, 0) + 1
+            return (vd, nn)
         matches: list[tuple] = []   # (start_us, last_us, ev_ids, ev_stages)
 
         # the after-match cut is an EVENT POSITION, (ts_us, event_id) —
@@ -262,9 +353,19 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     for i in range(n)]
             uvec = [pdf[f"__u{i}"].fillna(False).astype(bool).tolist()
                     if spec[i][HAS_UNTIL] else None for i in range(n)]
+            navcols = ({c: pdf[c].tolist() for c in nav_row_cols}
+                       if nav_fns else None)
             for r_i in range(len(ids)):
                 eid, ts_us = ids[r_i], tss[r_i]
                 m = [mvec[i][r_i] for i in range(n)]
+                rowvals = None
+                if nav_fns:
+                    rowvals = {}
+                    for c, vs in navcols.items():
+                        v = vs[r_i]
+                        if isinstance(v, float) and v != v:   # NaN -> NULL
+                            v = None
+                        rowvals[c] = v
                 new_runs: list[list] = []
                 for run in runs:
                     # skipPastLastEvent: a partial match begun at/before
@@ -296,7 +397,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             continue
                         g = guard_between(s_, nxt)
                         run = [nxt, 0, g, g >= 0 and spec[g][CONT] == "strict",
-                               run[A], run[L], run[EV], run[ST], run[EU]]
+                               run[A], run[L], run[EV], run[ST], run[EU],
+                               run[NV]]
                         s_, t_ = nxt, 0
                     # candidate stages this event could consume into:
                     # the current stage (while below max), then each next
@@ -312,7 +414,22 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             break
                         cands.append(j2)
                         j, tj = j2, 0
-                    taken = [j for j in cands if m[j]]
+                    if nav_fns:
+                        # per-run navigation refinement (IterativeCondition):
+                        # the SQL bit must be set AND the nav closure must be
+                        # TRUE (NULL/False -> the edge is not taken)
+                        taken = []
+                        for j in cands:
+                            if not m[j]:
+                                continue
+                            fnav = nav_fns.get(j)
+                            if fnav is not None and fnav(
+                                    rowvals, run[NV][0], run[NV][1],
+                                    prev_rows) is not True:
+                                continue
+                            taken.append(j)
+                    else:
+                        taken = [j for j in cands if m[j]]
                     if not taken:
                         if any(spec[j][CONT] == "strict" for j in cands):
                             continue          # strict contiguity violated
@@ -327,6 +444,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         evs2 = run[EV] + [eid]
                         sts2 = run[ST] + [j]
                         us2 = run[EU] + [ts_us]
+                        nv2 = (nav_take(run[NV], stage_var[j], rowvals)
+                               if merged_tracked else run[NV])
                         mnj, mxj = spec[j][MIN], spec[j][MAX]
                         nxt = real_next(j + 1)
                         if nxt >= n and t2 >= mnj and mxj is not None \
@@ -339,15 +458,23 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             new_runs.append(
                                 [nxt, 0, g,
                                  g >= 0 and spec[g][CONT] == "strict",
-                                 run[A], ts_us, evs2, sts2, us2])
+                                 run[A], ts_us, evs2, sts2, us2, nv2])
                         else:
                             new_runs.append([j, t2, -1, False,
-                                             run[A], ts_us, evs2, sts2, us2])
+                                             run[A], ts_us, evs2, sts2, us2,
+                                             nv2])
                     if any(spec[j][CONT] == "relaxed_nd" for j in taken):
                         new_runs.append(run)  # keep the pre-TAKE run alive
                 # a matching event always also begins a fresh run
                 # (the NFA start state is always active — NO_SKIP default)
-                if m[0] and (ts_us, eid) > cut:
+                start_ok = m[0] and (ts_us, eid) > cut
+                if start_ok and 0 in nav_fns:
+                    # fresh run: empty match buffer (own-var refs see the
+                    # current row; other-var navigation is NULL)
+                    start_ok = nav_fns[0](rowvals, {}, {}, prev_rows) is True
+                if start_ok:
+                    nv0 = (nav_take(EMPTY_NAV, stage_var[0], rowvals)
+                           if merged_tracked else EMPTY_NAV)
                     mn0, mx0 = spec[0][MIN], spec[0][MAX]
                     nxt = real_next(1)
                     if nxt >= n and mx0 == 1:
@@ -356,10 +483,15 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         g = guard_between(0, nxt)
                         new_runs.append(
                             [nxt, 0, g, g >= 0 and spec[g][CONT] == "strict",
-                             ts_us, ts_us, [eid], [0], [ts_us]])
+                             ts_us, ts_us, [eid], [0], [ts_us], nv0])
                     else:
                         new_runs.append([0, 1, -1, False,
-                                         ts_us, ts_us, [eid], [0], [ts_us]])
+                                         ts_us, ts_us, [eid], [0], [ts_us],
+                                         nv0])
+                if prev_depth:
+                    # PREV is physical: every partition row (matched or
+                    # not) becomes the next row's predecessor
+                    prev_rows = (prev_rows + [rowvals])[-prev_depth:]
                 if after_match != NO_SKIP and cut > (-1, -1):
                     new_runs = [r for r in new_runs
                                 if (r[A], r[EV][0]) > cut]
@@ -374,6 +506,9 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                 if len(runs) > MAX_RUNS_PER_KEY:
                     runs = runs[-MAX_RUNS_PER_KEY:]
 
+        nav_ser = ["" if not (r[NV][0] or r[NV][1])
+                   else _json.dumps({"v": r[NV][0], "n": r[NV][1]})
+                   for r in runs]
         state.update(([r[S] for r in runs], [r[T] for r in runs],
                       [r[G] for r in runs], [bool(r[GS]) for r in runs],
                       [r[A] for r in runs], [r[L] for r in runs],
@@ -381,7 +516,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                       [e for r in runs for e in r[EV]],
                       [s2 for r in runs for s2 in r[ST]],
                       [u for r in runs for u in r[EU]],
-                      cut[0], cut[1]))
+                      cut[0], cut[1], nav_ser,
+                      _json.dumps(prev_rows) if prev_rows else ""))
         if matches:
             yield pd.DataFrame({
                 key: [key_[0]] * len(matches),

@@ -1,0 +1,179 @@
+"""MATCH_RECOGNIZE DEFINE navigation end-to-end: cross-variable
+LAST/FIRST and physical PREV through the SQL clause + NFA stack.
+
+Reference: flink-table-planner-blink/.../codegen/MatchCodeGenerator.scala
+(navigation codegen), flink-cep/.../nfa/NFA.java:85 (match buffer)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    return df
+
+
+def _run(spark, df, sql):
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+    import tempfile
+    src = tempfile.mkdtemp(prefix="mrnav_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    return execute_match_recognize_sql(spark, sql, batch_df=df,
+                                       stream_df=stream)
+
+
+def test_cross_variable_last_in_define(spark):
+    """B AS B.value > LAST(A.value): only runs whose B exceeds the
+    matched A's value survive; C must drop below FIRST(B.value)."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 10.0),
+            (2, "2024-01-01 10:01:00", 1, "view", 15.0),   # > 10 ✓
+            (3, "2024-01-01 10:02:00", 1, "view", 20.0),   # > 10 ✓
+            (4, "2024-01-01 10:03:00", 1, "purchase", 12.0),  # < 15 ✓
+            # second candidate start: A=20-click, B=5 fails nav
+            (5, "2024-01-01 10:04:00", 1, "click", 20.0),
+            (6, "2024-01-01 10:05:00", 1, "view", 5.0),
+            (7, "2024-01-01 10:06:00", 1, "view", 6.0),
+            (8, "2024-01-01 10:07:00", 1, "purchase", 1.0)]
+    df = _events(spark, rows)
+    out = _run(spark, df, """
+        SELECT user_id, a_val, b_first, b_last, c_val
+        FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.value) AS a_val, FIRST(B.value) AS b_first,
+                   LAST(B.value) AS b_last, LAST(C.value) AS c_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B{2} C)
+          DEFINE A AS event_type = 'click',
+                 B AS event_type = 'view' AND B.value > LAST(A.value),
+                 C AS event_type = 'purchase' AND C.value < FIRST(B.value)
+        )""").collect()
+    assert [(r.user_id, r.a_val, r.b_first, r.b_last, r.c_val)
+            for r in out] == [(1, 10.0, 15.0, 20.0, 12.0)]
+
+
+def test_bare_other_variable_reference_is_last(spark):
+    """SQL:2016 sugar: C AS C.value > A.value means LAST(A.value)."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 10.0),
+            (2, "2024-01-01 10:01:00", 1, "view", 3.0),
+            (3, "2024-01-01 10:02:00", 1, "purchase", 11.0),  # > 10 ✓
+            (4, "2024-01-01 10:03:00", 1, "click", 50.0),
+            (5, "2024-01-01 10:04:00", 1, "view", 3.0),
+            (6, "2024-01-01 10:05:00", 1, "purchase", 20.0)]  # < 50 ✗
+    df = _events(spark, rows)
+    out = _run(spark, df, """
+        SELECT user_id, a_val, c_val
+        FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.value) AS a_val, LAST(C.value) AS c_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B C)
+          DEFINE A AS event_type = 'click',
+                 B AS event_type = 'view',
+                 C AS event_type = 'purchase' AND C.value > A.value
+        )""").collect()
+    assert [(r.user_id, r.a_val, r.c_val) for r in out] == [(1, 10.0, 11.0)]
+
+
+def test_prev_physical_ascending_run(spark):
+    """U AS U.value > PREV(U.value): three consecutive ascending steps
+    — PREV navigates PHYSICAL partition rows (here contiguity is strict
+    so physical prev == the previously consumed row)."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "x", 5.0),
+            (2, "2024-01-01 10:01:00", 1, "x", 6.0),
+            (3, "2024-01-01 10:02:00", 1, "x", 7.0),
+            (4, "2024-01-01 10:03:00", 1, "x", 8.0),   # S=1 U=2,3,4 ✓
+            (5, "2024-01-01 10:04:00", 1, "x", 2.0),   # breaks the run
+            (6, "2024-01-01 10:05:00", 1, "x", 3.0)]
+    df = _events(spark, rows)
+    out = _run(spark, df, """
+        SELECT user_id, s_val, u_last
+        FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(S.value) AS s_val, LAST(U.value) AS u_last
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (S U{3})
+          DEFINE S AS TRUE,
+                 U AS U.value > PREV(U.value)
+        )""").orderBy("s_val").collect()
+    assert [(r.user_id, r.s_val, r.u_last) for r in out] == [(1, 5.0, 8.0)]
+
+
+def test_own_variable_last_offset_descending(spark):
+    """Flink's canonical shape: LAST(D.value, 1) IS NULL OR D.value <
+    LAST(D.value, 1) — each D must be below the previous D."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "start", 100.0),
+            (2, "2024-01-01 10:01:00", 1, "x", 90.0),
+            (3, "2024-01-01 10:02:00", 1, "x", 80.0),
+            (4, "2024-01-01 10:03:00", 1, "x", 85.0),   # not < 80 -> kills
+            (5, "2024-01-01 10:04:00", 1, "start", 50.0),
+            (6, "2024-01-01 10:05:00", 1, "x", 40.0),
+            (7, "2024-01-01 10:06:00", 1, "x", 30.0)]
+    df = _events(spark, rows)
+    out = _run(spark, df, """
+        SELECT user_id, strt, d_last
+        FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(STRT.value) AS strt, LAST(D.value) AS d_last
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT D{2})
+          DEFINE STRT AS event_type = 'start',
+                 D AS event_type = 'x' AND (LAST(D.value, 1) IS NULL
+                      OR D.value < LAST(D.value, 1))
+        )""").orderBy("strt").collect()
+    assert [(r.user_id, r.strt, r.d_last) for r in out] == [
+        (1, 50.0, 30.0), (1, 100.0, 80.0)]
+
+
+def test_nav_state_survives_microbatches(spark):
+    """The per-run match buffer round-trips through the state store:
+    feed the same pattern through MULTIPLE micro-batches (one file per
+    event) and require the identical match set."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 10.0),
+            (2, "2024-01-01 10:01:00", 1, "view", 15.0),
+            (3, "2024-01-01 10:02:00", 1, "view", 20.0),
+            (4, "2024-01-01 10:03:00", 1, "purchase", 12.0)]
+    df = _events(spark, rows)
+    src = tempfile.mkdtemp(prefix="mrnav_mb_")
+    # one parquet file per event => maxFilesPerTrigger=1 gives one
+    # micro-batch per event, forcing nav state through serialization
+    for i, _ in enumerate(rows):
+        df.filter(F.col("event_id") == i + 1).coalesce(1) \
+          .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = execute_match_recognize_sql(spark, """
+        SELECT user_id, a_val, b_last, c_val
+        FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.value) AS a_val, LAST(B.value) AS b_last,
+                   LAST(C.value) AS c_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B{2} C)
+          DEFINE A AS event_type = 'click',
+                 B AS event_type = 'view' AND B.value > LAST(A.value),
+                 C AS event_type = 'purchase' AND C.value < FIRST(B.value)
+        )""", batch_df=df, stream_df=stream).collect()
+    assert [(r.user_id, r.a_val, r.b_last, r.c_val) for r in out] == [
+        (1, 10.0, 20.0, 12.0)]

@@ -127,12 +127,13 @@ def test_match_recognize_sql_through_table_environment(spark):
 
 
 def test_match_recognize_sql_narrowings_raise():
-    """Documented narrowings fail loudly: cross-variable DEFINE
-    navigation and multi-column PARTITION BY."""
+    """Documented narrowings fail loudly: NEXT in DEFINE and
+    multi-column PARTITION BY.  Cross-variable LAST/FIRST/PREV
+    navigation is SUPPORTED (compiled to a per-run closure)."""
     import pytest
 
     from flink_release_1_10_0_spark.sql_match import (
-        MatchSpec, _strip_self_refs, parse_match_recognize)
+        MatchSpec, _compile_define, parse_match_recognize)
 
     q = """SELECT * FROM t MATCH_RECOGNIZE (
         PARTITION BY k, k2 ORDER BY ts
@@ -141,7 +142,15 @@ def test_match_recognize_sql_narrowings_raise():
         parse_match_recognize(q)
 
     spec = MatchSpec(table="t", partition_by="k", order_by="ts",
-                     define={"A": "x > 0", "B": "value > LAST(A.value)"},
+                     define={"A": "x > 0", "B": "value > NEXT(A.value)"},
                      pattern="A B")
     with pytest.raises(NotImplementedError):
-        _strip_self_refs(spec)
+        _compile_define(spec)
+
+    # cross-variable navigation compiles to the nav tier
+    spec2 = MatchSpec(table="t", partition_by="k", order_by="ts",
+                      define={"A": "x > 0", "B": "value > LAST(A.value)"},
+                      pattern="A B")
+    sql_define, nav = _compile_define(spec2)
+    assert sql_define == {"A": "x > 0", "B": "true"}
+    assert set(nav) == {"B"} and nav["B"].tracked == {"A": {"value": [0, 1]}}
