@@ -113,8 +113,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
          .select(F.col(id_col),
                  F.expr("array_sort(array_distinct(words))").alias("ws"))
          .withColumn("fp", F.expr(hash128_expr("concat_ws(' ', ws)", method))))
-    members = d.select("fp", F.col(id_col))
-    uniq = (d.groupBy("fp").agg(F.first("ws").alias("ws"))
+    # ONE aggregation carries both the unique word-sets and the cluster
+    # membership: every downstream branch (signatures, word hashes,
+    # member expansion) hangs off this exchange, so the corpus scan +
+    # per-doc fingerprint md5 run ONCE and Spark reuses the shuffle
+    # (ReusedExchange) instead of re-reading the text for each branch
+    # (measured r6: the members/uniq split re-scanned the corpus).
+    clusters = (d.groupBy("fp")
+                .agg(F.first("ws").alias("ws"),
+                     F.collect_list(id_col).alias("ids")))
+    members = clusters.select("fp", F.explode("ids").alias(id_col))
+    uniq = (clusters.drop("ids")
             .withColumn("wh", F.expr(
                 f"array_distinct(transform(ws, w -> {hash64_expr('w', method)}))")))
 
@@ -125,62 +134,81 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             F.expr(f"array_min(transform(ws, w -> {salted}))").alias(f"m{i}"))
     sigs = uniq.select("fp", *sig_cols)
 
-    band_exprs = []
+    band_keys = []
     for b in range(n_bands):
         ms = [f"m{b * band_rows + r}" for r in range(band_rows)]
         if method == "xxhash64":
             # multi-arg native hash of the band's signature slice
-            band_key = f"xxhash64({b}L, {', '.join(ms)})"
+            band_keys.append(f"xxhash64({b}L, {', '.join(ms)})")
         else:
             cols = "||'_'||".join(f"cast({m} as string)" for m in ms)
-            band_key = hash64_expr(f"md5({cols})")
-        band_exprs.append(
-            f"named_struct('band', {b}, 'key', {band_key})")
-    banded = sigs.select(
-        "fp",
-        F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bk"),
-    ).select("fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+            band_keys.append(hash64_expr(f"md5({cols})"))
+    keyed = sigs.select(
+        "fp", *[F.expr(kx).alias(f"bk{b}") for b, kx in enumerate(band_keys)])
+    # materialize once: ``keyed`` is consumed 2x per band (bucket-size
+    # aggregation + join probe), and each consumer would re-evaluate the
+    # k-permutation signature hashes over every word (the md5 path's
+    # dominant CPU, measured r6).  The frame is narrow and bounded —
+    # |unique word-sets| rows x (16-byte fp + n_bands bigints), no text,
+    # no arrays — so executor-local materialization is cheap at any
+    # scale and deletes 3 of the 4 signature evaluations.
+    keyed = keyed.localCheckpoint()
 
-    # singleton-bucket pruning (measured r6): most (band, key) buckets
-    # hold ONE fp and can never emit a pair, but the self-join still
-    # shuffles and probes them.  A narrow pre-aggregation (map-side
-    # partial combine, 20-byte rows) finds the multi-occupancy buckets;
-    # a semi-join (AQE broadcasts the bucket list when small) drops the
-    # singleton rows BEFORE the self-join, so the expensive stage only
-    # sees buckets that can produce candidates.  The pair set is
-    # unchanged by construction — singletons contribute nothing.
-    multi = (banded.groupBy("band", "key")
-             .agg(F.count(F.lit(1)).alias("bn"))
-             .filter(F.col("bn") > 1)
-             .select("band", "key"))
-    banded = banded.join(multi, ["band", "key"], "leftsemi")
+    # candidate generation (measured r6, replacing explode + self-join +
+    # distinct): one self-join PER BAND with the classic first-matching-
+    # band emission rule — band b emits a pair only when no EARLIER band
+    # key also matched (null-safe inequality), so the union is
+    # duplicate-free BY CONSTRUCTION and the 2.4M-row distinct() shuffle
+    # disappears (the dominant candidate-stage cost at sf0.1).  Each
+    # band join is also pruned to multi-occupancy buckets first: a
+    # narrow count aggregation finds keys held by >1 word-set and a
+    # semi-join drops singleton rows BEFORE the join — most buckets
+    # cannot emit a pair and never reach the expensive stage.
+    parts = []
+    for b in range(n_bands):
+        multi = (keyed.groupBy(f"bk{b}")
+                 .agg(F.count(F.lit(1)).alias("bn"))
+                 .filter(F.col("bn") > 1)
+                 .select(f"bk{b}"))
+        pruned = keyed.join(multi, [f"bk{b}"], "leftsemi")
+        a = pruned.alias("a")
+        bb = pruned.alias("b")
+        cond = ((F.col(f"a.bk{b}") == F.col(f"b.bk{b}"))
+                & (F.col("a.fp") < F.col("b.fp")))
+        for j in range(b):
+            # null-safe: a null earlier key never matched, so it must
+            # not suppress emission here
+            cond = cond & ~F.col(f"a.bk{j}").eqNullSafe(F.col(f"b.bk{j}"))
+        parts.append(a.join(bb, cond)
+                     .select(F.col("a.fp").alias("fp_a"),
+                             F.col("b.fp").alias("fp_b")))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
 
-    # candidate order of operations (measured at sf0.1, skewed band
-    # buckets from a shared template): distinct() FIRST on the bare
-    # (fp_a, fp_b) pairs — a 2.7M-row shuffle of 32-byte keys — then
-    # attach the word-hash arrays via two joins AQE turns into
-    # broadcasts (the unique-word-set frame is tiny relative to the
-    # pair stream).  Computing Jaccard inline in the bucket join
-    # instead (arrays carried through banding, no distinct) was ~35%
-    # SLOWER: it pays the array intersect on every pre-distinct pair
-    # and gives up the broadcast-side pruning.
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.fp") < F.col("b.fp")))
-             .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
-             .distinct())
-
-    wh = uniq.select("fp", "wh")
-    ver = (cand.join(wh.select(F.col("fp").alias("fp_a"), F.col("wh").alias("wh_a")), "fp_a")
-               .join(wh.select(F.col("fp").alias("fp_b"), F.col("wh").alias("wh_b")), "fp_b")
-               # wh are distinct sets: |union| = |a| + |b| - |intersect|;
-               # the intersect is computed ONCE in its own projection
-               # (no CSE across expression copies otherwise)
+    wh = uniq.select("fp", "wh", F.expr("size(wh)").alias("nw"))
+    # verification (measured r6, 2.4M candidate pairs at sf0.1):
+    # 1. size prefilter — J >= t forces min(|a|,|b|) >= t*max(|a|,|b|),
+    #    an exact implication checked on two ints before any intersect;
+    # 2. the `+ cast(rand()*0 as int)` marker (always adds zero) makes
+    #    ``ni`` nondeterministic so Catalyst can NEITHER push the
+    #    jaccard filter into the join condition NOR collapse the
+    #    projection — without it the filter lands in the join and
+    #    evaluates array_intersect TWICE per pair (12.8s -> 7.5s for
+    #    this stage with the barrier; the pushed-in variant re-measured
+    #    SLOWER than no prefilter at all).
+    ver = (cand.join(wh.select(F.col("fp").alias("fp_a"),
+                               F.col("wh").alias("wh_a"),
+                               F.col("nw").alias("nw_a")), "fp_a")
+               .join(wh.select(F.col("fp").alias("fp_b"),
+                               F.col("wh").alias("wh_b"),
+                               F.col("nw").alias("nw_b")), "fp_b")
+               .filter(f"least(nw_a, nw_b) >= {threshold} * greatest(nw_a, nw_b)")
+               # wh are distinct sets: |union| = |a| + |b| - |intersect|
                .select("fp_a", "fp_b",
-                       F.expr("size(array_intersect(wh_a, wh_b))").alias("ni"),
-                       F.expr("size(wh_a) + size(wh_b)").alias("ns"))
+                       F.expr("size(array_intersect(wh_a, wh_b)) "
+                              "+ cast(rand()*0 as int)").alias("ni"),
+                       F.expr("nw_a + nw_b").alias("ns"))
                .withColumn("jaccard",
                            F.expr("round(ni / cast(ns - ni as double), 6)"))
                .filter(F.col("jaccard") >= threshold)
