@@ -212,26 +212,33 @@ def kmeans_fit_predict(embeddings: DataFrame, k: int = 4,
       summation order leaks between engines.
 
     Scale: each iteration is one broadcast of the k×dim codebook (a few
-    KB) + a map-side assignment + one (cid, pos)-keyed aggregation —
-    the canonical parallel Lloyd's step; nothing driver-side but the
-    loop counter.  Returns (id, cid, dist_r) for every vector.
+    KB) + a PURE MAP-SIDE assignment + one (cid, pos)-keyed aggregation
+    — the canonical parallel Lloyd's step with exactly ONE shuffle per
+    iteration (the centroid update); nothing driver-side but the loop
+    counter.  Returns (id, cid, dist_r) for every vector.
     """
     dim_probe = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
 
     def assign(df, cents):
-        j = df.crossJoin(F.broadcast(cents))
-        sq = F.expr(
-            f"aggregate(zip_with({vec_col}, cvec, (x, c) -> "
-            "(cast(x as double) - c) * (cast(x as double) - c)), "
-            "cast(0.0 as double), (acc, v) -> acc + v)")
-        scored = j.select(F.col(id_col), F.col(vec_col),
-                          F.col("cid"), sq.alias("sqdist"))
-        best = (scored.groupBy(id_col)
-                .agg(F.min(F.struct("sqdist", "cid")).alias("b")))
-        return (scored.join(best, id_col)
-                .filter((F.col("sqdist") == F.col("b.sqdist"))
-                        & (F.col("cid") == F.col("b.cid")))
-                .select(id_col, vec_col, "cid", "sqdist"))
+        # collapse the codebook to ONE broadcast row holding the k
+        # (cid, cvec) structs; the argmin is then array_min over a
+        # transform — per-row, no row multiplication, no shuffle.
+        # (r5 verdict: the previous N×k scored frame + groupBy + join-
+        # back paid an avoidable full-corpus shuffle per iteration.)
+        # array_min on struct(sqdist, cid) is lexicographic — ties
+        # break on the smaller cid, the documented determinism contract.
+        cbook = cents.agg(
+            F.expr("array_sort(collect_list(struct(cid, cvec)))")
+            .alias("cbook"))
+        sq = (f"aggregate(zip_with({vec_col}, cb.cvec, (x, c) -> "
+              "(cast(x as double) - c) * (cast(x as double) - c)), "
+              "cast(0.0 as double), (acc, v) -> acc + v)")
+        best = (f"array_min(transform(cbook, cb -> "
+                f"named_struct('sqdist', {sq}, 'cid', cb.cid)))")
+        return (df.crossJoin(F.broadcast(cbook))
+                .withColumn("b", F.expr(best))
+                .select(id_col, vec_col, F.col("b.cid").alias("cid"),
+                        F.col("b.sqdist").alias("sqdist")))
 
     # init: smallest-k ids, cid by id order
     from pyspark.sql import Window
