@@ -687,3 +687,59 @@ def flink_sql_mr_prev_ascending(spark, sf_dir):
         spark, _SQL_MR_PREV_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE + group window in ONE statement (round-6 routing fix):
+# the clause is excised onto the NFA stack and the OUTER remainder —
+# a Flink TUMBLE group window over the match output — goes through
+# rewrite_group_windows before Catalyst runs it.  Reference: the
+# planner composes StreamExecMatch with StreamExecGroupWindowAggregate
+# in one pipeline (flink-table-planner-blink physical/stream/).
+# --------------------------------------------------------------------------
+_MR_TUMBLE_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT a.user_id, b.ts AS m_end, b.value AS b_val
+  FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  WHERE a.event_type = 'click' AND b.event_type = 'purchase')
+SELECT user_id, CAST(date_trunc('day', m_end) AS TIMESTAMP) AS d,
+       COUNT(*) AS n_matches,
+       CAST(SUM(CAST(b_val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM m GROUP BY 1, 2
+"""
+
+_SQL_MR_TUMBLE_TEXT = """
+SELECT user_id, TUMBLE_START(m_end, INTERVAL '1' DAY) AS d,
+       COUNT(*) AS n_matches,
+       CAST(SUM(CAST(b_val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES LAST(B.ts) AS m_end, LAST(B.value) AS b_val
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'purchase'
+) AS m
+GROUP BY user_id, TUMBLE(m_end, INTERVAL '1' DAY)
+"""
+
+
+@register("flink_sql_mr_tumble_outer", _MR_TUMBLE_ORACLE)
+def flink_sql_mr_tumble_outer(spark, sf_dir):
+    """Row-pattern matches rolled into a tumbling day window in the
+    same SQL statement — the outer group window is rewritten
+    (sql_windows.py) around the excised clause."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_TUMBLE_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))

@@ -1258,3 +1258,57 @@ def stream_count_evictor_window(spark, sf_dir):
                  F.sum(F.col("value").cast(MONEY)).cast("double")
                  .alias("sum_kept"),
                  F.max("ts").alias("last_ts")))
+
+
+# --------------------------------------------------------------------------
+# Checkpoint-resume exactly-once round trip (CheckpointCoordinator /
+# FsStateBackend analog: flink-runtime/.../checkpoint/
+# CheckpointCoordinator.java, StreamingFileSink.java:98 commit
+# protocol).  The source directory is fed in TWO waves; the SAME
+# checkpointed query runs once per wave (availableNow).  The second run
+# must RESUME from the committed file offsets — reprocessing nothing,
+# missing nothing — so the read-back aggregate equals the batch oracle
+# over the full table exactly.  This upgrades the §2.9 checkpointing
+# row from pytest-only contract evidence to an oracle-gated query.
+# --------------------------------------------------------------------------
+_CKPT_RESUME_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_checkpoint_resume_roundtrip", _CKPT_RESUME_ORACLE)
+def stream_checkpoint_resume_roundtrip(spark, sf_dir):
+    import tempfile
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="ckpt_rt_src_")
+    out = tempfile.mkdtemp(prefix="ckpt_rt_out_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rt_ckpt_")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+
+    def run_wave():
+        sdf = (spark.readStream.schema(ev.schema).parquet(src))
+        q = (sdf.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # wave 1: first half of the ids; wave 2 adds the rest — the resumed
+    # run sees the checkpoint's committed offsets and processes ONLY the
+    # new files (exactly-once despite the restart)
+    ev.filter(F.col("event_id") <= mid).write.mode("append").parquet(src)
+    run_wave()
+    ev.filter(F.col("event_id") > mid).write.mode("append").parquet(src)
+    run_wave()
+
+    back = spark.read.parquet(out)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("event_id").alias("id_sum"),
+                 F.sum(F.col("value").cast(MONEY)).cast("double")
+                 .alias("sum_value")))

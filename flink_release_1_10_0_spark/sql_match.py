@@ -297,7 +297,16 @@ def _compile_define(spec: MatchSpec) -> tuple[dict[str, str], dict]:
 
 def _bounded_stream(df: DataFrame) -> DataFrame:
     """Replay a bounded table as a micro-stream (one ordered part file —
-    the NFA's event-time-ordered arrival contract)."""
+    the NFA's event-time-ordered arrival contract).
+
+    SCALE CONTRACT: this is the bounded VERIFY harness only — the
+    ``coalesce(1)`` funnels the whole input through one task to
+    guarantee globally ordered arrival, which is exactly right for
+    oracle replays and exactly wrong for large inputs.  Production
+    callers must pass ``stream_df`` to
+    :func:`execute_match_recognize_sql` (a real keyed stream — Kafka,
+    file-monitor, rate source); the NFA itself partitions by key and
+    scales, only this replay helper is single-task."""
     spark = df.sparkSession
     src = tempfile.mkdtemp(prefix=f"sqlmatch_src_{next(_counter)}_")
     df.coalesce(1).write.mode("append").parquet(src)

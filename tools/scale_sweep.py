@@ -38,15 +38,23 @@ from flink_release_1_10_0_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
+# (head, expected bound at 10x facts) — the bound is what the md table
+# prints so super-linear tripwires are judged against the right slope
 HEADS = [
-    "tpch_q1_pricing_summary",      # scan-heavy agg
-    "tpch_q3_shipping_priority",    # fact-fact join
-    "tpch_q18_large_volume_customer",  # agg + semi join
-    "tpcds_q_multi_fact_star",      # two pre-aggregated facts
-    "minhash_lsh_dup_pairs_xxh",    # LSH dedup (the heavy head)
-    "text_repetition_stats",        # explode + two-level agg
-    "dedup_segment_boilerplate",    # segment freq join-back (round 5)
-    "dedup_scrub_boilerplate",      # freq join-back + per-doc reassembly
+    ("tpch_q1_pricing_summary", "linear"),       # scan-heavy agg
+    ("tpch_q3_shipping_priority", "linear"),     # fact-fact join
+    ("tpch_q18_large_volume_customer", "linear"),  # agg + semi join
+    ("tpcds_q_multi_fact_star", "linear"),       # two pre-aggregated facts
+    ("minhash_lsh_dup_pairs_xxh", "linear"),     # LSH dedup (heavy head)
+    ("text_repetition_stats", "linear"),         # explode + two-level agg
+    ("dedup_segment_boilerplate", "linear"),     # segment freq join-back
+    ("dedup_scrub_boilerplate", "linear"),       # freq join-back + reassembly
+    # stateful/iterative families (round-6 ask): the applyInPandasWithState
+    # operators are where super-linear per-key state blowups would hide —
+    # the sf1 events tier multiplies the KEY COUNT 10x (user_id offset per
+    # copy) with per-key depth unchanged, the keyed-state linear regime
+    ("cep_nfa_four_stage", "linear (keyed NFA, runs/key bounded)"),
+    ("stream_topn_per_key", "linear (keyed heap state, n=3 per key)"),
 ]
 
 
@@ -81,11 +89,51 @@ def build_sf1(spark, base: str) -> str:
        .drop("copy")
        .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
 
+    # events: 10x the KEY COUNT (user_id offset per copy), per-key event
+    # depth unchanged — the linear regime for keyed state (NFA runs,
+    # top-n heaps, window panes are all per-key)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    (ev.crossJoin(copies)
+       .withColumn("event_id", F.col("event_id") + F.col("copy") * OFF)
+       .withColumn("user_id", F.col("user_id") + F.col("copy") * 1_000_000)
+       .drop("copy")
+       .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+
     for tbl in ["customer", "supplier", "part", "nation", "region",
-                "events", "embeddings"]:
+                "embeddings"]:
         spark.read.parquet(f"{SRC}/{tbl}.parquet") \
              .write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
     return out
+
+
+def time_cc(spark, tier_dir: str, replicate: bool) -> float:
+    """graph_connected_components at each tier.  CC is pointer-doubling:
+    O(E) work per round, O(log diameter) rounds.  The sf1 tier
+    replicates the sf0.1 edge set 10x with per-copy vertex offsets —
+    10x disjoint copies of the SAME component structure, so the
+    diameter (and the round count) is unchanged and the expected
+    scaling is linear.  (The registered query's edge derivation
+    dedups to the same graph at any fact scale — dimensions are fixed
+    — so the operator is timed on the replicated edges directly.)"""
+    from flink_release_1_10_0_spark.operators.graph import connected_components
+    from flink_release_1_10_0_spark.queries.extended import _cust_supp_edges
+
+    edges = _cust_supp_edges(spark, SRC if replicate else tier_dir, 12)
+    if replicate:
+        copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+        edges = (edges.crossJoin(copies)
+                 .select((F.col("src") + F.col("copy") * 1_000_000).alias("src"),
+                         (F.col("dst") + F.col("copy") * 1_000_000).alias("dst")))
+    edges = edges.localCheckpoint()   # time the operator, not the edge build
+
+    def run():
+        connected_components(edges).write.format("noop") \
+            .mode("overwrite").save()
+    run()  # warm
+    t0 = time.perf_counter()
+    run()
+    return round(time.perf_counter() - t0, 3)
 
 
 def time_head(spark, qs, name, sf_dir) -> float:
@@ -107,38 +155,51 @@ def main():
 
     tiers = [("sf0.01", "/root/testdata/sf0.01"),
              ("sf0.1", SRC), ("sf1 (synth)", sf1)]
-    results: dict[str, dict[str, float]] = {n: {} for n in HEADS}
+    results: dict[str, dict[str, float]] = {n: {} for n, _ in HEADS}
+    bounds = dict(HEADS)
     for tier_name, tier_dir in tiers:
-        for name in HEADS:
+        for name, _bound in HEADS:
             if name not in qs:
                 continue
             secs = time_head(spark, qs, name, tier_dir)
             results[name][tier_name] = secs
             print(f"{tier_name:12s} {name:34s} {secs:8.3f}s", flush=True)
 
+    cc_name = "graph_connected_components (operator)"
+    bounds[cc_name] = "n·log(diameter); diameter fixed -> linear"
+    results[cc_name] = {}
+    for tier_name, tier_dir in tiers:
+        secs = time_cc(spark, tier_dir, replicate=tier_name.startswith("sf1"))
+        results[cc_name][tier_name] = secs
+        print(f"{tier_name:12s} {cc_name:34s} {secs:8.3f}s", flush=True)
+
     lines = [
         "# Scale sweep",
         "",
         "Second (warmed) run per head per tier; the sf1 tier is sf0.1",
         "facts replicated 10x with offset keys (dimensions fixed — see",
-        "tools/scale_sweep.py for the construction and why).",
+        "tools/scale_sweep.py for the construction and why).  The",
+        "stateful heads (NFA, top-n, CC) scale by KEY COUNT with per-key",
+        "depth/diameter fixed — the keyed-state linear regime; their",
+        "expected bound is stated per head.",
         "",
-        "| head | sf0.01 | sf0.1 | sf1 (synth) | sf0.1→sf1 ratio |",
-        "|---|---|---|---|---|",
+        "| head | expected | sf0.01 | sf0.1 | sf1 (synth) | sf0.1→sf1 ratio |",
+        "|---|---|---|---|---|---|",
     ]
-    for name in HEADS:
+    for name in results:
         r = results[name]
         if not r:
             continue
         ratio = (r["sf1 (synth)"] / r["sf0.1"]) if r.get("sf0.1") else float("nan")
         lines.append(
-            f"| {name} | {r.get('sf0.01', '')} | {r.get('sf0.1', '')} "
+            f"| {name} | {bounds[name]} | {r.get('sf0.01', '')} "
+            f"| {r.get('sf0.1', '')} "
             f"| {r.get('sf1 (synth)', '')} | {ratio:.1f}x |")
     lines += [
         "",
         "A plan linear in fact size shows ≈10x (minus fixed overhead",
         "amortized at the small end). Super-linear growth would flag an",
-        "all-pairs/unpartitioned construct.",
+        "all-pairs/unpartitioned construct or per-key state blowup.",
     ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
