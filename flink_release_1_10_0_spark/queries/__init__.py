@@ -111,6 +111,11 @@ _PIN = [
     "tpcds_q_channel_overlap_matrix", "tpcds_q_except_count",
     "tpcds_q_rank_within_rollup_level", "tpcds_q_weekly_yoy_ratio",
     "minhash_lsh_dup_pairs_xxh",
+    # ---- NEW in round 6 (oracle-green locally at sf0.001 + sf0.01):
+    #      MR DEFINE navigation x2, MR+TUMBLE one-statement, checkpoint
+    #      resume — they complete round 7's 50-window (28 + these) ----
+    "flink_sql_mr_define_last_nav", "flink_sql_mr_prev_ascending",
+    "flink_sql_mr_tumble_outer", "stream_checkpoint_resume_roundtrip",
 ]
 # Families behind the pins, ranked by how little driver evidence they have
 # (windows/llm/extended lead; streaming/tpch already fully proven r1-r3).

@@ -34,10 +34,16 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    # FileStreamSource needs a directory; select just this table's file
-    sdf = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", f"{name}.parquet")
-           .parquet(sf_dir))
+    if os.path.isdir(path):
+        # table stored as a directory of part files (e.g. the scale
+        # sweep's synthesized tiers): stream the directory itself
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        # FileStreamSource needs a directory; select just this table's
+        # single file out of the testdata dir
+        sdf = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", f"{name}.parquet")
+               .parquet(sf_dir))
     if name == "events":
         sdf = normalize_event_time(sdf)
     return sdf

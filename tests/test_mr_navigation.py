@@ -139,6 +139,41 @@ def test_own_variable_last_offset_descending(spark):
         (1, 50.0, 30.0), (1, 100.0, 80.0)]
 
 
+def test_prev_rows_survive_microbatches(spark):
+    """PREV navigates PHYSICAL rows across micro-batch boundaries: the
+    last-rows buffer must round-trip through the state store so an
+    ascending step spanning two batches still matches."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    rows = [(1, "2024-01-01 10:00:00", 1, "x", 5.0),
+            (2, "2024-01-01 10:01:00", 1, "x", 6.0),
+            (3, "2024-01-01 10:02:00", 1, "x", 7.0),
+            (4, "2024-01-01 10:03:00", 1, "x", 8.0)]
+    df = _events(spark, rows)
+    src = tempfile.mkdtemp(prefix="mrnav_prev_mb_")
+    for i, _ in enumerate(rows):
+        df.filter(F.col("event_id") == i + 1).coalesce(1) \
+          .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = execute_match_recognize_sql(spark, """
+        SELECT user_id, s_val, u_last
+        FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(S.value) AS s_val, LAST(U.value) AS u_last
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (S U{3})
+          DEFINE S AS TRUE,
+                 U AS U.value > PREV(U.value)
+        )""", batch_df=df, stream_df=stream).collect()
+    assert [(r.user_id, r.s_val, r.u_last) for r in out] == [(1, 5.0, 8.0)]
+
+
 def test_nav_state_survives_microbatches(spark):
     """The per-run match buffer round-trips through the state store:
     feed the same pattern through MULTIPLE micro-batches (one file per
