@@ -743,3 +743,68 @@ def flink_sql_mr_tumble_outer(spark, sf_dir):
         spark, _SQL_MR_TUMBLE_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# ALL ROWS PER MATCH over a navigated DEFINE: every consumed row of the
+# nav-matched window is emitted with CLASSIFIER()/MATCH_NUMBER() plus a
+# FINAL measure — navigation decides membership, the measures
+# projection then works off the match log exactly as for static
+# predicates (MatchCodeGenerator.scala ALL ROWS output mode).
+# --------------------------------------------------------------------------
+_MR_NAV_ALL_ROWS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT a.user_id, a.rn AS a_rn, c.rn AS c_rn, b1.value AS b_first
+  FROM o a
+  JOIN o b1 ON b1.user_id = a.user_id AND b1.rn = a.rn + 1
+  JOIN o b2 ON b2.user_id = a.user_id AND b2.rn = a.rn + 2
+  JOIN o c  ON c.user_id  = a.user_id AND c.rn  = a.rn + 3
+  WHERE a.event_type = 'click'
+    AND b1.event_type = 'view' AND b1.value > a.value
+    AND b2.event_type = 'view' AND b2.value > a.value
+    AND c.event_type = 'purchase' AND c.value < b1.value),
+mm AS (
+  SELECT user_id, a_rn, c_rn, b_first,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY c_rn, a_rn)
+              AS BIGINT) AS match_no
+  FROM m)
+SELECT mm.user_id, mm.match_no, CAST(e.rn - mm.a_rn AS BIGINT) AS pos,
+       e.event_id,
+       CASE WHEN e.rn = mm.a_rn THEN 'A'
+            WHEN e.rn = mm.c_rn THEN 'C' ELSE 'B' END AS classifier,
+       mm.b_first
+FROM mm JOIN o e
+  ON e.user_id = mm.user_id AND e.rn BETWEEN mm.a_rn AND mm.c_rn
+"""
+
+_SQL_MR_NAV_ALL_TEXT = """
+SELECT user_id, CAST(match_no AS BIGINT) AS match_no,
+       CAST(pos AS BIGINT) AS pos, event_id, classifier, b_first
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(B.value) AS b_first, MATCH_NUMBER() AS match_no
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B{2} C)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'view' AND B.value > LAST(A.value),
+         C AS event_type = 'purchase' AND C.value < FIRST(B.value)
+) AS m
+"""
+
+
+@register("flink_sql_mr_nav_all_rows", _MR_NAV_ALL_ROWS_ORACLE)
+def flink_sql_mr_nav_all_rows(spark, sf_dir):
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_NAV_ALL_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))
