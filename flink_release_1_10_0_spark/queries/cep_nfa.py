@@ -808,3 +808,90 @@ def flink_sql_mr_nav_all_rows(spark, sf_dir):
         spark, _SQL_MR_NAV_ALL_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# The reference docs' canonical MATCH_RECOGNIZE query — the V-shape
+# price pattern (Flink 1.10 docs, "Detecting patterns in Tables";
+# MatchCodeGenerator.scala's own test corpus): a strictly descending
+# run (each DOWN below the previous DOWN, the first below START)
+# followed by one UP above the last DOWN.  Needs own-variable
+# LAST(DOWN.value, 1) with IS NULL seed AND a bare cross-variable
+# STRT.value reference — exactly the navigation tier.
+#
+# Oracle shape: under strict row-pattern contiguity a DOWN-run is a
+# maximal block of consecutive rows with value < previous value; every
+# start position rn whose next row lies in the block emits one match
+# (greedy B+ consumes to the block end e; no-skip starts a run at every
+# row), completed iff value[e+1] > value[e].
+# --------------------------------------------------------------------------
+_MR_VSHAPE_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+d AS (
+  SELECT user_id, event_id, value, rn,
+         CASE WHEN value < lag(value) OVER (PARTITION BY user_id ORDER BY rn)
+              THEN 1 ELSE 0 END AS dn
+  FROM o),
+g AS (  -- down-run group id: increments on every non-descending row
+  SELECT *, SUM(1 - dn) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM d),
+runs AS (  -- maximal descending blocks [s..e], dn=1 throughout
+  SELECT user_id, grp, MIN(rn) AS s, MAX(rn) AS e
+  FROM g WHERE dn = 1 GROUP BY user_id, grp),
+ok AS (   -- completed V: the row after the block ticks up
+  SELECT r.user_id, r.s, r.e, eu.value AS up_val, eb.value AS bottom_val
+  FROM runs r
+  JOIN o eu ON eu.user_id = r.user_id AND eu.rn = r.e + 1
+  JOIN o eb ON eb.user_id = r.user_id AND eb.rn = r.e
+  WHERE eu.value > eb.value),
+m AS (    -- one match per start position rn in [s-1 .. e-1]
+  SELECT k.user_id, st.value AS strt_val, k.bottom_val, k.up_val,
+         CAST(k.e - st.rn AS BIGINT) AS n_down,
+         st.rn AS a_rn, k.e + 1 AS c_rn
+  FROM ok k
+  JOIN o st ON st.user_id = k.user_id AND st.rn BETWEEN k.s - 1 AND k.e - 1)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY c_rn, a_rn)
+            AS BIGINT) AS match_no,
+       strt_val, bottom_val, up_val, n_down
+FROM m
+"""
+
+_SQL_MR_VSHAPE_TEXT = """
+SELECT user_id, CAST(match_no AS BIGINT) AS match_no,
+       strt_val, bottom_val, up_val, n_down
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(STRT.value) AS strt_val,
+           LAST(DOWN.value) AS bottom_val,
+           LAST(UP.value) AS up_val,
+           COUNT(DOWN.*) AS n_down,
+           MATCH_NUMBER() AS match_no
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT DOWN+ UP)
+  DEFINE STRT AS TRUE,
+         DOWN AS (LAST(DOWN.value, 1) IS NULL AND DOWN.value < STRT.value)
+                 OR DOWN.value < LAST(DOWN.value, 1),
+         UP AS UP.value > LAST(DOWN.value)
+) AS m
+"""
+
+
+@register("flink_sql_mr_vshape_canonical", _MR_VSHAPE_ORACLE)
+def flink_sql_mr_vshape_canonical(spark, sf_dir):
+    """The Flink docs' canonical V-pattern, verbatim clause grammar:
+    own-variable LAST(DOWN.value, 1) (previous DOWN, NULL-seeded) and a
+    bare STRT.value cross-variable reference inside DEFINE."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_VSHAPE_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))
