@@ -1506,3 +1506,62 @@ def sink_partition_overwrite_roundtrip(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("double").alias("total")))
+
+
+# --------------------------------------------------------------------------
+# JDBC connector analog round-trip (flink-jdbc): orders -> DB-API sink
+# (append half, then keyed upsert of the full set: INSERT OR REPLACE on
+# the primary key must leave exactly one row per key —
+# JDBCUpsertTableSink.java's contract) -> partitioned stride read-back
+# (JDBCInputFormat.java + JDBCNumericBetweenParametersProvider.java:
+# 8 splits on o_orderkey, first/last stride unbounded) -> aggregate.
+# The oracle computes the same aggregate straight from the parquet, so
+# any dropped stride row, double-applied append, or type-mapping defect
+# flips the hash.
+# --------------------------------------------------------------------------
+_DBAPI_RT_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("source_dbapi_roundtrip", _DBAPI_RT_ORACLE)
+def source_dbapi_roundtrip(spark, sf_dir):
+    """JDBC-family connector analog: executor-side DB-API cursors behind
+    Spark's Python Data Source API (sources/dbapi.py)."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources.dbapi import (
+        create_table, register_dbapi_source)
+    register_dbapi_source(spark)
+    url = tempfile.mkdtemp(prefix="dbapi_rt_") + "/orders.db"
+    create_table(url, "CREATE TABLE IF NOT EXISTS orders_t ("
+                      "o_orderkey BIGINT PRIMARY KEY, "
+                      "o_orderstatus TEXT, o_totalprice DOUBLE)")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    (half.write.format("flink_jdbc").mode("append")
+     .option("url", url).option("table", "orders_t")
+     .option("writeMode", "append").save())
+    # keyed upsert of EVERYTHING: the even keys appended above must be
+    # replaced in place, not duplicated
+    (orders.write.format("flink_jdbc").mode("append")
+     .option("url", url).option("table", "orders_t")
+     .option("writeMode", "upsert").save())
+    back = (spark.read.format("flink_jdbc")
+            .option("url", url).option("table", "orders_t")
+            .option("schema", "o_orderkey bigint, o_orderstatus string, "
+                              "o_totalprice double")
+            .option("columns", "o_orderkey, o_orderstatus, o_totalprice")
+            .option("partitionColumn", "o_orderkey")
+            .option("lowerBound", "1").option("upperBound", "1000000")
+            .option("numPartitions", "8").load())
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total")))

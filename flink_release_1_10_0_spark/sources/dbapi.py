@@ -1,0 +1,212 @@
+"""JDBC-family connector analog over Python DB-API (sqlite3 in this env).
+
+Reference:
+- ``flink-connectors/flink-jdbc/src/main/java/org/apache/flink/api/java/io/jdbc/JDBCInputFormat.java``
+  — a JDBC scan is an InputFormat whose splits are parameter bindings of
+  one templated query; ``JDBCNumericBetweenParametersProvider.java``
+  derives the bindings as contiguous strides over a numeric column.
+- ``JDBCAppendTableSink.java`` / ``JDBCUpsertTableSink.java`` — batched
+  executor-side INSERT (append) or keyed INSERT-OR-REPLACE (upsert),
+  flushed per batch.
+- ``JDBCTableSource.java`` — projection pushdown into the generated
+  SELECT list.
+
+Spark-first shape: a Python Data Source (``flink_jdbc``) whose
+``partitions()`` are the stride splits — each Spark task opens its OWN
+connection on the executor and runs ``SELECT <cols> FROM t WHERE
+pcol >= lo AND pcol < hi``, exactly the reference's
+parameters-provider contract.  The first/last strides are unbounded
+below/above (same as Spark's built-in JDBC relation) so rows outside
+[lowerBound, upperBound) are never dropped.  The sink is a
+``DataSourceWriter``: per-partition batched ``executemany`` with
+WAL + busy-timeout retry (sqlite's stand-in for a server-side
+connection pool).
+
+Scale note (100 TB): the partitioned-read contract is the same one a
+1000-executor cluster uses against a real database — parallelism is
+bounded by ``numPartitions`` strides, each task streams one cursor, and
+nothing passes through the driver.  sqlite is only the in-container
+endpoint; the connector code path (split planning, executor-side
+cursors, batched writes) is the real one.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+def _connect(url: str, read_only: bool = False):
+    import sqlite3
+
+    if read_only:
+        con = sqlite3.connect(f"file:{url}?mode=ro", uri=True, timeout=30.0)
+    else:
+        con = sqlite3.connect(url, timeout=30.0)
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA busy_timeout=30000")
+    return con
+
+
+class _StrideSplit(InputPartition):
+    """One parameter binding of the templated scan
+    (JDBCNumericBetweenParametersProvider stride).  ``lo``/``hi`` of
+    ``None`` mean unbounded (first/last stride)."""
+
+    def __init__(self, lo, hi):
+        self.lo = lo
+        self.hi = hi
+
+
+class _DbapiReader(DataSourceReader):
+    def __init__(self, options):
+        self.url = options["url"]
+        self.table = options.get("table")
+        self.query = options.get("query")
+        if not (self.table or self.query):
+            raise ValueError("flink_jdbc requires 'table' or 'query'")
+        self.pcol = options.get("partitionColumn")
+        self.n = int(options.get("numPartitions", 1))
+        if self.pcol:
+            self.lower = int(options["lowerBound"])
+            self.upper = int(options["upperBound"])
+        self.columns = options.get("columns", "*")
+
+    def partitions(self):
+        if not self.pcol or self.n <= 1:
+            return [_StrideSplit(None, None)]
+        span = max(1, self.upper - self.lower)
+        per = max(1, -(-span // self.n))
+        bounds = list(range(self.lower, self.upper, per))
+        splits = []
+        for i, lo in enumerate(bounds):
+            first, last = i == 0, i == len(bounds) - 1
+            splits.append(_StrideSplit(
+                None if first else lo,
+                None if last else min(lo + per, self.upper)))
+        return splits
+
+    def read(self, partition: _StrideSplit):
+        base = self.query or f"SELECT {self.columns} FROM {self.table}"
+        preds, params = [], []
+        if partition.lo is not None:
+            preds.append(f"{self.pcol} >= ?")
+            params.append(partition.lo)
+        if partition.hi is not None:
+            preds.append(f"{self.pcol} < ?")
+            params.append(partition.hi)
+        sql = base
+        if preds:
+            glue = " AND " if " where " in base.lower() else " WHERE "
+            sql = base + glue + " AND ".join(preds)
+        con = _connect(self.url, read_only=True)
+        try:
+            cur = con.execute(sql, params)
+            yield from cur
+        finally:
+            con.close()
+
+
+class _DbapiCommit(WriterCommitMessage):
+    def __init__(self, rows: int):
+        self.rows = rows
+
+
+class _DbapiWriter(DataSourceWriter):
+    """JDBCAppendTableSink / JDBCUpsertTableSink analog: each task opens
+    its own connection and flushes ``batchSize``-row ``executemany``
+    batches; ``mode=upsert`` uses INSERT OR REPLACE keyed on the table's
+    primary key (JDBCUpsertTableSink's keyed upsert contract)."""
+
+    def __init__(self, options, schema):
+        self.url = options["url"]
+        self.table = options["table"]
+        self.mode = options.get("writeMode", "append")
+        self.batch = int(options.get("batchSize", 5000))
+        self.cols = [f.name for f in schema.fields]
+
+    def write(self, rows):
+        verb = "INSERT OR REPLACE" if self.mode == "upsert" else "INSERT"
+        sql = (f"{verb} INTO {self.table} ({', '.join(self.cols)}) "
+               f"VALUES ({', '.join('?' * len(self.cols))})")
+        n = 0
+        batch = []
+
+        def _flush(con):
+            for attempt in range(6):
+                try:
+                    con.executemany(sql, batch)
+                    con.commit()
+                    return
+                except Exception:
+                    if attempt == 5:
+                        raise
+                    time.sleep(0.25 * (attempt + 1))
+
+        con = _connect(self.url)
+        try:
+            for row in rows:
+                batch.append(tuple(row))
+                if len(batch) >= self.batch:
+                    _flush(con)
+                    n += len(batch)
+                    batch = []
+            if batch:
+                _flush(con)
+                n += len(batch)
+        finally:
+            con.close()
+        return _DbapiCommit(n)
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        return None
+
+
+class DbapiDataSource(DataSource):
+    """``flink_jdbc`` — the JDBC connector surface over DB-API.
+
+    Read options: ``url`` (db path), ``table`` or ``query``, ``schema``
+    (DDL string, required), ``partitionColumn`` + ``lowerBound`` +
+    ``upperBound`` + ``numPartitions`` (stride splits), ``columns``
+    (projection pushdown into the SELECT list).
+    Write options: ``url``, ``table``, ``writeMode`` (append|upsert),
+    ``batchSize``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "flink_jdbc"
+
+    def schema(self) -> str:
+        return self.options.get("schema", "value string")
+
+    def reader(self, schema):
+        return _DbapiReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _DbapiWriter(self.options, schema)
+
+
+def register_dbapi_source(spark) -> None:
+    """Idempotent registration of the ``flink_jdbc`` format."""
+    spark.dataSource.register(DbapiDataSource)
+
+
+def create_table(url: str, ddl: str) -> None:
+    """Driver-side DDL helper (CREATE TABLE IF NOT EXISTS ...)."""
+    con = _connect(url)
+    try:
+        con.execute(ddl)
+        con.commit()
+    finally:
+        con.close()

@@ -398,3 +398,82 @@ def test_avro_spark_roundtrip_with_timestamp(spark, orders):
     write_avro(sub, path)
     back = read_avro(spark, path, schema="o_orderkey bigint, o_orderdate timestamp")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sub.collect()))
+
+
+# ---------------------------------------------------------------------------
+# JDBC connector analog (sources/dbapi.py; flink-jdbc JDBCInputFormat /
+# JDBCUpsertTableSink)
+# ---------------------------------------------------------------------------
+
+def test_dbapi_stride_splits_cover_out_of_bounds_keys(spark):
+    """First/last strides are unbounded: keys below lowerBound and at/above
+    upperBound must still be read (JDBCNumericBetweenParametersProvider
+    boundary semantics, same as Spark's own JDBC relation)."""
+    from flink_release_1_10_0_spark.sources.dbapi import (
+        create_table, register_dbapi_source, _connect)
+    register_dbapi_source(spark)
+    url = tempfile.mkdtemp(prefix="dbapi_t_") + "/t.db"
+    create_table(url, "CREATE TABLE kv (k BIGINT PRIMARY KEY, v TEXT)")
+    con = _connect(url)
+    con.executemany("INSERT INTO kv VALUES (?, ?)",
+                    [(k, f"v{k}") for k in (-5, 0, 3, 7, 50, 99, 100, 1000)])
+    con.commit()
+    con.close()
+    back = (spark.read.format("flink_jdbc")
+            .option("url", url).option("table", "kv")
+            .option("schema", "k bigint, v string")
+            .option("partitionColumn", "k")
+            .option("lowerBound", "0").option("upperBound", "100")
+            .option("numPartitions", "4").load())
+    assert back.rdd.getNumPartitions() == 4
+    got = sorted(r.k for r in back.collect())
+    assert got == [-5, 0, 3, 7, 50, 99, 100, 1000]
+
+
+def test_dbapi_parallel_upsert_is_exactly_once(spark):
+    """Concurrent per-partition writers + keyed upsert: writing the same
+    keyed rows twice (append then upsert) leaves one row per key with the
+    upserted value (JDBCUpsertTableSink contract)."""
+    from flink_release_1_10_0_spark.sources.dbapi import (
+        create_table, register_dbapi_source)
+    register_dbapi_source(spark)
+    url = tempfile.mkdtemp(prefix="dbapi_u_") + "/t.db"
+    create_table(url, "CREATE TABLE kv (k BIGINT PRIMARY KEY, v BIGINT)")
+    df1 = spark.range(0, 500, 1, 8).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("v"))
+    (df1.write.format("flink_jdbc").mode("append")
+     .option("url", url).option("table", "kv")
+     .option("writeMode", "append").option("batchSize", "64").save())
+    df2 = spark.range(0, 500, 1, 8).select(
+        F.col("id").alias("k"), F.lit(2).cast("bigint").alias("v"))
+    (df2.write.format("flink_jdbc").mode("append")
+     .option("url", url).option("table", "kv")
+     .option("writeMode", "upsert").option("batchSize", "64").save())
+    back = (spark.read.format("flink_jdbc")
+            .option("url", url).option("table", "kv")
+            .option("schema", "k bigint, v bigint").load())
+    rows = back.collect()
+    assert len(rows) == 500
+    assert all(r.v == 2 for r in rows)
+
+
+def test_dbapi_query_with_existing_where(spark):
+    """Stride predicates compose with a user WHERE clause via AND."""
+    from flink_release_1_10_0_spark.sources.dbapi import (
+        create_table, register_dbapi_source, _connect)
+    register_dbapi_source(spark)
+    url = tempfile.mkdtemp(prefix="dbapi_q_") + "/t.db"
+    create_table(url, "CREATE TABLE kv (k BIGINT PRIMARY KEY, v BIGINT)")
+    con = _connect(url)
+    con.executemany("INSERT INTO kv VALUES (?, ?)",
+                    [(k, k * 10) for k in range(100)])
+    con.commit()
+    con.close()
+    back = (spark.read.format("flink_jdbc")
+            .option("url", url)
+            .option("query", "SELECT k, v FROM kv WHERE v >= 200")
+            .option("schema", "k bigint, v bigint")
+            .option("partitionColumn", "k")
+            .option("lowerBound", "0").option("upperBound", "100")
+            .option("numPartitions", "3").load())
+    assert sorted(r.k for r in back.collect()) == list(range(20, 100))
