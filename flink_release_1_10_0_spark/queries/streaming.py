@@ -1312,3 +1312,103 @@ def stream_checkpoint_resume_roundtrip(spark, sf_dir):
                  F.sum("event_id").alias("id_sum"),
                  F.sum(F.col("value").cast(MONEY)).cast("double")
                  .alias("sum_value")))
+
+
+# --------------------------------------------------------------------------
+# Feedback iteration (DataStream.iterate / IterativeStream.java:214 —
+# closeWith feedback edge + forward output): each round halves v; rows
+# with v>0 re-enter the loop head, rows that reached 0 leave with their
+# round count.  The oracle replays the same loop as a recursive CTE.
+# --------------------------------------------------------------------------
+_ITER_FEEDBACK_ORACLE = """
+WITH RECURSIVE it AS (
+  SELECT event_id,
+         CAST(FLOOR(ABS(value)) + 1 AS BIGINT) AS v,
+         CAST(0 AS BIGINT) AS steps
+  FROM events WHERE value IS NOT NULL
+  UNION ALL
+  SELECT event_id, CAST(FLOOR(v / 2.0) AS BIGINT) AS v, steps + 1
+  FROM it WHERE v > 0
+)
+SELECT event_id, steps FROM it WHERE v = 0
+"""
+
+
+@register("stream_iterate_feedback_halving", _ITER_FEEDBACK_ORACLE)
+def stream_iterate_feedback_halving(spark, sf_dir):
+    """IterativeStream analog: the loop body is a distributed plan per
+    round; the driver holds only the round counter (streaming/iterate.py)."""
+    from flink_release_1_10_0_spark.streaming.iterate import iterate_feedback
+
+    base = (t(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_id",
+                    (F.floor(F.abs(F.col("value"))) + 1)
+                    .cast("bigint").alias("v"),
+                    F.lit(0).cast("bigint").alias("steps")))
+
+    def step(cur):
+        stepped = cur.select(
+            "event_id",
+            F.floor(F.col("v") / 2).cast("bigint").alias("v"),
+            (F.col("steps") + 1).alias("steps"))
+        return (stepped.filter(F.col("v") > 0),
+                stepped.filter(F.col("v") <= 0).select("event_id", "steps"))
+
+    return iterate_feedback(base, step, max_iterations=64)
+
+
+# --------------------------------------------------------------------------
+# Delta iteration (DataSet.iterateDelta / DeltaIteration.java) — Flink's
+# canonical incremental single-source shortest paths: solution set
+# (node, dist) updated only by improving deltas; workset = last round's
+# improvements; terminates when no distance improves.  Edges form a DAG
+# (dst > src always) derived from events, so the recursive-CTE oracle
+# terminates too.
+# --------------------------------------------------------------------------
+_DELTA_SSSP_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT user_id AS src,
+         user_id + (CAST(FLOOR(value) AS BIGINT) % 7) + 1 AS dst
+  FROM events WHERE value IS NOT NULL AND user_id < 60
+),
+d AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+  UNION
+  SELECT e.dst AS node, d.dist + 1 AS dist
+  FROM d JOIN edges e ON e.src = d.node
+)
+SELECT node, MIN(dist) AS dist FROM d GROUP BY node
+"""
+
+
+@register("dataset_delta_iteration_sssp", _DELTA_SSSP_ORACLE)
+def dataset_delta_iteration_sssp(spark, sf_dir):
+    """DeltaIteration analog (streaming/iterate.py:iterate_delta): only
+    the delta and workset shuffle per round; the solution set is merged
+    by a keyed anti-join upsert — the reference's partitioned
+    solution-set contract."""
+    from flink_release_1_10_0_spark.streaming.iterate import iterate_delta
+
+    edges = (t(spark, sf_dir, "events")
+             .filter(F.col("value").isNotNull() & (F.col("user_id") < 60))
+             .select(F.col("user_id").alias("src"),
+                     (F.col("user_id")
+                      + F.floor(F.col("value")).cast("bigint") % 7 + 1)
+                     .alias("dst"))
+             .distinct())
+    seed = spark.createDataFrame([(0, 0)], "node bigint, dist bigint")
+
+    def step(solution, workset):
+        cand = (workset.join(edges, workset.node == edges.src)
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + 1).alias("dist"))
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+        delta = (cand.alias("c")
+                 .join(solution.alias("s"), on="node", how="left")
+                 .filter(F.col("s.dist").isNull()
+                         | (F.col("c.dist") < F.col("s.dist")))
+                 .select("node", F.col("c.dist").alias("dist")))
+        return delta, delta
+
+    return iterate_delta(seed, seed, step, ["node"], max_iterations=100)
