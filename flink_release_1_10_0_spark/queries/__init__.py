@@ -118,7 +118,7 @@ _PIN = [
     "flink_sql_mr_tumble_outer", "stream_checkpoint_resume_roundtrip",
     "flink_sql_mr_nav_all_rows", "flink_sql_mr_vshape_canonical",
     "source_dbapi_roundtrip", "stream_iterate_feedback_halving",
-    "dataset_delta_iteration_sssp",
+    "dataset_delta_iteration_sssp", "queryable_state_snapshot",
 ]
 # Families behind the pins, ranked by how little driver evidence they have
 # (windows/llm/extended lead; streaming/tpch already fully proven r1-r3).

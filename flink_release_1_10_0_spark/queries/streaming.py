@@ -1412,3 +1412,35 @@ def dataset_delta_iteration_sssp(spark, sf_dir):
         return delta, delta
 
     return iterate_delta(seed, seed, step, ["node"], max_iterations=100)
+
+
+# --------------------------------------------------------------------------
+# Queryable state (KeyedStream.java:1020 asQueryableState +
+# QueryableStateClient.java): a keyed streaming aggregation's state is
+# continuously upserted into an external store via foreachBatch
+# (update-mode deltas through the flink_jdbc sink); the snapshot read
+# back from the store must equal the batch aggregate.
+# --------------------------------------------------------------------------
+_QSTATE_ORACLE = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+"""
+
+
+@register("queryable_state_snapshot", _QSTATE_ORACLE)
+def queryable_state_snapshot(spark, sf_dir):
+    """streaming/queryable.py: state lives in the external store (keyed
+    upsert per micro-batch), lookups need no SparkSession — the
+    QueryableStateClient contract."""
+    from flink_release_1_10_0_spark.streaming.queryable import (
+        as_queryable_state)
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    state = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total")))
+    handle = as_queryable_state(state, "events_by_user",
+                                ["user_id"], backend="dbapi")
+    return handle.snapshot()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import compare_query
 
@@ -367,3 +368,43 @@ def test_continuous_trigger_interval_not_dividing_day(spark):
     # the 24h window end (not 28h) and includes the 22:00 event
     assert got == [(7.0, 1, 10.0), (14.0, 1, 10.0), (21.0, 1, 10.0),
                    (24.0, 2, 50.0)]
+
+
+# ---------------------------------------------------------------------------
+# Queryable state (streaming/queryable.py; KeyedStream.asQueryableState +
+# QueryableStateClient)
+# ---------------------------------------------------------------------------
+
+def test_queryable_state_memory_point_lookup(spark):
+    from flink_release_1_10_0_spark.streaming.core import read_stream_table
+    from flink_release_1_10_0_spark.streaming.queryable import (
+        as_queryable_state)
+
+    ev = read_stream_table(spark, "/root/testdata/sf0.001", "events")
+    state = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    h = as_queryable_state(state, "qs_mem_test", ["user_id"],
+                           backend="memory")
+    batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+             .groupBy("user_id").count().collect())
+    expect = {r.user_id: r["count"] for r in batch}
+    some_key = next(iter(expect))
+    got = h.get(user_id=some_key)
+    assert len(got) == 1 and got[0].n == expect[some_key]
+    assert h.get(user_id=10**15) == []  # absent key -> empty, not error
+
+
+def test_queryable_state_external_client_needs_no_spark(spark):
+    from flink_release_1_10_0_spark.streaming.core import read_stream_table
+    from flink_release_1_10_0_spark.streaming.queryable import (
+        QueryableStateClient, as_queryable_state)
+
+    ev = read_stream_table(spark, "/root/testdata/sf0.001", "events")
+    state = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    h = as_queryable_state(state, "qs_db_test", ["user_id"],
+                           backend="dbapi")
+    batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+             .groupBy("user_id").count().collect())
+    expect = {r.user_id: r["count"] for r in batch}
+    k = max(expect)
+    rows = QueryableStateClient.get_dbapi(h.url, h.table, user_id=k)
+    assert len(rows) == 1 and rows[0][1] == expect[k]
