@@ -1444,3 +1444,81 @@ def queryable_state_snapshot(spark, sf_dir):
     handle = as_queryable_state(state, "events_by_user",
                                 ["user_id"], backend="dbapi")
     return handle.snapshot()
+
+
+# --------------------------------------------------------------------------
+# TimeEvictor analog (flink-streaming-java/.../windowing/evictors/
+# TimeEvictor.java:40): before the window function fires, evict every
+# element older than windowSize from the window's MAX timestamp — keep
+# only the trailing 6 hours of each day window.  One shuffle on
+# (key, window); the evictor itself is a ranking-free filter against
+# the per-window max.
+# --------------------------------------------------------------------------
+_TIME_EVICTOR_ORACLE = """
+WITH w AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+         ts, value,
+         MAX(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS mx
+  FROM events)
+SELECT user_id, w_start, COUNT(*) AS n_kept,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_kept
+FROM w
+WHERE ts > mx - INTERVAL 6 HOUR
+GROUP BY user_id, w_start
+"""
+
+
+@register("stream_time_evictor_window", _TIME_EVICTOR_ORACLE)
+def stream_time_evictor_window(spark, sf_dir):
+    from pyspark.sql import Window
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "w_start")
+    kept = (events
+            .withColumn("w_start", F.date_trunc("day", F.col("ts")))
+            .withColumn("mx", F.max("ts").over(w))
+            .filter(F.col("ts") > F.col("mx") - F.expr("INTERVAL 6 HOURS")))
+    return (kept.groupBy("user_id", "w_start")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum(F.col("value").cast(MONEY)).cast("double")
+                 .alias("sum_kept")))
+
+
+# --------------------------------------------------------------------------
+# DeltaEvictor analog (.../evictors/DeltaEvictor.java:38): evict every
+# element whose delta against the window's LAST element reaches the
+# threshold; the window function then aggregates the survivors.
+# delta = |value - last value|, threshold 50.
+# --------------------------------------------------------------------------
+_DELTA_EVICTOR_ORACLE = """
+WITH w AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+         ts, value,
+         last_value(value) OVER (
+             PARTITION BY user_id, date_trunc('day', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS lastv
+  FROM events)
+SELECT user_id, w_start, COUNT(*) AS n_kept,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_kept
+FROM w
+WHERE ABS(value - lastv) < 50
+GROUP BY user_id, w_start
+"""
+
+
+@register("stream_delta_evictor_window", _DELTA_EVICTOR_ORACLE)
+def stream_delta_evictor_window(spark, sf_dir):
+    from pyspark.sql import Window
+    events = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id", "w_start")
+         .orderBy(F.col("ts"), F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    kept = (events
+            .withColumn("w_start", F.date_trunc("day", F.col("ts")))
+            .withColumn("lastv", F.last("value").over(w))
+            .filter(F.abs(F.col("value") - F.col("lastv")) < 50))
+    return (kept.groupBy("user_id", "w_start")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum(F.col("value").cast(MONEY)).cast("double")
+                 .alias("sum_kept")))
