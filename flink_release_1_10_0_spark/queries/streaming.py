@@ -1522,3 +1522,64 @@ def stream_delta_evictor_window(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_kept"),
                  F.sum(F.col("value").cast(MONEY)).cast("double")
                  .alias("sum_kept")))
+
+
+# --------------------------------------------------------------------------
+# AsyncTableFunction analog (flink-table-common/.../functions/
+# AsyncTableFunction.java; async lookup-join runner in
+# StreamExecLookupJoin.scala): each probe row triggers an async fetch
+# against an EXTERNAL keyed store (the flink_jdbc sqlite db) returning
+# a table of matching rows, laterally joined in input order.  The
+# oracle is the plain equi-join the async lateral must equal.
+# --------------------------------------------------------------------------
+_ASYNC_TABLE_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 10 = 3
+"""
+
+
+@register("async_table_lookup_join", _ASYNC_TABLE_ORACLE)
+def async_table_lookup_join(spark, sf_dir):
+    """streaming/async_io.py:async_table_enrich — bounded in-flight async
+    fetches per Arrow batch, 1-to-N lateral expansion, executor-side
+    DB connections (no driver round trip)."""
+    import tempfile
+
+    from pyspark.sql.types import DoubleType, LongType
+
+    from flink_release_1_10_0_spark.sources.dbapi import (
+        create_table, register_dbapi_source)
+    from flink_release_1_10_0_spark.streaming.async_io import (
+        async_table_enrich)
+
+    register_dbapi_source(spark)
+    url = tempfile.mkdtemp(prefix="async_tbl_") + "/orders.db"
+    create_table(url, "CREATE TABLE orders_t ("
+                      "o_orderkey BIGINT, o_custkey BIGINT, "
+                      "o_totalprice DOUBLE)")
+    create_table(url, "CREATE INDEX idx_ock ON orders_t (o_custkey)")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    (orders.write.format("flink_jdbc").mode("append")
+     .option("url", url).option("table", "orders_t")
+     .option("writeMode", "append").save())
+
+    async def fetch_orders(custkey: int):
+        from flink_release_1_10_0_spark.sources.dbapi import _connect
+        con = _connect(url, read_only=True)
+        try:
+            return con.execute(
+                "SELECT o_orderkey, o_totalprice FROM orders_t "
+                "WHERE o_custkey = ?", (custkey,)).fetchall()
+        finally:
+            con.close()
+
+    probe = (t(spark, sf_dir, "customer")
+             .filter(F.col("c_custkey") % 10 == 3)
+             .select("c_custkey", "c_mktsegment"))
+    return async_table_enrich(
+        probe, "c_custkey", fetch_orders,
+        [("o_orderkey", LongType()), ("o_totalprice", DoubleType())])

@@ -114,3 +114,50 @@ def async_enrich_unordered(df: DataFrame, key_col: str, out_col: str,
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def async_table_enrich(df: DataFrame, key_col: str,
+                       service, out_fields,
+                       capacity: int = 100) -> DataFrame:
+    """AsyncTableFunction analog (``flink-table-common/.../functions/
+    AsyncTableFunction.java``, used by lookup joins via
+    ``LookupTableSource`` async runners): per input row, an ASYNC fetch
+    returns a TABLE (zero or more rows) which is laterally joined to
+    the input row — inner semantics, rows with no matches drop out.
+
+    ``service(key) -> awaitable -> list[tuple]`` with one tuple per
+    ``out_fields`` row; ``out_fields`` is ``[(name, DataType), ...]``.
+    Concurrency per task is bounded by ``capacity`` (the reference's
+    in-flight queue), results are re-emitted in input-row order
+    (ORDERED mode).  Same scale shape as ``async_enrich``: one event
+    loop per partition, no shuffle, executor-side connections only.
+    """
+    import numpy as np
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(n, t) for n, t in out_fields])
+    out_names = [n for n, _ in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        async def lookup_all(keys):
+            sem = asyncio.Semaphore(capacity)
+
+            async def one(k):
+                async with sem:
+                    return await service(k)
+
+            return list(await asyncio.gather(*(one(k) for k in keys)))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            results = asyncio.run(
+                lookup_all([int(k) for k in pdf[key_col]]))
+            counts = [len(rs) for rs in results]
+            idx = np.repeat(np.arange(len(pdf)), counts)
+            left = pdf.iloc[idx].reset_index(drop=True)
+            right = pd.DataFrame(
+                [r for rs in results for r in rs], columns=out_names)
+            yield pd.concat([left, right], axis=1)
+
+    return df.mapInPandas(run, out_schema)

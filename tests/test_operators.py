@@ -362,3 +362,25 @@ def test_async_unordered_same_set_and_timeout_fallback(spark):
                                   on_timeout="TIMEOUT").collect()}
     assert (3, "TIMEOUT") in got
     assert all(v == f"v{k}" for k, v in got if k != 3)
+
+
+def test_async_table_function_lateral_expansion(spark):
+    """AsyncTableFunction analog: 1-to-N lateral join in input order;
+    keys with zero matches drop out (inner semantics)."""
+    from pyspark.sql.types import LongType
+
+    from flink_release_1_10_0_spark.streaming.async_io import (
+        async_table_enrich)
+
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "k long")
+
+    async def svc(k: int):
+        # k matches -> k rows (k*10+i); k=3 -> no matches
+        if k == 3:
+            return []
+        return [(k * 10 + i,) for i in range(k)]
+
+    out = async_table_enrich(df, "k", svc, [("v", LongType())], capacity=2)
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [(1, 10), (2, 20), (2, 21), (4, 40), (4, 41),
+                   (4, 42), (4, 43)]
