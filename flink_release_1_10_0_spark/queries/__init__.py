@@ -120,7 +120,7 @@ _PIN = [
     "source_dbapi_roundtrip", "stream_iterate_feedback_halving",
     "dataset_delta_iteration_sssp", "queryable_state_snapshot",
     "stream_time_evictor_window", "stream_delta_evictor_window",
-    "async_table_lookup_join",
+    "async_table_lookup_join", "dataset_sort_partition_first_per_key",
 ]
 # Families behind the pins, ranked by how little driver evidence they have
 # (windows/llm/extended lead; streaming/tpch already fully proven r1-r3).

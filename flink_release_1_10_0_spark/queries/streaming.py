@@ -1583,3 +1583,48 @@ def async_table_lookup_join(spark, sf_dir):
     return async_table_enrich(
         probe, "c_custkey", fetch_orders,
         [("o_orderkey", LongType()), ("o_totalprice", DoubleType())])
+
+
+# --------------------------------------------------------------------------
+# sortPartition oracle upgrade (DataSet.sortPartition ->
+# flink-java/.../operators/SortPartitionOperator.java): hash-partition
+# on the key, partition-LOCAL sort (no global shuffle), then a
+# per-partition scan that keeps each key's first row.  Because the hash
+# partitioning co-locates every row of a key, the per-partition
+# first-seen row IS the global argmin per key — the oracle states that
+# directly, so any defect in the partitioner or the partition-local
+# sort order flips the result.
+# --------------------------------------------------------------------------
+_SORT_PARTITION_ORACLE = """
+SELECT user_id, event_id, CAST(value AS DOUBLE) AS value
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+@register("dataset_sort_partition_first_per_key", _SORT_PARTITION_ORACLE)
+def dataset_sort_partition_first_per_key(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("value").cast("double"))
+    stream = (DataStream(ev)
+              .partition_by_hash(16, "user_id")
+              .sort_partition("user_id", "ts", "event_id"))
+
+    def first_per_key(batches):
+        seen = set()
+        for pdf in batches:
+            mask = []
+            for uid in pdf["user_id"]:
+                mask.append(uid not in seen)
+                seen.add(uid)
+            out = pdf[mask]
+            if len(out):
+                yield out[["user_id", "event_id", "value"]]
+
+    return stream.df.mapInPandas(
+        first_per_key, "user_id bigint, event_id bigint, value double")
