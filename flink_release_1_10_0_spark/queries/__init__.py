@@ -121,6 +121,7 @@ _PIN = [
     "dataset_delta_iteration_sssp", "queryable_state_snapshot",
     "stream_time_evictor_window", "stream_delta_evictor_window",
     "async_table_lookup_join", "dataset_sort_partition_first_per_key",
+    "stream_punctuated_watermark_lateness",
 ]
 # Families behind the pins, ranked by how little driver evidence they have
 # (windows/llm/extended lead; streaming/tpch already fully proven r1-r3).

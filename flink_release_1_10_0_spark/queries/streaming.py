@@ -1628,3 +1628,40 @@ def dataset_sort_partition_first_per_key(spark, sf_dir):
 
     return stream.df.mapInPandas(
         first_per_key, "user_id bigint, event_id bigint, value double")
+
+
+# --------------------------------------------------------------------------
+# Punctuated watermarks (AssignerWithPunctuatedWatermarks.java): the
+# watermark advances only on punctuation records ('signup' events), to
+# their event time, evaluated in ARRIVAL order (event_id) per stream
+# partition (user_id); records whose event time is below the watermark
+# in force at arrival are late.  The oracle restates the running-max
+# semantics directly.
+# --------------------------------------------------------------------------
+_PUNCT_WM_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT user_id,
+       COUNT(*) FILTER (WHERE wm IS NOT NULL AND ts < wm) AS n_late,
+       COUNT(*) FILTER (WHERE wm IS NULL OR ts >= wm) AS n_on_time,
+       CAST(MAX(wm) AS TIMESTAMP) AS final_wm
+FROM o GROUP BY user_id
+"""
+
+
+@register("stream_punctuated_watermark_lateness", _PUNCT_WM_ORACLE)
+def stream_punctuated_watermark_lateness(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.triggers import (
+        assign_punctuated_watermarks)
+
+    ev = t(spark, sf_dir, "events")
+    marked = assign_punctuated_watermarks(
+        ev, F.col("event_type") == "signup", "ts", "event_id", "user_id")
+    return (marked.groupBy("user_id")
+            .agg(F.count(F.when(F.col("is_late"), 1)).alias("n_late"),
+                 F.count(F.when(~F.col("is_late"), 1)).alias("n_on_time"),
+                 F.max("wm").alias("final_wm")))

@@ -247,3 +247,30 @@ def continuous_event_time_trigger_firings(events: DataFrame,
                     F.col("n_so_far").cast("bigint").alias("n_so_far"),
                     F.col("sum_so_far").cast("double")
                     .alias("sum_value_so_far")))
+
+
+def assign_punctuated_watermarks(df, marker_pred, ts_col: str,
+                                 arrival_col: str, key_col: str):
+    """Punctuated watermark assignment
+    (``flink-streaming-java/.../functions/timestamps/
+    AssignerWithPunctuatedWatermarks.java``): the watermark advances
+    ONLY when a punctuation record arrives, to that record's event
+    time; every record is then classified late iff its event time is
+    below the watermark in force at its ARRIVAL position.
+
+    Watermarks in the reference are per-parallel-source-instance, so
+    the arrival order is evaluated per ``key_col`` (the stream
+    partition) — a keyed window, one shuffle, no global ordering
+    bottleneck at scale.  Returns the input plus ``wm`` (the punctuated
+    watermark in force, null before the first punctuation) and
+    ``is_late``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (Window.partitionBy(key_col).orderBy(arrival_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wm = F.max(F.when(marker_pred, F.col(ts_col))).over(w)
+    return (df.withColumn("wm", wm)
+            .withColumn("is_late",
+                        F.col("wm").isNotNull() & (F.col(ts_col) < F.col("wm"))))

@@ -408,3 +408,30 @@ def test_queryable_state_external_client_needs_no_spark(spark):
     k = max(expect)
     rows = QueryableStateClient.get_dbapi(h.url, h.table, user_id=k)
     assert len(rows) == 1 and rows[0][1] == expect[k]
+
+
+def test_latency_tracker_captures_trigger_histogram(spark):
+    """LatencyMarker analog (streaming/metrics.py): per-trigger latency
+    metrics captured via StreamingQueryListener during a bounded run."""
+    import time
+
+    from flink_release_1_10_0_spark.streaming.core import (
+        read_stream_table, run_to_completion)
+    from flink_release_1_10_0_spark.streaming.metrics import LatencyTracker
+
+    tracker = LatencyTracker().attach(spark)
+    try:
+        ev = read_stream_table(spark, "/root/testdata/sf0.001", "events")
+        agg = ev.groupBy("event_type").count()
+        run_to_completion(agg, output_mode="complete")
+        # listener delivery is async; allow it to drain
+        for _ in range(50):
+            if tracker.histogram()["count"]:
+                break
+            time.sleep(0.2)
+    finally:
+        tracker.detach(spark)
+    h = tracker.histogram()
+    assert h["count"] >= 1
+    assert h["max_ms"] >= h["min_ms"] >= 0
+    assert any(p["numInputRows"] > 0 for p in tracker.progress)
