@@ -314,3 +314,56 @@ def test_leakage_audit_equi_joins_only(spark):
     plan = plan_of(spark, "split_leakage_audit")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dbapi_read_has_stride_partitions(spark):
+    """flink_jdbc scans parallelize by stride splits, not a single
+    cursor (JDBCInputFormat split contract)."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources.dbapi import (
+        create_table, register_dbapi_source, _connect)
+    register_dbapi_source(spark)
+    url = tempfile.mkdtemp(prefix="dbapi_plan_") + "/t.db"
+    create_table(url, "CREATE TABLE kv (k BIGINT PRIMARY KEY)")
+    con = _connect(url)
+    con.executemany("INSERT INTO kv VALUES (?)", [(k,) for k in range(100)])
+    con.commit()
+    con.close()
+    df = (spark.read.format("flink_jdbc")
+          .option("url", url).option("table", "kv")
+          .option("schema", "k bigint")
+          .option("partitionColumn", "k")
+          .option("lowerBound", "0").option("upperBound", "100")
+          .option("numPartitions", "8").load())
+    assert df.rdd.getNumPartitions() == 8
+
+
+def test_punctuated_watermark_keyed_window(spark):
+    """The punctuated-watermark classifier must be a KEYED window (one
+    hash exchange on the stream partition), never a global sort."""
+    plan = plan_of(spark, "stream_punctuated_watermark_lateness")
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(user_id" in plan
+    # a partition-less window would show 'SinglePartition' feeding Window
+    assert "Window" in plan
+
+
+def test_evictor_windows_are_partitioned(spark):
+    for name in ("stream_time_evictor_window", "stream_delta_evictor_window"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "hashpartitioning(user_id" in plan, name
+
+
+def test_sort_partition_no_global_exchange_after_sort(spark):
+    """sortPartition is partition-local: exactly one hash exchange (the
+    explicit partitioner), then Sort with global=false."""
+    plan = plan_of(spark, "dataset_sort_partition_first_per_key")
+    # 'Sort [...], false, 0' — the trailing false IS global=false
+    import re
+    sorts = re.findall(r"Sort \[[^\]]*\], (\w+), \d+", plan)
+    assert sorts and all(g == "false" for g in sorts)
+    # the only exchange is the explicit repartition on user_id
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
