@@ -170,6 +170,16 @@ class DataStream:
         pattern built on it)."""
         return F.broadcast(self._df)
 
+    def iterate(self, step, max_iterations: int = 1000) -> "DataStream":
+        """``DataStream.java:214`` ``iterate()`` + ``IterativeStream
+        .closeWith``: ``step(df) -> (feedback_df, output_df)``; the
+        feedback re-enters the loop head until empty, the outputs are
+        unioned (streaming/iterate.py — driver-looped distributed
+        rounds, per-round lineage truncation)."""
+        from flink_release_1_10_0_spark.streaming.iterate import (
+            iterate_feedback)
+        return DataStream(iterate_feedback(self._df, step, max_iterations))
+
     def partition_custom(self, partitioner, key_col: str,
                          n: int) -> "DataStream":
         """Arbitrary user partitioner (``DataStream.java:361``
@@ -242,6 +252,19 @@ class KeyedStream:
         picked = (self._df.groupBy(*self._keys)
                   .agg(F.min_by(row, F.col(order_col)).alias("_row")))
         return DataStream(picked.select([F.col(f"_row.{c}").alias(c) for c in cols]))
+
+    def as_queryable_state(self, name: str, *agg_exprs: str | Column,
+                           backend: str = "memory", url: str | None = None,
+                           bounded: bool = True):
+        """``KeyedStream.java:1020`` ``asQueryableState``: register this
+        keyed stream's aggregated state under ``name`` for point
+        lookups (streaming/queryable.py).  The underlying frame must be
+        a streaming DataFrame; returns a QueryableStateHandle."""
+        from flink_release_1_10_0_spark.streaming.queryable import (
+            as_queryable_state)
+        state = self._df.groupBy(*self._keys).agg(*_cols(agg_exprs))
+        return as_queryable_state(state, name, self._keys,
+                                  backend=backend, url=url, bounded=bounded)
 
     def reduce(self, *agg_exprs: str | Column) -> DataStream:
         """General keyed reduce via aggregate expressions (stays JVM-side;

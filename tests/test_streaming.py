@@ -380,10 +380,13 @@ def test_queryable_state_memory_point_lookup(spark):
     from flink_release_1_10_0_spark.streaming.queryable import (
         as_queryable_state)
 
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
     ev = read_stream_table(spark, "/root/testdata/sf0.001", "events")
-    state = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    h = as_queryable_state(state, "qs_mem_test", ["user_id"],
-                           backend="memory")
+    # through the KeyedStream facade (KeyedStream.asQueryableState)
+    h = (DataStream(ev).key_by("user_id")
+         .as_queryable_state("qs_mem_test", F.count(F.lit(1)).alias("n"),
+                             backend="memory"))
     batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
              .groupBy("user_id").count().collect())
     expect = {r.user_id: r["count"] for r in batch}
