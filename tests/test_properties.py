@@ -330,3 +330,92 @@ def test_scrub_boilerplate_equals_bruteforce(spark, docs):
             kept.append(" ".join(rem))
         expect[i] = (" ".join(kept), f, removed)
     assert got == expect
+
+
+_EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8),   # src
+              st.integers(min_value=1, max_value=4)),  # step (dst = src+step)
+    min_size=1, max_size=20,
+)
+
+
+@given(edges=_EDGES)
+@settings(**_SETTINGS)
+def test_delta_iteration_sssp_equals_bfs(spark, edges):
+    """iterate_delta (DeltaIteration.java analog) must compute the same
+    shortest hop-counts as a driver-side BFS on any DAG."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.iterate import iterate_delta
+
+    e = sorted({(s, s + d) for s, d in edges})
+    # brute-force BFS from node 0
+    dist = {0: 0}
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for s, t in e:
+                if s == u and t not in dist:
+                    dist[t] = dist[u] + 1
+                    nxt.append(t)
+        frontier = nxt
+
+    edf = spark.createDataFrame(e, "src long, dst long")
+    seed = spark.createDataFrame([(0, 0)], "node long, dist long")
+
+    def step(solution, workset):
+        cand = (workset.join(edf, workset.node == edf.src)
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + 1).alias("dist"))
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+        delta = (cand.alias("c").join(solution.alias("s"), "node", "left")
+                 .filter(F.col("s.dist").isNull()
+                         | (F.col("c.dist") < F.col("s.dist")))
+                 .select("node", F.col("c.dist").alias("dist")))
+        return delta, delta
+
+    got = {r.node: r.dist
+           for r in iterate_delta(seed, seed, step, ["node"]).collect()}
+    assert got == dist
+
+
+_ARRIVALS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=50),   # event time
+              st.booleans()),                           # is punctuation
+    min_size=1, max_size=25,
+)
+
+
+@given(arrivals=_ARRIVALS)
+@settings(**_SETTINGS)
+def test_punctuated_watermark_equals_replay(spark, arrivals):
+    """assign_punctuated_watermarks must classify lateness exactly like
+    a sequential replay: wm = max punctuation event-time seen STRICTLY
+    before the row, late iff ts < wm."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.triggers import (
+        assign_punctuated_watermarks)
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(seconds=ts),
+             "mark" if is_m else "data")
+            for i, (ts, is_m) in enumerate(arrivals)]
+    # replay
+    wm = None
+    expect = []
+    for i, t_, kind in rows:
+        expect.append(wm is not None and t_ < wm)
+        if kind == "mark":
+            wm = t_ if wm is None or t_ > wm else wm
+
+    df = spark.createDataFrame(
+        [(i, t_, k, 1) for (i, t_, k) in rows],
+        "arrival long, ts timestamp, kind string, part int")
+    out = assign_punctuated_watermarks(
+        df, F.col("kind") == "mark", "ts", "arrival", "part")
+    got = [r.is_late for r in out.orderBy("arrival").collect()]
+    assert got == expect
