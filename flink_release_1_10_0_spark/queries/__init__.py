@@ -60,10 +60,12 @@ _LOADED = False
 # analogs, (d) the LLM-curation wave, (e) the first 17 TPC-DS shapes
 # in registration order.  The remaining 28 never-driver-verified
 # queries (27 TPC-DS shapes + the rows-only xxhash64 LSH variant) lead
-# the overflow and fill round 7's window first; queries NEW in round 6
-# follow them in registration order, so r7's window = 28 backlog + up
-# to 22 round-6 additions → cumulative driver evidence 249/277 after
-# r6 and complete after r7.
+# the overflow and fill round 7's window first; the 15 queries NEW in
+# round 6 (MR navigation wave, checkpoint resume, JDBC-analog round
+# trip, iterations, queryable state, evictors, async table function,
+# sortPartition, punctuated watermarks) follow them, so r7's window =
+# 28 backlog + 15 round-6 additions = 43 of 50 slots → cumulative
+# driver evidence 249/292 after r6 and COMPLETE (292/292) after r7.
 _PIN = [
     # --- (a) source/sink + DDL round-trips: their only oracle gate ---
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",

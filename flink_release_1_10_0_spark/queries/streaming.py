@@ -1384,11 +1384,11 @@ SELECT node, MIN(dist) AS dist FROM d GROUP BY node
 
 @register("dataset_delta_iteration_sssp", _DELTA_SSSP_ORACLE)
 def dataset_delta_iteration_sssp(spark, sf_dir):
-    """DeltaIteration analog (streaming/iterate.py:iterate_delta): only
+    """DeltaIteration analog (operators/iterate.py:delta_iterate): only
     the delta and workset shuffle per round; the solution set is merged
     by a keyed anti-join upsert — the reference's partitioned
     solution-set contract."""
-    from flink_release_1_10_0_spark.streaming.iterate import iterate_delta
+    from flink_release_1_10_0_spark.operators.iterate import delta_iterate
 
     edges = (t(spark, sf_dir, "events")
              .filter(F.col("value").isNotNull() & (F.col("user_id") < 60))
@@ -1411,7 +1411,7 @@ def dataset_delta_iteration_sssp(spark, sf_dir):
                  .select("node", F.col("c.dist").alias("dist")))
         return delta, delta
 
-    return iterate_delta(seed, seed, step, ["node"], max_iterations=100)
+    return delta_iterate(seed, seed, step, 100, key_cols=["node"])
 
 
 # --------------------------------------------------------------------------

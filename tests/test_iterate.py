@@ -6,13 +6,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flink_release_1_10_0_spark.streaming.iterate import (
-    iterate_bulk, iterate_delta, iterate_feedback)
+from flink_release_1_10_0_spark.operators.iterate import (
+    bulk_iterate, delta_iterate)
+from flink_release_1_10_0_spark.streaming.iterate import iterate_feedback
 
 
 def test_bulk_iteration_fixed_count(spark):
     df = spark.range(5).select(F.col("id").cast("bigint").alias("v"))
-    out = iterate_bulk(df, lambda d: d.select((F.col("v") * 2).alias("v")), 3)
+    out = bulk_iterate(df, lambda d: d.select((F.col("v") * 2).alias("v")), 3)
     assert sorted(r.v for r in out.collect()) == [0, 8, 16, 24, 32]
 
 
@@ -54,7 +55,7 @@ def test_delta_iteration_upserts_solution_and_stops_on_empty_workset(spark):
         next_ws = ws.join(mx, ws.k == mx.m, "left_anti")
         return delta, next_ws
 
-    out = iterate_delta(solution, workset, step, ["k"])
+    out = delta_iterate(solution, workset, step, 50, key_cols=["k"])
     got = sorted((r.k, r.n) for r in out.collect())
     # k=3 updated once, k=2 twice, k=1 three times
     assert got == [(1, 3), (2, 2), (3, 1)]

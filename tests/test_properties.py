@@ -346,7 +346,7 @@ def test_delta_iteration_sssp_equals_bfs(spark, edges):
     shortest hop-counts as a driver-side BFS on any DAG."""
     from pyspark.sql import functions as F
 
-    from flink_release_1_10_0_spark.streaming.iterate import iterate_delta
+    from flink_release_1_10_0_spark.operators.iterate import delta_iterate
 
     e = sorted({(s, s + d) for s, d in edges})
     # brute-force BFS from node 0
@@ -376,7 +376,8 @@ def test_delta_iteration_sssp_equals_bfs(spark, edges):
         return delta, delta
 
     got = {r.node: r.dist
-           for r in iterate_delta(seed, seed, step, ["node"]).collect()}
+           for r in delta_iterate(seed, seed, step, 50,
+                                  key_cols=["node"]).collect()}
     assert got == dist
 
 
