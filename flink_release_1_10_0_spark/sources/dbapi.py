@@ -104,8 +104,12 @@ class _DbapiReader(DataSourceReader):
             params.append(partition.hi)
         sql = base
         if preds:
-            glue = " AND " if " where " in base.lower() else " WHERE "
-            sql = base + glue + " AND ".join(preds)
+            # wrap the user query as a derived table so the stride
+            # predicate composes with ANY base shape (subqueries,
+            # existing WHERE, GROUP BY) — same templating as the
+            # reference's parameterized split query
+            sql = (f"SELECT * FROM ({base}) _splits WHERE "
+                   + " AND ".join(preds))
         con = _connect(self.url, read_only=True)
         try:
             cur = con.execute(sql, params)
