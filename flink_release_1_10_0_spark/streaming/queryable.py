@@ -83,6 +83,13 @@ def as_queryable_state(state_df: DataFrame, name: str,
     a keyed state descriptor).  ``bounded=True`` runs availableNow to
     completion (the test harness); ``bounded=False`` leaves the query
     running and returns immediately — lookups then observe live state.
+
+    dbapi-backend type support: bigint/int/double/string state columns
+    (what keyed agg state is made of).  Timestamp/array state falls back
+    to TEXT in the store and will NOT round-trip through ``snapshot()``
+    — keep such columns out of the published state (project them to
+    epoch numbers first), matching the reference's requirement that
+    queryable state be a declared, serializable state descriptor.
     """
     spark = state_df.sparkSession
     ckpt = tempfile.mkdtemp(prefix="spark_graft_qstate_")

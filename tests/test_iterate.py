@@ -1,5 +1,5 @@
-"""Iteration analogs (streaming/iterate.py): BulkIteration,
-IterativeStream feedback loops, DeltaIteration.  Reference:
+"""Iteration analogs: BulkIteration / DeltaIteration (operators/iterate.py)
+and IterativeStream feedback loops (streaming/iterate.py).  Reference:
 IterativeStream.java:214, IterativeDataSet.java, DeltaIteration.java."""
 
 from __future__ import annotations
