@@ -608,3 +608,32 @@ def scalar_similar_to_overlaps(spark, sf_dir):
                ts_overlaps(s1, e1, s2, e2) AS periods_overlap
         FROM q
     """)
+
+
+# --------------------------------------------------------------------------
+# The reference's front-page program: WordCount
+# (flink-examples/flink-examples-batch/.../wordcount/WordCount.java —
+# readTextFile -> flatMap(Tokenizer) -> groupBy(0) -> sum(1)), run
+# verbatim through the DataStream facade: flat_map -> key_by -> count.
+# A reference user's first program must run unchanged in spirit.
+# --------------------------------------------------------------------------
+_WORDCOUNT_ORACLE = """
+SELECT word, COUNT(*) AS count
+FROM (SELECT unnest(string_split(
+          lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' ')) AS word
+      FROM documents)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+@register("flink_wordcount_batch", _WORDCOUNT_ORACLE)
+def flink_wordcount_batch(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
+    docs = t(spark, sf_dir, "documents")
+    tokens = (DataStream(docs)
+              .flat_map("split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ')), ' ')",
+                        "word")
+              .filter("word <> ''"))
+    return tokens.key_by("word").count().df
