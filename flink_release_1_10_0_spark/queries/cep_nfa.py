@@ -639,19 +639,25 @@ def flink_sql_mr_define_last_nav(spark, sf_dir):
 # --------------------------------------------------------------------------
 _MR_NAV_PREV_ORACLE = """
 WITH o AS (
-  SELECT user_id, event_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         lead(value, 1) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS v1,
+         lead(value, 2) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS v2,
+         lead(value, 3) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS v3
   FROM events),
 m AS (
-  SELECT s.user_id, s.rn AS s_rn, u3.rn AS e_rn,
-         s.value AS s_val, u1.value AS u_first, u3.value AS u_last
-  FROM o s
-  JOIN o u1 ON u1.user_id = s.user_id AND u1.rn = s.rn + 1
-  JOIN o u2 ON u2.user_id = s.user_id AND u2.rn = s.rn + 2
-  JOIN o u3 ON u3.user_id = s.user_id AND u3.rn = s.rn + 3
-  WHERE u1.value > s.value AND u2.value > u1.value AND u3.value > u2.value)
+  -- lead()-based consecutive-row access: the 4-way rn-chain self-join
+  -- formulation is semantically identical but DuckDB's join ordering
+  -- degrades it to a per-key cross product at larger scales
+  SELECT user_id, rn, value AS s_val, v1 AS u_first, v3 AS u_last
+  FROM o
+  WHERE v1 > value AND v2 > v1 AND v3 > v2)
 SELECT user_id,
-       CAST(row_number() OVER (PARTITION BY user_id ORDER BY e_rn, s_rn)
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
             AS BIGINT) AS match_no,
        s_val, u_first, u_last
 FROM m
