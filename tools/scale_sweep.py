@@ -55,6 +55,16 @@ HEADS = [
     # copy) with per-key depth unchanged, the keyed-state linear regime
     ("cep_nfa_four_stage", "linear (keyed NFA, runs/key bounded)"),
     ("stream_topn_per_key", "linear (keyed heap state, n=3 per key)"),
+    # round-6 additions: the new operator families (punctuated
+    # watermarks, evictors, partition-local sort, feedback iteration)
+    # are all keyed-window / fixed-round shapes — the linear regime
+    ("stream_punctuated_watermark_lateness",
+     "linear (keyed arrival-order window)"),
+    ("stream_time_evictor_window", "linear (keyed per-window max filter)"),
+    ("dataset_sort_partition_first_per_key",
+     "linear (hash exchange + partition-local sort)"),
+    ("stream_iterate_feedback_halving",
+     "linear (~9 fixed rounds, per-round map+filter)"),
 ]
 
 
