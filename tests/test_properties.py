@@ -426,3 +426,67 @@ def test_punctuated_watermark_equals_replay(spark, arrivals):
         df, F.col("kind") == "mark", "ts", "arrival", "part")
     got = [r.is_late for r in out.orderBy("arrival").collect()]
     assert got == expect
+
+
+_VSHAPE_MR_SQL = """
+SELECT user_id, CAST(match_no AS BIGINT) AS match_no,
+       strt_val, bottom_val, up_val, n_down
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(STRT.value) AS strt_val,
+           LAST(DOWN.value) AS bottom_val,
+           LAST(UP.value) AS up_val,
+           COUNT(DOWN.*) AS n_down,
+           MATCH_NUMBER() AS match_no
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT DOWN+ UP)
+  DEFINE STRT AS TRUE,
+         DOWN AS (LAST(DOWN.value, 1) IS NULL AND DOWN.value < STRT.value)
+                 OR DOWN.value < LAST(DOWN.value, 1),
+         UP AS UP.value > LAST(DOWN.value)
+) AS m
+"""
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=6),
+                     min_size=3, max_size=14))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mr_vshape_navigation_matches_backtracking_bruteforce(spark, vals):
+    """The navigated V-shape DEFINE (own-variable LAST(DOWN,1) with NULL
+    seed + bare STRT cross-reference) must equal a literal backtracking
+    matcher for PATTERN (STRT DOWN+ UP), greedy DOWN+, SKIP TO NEXT ROW."""
+    import datetime
+
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    # brute force with greedy backtracking: longest DOWN run first, then
+    # shorter, until UP (> last DOWN) matches the next row
+    n = len(vals)
+    found = []
+    for p in range(n):
+        e = p
+        while e + 1 < n and vals[e + 1] < vals[e]:
+            e += 1
+        for end in range(e, p, -1):
+            if end + 1 < n and vals[end + 1] > vals[end]:
+                found.append(
+                    (vals[p], vals[end], vals[end + 1], end - p, end + 1, p))
+                break
+    # MATCH_NUMBER orders by completion position then start
+    expect = [t[:4] for t in sorted(found, key=lambda t: (t[4], t[5]))]
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(seconds=i), 1, "e", float(v), "")
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    out = execute_match_recognize_sql(spark, _VSHAPE_MR_SQL, batch_df=df)
+    got = [(r.strt_val, r.bottom_val, r.up_val, r.n_down)
+           for r in sorted(out.collect(), key=lambda r: r.match_no)]
+    assert got == [(float(a), float(b), float(c), d)
+                   for a, b, c, d in expect]
