@@ -127,7 +127,13 @@ class _DbapiWriter(DataSourceWriter):
     """JDBCAppendTableSink / JDBCUpsertTableSink analog: each task opens
     its own connection and flushes ``batchSize``-row ``executemany``
     batches; ``mode=upsert`` uses INSERT OR REPLACE keyed on the table's
-    primary key (JDBCUpsertTableSink's keyed upsert contract)."""
+    primary key (JDBCUpsertTableSink's keyed upsert contract).
+
+    Delivery semantics (same as the reference's 1.10 JDBC sinks, which
+    have no XA/two-phase commit): ``append`` is AT-LEAST-ONCE — a
+    retried Spark task re-inserts its partition's rows; ``upsert`` is
+    effectively-once because the keyed INSERT OR REPLACE is idempotent.
+    Use upsert (with a primary key) whenever the pipeline can retry."""
 
     def __init__(self, options, schema):
         self.url = options["url"]
