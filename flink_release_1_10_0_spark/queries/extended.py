@@ -1565,3 +1565,81 @@ def source_dbapi_roundtrip(spark, sf_dir):
                  F.sum("o_orderkey").alias("key_sum"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("double").alias("total")))
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (the §4 scale lever; reference analog:
+# pre-partitioned inputs via DataSet.partitionByHash + hint NO_SHUFFLE /
+# Table bucketing in the Blink planner's shuffle-removal rules
+# BatchExecExchangeRemove): both sides written bucketBy(8, key) into the
+# session catalog, joined WITHOUT a broadcast — the bucketed layout must
+# co-locate the keys so the join result still equals the plain parquet
+# join.  tests/test_plans.py:82 asserts the no-Exchange plan property;
+# this query oracle-gates the RESULT through the same layout.
+# --------------------------------------------------------------------------
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_bucketed_colocated", _BUCKETED_JOIN_ORACLE)
+def join_bucketed_colocated(spark, sf_dir):
+    import tempfile
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    # external-location bucketed tables: a fresh temp path per run, and
+    # an explicit drop so a stale catalog entry (or a previous session's
+    # warehouse dir) never collides
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    spark.sql("DROP TABLE IF EXISTS _bj_lineitem")
+    spark.sql("DROP TABLE IF EXISTS _bj_orders")
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").option("path", base + "/lineitem")
+     .saveAsTable("_bj_lineitem"))
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").option("path", base + "/orders")
+     .saveAsTable("_bj_orders"))
+    lb = spark.table("_bj_lineitem")
+    ob = spark.table("_bj_orders").filter(F.col("o_orderstatus") == "F")
+    joined = ob.join(lb, lb.l_orderkey == ob.o_orderkey)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total")))
+
+
+# --------------------------------------------------------------------------
+# Custom partitioner routing (DataStream.java:361 partitionCustom /
+# DataSet.partitionCustom): every record must land in the partition the
+# USER function chooses.  The oracle recomputes the routing arithmetic
+# ((key * 2 + 1) % 8) per row and aggregates per target partition —
+# if the RDD-tier exchange misroutes anything, counts and sums diverge.
+# --------------------------------------------------------------------------
+_PARTITION_CUSTOM_ORACLE = """
+SELECT CAST((user_id * 2 + 1) % 8 AS BIGINT) AS pid,
+       COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY 1
+"""
+
+
+@register("partition_custom_routing", _PARTITION_CUSTOM_ORACLE)
+def partition_custom_routing(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from flink_release_1_10_0_spark.streaming.datastream import DataStream
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    routed = DataStream(ev).partition_custom(
+        lambda k: k * 2 + 1, "user_id", 8)
+    return (routed.df
+            .withColumn("pid", SF.spark_partition_id().cast("bigint"))
+            .groupBy("pid")
+            .agg(SF.count(SF.lit(1)).alias("n"),
+                 SF.sum("event_id").alias("id_sum")))
