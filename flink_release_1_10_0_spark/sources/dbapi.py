@@ -82,7 +82,12 @@ class _DbapiReader(DataSourceReader):
     def partitions(self):
         if not self.pcol or self.n <= 1:
             return [_StrideSplit(None, None)]
-        span = max(1, self.upper - self.lower)
+        span = self.upper - self.lower
+        if span <= 0:
+            # degenerate bounds (min == max key, empty stats probe):
+            # fall back to one unbounded split — never zero splits,
+            # which would silently read nothing
+            return [_StrideSplit(None, None)]
         per = max(1, -(-span // self.n))
         bounds = list(range(self.lower, self.upper, per))
         splits = []
@@ -156,6 +161,14 @@ class _DbapiWriter(DataSourceWriter):
                     con.commit()
                     return
                 except Exception:
+                    # drop any rows the failed attempt left in the open
+                    # implicit transaction — without this, a later
+                    # successful flush would commit the partial batch
+                    # ALONGSIDE the retry, duplicating rows
+                    try:
+                        con.rollback()
+                    except Exception:
+                        pass
                     if attempt == 5:
                         raise
                     time.sleep(0.25 * (attempt + 1))

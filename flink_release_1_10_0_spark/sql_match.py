@@ -178,6 +178,7 @@ def has_match_recognize(query: str) -> bool:
     must not route the statement to the MR executor."""
     scrubbed = re.sub(r"'(?:[^']|'')*'", "''", query)
     scrubbed = re.sub(r"--[^\n]*", "", scrubbed)
+    scrubbed = re.sub(r"/\*.*?\*/", "", scrubbed, flags=re.DOTALL)
     return _MR_HEAD.search(scrubbed) is not None
 
 
@@ -341,7 +342,9 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
                   after_match=_parse_after_match(spec.after_match),
                   ts_col=spec.order_by, id_col=id_col), "append")
     out = match_recognize_measures(
-        log, batch, stage_names=list(define),
+        # stage order comes from PATTERN, not the DEFINE clause — a
+        # user may list DEFINE conditions in any order
+        log, batch, stage_names=[s.name for s in stages],
         measures=spec.measures, partition_by=spec.partition_by,
         rows_per_match=spec.rows_per_match)
     if spec.match_number_alias:

@@ -45,6 +45,9 @@ def iterate_feedback(
     when the feedback edge is empty or after ``max_iterations`` (the
     analog of the iteration's idle-timeout shutdown).
     """
+    if max_iterations < 1:
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}")
     outputs: list[DataFrame] = []
     cur = df.localCheckpoint(eager=True)
     for _ in range(max_iterations):

@@ -59,3 +59,11 @@ def test_delta_iteration_upserts_solution_and_stops_on_empty_workset(spark):
     got = sorted((r.k, r.n) for r in out.collect())
     # k=3 updated once, k=2 twice, k=1 three times
     assert got == [(1, 3), (2, 2), (3, 1)]
+
+
+def test_feedback_loop_rejects_nonpositive_iterations(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="max_iterations"):
+        iterate_feedback(df, lambda d: (d, d), max_iterations=0)

@@ -212,3 +212,44 @@ def test_nav_state_survives_microbatches(spark):
         )""", batch_df=df, stream_df=stream).collect()
     assert [(r.user_id, r.a_val, r.b_last, r.c_val) for r in out] == [
         (1, 10.0, 20.0, 12.0)]
+
+
+def test_define_clause_order_independent_of_pattern_order(spark):
+    """DEFINE may list its conditions in any order; measures and
+    CLASSIFIER must follow PATTERN order (review r6: stage names were
+    taken from the DEFINE dict, mis-attributing variables)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 10.0),
+        (2, "2024-01-01 10:01:00", 1, "view", 20.0),
+        (3, "2024-01-01 10:02:00", 1, "click", 30.0),
+        (4, "2024-01-01 10:03:00", 1, "view", 40.0),
+    ]
+    df = _events(spark, rows)
+    # B defined BEFORE A, while PATTERN is (A B)
+    out = _run(spark, df, """
+SELECT user_id, a_val, b_val
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES LAST(A.value) AS a_val, LAST(B.value) AS b_val
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  DEFINE B AS event_type = 'view',
+         A AS event_type = 'click'
+) AS m
+""").collect()
+    got = sorted((r.a_val, r.b_val) for r in out)
+    assert got == [(10.0, 20.0), (30.0, 40.0)]
+
+
+def test_mr_keyword_in_block_comment_not_routed(spark):
+    from flink_release_1_10_0_spark.sql_match import has_match_recognize
+
+    assert not has_match_recognize(
+        "SELECT a FROM t /* note: FROM t MATCH_RECOGNIZE ( ... ) */ "
+        "WHERE a > 0")
+    assert has_match_recognize(
+        "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts "
+        "MEASURES 1 AS one ONE ROW PER MATCH PATTERN (A) "
+        "DEFINE A AS TRUE) AS m")

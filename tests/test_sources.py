@@ -477,3 +477,68 @@ def test_dbapi_query_with_existing_where(spark):
             .option("lowerBound", "0").option("upperBound", "100")
             .option("numPartitions", "3").load())
     assert sorted(r.k for r in back.collect()) == list(range(20, 100))
+
+
+def test_dbapi_degenerate_bounds_still_read_everything(spark):
+    """lowerBound == upperBound must fall back to one unbounded split,
+    never zero splits (review r6: empty range() would silently read
+    nothing)."""
+    from flink_release_1_10_0_spark.sources.dbapi import (
+        create_table, register_dbapi_source, _connect)
+    register_dbapi_source(spark)
+    url = tempfile.mkdtemp(prefix="dbapi_d_") + "/t.db"
+    create_table(url, "CREATE TABLE kv (k BIGINT PRIMARY KEY)")
+    con = _connect(url)
+    con.executemany("INSERT INTO kv VALUES (?)", [(k,) for k in range(7)])
+    con.commit()
+    con.close()
+    back = (spark.read.format("flink_jdbc")
+            .option("url", url).option("table", "kv")
+            .option("schema", "k bigint")
+            .option("partitionColumn", "k")
+            .option("lowerBound", "3").option("upperBound", "3")
+            .option("numPartitions", "4").load())
+    assert sorted(r.k for r in back.collect()) == list(range(7))
+
+
+def test_dbapi_flush_retry_rolls_back_partial_batch():
+    """A failed executemany must not leave partial rows in the open
+    transaction for a later commit (review r6: duplicate-row hazard on
+    append retries)."""
+    import sqlite3
+
+    from flink_release_1_10_0_spark.sources.dbapi import _DbapiWriter
+
+    url = tempfile.mkdtemp(prefix="dbapi_rb_") + "/t.db"
+    con = sqlite3.connect(url)
+    con.execute("CREATE TABLE kv (k BIGINT)")
+    con.commit()
+    con.close()
+
+    class Schema:
+        class F:
+            def __init__(self, name):
+                self.name = name
+        fields = [F("k")]
+
+    w = _DbapiWriter({"url": url, "table": "kv", "batchSize": "10"},
+                     Schema())
+    # a CHECK constraint forces a mid-batch executemany failure (sqlite
+    # applies rows up to the failure inside the open transaction)
+    con = sqlite3.connect(url)
+    con.execute("DROP TABLE kv")
+    con.execute("CREATE TABLE kv (k BIGINT CHECK (k < 100))")
+    con.commit()
+    con.close()
+    bad_then_good = [(1,), (2,), (999,)]   # 999 violates CHECK mid-batch
+    try:
+        w.write(iter(bad_then_good))
+        raise AssertionError("expected CHECK violation to propagate")
+    except Exception:
+        pass
+    # after the failed write (all 6 retries roll back), the table must
+    # hold NO partial rows
+    con = sqlite3.connect(url)
+    got = con.execute("SELECT k FROM kv").fetchall()
+    con.close()
+    assert got == []
