@@ -64,8 +64,8 @@ _LOADED = False
 # round 6 (MR navigation wave, checkpoint resume, JDBC-analog round
 # trip, iterations, queryable state, evictors, async table function,
 # sortPartition, punctuated watermarks) follow them, so r7's window =
-# 28 backlog + 18 round-6 additions = 46 of 50 slots → cumulative
-# driver evidence 249/295 after r6 and COMPLETE (295/295) after r7.
+# 28 backlog + 19 round-6 additions = 47 of 50 slots → cumulative
+# driver evidence 249/296 after r6 and COMPLETE (296/296) after r7.
 _PIN = [
     # --- (a) source/sink + DDL round-trips: their only oracle gate ---
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
@@ -125,6 +125,7 @@ _PIN = [
     "async_table_lookup_join", "dataset_sort_partition_first_per_key",
     "stream_punctuated_watermark_lateness", "flink_wordcount_batch",
     "join_bucketed_colocated", "partition_custom_routing",
+    "stream_async_io_unordered",
 ]
 # Families behind the pins, ranked by how little driver evidence they have
 # (windows/llm/extended lead; streaming/tpch already fully proven r1-r3).

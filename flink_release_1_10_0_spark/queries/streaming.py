@@ -1665,3 +1665,34 @@ def stream_punctuated_watermark_lateness(spark, sf_dir):
             .agg(F.count(F.when(F.col("is_late"), 1)).alias("n_late"),
                  F.count(F.when(~F.col("is_late"), 1)).alias("n_on_time"),
                  F.max("wm").alias("final_wm")))
+
+
+# --------------------------------------------------------------------------
+# Async I/O, UNORDERED mode (AsyncDataStream.unorderedWait /
+# AsyncWaitOperator.java:76): results emit in completion order with a
+# timeout fallback; the result SET must equal the ordered mode's — the
+# reference's ordered/unordered contract — which the order-insensitive
+# oracle compare checks exactly.
+# --------------------------------------------------------------------------
+_ASYNC_UNORD_ORACLE = """
+SELECT user_id, event_id, 'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment
+FROM events
+"""
+
+
+@register("stream_async_io_unordered", _ASYNC_UNORD_ORACLE)
+def stream_async_io_unordered(spark, sf_dir):
+    import asyncio
+
+    from flink_release_1_10_0_spark.streaming.async_io import (
+        async_enrich_unordered)
+
+    async def seg_service(uid: int) -> str:
+        # completion order deliberately differs from input order
+        await asyncio.sleep(0.001 * (uid % 3))
+        return f"seg_{uid % 5}"
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id")
+    return async_enrich_unordered(ev, "user_id", "segment", seg_service,
+                                  capacity=64, timeout_s=30.0,
+                                  on_timeout="seg_timeout")
