@@ -28,6 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import StringType, StructField, StructType
 
 
+def _native_keys(series: pd.Series) -> list:
+    """Lookup keys as native Python values.  Integer dtypes map to plain
+    ``int`` (numpy scalars would surprise user-supplied services);
+    strings/objects pass through untouched.  Float keys are refused
+    loudly — truncating them to int would silently look up the wrong
+    key, and a float-keyed external store is almost certainly a schema
+    mistake on the caller's side."""
+    if pd.api.types.is_integer_dtype(series):
+        return [int(k) for k in series]
+    if pd.api.types.is_float_dtype(series):
+        raise TypeError(
+            f"async lookup key column {series.name!r} has float dtype "
+            f"{series.dtype}: cast it to an integer or string key first")
+    return series.tolist()
+
+
 def async_enrich(df: DataFrame, key_col: str, out_col: str,
                  service: Callable[[int], Awaitable[str]],
                  capacity: int = 100) -> DataFrame:
@@ -52,7 +68,7 @@ def async_enrich(df: DataFrame, key_col: str, out_col: str,
         for pdf in batches:
             if len(pdf):
                 pdf = pdf.copy()
-                pdf[out_col] = asyncio.run(lookup_all([int(k) for k in pdf[key_col]]))
+                pdf[out_col] = asyncio.run(lookup_all(_native_keys(pdf[key_col])))
             else:
                 pdf[out_col] = pd.Series(dtype=object)
             yield pdf
@@ -104,7 +120,7 @@ def async_enrich_unordered(df: DataFrame, key_col: str, out_col: str,
         for pdf in batches:
             if len(pdf):
                 order_vals = asyncio.run(
-                    lookup_all([int(k) for k in pdf[key_col]]))
+                    lookup_all(_native_keys(pdf[key_col])))
                 idx = [i for i, _ in order_vals]
                 pdf = pdf.iloc[idx].copy()
                 pdf[out_col] = [v for _, v in order_vals]
@@ -152,7 +168,7 @@ def async_table_enrich(df: DataFrame, key_col: str,
             if not len(pdf):
                 continue
             results = asyncio.run(
-                lookup_all([int(k) for k in pdf[key_col]]))
+                lookup_all(_native_keys(pdf[key_col])))
             counts = [len(rs) for rs in results]
             idx = np.repeat(np.arange(len(pdf)), counts)
             left = pdf.iloc[idx].reset_index(drop=True)

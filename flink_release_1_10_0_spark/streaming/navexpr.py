@@ -131,9 +131,18 @@ def _cmp(op: str):
     return fn
 
 
+def _num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
 def _arith(op: str):
+    # Numeric operands only: Python '+' on two strings would concatenate
+    # and int/int '/' true-divides, so an untyped closure could diverge
+    # from what the same SQL text does on the Spark fast path.  Non-
+    # numeric operands yield NULL (the predicate is then not satisfied)
+    # instead of silently applying Python semantics.
     def fn(a, b):
-        if a is None or b is None:
+        if not _num(a) or not _num(b):
             return None
         if op == "+":
             return a + b
@@ -375,6 +384,17 @@ class _Compiler:
             return fn
         if k == "kw" and v == "PREV":
             var, col, off = self._nav_args()
+            if var != self.own:
+                # SQL:2016 anchors a qualified PREV at V's last mapped
+                # row; the reference rejects physical offsets entirely
+                # (MatchCodeGenerator.scala:335).  Silently navigating k
+                # physical rows before the CURRENT row would be wrong
+                # under relaxed contiguity, so refuse loudly.
+                raise NotImplementedError(
+                    f"PREV({var}.{col}): qualified PREV over another "
+                    "pattern variable is not supported (PREV here is "
+                    "physical, anchored at the current row); use "
+                    f"LAST({var}.{col}, k) for logical navigation")
             off = 1 if off is None else off
             if off < 1:
                 raise NotImplementedError("PREV offset must be >= 1")

@@ -66,6 +66,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 MAX_RUNS_PER_KEY = 512
 
+# Bumped whenever ``state_schema`` below changes shape (v1: runs only;
+# v2: + r_nav/prev_rows navigation fields).  Spark's state store rejects
+# a checkpoint whose schema doesn't match — an explicit version makes
+# that an announced format break, not a surprise.
+NFA_STATE_FORMAT_VERSION = 2
+
 NO_SKIP = "no_skip"                    # AfterMatchSkipStrategy.noSkip (default)
 SKIP_PAST_LAST = "skip_past_last"      # AfterMatchSkipStrategy.skipPastLastEvent
 SKIP_TO_FIRST = "skip_to_first"        # AfterMatchSkipStrategy.skipToFirst(var)
@@ -242,7 +248,13 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     # per key per micro-batch (r2 verdict #5).
     # r_nav/prev_rows: tiny JSON blobs (a few navigated scalars per run /
     # the last prev_depth rows), populated ONLY for navigation patterns —
-    # empty strings otherwise, so non-nav patterns pay nothing
+    # empty strings otherwise, so non-nav patterns pay nothing.
+    # STATE FORMAT v2 (see NFA_STATE_FORMAT_VERSION): v2 added the
+    # r_nav/prev_rows fields, so a streaming query restarted from a
+    # checkpoint written by the v1 schema fails the state-store schema
+    # compatibility check rather than migrating — restart such queries
+    # from a fresh checkpoint location (the reference documents the same
+    # contract for changed CEP state serializers).
     state_schema = ("r_stage array<int>, r_times array<int>, "
                     "r_guard array<int>, r_gstrict array<boolean>, "
                     "r_start_us array<bigint>, r_last_us array<bigint>, "
