@@ -901,3 +901,60 @@ def flink_sql_mr_vshape_canonical(spark, sf_dir):
         spark, _SQL_MR_VSHAPE_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Composite PARTITION BY + ORDER BY tiebreaker (round-7 residual
+# closer): the reference supports arbitrary partition collations and
+# order-by tiebreakers (physical/stream/StreamExecMatch.scala:69);
+# real MR users partition by (tenant, symbol) pairs routinely.  Here
+# the NFA shuffles on (user_id, event_type) — a string key column in
+# the composite — and processes each partition in (ts, event_id)
+# order.  Strict SQL row-pattern contiguity makes the oracle exact:
+# a match is two CONSECUTIVE partition rows crossing the 50 threshold.
+# --------------------------------------------------------------------------
+_MR_COMPOSITE_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, event_id, value,
+         lead(value)    OVER w AS nv,
+         lead(event_id) OVER w AS nid
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT user_id, event_type,
+       CAST(event_id AS BIGINT) AS start_id,
+       CAST(nid      AS BIGINT) AS end_id,
+       value AS low_val, nv AS high_val
+FROM o
+WHERE value < 50 AND nv >= 50
+"""
+
+_SQL_MR_COMPOSITE_TEXT = """
+SELECT user_id, event_type, CAST(start_id AS BIGINT) AS start_id,
+       CAST(end_id AS BIGINT) AS end_id, low_val, high_val
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id, event_type
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS start_id, LAST(B.event_id) AS end_id,
+           FIRST(A.value) AS low_val, LAST(B.value) AS high_val
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B)
+  DEFINE A AS A.value < 50,
+         B AS B.value >= 50
+) AS m
+"""
+
+
+@register("flink_sql_mr_composite_partition", _MR_COMPOSITE_ORACLE)
+def flink_sql_mr_composite_partition(spark, sf_dir):
+    """MATCH_RECOGNIZE partitioned by TWO columns (bigint + string)
+    with an ORDER BY tiebreaker — the keyed shuffle, state layout, and
+    MEASURES projection all run on the composite key."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_COMPOSITE_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))

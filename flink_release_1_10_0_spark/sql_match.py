@@ -35,8 +35,16 @@ DEFINE predicates come in two tiers:
   IterativeCondition path (``MatchCodeGenerator.scala`` navigation
   codegen over ``flink-cep`` NFA state).
 
+PARTITION BY accepts any number of columns (composite keys like
+``(tenant, symbol)`` shuffle the NFA exactly like single ones — the
+reference's arbitrary partition collation,
+``StreamExecMatch.scala:69``); ORDER BY takes the event-time column
+first plus optional ascending tiebreaker columns (``ORDER BY ts,
+event_id``) that refine per-key processing order.
+
 Documented narrowings (each raises, never silently degrades):
-- one PARTITION BY column, one ORDER BY column (the event-time column);
+- ORDER BY's first column must be the event-time column and all ORDER
+  BY columns are ascending (``DESC`` raises);
 - ``NEXT(...)`` inside DEFINE (needs lookahead; the reference rejects
   it outside MEASURES too) and navigation over non-scalar columns;
 - MEASURES use the grammar of ``cep.py _parse_measure`` (FIRST/LAST/
@@ -68,8 +76,8 @@ _CLAUSES = ["PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
 @dataclass
 class MatchSpec:
     table: str
-    partition_by: str
-    order_by: str
+    partition_by: list[str]
+    order_by: list[str]          # [event-time col, *ascending tiebreakers]
     measures: dict[str, str] = field(default_factory=dict)
     match_number_alias: str | None = None
     rows_per_match: str = "one"
@@ -165,6 +173,24 @@ def _split_top_commas(s: str) -> list[str]:
     return parts
 
 
+def _plain_sort_col(item: str) -> str:
+    """A PARTITION BY / ORDER BY operand must be a bare column name,
+    optionally suffixed ``ASC`` (``DESC`` / expressions raise — the NFA
+    consumes events in ascending event-time order)."""
+    m = re.match(r"^([A-Za-z_]\w*)(?:\s+(ASC|DESC))?$", item.strip(),
+                 re.IGNORECASE)
+    if not m:
+        raise NotImplementedError(
+            f"PARTITION BY / ORDER BY operand must be a plain column "
+            f"name, got {item!r}")
+    if m.group(2) and m.group(2).upper() == "DESC":
+        raise NotImplementedError(
+            "ORDER BY ... DESC is not supported (the NFA consumes "
+            "events in ascending event-time order, like the reference's "
+            "rowtime collation)")
+    return m.group(1)
+
+
 _INTERVAL = re.compile(
     r"INTERVAL\s+'(\d+(?:\.\d+)?)'\s+(SECOND|MINUTE|HOUR|DAY)S?",
     re.IGNORECASE)
@@ -201,20 +227,14 @@ def parse_match_recognize(query: str) -> MatchSpec:
         tail = tail[am.end():]
     outer = query[:m.start()] + "FROM {VIEW}" + alias + tail
 
-    spec = MatchSpec(table=table, partition_by="", order_by="", outer=outer)
+    spec = MatchSpec(table=table, partition_by=[], order_by=[], outer=outer)
     for kw, content in _split_clauses(body):
         if kw == "PARTITION BY":
-            cols = _split_top_commas(content)
-            if len(cols) != 1:
-                raise NotImplementedError(
-                    "exactly one PARTITION BY column is supported")
-            spec.partition_by = cols[0]
+            spec.partition_by = [_plain_sort_col(c)
+                                 for c in _split_top_commas(content)]
         elif kw == "ORDER BY":
-            cols = _split_top_commas(content)
-            if len(cols) != 1:
-                raise NotImplementedError(
-                    "exactly one ORDER BY column (event time) is supported")
-            spec.order_by = cols[0]
+            spec.order_by = [_plain_sort_col(c)
+                             for c in _split_top_commas(content)]
         elif kw == "MEASURES":
             for item in _split_top_commas(content):
                 am_ = _AS_SPLIT.search(item)
@@ -340,7 +360,8 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
         match_nfa(stream, stages, within_minutes=spec.within_minutes,
                   key=spec.partition_by,
                   after_match=_parse_after_match(spec.after_match),
-                  ts_col=spec.order_by, id_col=id_col), "append")
+                  ts_col=spec.order_by[0], id_col=id_col,
+                  order_tiebreakers=spec.order_by[1:]), "append")
     out = match_recognize_measures(
         # stage order comes from PATTERN, not the DEFINE clause — a
         # user may list DEFINE conditions in any order

@@ -445,7 +445,7 @@ def _measure_window(spec: str, w_final, w_running):
 def match_recognize_measures(matches: DataFrame, events: DataFrame,
                              stage_names: list[str],
                              measures: dict[str, str],
-                             partition_by: str = "user_id",
+                             partition_by: str | list[str] = "user_id",
                              rows_per_match: str = "one") -> DataFrame:
     """MEASURES + ONE/ALL ROWS PER MATCH projection over a completed
     match log (``StreamExecMatch.scala:69`` / ``MatchCodeGenerator.scala``
@@ -474,25 +474,27 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
 
     if rows_per_match not in ("one", "all"):
         raise ValueError(f"bad rows_per_match {rows_per_match!r}")
-    w = Window.partitionBy(partition_by).orderBy(
+    keys = ([partition_by] if isinstance(partition_by, str)
+            else list(partition_by))
+    w = Window.partitionBy(*keys).orderBy(
         "end_ts", "end_id", "start_ts", "start_id")
     mm = matches.withColumn("match_no", F.row_number().over(w))
     names = F.array(*[F.lit(s) for s in stage_names])
-    ex = (mm.select(partition_by, "match_no",
+    ex = (mm.select(*keys, "match_no",
                     F.posexplode(F.arrays_zip("ev_ids", "ev_stages"))
                     .alias("pos", "z"))
-          .select(partition_by, "match_no", "pos",
+          .select(*keys, "match_no", "pos",
                   F.col("z.ev_ids").alias("event_id"),
                   F.element_at(names, F.col("z.ev_stages") + 1).alias("var")))
-    joined = ex.join(events.drop(partition_by), "event_id")
+    joined = ex.join(events.drop(*keys), "event_id")
     if rows_per_match == "one":
         aggs = [F.expr(_measure_sql(spec)).alias(name)
                 for name, spec in measures.items()]
-        return joined.groupBy(partition_by, "match_no").agg(*aggs)
-    wm = Window.partitionBy(partition_by, "match_no")
-    wr = (Window.partitionBy(partition_by, "match_no").orderBy("pos")
+        return joined.groupBy(*keys, "match_no").agg(*aggs)
+    wm = Window.partitionBy(*keys, "match_no")
+    wr = (Window.partitionBy(*keys, "match_no").orderBy("pos")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = joined.select(partition_by, "match_no", "pos", "event_id",
+    out = joined.select(*keys, "match_no", "pos", "event_id",
                         F.col("var").alias("classifier"),
                         *[_measure_window(spec, wm, wr).alias(name)
                           for name, spec in measures.items()])

@@ -153,14 +153,28 @@ def _validate(stages: list[NfaStage]) -> None:
 
 
 def match_nfa(events: DataFrame, stages: list[NfaStage],
-              within_minutes: float | None = None, key: str = "user_id",
+              within_minutes: float | None = None,
+              key: str | list[str] = "user_id",
               after_match: str = NO_SKIP,
-              ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+              ts_col: str = "ts", id_col: str = "event_id",
+              order_tiebreakers: list[str] | None = None) -> DataFrame:
     """Run the NFA over a keyed event stream.
 
     Returns an append stream: one row per completed match with the
     consumed event ids / stage indexes (``ev_ids``/``ev_stages``) plus
     scalar start/end columns for oracle-friendly projection.
+
+    ``key`` is one column name or a list — composite partition keys
+    (e.g. ``(tenant, symbol)``) shuffle and run exactly like single
+    ones (the reference keys its NFA by an arbitrary collation,
+    ``physical/stream/StreamExecMatch.scala:69``); each key column is
+    carried into the match output with its input type.
+
+    ``order_tiebreakers`` are extra ORDER BY columns after the event
+    time: processing order per key becomes ``(ts, *tiebreakers,
+    id)``.  The within-window and after-match cut positions remain
+    event-time + id granular (the reference's collation handling uses
+    the time attribute for both as well).
 
     ``after_match`` is ``no_skip``, ``skip_past_last``, or a tuple
     ``("skip_to_first"|"skip_to_last", var)`` naming a pattern variable
@@ -172,6 +186,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     already keeps a parallel run per possible start position.
     """
     _validate(stages)
+    keys = [key] if isinstance(key, str) else list(key)
+    tiebreak = list(order_tiebreakers or [])
     skip_var_idx: set[int] = set()
     if isinstance(after_match, tuple):
         mode, var = after_match
@@ -233,12 +249,18 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     # prune before the keyed shuffle: Catalyst cannot see through the
     # Python state function, so an explicit projection is what keeps the
     # wide event payload out of the exchange — the NFA only needs the
-    # key, time, id, the precomputed predicate bits, and (nav only) the
-    # navigated value columns
-    extra_cols = sorted(nav_row_cols - {key, ts_col, id_col})
-    tagged = tagged.select(key, ts_col, id_col, *pred_cols, *extra_cols)
+    # key, time, id, order tiebreakers, the precomputed predicate bits,
+    # and (nav only) the navigated value columns
+    base_cols = [*keys, ts_col, *[c for c in tiebreak
+                                  if c not in (*keys, ts_col, id_col)],
+                 id_col]
+    extra_cols = sorted(nav_row_cols - set(base_cols))
+    tagged = tagged.select(*base_cols, *pred_cols, *extra_cols)
 
-    out_schema = (f"{key} bigint, start_id bigint, end_id bigint, "
+    by_type = {f.name: f.dataType.simpleString()
+               for f in events.schema.fields}
+    key_ddl = ", ".join(f"{k} {by_type[k]}" for k in keys)
+    out_schema = (f"{key_ddl}, start_id bigint, end_id bigint, "
                   "start_ts timestamp, end_ts timestamp, n_events int, "
                   "ev_ids array<bigint>, ev_stages array<int>")
     # typed-column state (no JSON blob): runs are stored as parallel
@@ -358,7 +380,9 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values([ts_col, id_col])
+            pdf = pdf.sort_values(
+                [ts_col, *[c for c in tiebreak
+                           if c not in (ts_col, id_col)], id_col])
             ids = pdf[id_col].astype("int64").tolist()
             tss = pdf[ts_col].values.astype("datetime64[us]").astype("int64").tolist()
             mvec = [pdf[f"__m{i}"].fillna(False).astype(bool).tolist()
@@ -532,7 +556,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                       _json.dumps(prev_rows) if prev_rows else ""))
         if matches:
             yield pd.DataFrame({
-                key: [key_[0]] * len(matches),
+                **{k: [key_[i]] * len(matches)
+                   for i, k in enumerate(keys)},
                 "start_id": [mt[2][0] for mt in matches],
                 "end_id": [mt[2][-1] for mt in matches],
                 "start_ts": pd.to_datetime([mt[0] for mt in matches], unit="us"),
@@ -541,6 +566,6 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                 "ev_ids": [mt[2] for mt in matches],
                 "ev_stages": [mt[3] for mt in matches]})
 
-    return (tagged.groupBy(key)
+    return (tagged.groupBy(*keys)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))

@@ -253,3 +253,98 @@ def test_mr_keyword_in_block_comment_not_routed(spark):
         "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts "
         "MEASURES 1 AS one ONE ROW PER MATCH PATTERN (A) "
         "DEFINE A AS TRUE) AS m")
+
+
+def test_composite_partition_by_two_columns(spark):
+    """PARTITION BY user_id, event_type: the threshold-crossing pair
+    must be consecutive WITHIN its (user, type) partition — a crossing
+    that only exists when the two types are interleaved must not
+    match."""
+    rows = [
+        # user 1, type 'a': 40 -> 60 consecutive in-partition: match
+        (1, "2024-01-01 10:00:00", 1, "a", 40.0),
+        (2, "2024-01-01 10:01:00", 1, "b", 45.0),   # interleaved, other part.
+        (3, "2024-01-01 10:02:00", 1, "a", 60.0),
+        # user 1, type 'b': 45 -> 30: no crossing
+        (4, "2024-01-01 10:03:00", 1, "b", 30.0),
+        # user 2, type 'a': single row, no pair
+        (5, "2024-01-01 10:04:00", 2, "a", 10.0),
+    ]
+    df = _events(spark, rows)
+    out = _run(spark, df, """
+SELECT user_id, event_type, start_id, end_id
+FROM ev MATCH_RECOGNIZE (
+  PARTITION BY user_id, event_type
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS start_id, LAST(B.event_id) AS end_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B)
+  DEFINE A AS A.value < 50,
+         B AS B.value >= 50
+) AS m
+""").collect()
+    assert [(r.user_id, r.event_type, r.start_id, r.end_id)
+            for r in out] == [(1, "a", 1, 3)]
+
+
+def test_order_by_tiebreaker_changes_processing_order(spark):
+    """Two events share a timestamp; ORDER BY ts, value puts the lower
+    value first, so the strict A-then-B pair matches — ordering by
+    (ts, event_id) alone would see B before A and find nothing."""
+    rows = [(2, "2024-01-01 10:00:00", 1, "a", 1.0),
+            (1, "2024-01-01 10:00:00", 1, "b", 2.0)]
+    df = _events(spark, rows)
+    sql = """
+SELECT user_id, start_id, end_id
+FROM ev MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts{TB}
+  MEASURES FIRST(A.event_id) AS start_id, LAST(B.event_id) AS end_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B)
+  DEFINE A AS event_type = 'a',
+         B AS event_type = 'b'
+) AS m
+"""
+    with_tb = _run(spark, df, sql.replace("{TB}", ", value")).collect()
+    assert [(r.start_id, r.end_id) for r in with_tb] == [(2, 1)]
+    without = _run(spark, df, sql.replace("{TB}", "")).collect()
+    assert without == []
+
+
+def test_order_by_desc_rejected(spark):
+    import pytest
+
+    from flink_release_1_10_0_spark.sql_match import parse_match_recognize
+
+    with pytest.raises(NotImplementedError, match="DESC"):
+        parse_match_recognize("""
+SELECT * FROM t MATCH_RECOGNIZE (
+  PARTITION BY k ORDER BY ts DESC MEASURES 1 AS one ONE ROW PER MATCH
+  PATTERN (A) DEFINE A AS TRUE) AS m""")
+
+
+def test_qualified_prev_over_other_variable_rejected():
+    import pytest
+
+    from flink_release_1_10_0_spark.streaming.navexpr import (
+        compile_nav_predicate)
+
+    with pytest.raises(NotImplementedError, match="qualified PREV"):
+        compile_nav_predicate("B.value > PREV(A.value)", "B", ["A", "B"])
+    # own-variable qualified PREV stays allowed (same as bare PREV)
+    compile_nav_predicate("B.value > PREV(B.value)", "B", ["A", "B"])
+
+
+def test_arith_non_numeric_operands_yield_null():
+    from flink_release_1_10_0_spark.streaming.navexpr import (
+        compile_nav_predicate)
+
+    # 'x' + 'y' would concatenate under Python semantics; the guard
+    # makes the arithmetic NULL, so the predicate is not satisfied
+    p = compile_nav_predicate("value + 1 > 0 AND PREV(value) IS NULL",
+                              "A", ["A"])
+    assert p.fn({"value": "xyz"}, {}, {}, []) is not True
+    assert p.fn({"value": 5.0}, {}, {}, []) is True
