@@ -143,36 +143,37 @@ def cep_nfa_times_two(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Trailing unbounded loop closed by until(): signup -> click.oneOrMore()
-# .until(purchase), within 7 days.  The match emits when the until-event
-# arrives (loop close); it consumes the signup plus every click strictly
-# between the signup and the closing purchase; a signup whose first
-# subsequent purchase arrives before any click dies at that purchase.
+# Trailing unbounded loop with until(): signup -> click.oneOrMore()
+# .until(purchase), within 7 days.  Reference semantics
+# (Pattern.java:306 oneOrMore, non-greedy): the loop emits one PARTIAL
+# match per extension — signup + the first k clicks, for every k — and
+# the until-event (first purchase after the signup) merely STOPS the
+# loop, killing the run without a further emission (all its prefixes
+# are already out).  Clicks after the closing purchase, or beyond the
+# 7-day window, extend nothing.  (Round 7 upgraded this query from the
+# old maximal-match-on-close narrowing to the reference behavior.)
 # --------------------------------------------------------------------------
 _UNTIL_ORACLE = """
 WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
-sp AS (
-  SELECT s.user_id, s.event_id AS start_id, s.ts AS s_ts,
-         p.event_id AS p_id, p.ts AS p_ts
-  FROM (SELECT * FROM ev WHERE event_type = 'signup') s,
-  LATERAL (SELECT event_id, ts FROM ev p
-           WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
-             AND (p.ts, p.event_id) > (s.ts, s.event_id)
-           ORDER BY p.ts, p.event_id LIMIT 1) p
-  WHERE p.ts <= s.ts + INTERVAL 7 DAY)
-SELECT user_id, start_id, event_id AS end_id,
-       CAST(1 + cnt AS INT) AS n_events
-FROM (
-  SELECT sp.user_id, sp.start_id, c.event_id,
-         row_number() OVER (PARTITION BY sp.user_id, sp.start_id
-                            ORDER BY c.ts DESC, c.event_id DESC) AS rn,
-         COUNT(*) OVER (PARTITION BY sp.user_id, sp.start_id) AS cnt
-  FROM sp
-  JOIN ev c
-    ON c.user_id = sp.user_id AND c.event_type = 'click'
-   AND (c.ts, c.event_id) > (sp.s_ts, sp.start_id)
-   AND (c.ts, c.event_id) < (sp.p_ts, sp.p_id)) q
-WHERE rn = 1
+s AS (SELECT user_id, event_id AS start_id, ts AS s_ts
+      FROM ev WHERE event_type = 'signup'),
+fp AS (
+  SELECT s.user_id, s.start_id, s.s_ts, p.ts AS p_ts, p.event_id AS p_id
+  FROM s LEFT JOIN LATERAL (
+    SELECT event_id, ts FROM ev p
+    WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+      AND (p.ts, p.event_id) > (s.s_ts, s.start_id)
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE)
+SELECT fp.user_id, fp.start_id, c.event_id AS end_id,
+       CAST(row_number() OVER (PARTITION BY fp.user_id, fp.start_id
+                               ORDER BY c.ts, c.event_id) + 1
+            AS INT) AS n_events
+FROM fp
+JOIN ev c
+  ON c.user_id = fp.user_id AND c.event_type = 'click'
+ AND (c.ts, c.event_id) > (fp.s_ts, fp.start_id)
+ AND (fp.p_ts IS NULL OR (c.ts, c.event_id) < (fp.p_ts, fp.p_id))
+WHERE c.ts <= fp.s_ts + INTERVAL 7 DAY
 """
 
 
@@ -958,3 +959,75 @@ def flink_sql_mr_composite_partition(spark, sf_dir):
         spark, _SQL_MR_COMPOSITE_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Trailing non-greedy oneOrMore WITHOUT until (round-7 residual closer):
+# error -> view.oneOrMore() within 1 day.  Reference semantics
+# (Pattern.java:306): one partial match per loop extension — the error
+# plus the first k views after it, for every k whose k-th view is
+# inside the window.  Nothing "closes" the loop; emission happens as
+# the match grows, which is what makes the shape usable on an
+# unbounded stream at all.
+# --------------------------------------------------------------------------
+_TRAILING_OOM_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events)
+SELECT s.user_id, s.event_id AS start_id, c.event_id AS end_id,
+       CAST(row_number() OVER (PARTITION BY s.user_id, s.event_id
+                               ORDER BY c.ts, c.event_id) + 1
+            AS INT) AS n_events
+FROM (SELECT * FROM ev WHERE event_type = 'error') s
+JOIN ev c
+  ON c.user_id = s.user_id AND c.event_type = 'view'
+ AND (c.ts, c.event_id) > (s.ts, s.event_id)
+WHERE c.ts <= s.ts + INTERVAL 1 DAY
+"""
+
+
+@register("cep_nfa_trailing_one_or_more", _TRAILING_OOM_ORACLE)
+def cep_nfa_trailing_one_or_more(spark, sf_dir):
+    """Per-extension emission for a trailing relaxed oneOrMore — the
+    round-6 scope note removed: no until() required."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("error").followed_by("view").one_or_more()
+         .within(24 * 60).match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# Trailing optional (round-7 residual closer): purchase[value > 120] ->
+# error.optional() within 2 days.  Reference semantics
+# (Pattern.java:246): BOTH matches emit — the short one (just the
+# purchase) the moment the purchase arrives, and the long one when the
+# first error after it (relaxed contiguity) lands inside the window.
+# --------------------------------------------------------------------------
+_TRAILING_OPT_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type, value FROM events),
+a AS (SELECT * FROM ev WHERE event_type = 'purchase' AND value > 120)
+SELECT user_id, event_id AS start_id, event_id AS end_id,
+       CAST(1 AS INT) AS n_events
+FROM a
+UNION ALL
+SELECT a.user_id, a.event_id AS start_id, e.event_id AS end_id,
+       CAST(2 AS INT) AS n_events
+FROM a,
+LATERAL (SELECT event_id, ts FROM ev e
+         WHERE e.user_id = a.user_id AND e.event_type = 'error'
+           AND (e.ts, e.event_id) > (a.ts, a.event_id)
+         ORDER BY e.ts, e.event_id LIMIT 1) e
+WHERE e.ts <= a.ts + INTERVAL 2 DAY
+"""
+
+
+@register("cep_nfa_trailing_optional", _TRAILING_OPT_ORACLE)
+def cep_nfa_trailing_optional(spark, sf_dir):
+    """Trailing optional stage — the round-6 rejection removed: the NFA
+    emits the short match on the mandatory prefix and the long match on
+    the optional extension."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("purchase").where("value > 120")
+         .followed_by("error").optional().within(2 * 24 * 60)
+         .match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")

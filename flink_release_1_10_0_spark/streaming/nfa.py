@@ -38,6 +38,24 @@ Execution model (Spark-first):
   kills runs begun before the first/last event the match mapped to
   ``var``; the surviving parallel runs are the resume positions).
 
+Trailing-stage emission (the reference's partial-match surface,
+``flink-cep/.../pattern/Pattern.java:246`` optional / ``:306``
+oneOrMore):
+- a trailing NON-greedy loop (``oneOrMore``/``timesOrMore``/bounded
+  ``times`` last) emits one match per extension — ``A B+`` yields
+  ``A B1``, ``A B1 B2``, … — exactly Flink's partial-match emission;
+  an ``until`` event (or window expiry) just stops the loop, the
+  prefixes are already out.
+- a trailing GREEDY loop emits only the maximal match, when the loop
+  *closes* — on an ``until`` event or bounded saturation.  This is the
+  SQL-quantifier tier (``PATTERN (A B+)`` compiles greedy): SQL:2016
+  greedy quantifiers produce the single maximal match.
+- a trailing NON-greedy ``optional`` emits both the short and the long
+  match (``Pattern.optional`` at pattern end emits both in the
+  reference); more generally, whenever a run satisfies a stage whose
+  remaining consuming stages are all optional, the current prefix is
+  emitted and the run keeps extending.
+
 Scope notes (documented narrowings vs the reference):
 - a trailing ``notFollowedBy`` is supported only via the dedicated
   watermark-timer operator (``stateful.cep_not_followed_by``) that the
@@ -46,11 +64,11 @@ Scope notes (documented narrowings vs the reference):
 - a negation's neighbor stages must be non-optional, and the stage
   before it non-looping (the guard window is then exactly "between the
   two consumed events", matching the reference for these shapes).
-- a trailing unbounded loop (``oneOrMore``/``timesOrMore`` last) emits
-  when the loop *closes* — on an ``until`` event — i.e. the maximal
-  (greedy) match, not one partial match per extension.
-- a trailing ``optional`` stage is rejected (the reference emits both
-  the short and long match; register the two patterns separately).
+- a trailing GREEDY unbounded loop needs ``until()`` and a trailing
+  GREEDY ``optional`` is rejected: maximal-match emission would need
+  lookahead ("no more loop events will come"), which an unbounded
+  stream cannot decide without a closing condition; the non-greedy
+  forms above are the reference-faithful alternative.
 """
 
 from __future__ import annotations
@@ -116,13 +134,26 @@ def _validate(stages: list[NfaStage]) -> None:
             "negation must sit between two consuming stages (trailing "
             "notFollowedBy routes to stateful.cep_not_followed_by)")
     last = stages[-1]
-    if last.is_loop() and last.max_times is None and last.until is None:
+    if (last.greedy and last.is_loop() and last.max_times is None
+            and last.until is None):
         raise NotImplementedError(
-            "trailing unbounded loop needs until() (emission on loop close)")
-    if last.min_times == 0:
-        raise NotImplementedError(
-            "trailing optional: register the short and long patterns "
-            "separately (the reference emits both matches)")
+            "trailing GREEDY unbounded loop needs until(): maximal-match "
+            "emission requires a loop-closing condition (the non-greedy "
+            "form emits one match per extension instead)")
+    # the trailing optional chain: every consuming stage in it must be
+    # non-greedy — a greedy optional at pattern end would need lookahead
+    # to decide between the short and long match
+    for j in range(n - 1, -1, -1):
+        if stages[j].negated:
+            continue
+        if stages[j].min_times != 0:
+            break
+        if stages[j].greedy:
+            raise NotImplementedError(
+                "trailing GREEDY optional stage: SQL-tier maximal-match "
+                "semantics need lookahead; use a non-greedy optional "
+                "(both the short and long match are then emitted, like "
+                "the reference) or make the stage mandatory")
     if stages[0].min_times == 0:
         raise NotImplementedError(
             "leading optional/star stage: runs only begin at the first "
@@ -290,6 +321,12 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
              s.until is not None, s.negated) for s in stages]
     CONT, MIN, MAX, GREEDY, HAS_UNTIL, NEG = range(6)
 
+    # tail_opt[j]: every consuming stage strictly after j is optional —
+    # a run that just satisfied j's quantifier holds a complete match
+    # and (non-greedy tier) emits the prefix while continuing to extend
+    tail_opt = [all(spec[k][MIN] == 0 for k in range(j + 1, n)
+                    if not spec[k][NEG]) for j in range(n)]
+
     def real_next(j: int) -> int:
         """First consuming (non-negated) stage index at/after j; n if none."""
         while j < n and spec[j][NEG]:
@@ -428,8 +465,13 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         if t_ < spec[s_][MIN]:
                             continue          # loop unsatisfied at stop
                         nxt = real_next(s_ + 1)
-                        if nxt >= n:          # trailing loop closes -> match
-                            emit(run[A], run[L], run[EV], run[ST], run[EU])
+                        if nxt >= n:
+                            # trailing loop closes: greedy emits the
+                            # maximal match now; non-greedy already
+                            # emitted every prefix — the run just dies
+                            if spec[s_][GREEDY]:
+                                emit(run[A], run[L], run[EV], run[ST],
+                                     run[EU])
                             continue
                         g = guard_between(s_, nxt)
                         run = [nxt, 0, g, g >= 0 and spec[g][CONT] == "strict",
@@ -488,6 +530,13 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                                 and t2 == mxj:
                             emit(run[A], ts_us, evs2, sts2, us2)
                             continue
+                        if t2 >= mnj and tail_opt[j] and not spec[j][GREEDY]:
+                            # trailing-stage prefix emission: the match
+                            # is complete as of this event (remaining
+                            # stages all optional) — emit it and keep
+                            # the run extending (Pattern.java:246/:306
+                            # partial-match semantics)
+                            emit(run[A], ts_us, evs2, sts2, us2)
                         if mxj is not None and t2 == mxj and nxt < n:
                             # bounded stage saturated: advance pointer now
                             g = guard_between(j, nxt)
@@ -515,15 +564,24 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     nxt = real_next(1)
                     if nxt >= n and mx0 == 1:
                         emit(ts_us, ts_us, [eid], [0], [ts_us])
-                    elif mx0 == 1:
-                        g = guard_between(0, nxt)
-                        new_runs.append(
-                            [nxt, 0, g, g >= 0 and spec[g][CONT] == "strict",
-                             ts_us, ts_us, [eid], [0], [ts_us], nv0])
                     else:
-                        new_runs.append([0, 1, -1, False,
-                                         ts_us, ts_us, [eid], [0], [ts_us],
-                                         nv0])
+                        if (1 >= mn0 and tail_opt[0]
+                                and not spec[0][GREEDY]):
+                            # one consumed event already completes the
+                            # match (rest of the pattern is optional /
+                            # this is a satisfied trailing loop's first
+                            # take): emit the short match, keep the run
+                            emit(ts_us, ts_us, [eid], [0], [ts_us])
+                        if mx0 == 1:
+                            g = guard_between(0, nxt)
+                            new_runs.append(
+                                [nxt, 0, g,
+                                 g >= 0 and spec[g][CONT] == "strict",
+                                 ts_us, ts_us, [eid], [0], [ts_us], nv0])
+                        else:
+                            new_runs.append([0, 1, -1, False,
+                                             ts_us, ts_us, [eid], [0],
+                                             [ts_us], nv0])
                 if prev_depth:
                     # PREV is physical: every partition row (matched or
                     # not) becomes the next row's predecessor

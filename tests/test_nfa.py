@@ -120,10 +120,71 @@ def test_validation_rejects_unsupported_shapes(spark):
         match_nfa(_stream(spark, [_ev(1, 0, "a")]),
                   [NfaStage(pred="event_type = 'a'"),
                    NfaStage(pred="event_type = 'b'", negated=True)])
-    with pytest.raises(NotImplementedError):
+    # GREEDY maximal-match emission needs a loop close / lookahead:
+    # trailing greedy unbounded loop without until, and trailing greedy
+    # optional, both refuse (their non-greedy forms are supported)
+    with pytest.raises(NotImplementedError, match="GREEDY unbounded"):
         match_nfa(_stream(spark, [_ev(1, 0, "a")]),
                   [NfaStage(pred="event_type = 'a'", min_times=1,
-                            max_times=None)])  # trailing loop, no until
+                            max_times=None, greedy=True)])
+    with pytest.raises(NotImplementedError, match="GREEDY optional"):
+        match_nfa(_stream(spark, [_ev(1, 0, "a")]),
+                  [NfaStage(pred="event_type = 'a'"),
+                   NfaStage(pred="event_type = 'b'", min_times=0,
+                            max_times=1, greedy=True)])
+
+
+def test_trailing_one_or_more_emits_per_extension(spark):
+    """a b.oneOrMore() (non-greedy, no until): every prefix emits —
+    Pattern.java:306 partial-match semantics."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "x"), _ev(4, 3, "b")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1,
+                       max_times=None)]
+    assert _matches(spark, rows, stages) == [(1, 2), (1, 2, 4)]
+
+
+def test_trailing_until_stops_without_reemitting(spark):
+    """a b+ until(c): prefixes emit per extension; the until event only
+    kills the run (no duplicate maximal match), and b's after the close
+    extend nothing."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "b"),
+            _ev(4, 3, "c"), _ev(5, 4, "b")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1,
+                       max_times=None, until="event_type = 'c'")]
+    assert _matches(spark, rows, stages) == [(1, 2), (1, 2, 3)]
+
+
+def test_trailing_greedy_until_emits_maximal_only(spark):
+    """The greedy (SQL-quantifier) tier keeps maximal-match emission on
+    loop close."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "b"), _ev(4, 3, "c")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1,
+                       max_times=None, greedy=True,
+                       until="event_type = 'c'")]
+    assert _matches(spark, rows, stages) == [(1, 2, 3)]
+
+
+def test_trailing_optional_emits_short_and_long(spark):
+    """a b.optional(): both matches emit (Pattern.java:246), the short
+    one immediately, the long one on the optional extension."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "x"), _ev(3, 2, "b")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=0, max_times=1)]
+    assert _matches(spark, rows, stages) == [(1,), (1, 3)]
+    # no b at all: only the short match
+    assert _matches(spark, [_ev(1, 0, "a"), _ev(2, 1, "x")], stages) == [(1,)]
+
+
+def test_single_stage_loop_per_extension(spark):
+    """A bare non-greedy a+ pattern: each take is already a complete
+    match — (a1), (a1 a2), (a2) under no-skip."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "a")]
+    stages = [NfaStage(pred="event_type = 'a'", min_times=1,
+                       max_times=None)]
+    assert _matches(spark, rows, stages) == [(1,), (1, 2), (2,)]
 
 
 def test_nfa_state_carries_across_batches(spark):

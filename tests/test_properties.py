@@ -490,3 +490,48 @@ def test_mr_vshape_navigation_matches_backtracking_bruteforce(spark, vals):
            for r in sorted(out.collect(), key=lambda r: r.match_no)]
     assert got == [(float(a), float(b), float(c), d)
                    for a, b, c, d in expect]
+
+
+@given(syms=st.lists(st.sampled_from("abx"), min_size=1, max_size=10),
+       quant=st.sampled_from(["?", "+", "*"]))
+@settings(**_SETTINGS)
+def test_nfa_trailing_emission_matches_bruteforce(spark, syms, quant):
+    """Trailing-stage emission (round-7 closers) vs a brute-force model:
+    pattern ``a b{quant}`` with a NON-greedy trailing quantifier under
+    no-skip/relaxed contiguity emits, per ``a``, the short match (for ?
+    and *) and one match per consumed-``b`` prefix (the b's are the
+    successive b-events after the a) — Pattern.java:246/:306
+    partial-match semantics."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.nfa import NfaStage, match_nfa
+
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, s, 0.0)
+            for i, s in enumerate(syms, 1)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="nfa_prop_trail_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    mn, mx = {"?": (0, 1), "+": (1, None), "*": (0, None)}[quant]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=mn, max_times=mx)]
+    out = run_to_completion(match_nfa(sdf, stages), "append")
+    got = sorted(tuple(r.ev_ids) for r in out.collect())
+
+    expect = []
+    for i, s in enumerate(syms):
+        if s != "a":
+            continue
+        if mn == 0:
+            expect.append((i + 1,))                     # short match
+        bs = [j + 1 for j in range(i + 1, len(syms)) if syms[j] == "b"]
+        limit = len(bs) if mx is None else min(mx, len(bs))
+        for k in range(1, limit + 1):
+            expect.append((i + 1, *bs[:k]))             # per-extension
+    assert got == sorted(expect)
