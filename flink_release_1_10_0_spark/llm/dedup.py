@@ -19,6 +19,13 @@ from flink_release_1_10_0_spark.llm.text import (hash64_expr, hash128_expr,
                                                  words_expr)
 
 
+# Band count above which the candidate stage abandons the
+# first-matching-band join (whose null-safe predicate list grows
+# quadratically in bands) for the explode + distinct formulation —
+# see the geometry note inside ``minhash_lsh_pairs``.
+_FIRST_MATCH_MAX_BANDS = 8
+
+
 def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("words", F.expr(words_expr(text_col)))
 
@@ -164,27 +171,52 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # narrow count aggregation finds keys held by >1 word-set and a
     # semi-join drops singleton rows BEFORE the join — most buckets
     # cannot emit a pair and never reach the expensive stage.
-    parts = []
-    for b in range(n_bands):
-        multi = (keyed.groupBy(f"bk{b}")
+    # GEOMETRY GUARD: band b's first-matching-band join carries b
+    # null-safe inequalities, so the per-band predicate work grows
+    # quadratically in n_bands — ideal at the default 2 bands, wrong at
+    # a k=128/rows=4 geometry (32 self-joins with up to 31 extra
+    # predicates each).  Above _FIRST_MATCH_MAX_BANDS the candidate
+    # stage switches to the explode formulation: one (band, key)
+    # self-join + one pair distinct — a single extra shuffle that is
+    # independent of band count.
+    if n_bands <= _FIRST_MATCH_MAX_BANDS:
+        parts = []
+        for b in range(n_bands):
+            multi = (keyed.groupBy(f"bk{b}")
+                     .agg(F.count(F.lit(1)).alias("bn"))
+                     .filter(F.col("bn") > 1)
+                     .select(f"bk{b}"))
+            pruned = keyed.join(multi, [f"bk{b}"], "leftsemi")
+            a = pruned.alias("a")
+            bb = pruned.alias("b")
+            cond = ((F.col(f"a.bk{b}") == F.col(f"b.bk{b}"))
+                    & (F.col("a.fp") < F.col("b.fp")))
+            for j in range(b):
+                # null-safe: a null earlier key never matched, so it
+                # must not suppress emission here
+                cond = cond & ~F.col(f"a.bk{j}").eqNullSafe(F.col(f"b.bk{j}"))
+            parts.append(a.join(bb, cond)
+                         .select(F.col("a.fp").alias("fp_a"),
+                                 F.col("b.fp").alias("fp_b")))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+    else:
+        exploded = keyed.select(
+            "fp", F.posexplode(F.array(
+                *[F.col(f"bk{b}") for b in range(n_bands)])).alias("b", "bk"))
+        multi = (exploded.groupBy("b", "bk")
                  .agg(F.count(F.lit(1)).alias("bn"))
                  .filter(F.col("bn") > 1)
-                 .select(f"bk{b}"))
-        pruned = keyed.join(multi, [f"bk{b}"], "leftsemi")
+                 .select("b", "bk"))
+        pruned = exploded.join(multi, ["b", "bk"], "leftsemi")
         a = pruned.alias("a")
-        bb = pruned.alias("b")
-        cond = ((F.col(f"a.bk{b}") == F.col(f"b.bk{b}"))
-                & (F.col("a.fp") < F.col("b.fp")))
-        for j in range(b):
-            # null-safe: a null earlier key never matched, so it must
-            # not suppress emission here
-            cond = cond & ~F.col(f"a.bk{j}").eqNullSafe(F.col(f"b.bk{j}"))
-        parts.append(a.join(bb, cond)
-                     .select(F.col("a.fp").alias("fp_a"),
-                             F.col("b.fp").alias("fp_b")))
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+        bb = pruned.alias("x")
+        cand = (a.join(bb, ["b", "bk"])
+                 .filter(F.col("a.fp") < F.col("x.fp"))
+                 .select(F.col("a.fp").alias("fp_a"),
+                         F.col("x.fp").alias("fp_b"))
+                 .distinct())
 
     wh = uniq.select("fp", "wh", F.expr("size(wh)").alias("nw"))
     # verification (measured r6, 2.4M candidate pairs at sf0.1):

@@ -48,18 +48,53 @@ def iterate_feedback(
     if max_iterations < 1:
         raise ValueError(
             f"max_iterations must be >= 1, got {max_iterations}")
-    outputs: list[DataFrame] = []
+    # Outputs fold INCREMENTALLY: rounds union onto an accumulator that
+    # is localCheckpointed every _FOLD_EVERY rounds, so a pathological
+    # iteration count builds plans of bounded depth (at most
+    # _FOLD_EVERY union leaves above the last fold) instead of one
+    # N-leaf union at the end.  Round inputs stay persisted until the
+    # fold that covers their round's output has materialized — an
+    # un-folded ``out`` plan still reads them — and are unpersisted in
+    # a batch right after; ~N/_FOLD_EVERY materializations total where
+    # the round-6 shape paid N.
+    acc: DataFrame | None = None
+    prev_fold: DataFrame | None = None
+    pending = 0
+    retire: list[DataFrame] = []
     cur = df.localCheckpoint(eager=True)
+
+    def fold():
+        nonlocal acc, prev_fold, pending
+        acc = acc.localCheckpoint(eager=True)
+        for r in retire:
+            r.unpersist()
+        retire.clear()
+        if prev_fold is not None:
+            prev_fold.unpersist()
+        prev_fold = acc
+        pending = 0
+
     for _ in range(max_iterations):
         feedback, out = step(cur)
-        outputs.append(out.localCheckpoint(eager=True))
+        acc = out if acc is None else acc.unionByName(out)
+        pending += 1
         feedback = feedback.localCheckpoint(eager=True)
-        cur.unpersist()
+        retire.append(cur)
         cur = feedback
+        if pending >= _FOLD_EVERY:
+            fold()
         if feedback.isEmpty():
             break
-    cur.unpersist()
-    result = outputs[0]
-    for o in outputs[1:]:
-        result = result.unionByName(o)
-    return result
+    retire.append(cur)
+    if pending:
+        fold()        # final fold releases the tail rounds' inputs
+    else:
+        for r in retire:
+            r.unpersist()
+    return acc
+
+
+# Rounds between accumulator folds: small enough that a 1000-round loop
+# never holds a wide union plan, large enough that short loops pay a
+# single materialization.
+_FOLD_EVERY = 32

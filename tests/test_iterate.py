@@ -67,3 +67,27 @@ def test_feedback_loop_rejects_nonpositive_iterations(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError, match="max_iterations"):
         iterate_feedback(df, lambda d: (d, d), max_iterations=0)
+
+
+def test_feedback_loop_100_rounds_bounded_plan(spark):
+    """A 120-round loop must complete with a bounded final plan: the
+    incremental fold (union + localCheckpoint every ~32 rounds) returns
+    a materialized accumulator, never a 120-leaf union tree."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.col("id").cast("int").alias("i"))
+
+    def step(cur):
+        out = cur
+        fb = (cur.filter(F.col("i") < 119)
+              .select((F.col("i") + 1).alias("i")))
+        return fb, out
+
+    out = iterate_feedback(df, step)
+    got = sorted(r.i for r in out.collect())
+    assert got == list(range(120))
+    # the returned plan is the folded checkpoint: a single scan, with
+    # no Union node left above it
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert len(plan.splitlines()) <= 3

@@ -204,3 +204,44 @@ def test_lsh_survivors_keep_min_id_per_cluster(spark):
     got = sorted(r.doc_id for r in
                  all_queries()["dedup_lsh_survivors"](spark, d).collect())
     assert got == [5, 7]
+
+
+def test_minhash_lsh_high_band_geometry(spark):
+    """k=32/rows=2 (16 bands) must route through the explode+distinct
+    candidate formulation (the first-matching-band join's predicate
+    list grows quadratically in bands) and return exactly the
+    brute-force exact-Jaccard pairs on a corpus whose near-dups sit far
+    above the s-curve midpoint (t ~ (1/16)^(1/2) = 0.25), while the
+    default geometry's pairs stay a sound subset."""
+    from itertools import combinations
+
+    from flink_release_1_10_0_spark.llm.dedup import minhash_lsh_pairs
+
+    base = [f"w{i}" for i in range(20)]
+    texts = {
+        1: " ".join(base),                      # J(1,2)=1.0 exact dup
+        2: " ".join(base),
+        3: " ".join(base[:19] + ["zz"]),        # J(1,3)=19/21≈0.905
+        4: " ".join(base[:10] + [f"q{i}" for i in range(10)]),  # J≈0.33
+        5: "completely different tokens here nothing shared at all",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string")
+
+    def jac(a, b):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        return len(sa & sb) / len(sa | sb)
+
+    expect = {(a, b) for a, b in combinations(sorted(texts), 2)
+              if jac(a, b) >= 0.8}
+    high = {(r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(docs, "doc_id", k=32, band_rows=2,
+                                       threshold=0.8).collect()}
+    assert high == expect
+    default = {(r.id_a, r.id_b)
+               for r in minhash_lsh_pairs(docs, "doc_id",
+                                          threshold=0.8).collect()}
+    # defaults: no false positives ever (exact verification), and the
+    # identical-word-set cluster is found regardless of geometry
+    assert default <= expect
+    assert (1, 2) in default
