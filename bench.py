@@ -37,6 +37,11 @@ HEADLINE = [
     "cep_nfa_four_stage",
     "graph_connected_components",
     "similarity_ivf_topk_pruned",
+    # round-7 additions: one head per round-6 family so connector /
+    # keyed-state / iteration regressions show up in the wall-clock
+    "source_dbapi_roundtrip",
+    "queryable_state_snapshot",
+    "stream_iterate_feedback_halving",
 ]
 
 

@@ -94,6 +94,14 @@ def as_queryable_state(state_df: DataFrame, name: str,
     spark = state_df.sparkSession
     ckpt = tempfile.mkdtemp(prefix="spark_graft_qstate_")
     if backend == "memory":
+        import warnings
+
+        warnings.warn(
+            "queryable-state memory backend is COMPLETE-mode: every "
+            "trigger republishes the full keyed snapshot to the driver. "
+            "Fine for small keyed state; for large key cardinality use "
+            "backend='dbapi' (update-mode deltas into an external "
+            "store).", ResourceWarning, stacklevel=2)
         handle = QueryableStateHandle(spark, name, key_cols, "memory")
         writer = (state_df.writeStream.format("memory").queryName(name)
                   .outputMode("complete")

@@ -68,6 +68,51 @@ HEADS = [
 ]
 
 
+# 100x tier (sf10-equivalent): built ONLY for the two riskiest heads'
+# tables.  documents replicate 100x with per-copy word-prefix tagging
+# (c<k>_ on every token) — letter rotation caps at 26 disjoint
+# vocabularies, the prefix keeps every copy's vocabulary disjoint at
+# any copy count while preserving the dup-cluster structure per copy
+# (the linear-scaling regime, same argument as the sf1 build).  events
+# replicate 100x by KEY COUNT (user_id offset per copy), per-key depth
+# unchanged — the keyed-state linear regime.
+COPIES_100 = 100
+HEADS_100X = {
+    "minhash_lsh_dup_pairs_xxh":
+        "linear: bucketed LSH, cluster widths fixed, 100x unique sets",
+    "cep_nfa_four_stage":
+        "linear: keyed NFA, 100x keys, runs/key bounded",
+}
+
+
+def build_sf10(spark, base: str) -> str:
+    out = os.path.join(base, "sf10")
+    os.makedirs(out, exist_ok=True)
+    copies = spark.range(COPIES_100).select(F.col("id").alias("copy"))
+    OFF = 1_000_000_000
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    (docs.crossJoin(copies)
+       .withColumn("doc_id", F.col("doc_id") + F.col("copy") * OFF)
+       .withColumn("text", F.regexp_replace(
+           F.col("text"), F.lit(r"(\S+)"),
+           F.concat(F.lit("c"), F.col("copy").cast("string"),
+                    F.lit("_$1"))))
+       .drop("copy")
+       .repartition(32)
+       .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    (ev.crossJoin(copies)
+       .withColumn("event_id", F.col("event_id") + F.col("copy") * OFF)
+       .withColumn("user_id", F.col("user_id") + F.col("copy") * 1_000_000)
+       .drop("copy")
+       .repartition(32)
+       .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+    return out
+
+
 def build_sf1(spark, base: str) -> str:
     out = os.path.join(base, "sf1")
     os.makedirs(out, exist_ok=True)
@@ -175,6 +220,16 @@ def main():
             results[name][tier_name] = secs
             print(f"{tier_name:12s} {name:34s} {secs:8.3f}s", flush=True)
 
+    print("building sf10 (100x) tier for the risky heads...", flush=True)
+    sf10 = build_sf10(spark, base)
+    results_100: dict[str, float] = {}
+    for name in HEADS_100X:
+        if name not in qs:
+            continue
+        secs = time_head(spark, qs, name, sf10)
+        results_100[name] = secs
+        print(f"{'sf10 (synth)':12s} {name:34s} {secs:8.3f}s", flush=True)
+
     cc_name = "graph_connected_components (operator)"
     bounds[cc_name] = "n·log(diameter); diameter fixed -> linear"
     results[cc_name] = {}
@@ -211,6 +266,29 @@ def main():
         "amortized at the small end). Super-linear growth would flag an",
         "all-pairs/unpartitioned construct or per-key state blowup.",
     ]
+    if results_100:
+        lines += [
+            "",
+            "## 100x tier (sf10-equivalent, riskiest heads)",
+            "",
+            "The brief's bar is \"survive a 100x scale-up\": the two",
+            "heads with the most super-linear risk (pair-generating LSH,",
+            "per-key NFA state) run on a 100x replication of their",
+            "tables (tools/scale_sweep.py build_sf10 — word-prefix",
+            "vocabulary disjointness / 100x key count).  At-or-below",
+            "the stated bound = at most ~100x the sf0.1 wall-clock.",
+            "",
+            "| head | expected bound | sf0.1 | sf10 (synth, 100x) "
+            "| ratio | verdict |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name, secs in results_100.items():
+            base_t = results.get(name, {}).get("sf0.1")
+            ratio = secs / base_t if base_t else float("nan")
+            verdict = "at-or-below linear" if ratio <= 100 else "SUPER-LINEAR"
+            lines.append(
+                f"| {name} | {HEADS_100X[name]} | {base_t} | {secs} "
+                f"| {ratio:.1f}x | {verdict} |")
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_md}")
