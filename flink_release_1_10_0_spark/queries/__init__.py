@@ -94,9 +94,14 @@ _PIN = [
     "join_bucketed_colocated", "partition_custom_routing",
     "stream_async_io_unordered",
     # ---- NEW in round 7: composite MR partition keys + the two
-    #      trailing-stage NFA emission closers (47 + 3 = 50 slots) ----
+    #      trailing-stage NFA emission closers (47 + 3 = 50 slots).
+    #      flink_sql_mr_measures_expression (also new in r7) queues
+    #      below the boundary and leads round 8's window ----
     "flink_sql_mr_composite_partition", "cep_nfa_trailing_optional",
     "cep_nfa_trailing_one_or_more",
+    # ---- round-8 window head: the only query without driver evidence
+    #      after r7 ----
+    "flink_sql_mr_measures_expression",
     # ---- 50-window boundary: everything below already has driver
     #      evidence from rounds 1-6 (order kept stable for re-runs) ----
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",

@@ -1031,3 +1031,58 @@ def cep_nfa_trailing_optional(spark, sf_dir):
          .match_stream(ev))
     return run_to_completion(
         m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# Compound MEASURES expressions (round-7 surface extension): the
+# reference accepts arbitrary scalar expressions over navigation
+# aggregates in MEASURES (MatchCodeGenerator.scala measure codegen);
+# here LAST(B.value) - FIRST(A.value) and a COUNT sum compile to one
+# SQL aggregate expression over the exploded match rows.
+# --------------------------------------------------------------------------
+_MR_MEASURE_EXPR_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         lead(value)    OVER w AS nv,
+         lead(event_id) OVER w AS nid
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(event_id AS BIGINT) AS start_id,
+       ROUND(nv - value, 6) AS rise,
+       CAST(2 AS INT) AS n_ev
+FROM o
+WHERE value < 50 AND nv >= 50
+"""
+
+_SQL_MR_MEASURE_EXPR_TEXT = """
+SELECT user_id, CAST(start_id AS BIGINT) AS start_id, rise,
+       CAST(n_ev AS INT) AS n_ev
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS start_id,
+           ROUND(LAST(B.value) - FIRST(A.value), 6) AS rise,
+           COUNT(A.*) + COUNT(B.*) AS n_ev
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B)
+  DEFINE A AS A.value < 50,
+         B AS B.value >= 50
+) AS m
+"""
+
+
+@register("flink_sql_mr_measures_expression", _MR_MEASURE_EXPR_ORACLE)
+def flink_sql_mr_measures_expression(spark, sf_dir):
+    """MEASURES with compound scalar expressions over navigation
+    aggregates — subtraction across variables inside ROUND, and a sum
+    of two COUNTs — compiled by cep.py _measure_sql_any."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_MEASURE_EXPR_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))

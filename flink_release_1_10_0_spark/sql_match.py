@@ -47,9 +47,13 @@ Documented narrowings (each raises, never silently degrades):
   BY columns are ascending (``DESC`` raises);
 - ``NEXT(...)`` inside DEFINE (needs lookahead; the reference rejects
   it outside MEASURES too) and navigation over non-scalar columns;
-- MEASURES use the grammar of ``cep.py _parse_measure`` (FIRST/LAST/
-  MIN/MAX/SUM/AVG/COUNT/ bare col, RUNNING/FINAL prefixes) plus
-  ``MATCH_NUMBER()``.
+- MEASURES accept navigation aggregates (FIRST/LAST/MIN/MAX/SUM/AVG/
+  COUNT, bare ``V.col``, RUNNING/FINAL prefixes), ``MATCH_NUMBER()``,
+  and — under ONE ROW PER MATCH — compound scalar expressions over
+  them (``LAST(A.v) - FIRST(B.v)``, ``ROUND(AVG(X.v), 2)``; the
+  scalar glue runs as Spark SQL verbatim).  ALL ROWS PER MATCH keeps
+  the single-aggregate grammar; navigation offsets inside MEASURES
+  (``LAST(B.v, 1)``) are not supported.
 """
 
 from __future__ import annotations

@@ -317,6 +317,19 @@ def compile_match_pattern(pattern: str, define: dict[str, str],
             greedy=not reluctant and not (mn == 1 and mx == 1),
             nav=(nav or {}).get(var)))
         pos = m.end()
+    last = stages[-1]
+    if (last.min_times == 0 or last.is_loop()) and not last.greedy:
+        # SQL:2016 reluctant quantifiers produce ONE shortest match per
+        # start row; the NFA's non-greedy tier emits one match per
+        # extension (the CEP-library contract), which would silently
+        # diverge from SQL semantics at the pattern end.  The reference
+        # rejects reluctant trailing quantifiers too
+        # (MatchCodeGenerator.scala greedy handling).
+        raise NotImplementedError(
+            "reluctant quantifier on the LAST pattern variable: SQL "
+            "shortest-match emission at pattern end needs lookahead; "
+            "drop the '?' or anchor the pattern with a following "
+            "variable")
     return stages
 
 
@@ -394,6 +407,52 @@ def _parse_measure(spec: str) -> tuple[str, str, str, str]:
     if not col or not var.isidentifier():
         raise ValueError(f"bad MEASURES expression {spec!r}")
     return mode, "LAST", var, col.strip()
+
+
+# One navigation fragment inside a COMPOUND measure expression: an
+# aggregate call FIRST/LAST/MIN/MAX/SUM/AVG/COUNT over V.col (or V.*
+# for COUNT), or a bare qualified V.col reference (= LAST), optionally
+# RUNNING/FINAL-prefixed.
+_NAV_FRAGMENT = __import__("re").compile(
+    r"(?:(?:RUNNING|FINAL)\s+)?"
+    r"(?:(?:FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*[A-Za-z_]\w*\s*\.\s*"
+    r"(?:\w+|\*)\s*\)"
+    r"|[A-Za-z_]\w*\s*\.\s*\w+)",
+    __import__("re").IGNORECASE)
+
+
+def _measure_sql_any(spec: str, valid_vars: list[str] | None = None) -> str:
+    """Compile a MEASURES expression — a single navigation aggregate OR
+    a compound scalar expression over them (``LAST(A.value) -
+    FIRST(B.value)``, ``ROUND(AVG(X.v), 2)``) — to one SQL aggregate
+    expression over the exploded match rows.  The reference accepts
+    arbitrary RexNode expressions in MEASURES
+    (``MatchCodeGenerator.scala`` measure codegen); here each
+    navigation fragment compiles via :func:`_measure_sql` and the
+    scalar glue passes through to Spark SQL verbatim.  Compound
+    expressions are a ONE ROW PER MATCH surface — the ALL ROWS path
+    keeps the single-call grammar."""
+    try:
+        return _measure_sql(spec)
+    except ValueError:
+        pass
+    out, last_end, n_frag = [], 0, 0
+    for m in _NAV_FRAGMENT.finditer(spec):
+        frag = m.group(0)
+        if valid_vars is not None:
+            _, _, var, _ = _parse_measure(frag)
+            if var not in valid_vars:
+                raise ValueError(
+                    f"MEASURES fragment {frag!r}: {var!r} is not a "
+                    f"pattern variable (have {sorted(valid_vars)})")
+        out.append(spec[last_end:m.start()])
+        out.append("(" + _measure_sql(frag) + ")")
+        last_end = m.end()
+        n_frag += 1
+    if n_frag == 0:
+        raise ValueError(f"bad MEASURES expression {spec!r}")
+    out.append(spec[last_end:])
+    return "".join(out)
 
 
 def _measure_sql(spec: str) -> str:
@@ -488,8 +547,8 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
                   F.element_at(names, F.col("z.ev_stages") + 1).alias("var")))
     joined = ex.join(events.drop(*keys), "event_id")
     if rows_per_match == "one":
-        aggs = [F.expr(_measure_sql(spec)).alias(name)
-                for name, spec in measures.items()]
+        aggs = [F.expr(_measure_sql_any(spec, valid_vars=stage_names))
+                .alias(name) for name, spec in measures.items()]
         return joined.groupBy(*keys, "match_no").agg(*aggs)
     wm = Window.partitionBy(*keys, "match_no")
     wr = (Window.partitionBy(*keys, "match_no").orderBy("pos")

@@ -348,3 +348,37 @@ def test_arith_non_numeric_operands_yield_null():
                               "A", ["A"])
     assert p.fn({"value": "xyz"}, {}, {}, []) is not True
     assert p.fn({"value": 5.0}, {}, {}, []) is True
+
+
+def test_measure_compound_expression_compiles():
+    from flink_release_1_10_0_spark.streaming.cep import _measure_sql_any
+
+    sql = _measure_sql_any("ROUND(LAST(B.value) - FIRST(A.value), 6)",
+                           valid_vars=["A", "B"])
+    assert "max_by(value, pos) FILTER (WHERE var = 'B')" in sql
+    assert "min_by(value, pos) FILTER (WHERE var = 'A')" in sql
+    assert sql.startswith("ROUND((") and sql.endswith(", 6)")
+    # single-aggregate fast path unchanged
+    assert _measure_sql_any("COUNT(A.*)") == \
+        "count(*) FILTER (WHERE var = 'A')"
+    import pytest
+    with pytest.raises(ValueError, match="not a pattern variable"):
+        _measure_sql_any("LAST(Z.value) + 1", valid_vars=["A", "B"])
+    with pytest.raises(ValueError, match="bad MEASURES"):
+        _measure_sql_any("1 + 2")
+
+
+def test_sql_reluctant_trailing_quantifier_rejected():
+    import pytest
+
+    from flink_release_1_10_0_spark.streaming.cep import (
+        compile_match_pattern)
+
+    with pytest.raises(NotImplementedError, match="reluctant"):
+        compile_match_pattern("A B+?", {"A": "true", "B": "true"})
+    with pytest.raises(NotImplementedError, match="reluctant"):
+        compile_match_pattern("A B??", {"A": "true", "B": "true"})
+    # mid-pattern reluctant stays supported
+    stages = compile_match_pattern("A B*? C", {"A": "true", "B": "true",
+                                               "C": "true"})
+    assert [s.greedy for s in stages] == [False, False, False]

@@ -128,27 +128,35 @@ def test_match_recognize_sql_through_table_environment(spark):
 
 def test_match_recognize_sql_narrowings_raise():
     """Documented narrowings fail loudly: NEXT in DEFINE and
-    multi-column PARTITION BY.  Cross-variable LAST/FIRST/PREV
-    navigation is SUPPORTED (compiled to a per-run closure)."""
+    ORDER BY ... DESC.  Composite PARTITION BY and cross-variable
+    LAST/FIRST/PREV navigation are SUPPORTED."""
     import pytest
 
     from flink_release_1_10_0_spark.sql_match import (
         MatchSpec, _compile_define, parse_match_recognize)
 
+    # composite PARTITION BY + ORDER BY tiebreakers now parse
     q = """SELECT * FROM t MATCH_RECOGNIZE (
-        PARTITION BY k, k2 ORDER BY ts
+        PARTITION BY k, k2 ORDER BY ts, event_id
+        PATTERN (A) DEFINE A AS x > 0)"""
+    spec0 = parse_match_recognize(q)
+    assert spec0.partition_by == ["k", "k2"]
+    assert spec0.order_by == ["ts", "event_id"]
+
+    q_desc = """SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts DESC
         PATTERN (A) DEFINE A AS x > 0)"""
     with pytest.raises(NotImplementedError):
-        parse_match_recognize(q)
+        parse_match_recognize(q_desc)
 
-    spec = MatchSpec(table="t", partition_by="k", order_by="ts",
+    spec = MatchSpec(table="t", partition_by=["k"], order_by=["ts"],
                      define={"A": "x > 0", "B": "value > NEXT(A.value)"},
                      pattern="A B")
     with pytest.raises(NotImplementedError):
         _compile_define(spec)
 
     # cross-variable navigation compiles to the nav tier
-    spec2 = MatchSpec(table="t", partition_by="k", order_by="ts",
+    spec2 = MatchSpec(table="t", partition_by=["k"], order_by=["ts"],
                       define={"A": "x > 0", "B": "value > LAST(A.value)"},
                       pattern="A B")
     sql_define, nav = _compile_define(spec2)
