@@ -1086,3 +1086,66 @@ def flink_sql_mr_measures_expression(spark, sf_dir):
         spark, _SQL_MR_MEASURE_EXPR_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# MEASURES navigation offsets (round-7 surface extension): SQL:2016
+# FIRST/LAST second argument — LAST(B.value, 1) is the second-to-last
+# row mapped to B; an offset past the mapped rows yields NULL
+# (MatchCodeGenerator.scala navigation codegen accepts the same).
+# PATTERN (A B{2}): a sub-50 value followed by exactly two >=50 values
+# on consecutive rows, so LAST(B.value, 1) is deterministically the
+# first B and the out-of-range LAST(B.value, 5) is NULL.
+# --------------------------------------------------------------------------
+_MR_NAV_OFFSET_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         lead(value)    OVER w AS v1,
+         lead(value, 2) OVER w AS v2,
+         lead(event_id, 2) OVER w AS id2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(event_id AS BIGINT) AS start_id,
+       ROUND(v1, 6) AS b_prev,
+       ROUND(v2, 6) AS b_last,
+       CAST(id2 AS BIGINT) AS b_last_id,
+       CAST(NULL AS DOUBLE) AS b_oob
+FROM o
+WHERE value < 50 AND v1 >= 50 AND v2 >= 50
+"""
+
+_SQL_MR_NAV_OFFSET_TEXT = """
+SELECT user_id, CAST(start_id AS BIGINT) AS start_id,
+       ROUND(b_prev, 6) AS b_prev, ROUND(b_last, 6) AS b_last,
+       CAST(b_last_id AS BIGINT) AS b_last_id,
+       CAST(b_oob AS DOUBLE) AS b_oob
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS start_id,
+           LAST(B.value, 1) AS b_prev,
+           LAST(B.value) AS b_last,
+           LAST(B.event_id) AS b_last_id,
+           LAST(B.value, 5) AS b_oob
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B{2})
+  DEFINE A AS A.value < 50,
+         B AS B.value >= 50
+) AS m
+"""
+
+
+@register("flink_sql_mr_nav_offset_measures", _MR_NAV_OFFSET_ORACLE)
+def flink_sql_mr_nav_offset_measures(spark, sf_dir):
+    """MEASURES logical navigation offsets: LAST(B.value, 1) /
+    out-of-range LAST(B.value, 5) -> NULL, over PATTERN (A B{2})."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_NAV_OFFSET_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))

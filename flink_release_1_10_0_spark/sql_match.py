@@ -51,9 +51,10 @@ Documented narrowings (each raises, never silently degrades):
   COUNT, bare ``V.col``, RUNNING/FINAL prefixes), ``MATCH_NUMBER()``,
   and — under ONE ROW PER MATCH — compound scalar expressions over
   them (``LAST(A.v) - FIRST(B.v)``, ``ROUND(AVG(X.v), 2)``; the
-  scalar glue runs as Spark SQL verbatim).  ALL ROWS PER MATCH keeps
-  the single-aggregate grammar; navigation offsets inside MEASURES
-  (``LAST(B.v, 1)``) are not supported.
+  scalar glue runs as Spark SQL verbatim).  Navigation offsets
+  (``FIRST(V.col, k)``/``LAST(V.col, k)``, SQL:2016 logical offsets,
+  NULL when out of range) work in both output modes.  ALL ROWS PER
+  MATCH keeps the single-aggregate grammar for each measure.
 """
 
 from __future__ import annotations

@@ -371,7 +371,8 @@ def match_recognize_pattern(events: DataFrame, partition_by: str,
 
 
 _MEASURE_AGG = __import__("re").compile(
-    r"^\s*(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*([A-Za-z_]\w*)\.(\w+|\*)\s*\)\s*$",
+    r"^\s*(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*([A-Za-z_]\w*)\.(\w+|\*)"
+    r"\s*(?:,\s*(\d+)\s*)?\)\s*$",
     __import__("re").IGNORECASE)
 
 # Columns carrying money amounts: SUM over these takes the decimal-exact
@@ -382,17 +383,21 @@ _MEASURE_AGG = __import__("re").compile(
 _MONEY_COLS = frozenset({"value"})
 
 
-def _parse_measure(spec: str) -> tuple[str, str, str, str]:
-    """Parse one MEASURES expression: (mode, agg, variable, column).
+def _parse_measure(spec: str) -> tuple[str, str, str, str, int]:
+    """Parse one MEASURES expression: (mode, agg, variable, column,
+    offset).
 
     Grammar (the reference's ``MatchCodeGenerator.scala`` measure
     surface): optional ``RUNNING``/``FINAL`` prefix (SQL:2016 per-row
     semantics in ALL ROWS PER MATCH — RUNNING aggregates over the match
     prefix up to the current row, FINAL over the whole match), then
-    ``FIRST(V.col)``, ``LAST(V.col)``, ``MIN/MAX/SUM/AVG(V.col)``,
-    ``COUNT(V.*)``/``COUNT(V.col)``, or bare ``V.col`` (= LAST).
-    Documented narrowing: the unprefixed default here is FINAL (SQL:2016
-    defaults ALL ROWS measures to RUNNING; write the keyword for that)."""
+    ``FIRST(V.col[, k])``, ``LAST(V.col[, k])`` (logical navigation
+    offset: the (k+1)-th row mapped to V from the first/last end,
+    SQL:2016 ``FIRST``/``LAST`` second argument), ``MIN/MAX/SUM/AVG
+    (V.col)``, ``COUNT(V.*)``/``COUNT(V.col)``, or bare ``V.col``
+    (= LAST).  Documented narrowing: the unprefixed default here is
+    FINAL (SQL:2016 defaults ALL ROWS measures to RUNNING; write the
+    keyword for that)."""
     s = spec.strip()
     mode = "FINAL"
     low = s.lower()
@@ -402,11 +407,17 @@ def _parse_measure(spec: str) -> tuple[str, str, str, str]:
         mode, s = "FINAL", s[len("final "):]
     m = _MEASURE_AGG.match(s)
     if m:
-        return mode, m.group(1).upper(), m.group(2), m.group(3)
+        fn_ = m.group(1).upper()
+        off = int(m.group(4)) if m.group(4) is not None else 0
+        if off and fn_ not in ("FIRST", "LAST"):
+            raise ValueError(
+                f"bad MEASURES expression {spec!r}: a navigation offset "
+                f"is only valid on FIRST/LAST, not {fn_}")
+        return mode, fn_, m.group(2), m.group(3), off
     var, _, col = s.strip().partition(".")
     if not col or not var.isidentifier():
         raise ValueError(f"bad MEASURES expression {spec!r}")
-    return mode, "LAST", var, col.strip()
+    return mode, "LAST", var, col.strip(), 0
 
 
 # One navigation fragment inside a COMPOUND measure expression: an
@@ -416,7 +427,7 @@ def _parse_measure(spec: str) -> tuple[str, str, str, str]:
 _NAV_FRAGMENT = __import__("re").compile(
     r"(?:(?:RUNNING|FINAL)\s+)?"
     r"(?:(?:FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*[A-Za-z_]\w*\s*\.\s*"
-    r"(?:\w+|\*)\s*\)"
+    r"(?:\w+|\*)\s*(?:,\s*\d+\s*)?\)"
     r"|[A-Za-z_]\w*\s*\.\s*\w+)",
     __import__("re").IGNORECASE)
 
@@ -440,7 +451,7 @@ def _measure_sql_any(spec: str, valid_vars: list[str] | None = None) -> str:
     for m in _NAV_FRAGMENT.finditer(spec):
         frag = m.group(0)
         if valid_vars is not None:
-            _, _, var, _ = _parse_measure(frag)
+            _, _, var, _, _ = _parse_measure(frag)
             if var not in valid_vars:
                 raise ValueError(
                     f"MEASURES fragment {frag!r}: {var!r} is not a "
@@ -460,9 +471,19 @@ def _measure_sql(spec: str) -> str:
     exploded match rows (columns: event attributes + ``var`` =
     CLASSIFIER, ``pos`` = position in match).  ONE ROW PER MATCH output
     is the final row, where RUNNING and FINAL coincide (SQL:2016), so
-    the mode prefix is accepted and ignored here."""
-    _, fn_, var, col = _parse_measure(spec)
+    the mode prefix is accepted and ignored here.
+
+    Navigation offsets (``FIRST(V.col, k)``/``LAST(V.col, k)``) index
+    into the pos-sorted rows mapped to V: collect (pos, col) pairs,
+    sort, ``try_element_at`` at ``k+1`` / ``-(k+1)`` (NULL when the
+    match mapped fewer than k+1 rows to V — SQL:2016 navigation
+    out-of-range semantics)."""
+    _, fn_, var, col, off = _parse_measure(spec)
     flt = f"FILTER (WHERE var = '{var}')"
+    if fn_ in ("FIRST", "LAST") and off:
+        idx = off + 1 if fn_ == "FIRST" else -(off + 1)
+        return (f"try_element_at(array_sort(collect_list("
+                f"named_struct('p', pos, 'v', {col})) {flt}), {idx}).v")
     if fn_ == "FIRST":
         return f"min_by({col}, pos) {flt}"
     if fn_ == "LAST":
@@ -484,9 +505,17 @@ def _measure_window(spec: str, w_final, w_running):
     RUNNING/FINAL split in ``MatchCodeGenerator.scala`` codegen."""
     from pyspark.sql import functions as F
 
-    mode, fn_, var, col = _parse_measure(spec)
+    mode, fn_, var, col, off = _parse_measure(spec)
     w = w_running if mode == "RUNNING" else w_final
     is_var = F.col("var") == var
+    if fn_ in ("FIRST", "LAST") and off:
+        # offset navigation: pos-sorted (pos, col) pairs of V's rows in
+        # the frame, indexed k+1 from the matching end (NULL if absent)
+        pairs = F.sort_array(F.collect_list(
+            F.when(is_var, F.struct(F.col("pos").alias("p"),
+                                    F.col(col).alias("v")))).over(w))
+        idx = off + 1 if fn_ == "FIRST" else -(off + 1)
+        return F.try_element_at(pairs, F.lit(idx))["v"]
     if fn_ == "COUNT":
         v = F.lit(1) if col == "*" else F.col(col)
         return F.count(F.when(is_var, v)).over(w)

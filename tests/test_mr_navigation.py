@@ -382,3 +382,52 @@ def test_sql_reluctant_trailing_quantifier_rejected():
     stages = compile_match_pattern("A B*? C", {"A": "true", "B": "true",
                                                "C": "true"})
     assert [s.greedy for s in stages] == [False, False, False]
+
+
+def test_measure_nav_offset_compiles():
+    import pytest
+
+    from flink_release_1_10_0_spark.streaming.cep import (
+        _measure_sql, _parse_measure)
+
+    assert _parse_measure("LAST(B.value, 2)") == \
+        ("FINAL", "LAST", "B", "value", 2)
+    assert _parse_measure("RUNNING FIRST(A.v, 1)") == \
+        ("RUNNING", "FIRST", "A", "v", 1)
+    sql = _measure_sql("LAST(B.value, 1)")
+    assert "try_element_at" in sql and sql.endswith("-2).v")
+    sql_f = _measure_sql("FIRST(B.value, 1)")
+    assert sql_f.endswith("2).v") and "-2" not in sql_f
+    # zero offset keeps the min_by/max_by fast path (oracle hashes
+    # of every pre-existing query unchanged)
+    assert _measure_sql("LAST(B.value)") == \
+        "max_by(value, pos) FILTER (WHERE var = 'B')"
+    with pytest.raises(ValueError, match="only valid on FIRST/LAST"):
+        _parse_measure("AVG(B.value, 1)")
+
+
+def test_measure_window_nav_offset(spark):
+    """ALL ROWS PER MATCH offset navigation: per-row FINAL frame over a
+    two-B match yields the first B for LAST(col, 1) on every row and
+    NULL for an out-of-range offset."""
+    from pyspark.sql import Window
+
+    from flink_release_1_10_0_spark.streaming.cep import _measure_window
+
+    rows = [(1, 1, 0, "A", 10.0), (1, 1, 1, "B", 60.0),
+            (1, 1, 2, "B", 70.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, match_no int, pos int, var string, value double")
+    wm = Window.partitionBy("user_id", "match_no")
+    wr = (Window.partitionBy("user_id", "match_no").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df.select(
+        "pos",
+        _measure_window("LAST(B.value, 1)", wm, wr).alias("b_prev"),
+        _measure_window("LAST(B.value, 9)", wm, wr).alias("b_oob"),
+        _measure_window("RUNNING LAST(B.value, 1)", wm, wr).alias("run"),
+    ).orderBy("pos").collect()
+    assert [r.b_prev for r in out] == [60.0, 60.0, 60.0]
+    assert [r.b_oob for r in out] == [None, None, None]
+    # RUNNING: prefix frame — no second B until pos 2
+    assert [r.run for r in out] == [None, None, 60.0]
