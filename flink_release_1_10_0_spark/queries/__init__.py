@@ -99,9 +99,11 @@ _PIN = [
     #      below the boundary and leads round 8's window ----
     "flink_sql_mr_composite_partition", "cep_nfa_trailing_optional",
     "cep_nfa_trailing_one_or_more",
-    # ---- round-8 window head: the only query without driver evidence
-    #      after r7 ----
-    "flink_sql_mr_measures_expression",
+    # ---- round-8 window head: the only queries without driver
+    #      evidence after r7 (measures expression + the late-round-7
+    #      SQL-surface WITHIN / SKIP PAST LAST closers) ----
+    "flink_sql_mr_measures_expression", "flink_sql_mr_within_interval",
+    "flink_sql_mr_skip_past_last",
     # ---- 50-window boundary: everything below already has driver
     #      evidence from rounds 1-6 (order kept stable for re-runs) ----
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",

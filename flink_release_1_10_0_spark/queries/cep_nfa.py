@@ -1149,3 +1149,128 @@ def flink_sql_mr_nav_offset_measures(spark, sf_dir):
         spark, _SQL_MR_NAV_OFFSET_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# WITHIN through the SQL surface (round-7 coverage closer): the clause
+# is parsed (sql_match.py WITHIN) and enforced (nfa.py within-window
+# kill) but no oracle query exercised the SQL→NFA wiring end-to-end.
+# Strict SQL row-pattern contiguity makes the oracle exact: a match is
+# two CONSECUTIVE partition rows click→purchase whose time span is at
+# most 30 minutes — an event past the window kills the run BEFORE it
+# can consume (span strictly greater than the window), so span == 30
+# minutes exactly still matches on both sides.
+# Reference: MATCH_RECOGNIZE time constraint, `docs/dev/table/
+# streaming/match_recognize.md` WITHIN section; NFAs get the bound via
+# `flink-cep/.../nfa/NFA.java` window-time pruning.
+# --------------------------------------------------------------------------
+_MR_WITHIN_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_id)   OVER w AS nid,
+         lead(event_type) OVER w AS ntype,
+         lead(ts)         OVER w AS nts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(event_id AS BIGINT) AS start_id,
+       CAST(nid      AS BIGINT) AS end_id
+FROM o
+WHERE event_type = 'click' AND ntype = 'purchase'
+  AND nts <= ts + INTERVAL 30 MINUTE
+"""
+
+_SQL_MR_WITHIN_TEXT = """
+SELECT user_id, CAST(start_id AS BIGINT) AS start_id,
+       CAST(end_id AS BIGINT) AS end_id
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS start_id, LAST(C.event_id) AS end_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A C)
+  WITHIN INTERVAL '30' MINUTE
+  DEFINE A AS A.event_type = 'click',
+         C AS C.event_type = 'purchase'
+) AS m
+"""
+
+
+@register("flink_sql_mr_within_interval", _MR_WITHIN_ORACLE)
+def flink_sql_mr_within_interval(spark, sf_dir):
+    """MATCH_RECOGNIZE WITHIN INTERVAL through the SQL surface: the
+    window bound drops consecutive click→purchase pairs spanning more
+    than 30 minutes."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_WITHIN_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# AFTER MATCH SKIP PAST LAST ROW through the SQL surface (round-7
+# coverage closer — the existing skip queries use TO NEXT ROW or the
+# Pattern facade).  PATTERN (A B) where BOTH stages accept value < 50:
+# inside a maximal run of k consecutive sub-50 rows, TO NEXT ROW would
+# emit every adjacent pair (k-1 matches) while PAST LAST ROW restarts
+# AFTER each match's B, emitting the non-overlapping pairs at even
+# offsets — floor(k/2) matches.  The oracle rebuilds exactly that with
+# gaps-and-islands + offset parity.
+# Reference: `flink-cep/.../nfa/aftermatch/SkipPastLastStrategy.java`.
+# --------------------------------------------------------------------------
+_MR_SKIP_PAST_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+low AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+           AS grp
+  FROM o WHERE value < 50),
+pos AS (
+  SELECT user_id, grp, event_id, rn,
+         row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) - 1
+           AS off
+  FROM low)
+SELECT p.user_id,
+       CAST(p.event_id AS BIGINT) AS start_id,
+       CAST(q.event_id AS BIGINT) AS end_id
+FROM pos p JOIN pos q
+  ON q.user_id = p.user_id AND q.grp = p.grp AND q.off = p.off + 1
+WHERE p.off % 2 = 0
+"""
+
+_SQL_MR_SKIP_PAST_TEXT = """
+SELECT user_id, CAST(start_id AS BIGINT) AS start_id,
+       CAST(end_id AS BIGINT) AS end_id
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS start_id, LAST(B.event_id) AS end_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  DEFINE A AS A.value < 50,
+         B AS B.value < 50
+) AS m
+"""
+
+
+@register("flink_sql_mr_skip_past_last", _MR_SKIP_PAST_ORACLE)
+def flink_sql_mr_skip_past_last(spark, sf_dir):
+    """AFTER MATCH SKIP PAST LAST ROW through the SQL surface:
+    non-overlapping pair tiling of each consecutive sub-50 run."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_SKIP_PAST_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))

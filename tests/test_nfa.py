@@ -238,3 +238,25 @@ def test_skip_cut_is_event_position_not_timestamp(spark):
               NfaStage(pred="event_type = 'purchase'", name="C")]
     got = _matches(spark, rows, stages, after_match=("skip_to_last", "B"))
     assert got == [(1, 3, 4)]
+
+
+def test_skip_to_first_vs_last_loop_event(spark):
+    """A B+ C (A=click, B=view loop, C=purchase) over
+    click,view,click,view,purchase: the maximal match (1,2,4,5) emits
+    first; SKIP TO FIRST B cuts at view id2, so the run begun at
+    click id3 (later position) survives and emits (3,4,5), while
+    SKIP TO LAST B cuts at view id4 and kills it
+    (AfterMatchSkipStrategy.skipToFirst vs skipToLast)."""
+    rows = [_ev(1, 0, "click"), _ev(2, 1, "view"), _ev(3, 2, "click"),
+            _ev(4, 3, "view"), _ev(5, 4, "purchase")]
+    stages = [NfaStage(pred="event_type = 'click'", name="A"),
+              NfaStage(pred="event_type = 'view'", name="B",
+                       min_times=1, max_times=None,
+                       until="event_type = 'purchase'"),
+              NfaStage(pred="event_type = 'purchase'", name="C")]
+    first = _matches(spark, rows, stages,
+                     after_match=("skip_to_first", "B"))
+    last = _matches(spark, rows, stages,
+                    after_match=("skip_to_last", "B"))
+    assert first == [(1, 2, 4, 5), (3, 4, 5)]
+    assert last == [(1, 2, 4, 5)]
