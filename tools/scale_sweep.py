@@ -70,12 +70,20 @@ HEADS = [
 
 # 100x tier (sf10-equivalent): built ONLY for the two riskiest heads'
 # tables.  documents replicate 100x with per-copy word-prefix tagging
-# (c<k>_ on every token) — letter rotation caps at 26 disjoint
-# vocabularies, the prefix keeps every copy's vocabulary disjoint at
-# any copy count while preserving the dup-cluster structure per copy
-# (the linear-scaling regime, same argument as the sf1 build).  events
-# replicate 100x by KEY COUNT (user_id offset per copy), per-key depth
-# unchanged — the keyed-state linear regime.
+# — letter rotation caps at 26 disjoint vocabularies, the prefix keeps
+# every copy's vocabulary disjoint at any copy count while preserving
+# the dup-cluster structure per copy (the linear-scaling regime, same
+# argument as the sf1 build).  The prefix must SURVIVE the dedup
+# tokenizer (words_expr lowercases and replaces [^a-z0-9 ] with a
+# space): an underscore separator gets split off and every copy
+# re-shares the original vocabulary — clusters widen 100x and the
+# pair output (and the candidate join) goes QUADRATIC, measuring the
+# broken construction instead of the plan.  A fixed-width all-alnum
+# prefix (c%03d, 4 chars) stays inside the token and is unambiguous:
+# a token's first 4 chars identify its copy, so cross-copy word sets
+# are disjoint by construction.  events replicate 100x by KEY COUNT
+# (user_id offset per copy), per-key depth unchanged — the keyed-state
+# linear regime.
 COPIES_100 = 100
 HEADS_100X = {
     "minhash_lsh_dup_pairs_xxh":
@@ -96,8 +104,8 @@ def build_sf10(spark, base: str) -> str:
        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * OFF)
        .withColumn("text", F.regexp_replace(
            F.col("text"), F.lit(r"(\S+)"),
-           F.concat(F.lit("c"), F.col("copy").cast("string"),
-                    F.lit("_$1"))))
+           F.concat(F.format_string("c%03d", F.col("copy")),
+                    F.lit("$1"))))
        .drop("copy")
        .repartition(32)
        .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
