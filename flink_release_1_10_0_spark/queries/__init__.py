@@ -101,9 +101,11 @@ _PIN = [
     "cep_nfa_trailing_one_or_more",
     # ---- round-8 window head: the only queries without driver
     #      evidence after r7 (measures expression + the late-round-7
-    #      SQL-surface WITHIN / SKIP PAST LAST closers) ----
+    #      SQL-surface WITHIN / SKIP PAST LAST closers + the CEP
+    #      timeout-side-output / allowCombinations additions) ----
     "flink_sql_mr_measures_expression", "flink_sql_mr_within_interval",
-    "flink_sql_mr_skip_past_last",
+    "flink_sql_mr_skip_past_last", "cep_timeout_partial_matches",
+    "cep_allow_combinations",
     # ---- 50-window boundary: everything below already has driver
     #      evidence from rounds 1-6 (order kept stable for re-runs) ----
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",

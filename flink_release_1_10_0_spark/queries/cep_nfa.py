@@ -1274,3 +1274,106 @@ def flink_sql_mr_skip_past_last(spark, sf_dir):
         spark, _SQL_MR_SKIP_PAST_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Timed-out partial matches (TimedOutPartialMatchHandler /
+# PatternStream.flatSelect(timeoutTag, ...)): signup -> click -> purchase
+# within 2 days; emit the window-expired partial runs with the depth they
+# reached.  A run times out when an event for its key arrives past
+# start + window (event-time advance, the reference's watermark); the
+# oracle therefore requires such a later event to exist.
+# --------------------------------------------------------------------------
+_TIMEOUT_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+s AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'signup'),
+sc AS (
+  SELECT s.user_id, s.event_id AS start_id, s.ts AS s_ts,
+         c.event_id AS c_id, c.ts AS c_ts
+  FROM s LEFT JOIN LATERAL (
+    SELECT event_id, ts FROM ev c
+    WHERE c.user_id = s.user_id AND c.event_type = 'click'
+      AND (c.ts, c.event_id) > (s.ts, s.event_id)
+    ORDER BY c.ts, c.event_id LIMIT 1) c ON TRUE),
+scp AS (
+  SELECT sc.*, p.event_id AS p_id, p.ts AS p_ts
+  FROM sc LEFT JOIN LATERAL (
+    SELECT event_id, ts FROM ev p
+    WHERE p.user_id = sc.user_id AND p.event_type = 'purchase'
+      AND (p.ts, p.event_id) > (sc.c_ts, sc.c_id)
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE)
+SELECT x.user_id, x.start_id,
+       CASE WHEN x.c_id IS NOT NULL AND x.c_ts <= x.s_ts + INTERVAL 2 DAY
+            THEN x.c_id ELSE x.start_id END AS end_id,
+       CAST(CASE WHEN x.c_id IS NOT NULL
+                  AND x.c_ts <= x.s_ts + INTERVAL 2 DAY
+            THEN 2 ELSE 1 END AS INT) AS n_events
+FROM scp x
+WHERE EXISTS (SELECT 1 FROM ev e
+              WHERE e.user_id = x.user_id
+                AND e.ts > x.s_ts + INTERVAL 2 DAY)
+  AND NOT (x.c_id IS NOT NULL AND x.c_ts <= x.s_ts + INTERVAL 2 DAY
+           AND x.p_id IS NOT NULL AND x.p_ts <= x.s_ts + INTERVAL 2 DAY)
+"""
+
+
+@register("cep_timeout_partial_matches", _TIMEOUT_ORACLE)
+def cep_timeout_partial_matches(spark, sf_dir):
+    """Timeout side output (``TimedOutPartialMatchHandler.java`` /
+    ``PatternStream.java`` timeoutTag overloads): partial matches the
+    within-window expired, with the prefix depth they reached (1 =
+    signup only, 2 = signup+click)."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("signup").followed_by("click")
+         .followed_by("purchase").within(2 * 24 * 60)
+         .match_stream(ev, emit_timeouts=True))
+    return run_to_completion(
+        m.filter("timed_out").select("user_id", "start_id", "end_id",
+                                     "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# allowCombinations (Quantifier.java / Pattern.java:389): every
+# order-preserving subsequence of qualifying loop events forms its own
+# match.  view[value>100]+ (combinations) -> purchase within 7 days;
+# output = matches per user.  Oracle: all runs die at each purchase
+# (the purchase stage is deterministic relaxed), so for each purchase
+# the candidate views sit strictly between the previous purchase and
+# it; v of them satisfy the window from their own start, and the
+# subsets with an in-window minimum element number 2^v - 1.
+# --------------------------------------------------------------------------
+_COMBINATIONS_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type, value FROM events),
+p AS (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_id
+      FROM ev WHERE event_type = 'purchase'),
+v AS (SELECT p.user_id, p.event_id AS p_id, count(*) AS vcnt
+      FROM p JOIN ev a ON a.user_id = p.user_id
+       AND a.event_type = 'view' AND a.value > 100
+       AND (a.ts, a.event_id) < (p.ts, p.event_id)
+       AND (p.prev_ts IS NULL OR (a.ts, a.event_id) > (p.prev_ts, p.prev_id))
+       AND p.ts <= a.ts + INTERVAL 7 DAY
+      GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(CAST(POWER(2, vcnt) AS BIGINT) - 1) AS BIGINT) AS n_matches
+FROM v GROUP BY user_id
+"""
+
+
+@register("cep_allow_combinations", _COMBINATIONS_ORACLE)
+def cep_allow_combinations(spark, sf_dir):
+    """``oneOrMore().allowCombinations()`` through the generic NFA:
+    the pre-take run survives each loop take, so the runs enumerate
+    every subsequence of the qualifying views before the closing
+    purchase (``Quantifier.java`` combinations; the dedicated
+    two-stage operators keep their deterministic semantics)."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("view").where("value > 100").one_or_more()
+         .allow_combinations().followed_by("purchase")
+         .within(7 * 24 * 60).match_stream(ev))
+    batch = run_to_completion(m, "append")
+    return (batch.groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_matches")))

@@ -107,6 +107,21 @@ class Pattern:
         self.stages[-1].consecutive = True
         return self
 
+    def allow_combinations(self) -> "Pattern":
+        """Non-deterministic relaxed contiguity INSIDE the last (loop)
+        stage (``Quantifier.allowCombinations``, ``Pattern.java:389``):
+        after each take the pre-take run stays alive, so every
+        order-preserving subsequence of loop events forms its own
+        partial match — ``a1 a2 b`` yields ``{a1 a2 b}``, ``{a1 b}``
+        and ``{a2 b}``.  Combinatorial by design (the reference is
+        too); the per-key run cap still bounds state."""
+        s = self.stages[-1]
+        if not (s.one_or_more or s.times_n is not None):
+            raise ValueError("allow_combinations() applies to a loop "
+                             "stage (oneOrMore/times/timesOrMore)")
+        s.any_match = True
+        return self
+
     def optional(self) -> "Pattern":
         self.stages[-1].optional = True
         return self
@@ -199,7 +214,8 @@ class Pattern:
         return out
 
     def match_stream(self, events: DataFrame, key: str = "user_id",
-                     after_match: str = "no_skip") -> DataFrame:
+                     after_match: str = "no_skip",
+                     emit_timeouts: bool = False) -> DataFrame:
         """Compile to a stateful NFA operator; returns the match stream.
 
         Shapes that exactly match one of the dedicated operators in
@@ -211,12 +227,29 @@ class Pattern:
         the generic engine instead of being silently dropped, and
         genuinely unsupported shapes raise ``NotImplementedError``
         (never silently-wrong results).
+
+        ``emit_timeouts=True`` is the ``PatternStream.flatSelect(
+        timeoutTag, ...)`` surface: the output gains a ``timed_out``
+        boolean column, and window-expired partial matches are emitted
+        with it set (``TimedOutPartialMatchHandler.java``).  Requires
+        ``within(...)``; always routes to the generic NFA (the
+        dedicated operators have no timeout output).
         """
         from flink_release_1_10_0_spark.streaming import stateful
 
         st = self.stages
         flags = [s.flags() for s in st]
         w = self.within_minutes
+        if emit_timeouts:
+            if any(s.negated for s in st):
+                raise NotImplementedError(
+                    "emit_timeouts with negation stages: an absence "
+                    "pattern's timeout IS its match (see "
+                    "stateful.cep_not_followed_by)")
+            from flink_release_1_10_0_spark.streaming.nfa import match_nfa
+            return match_nfa(events, self._compile_nfa_stages(),
+                             within_minutes=w, key=key,
+                             after_match=after_match, emit_timeouts=True)
 
         # --- exact legacy shapes (flag sets fully consumed) ------------
         if len(st) == 1 and flags[0] == {"times_n", "consecutive"}:

@@ -188,7 +188,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
               key: str | list[str] = "user_id",
               after_match: str = NO_SKIP,
               ts_col: str = "ts", id_col: str = "event_id",
-              order_tiebreakers: list[str] | None = None) -> DataFrame:
+              order_tiebreakers: list[str] | None = None,
+              emit_timeouts: bool = False) -> DataFrame:
     """Run the NFA over a keyed event stream.
 
     Returns an append stream: one row per completed match with the
@@ -206,6 +207,20 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     id)``.  The within-window and after-match cut positions remain
     event-time + id granular (the reference's collation handling uses
     the time attribute for both as well).
+
+    ``emit_timeouts=True`` additionally emits TIMED-OUT PARTIAL matches
+    (the reference's ``TimedOutPartialMatchHandler`` /
+    ``PatternStream.flatSelect(timeoutTag, ...)``,
+    ``flink-libraries/flink-cep/.../functions/TimedOutPartialMatchHandler.java``):
+    when the within-window expires a partial run — i.e. an event for the
+    same key arrives with event time past ``run_start + within`` — the
+    run's consumed prefix is emitted with ``timed_out = true`` instead of
+    being dropped silently; completed matches carry ``timed_out =
+    false``.  Requires ``within_minutes``.  Scope note: expiry is driven
+    by event-time advance per key (the reference's watermark); a partial
+    run still pending when a bounded replay ends is NOT flushed (a
+    continuous query has no end-of-stream — the reference flushes those
+    only via the final +inf watermark of a bounded job).
 
     ``after_match`` is ``no_skip``, ``skip_past_last``, or a tuple
     ``("skip_to_first"|"skip_to_last", var)`` naming a pattern variable
@@ -232,6 +247,9 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         raise ValueError(f"bad after_match {after_match!r}")
     n = len(stages)
     within_us = None if within_minutes is None else int(within_minutes * 60_000_000)
+    if emit_timeouts and within_us is None:
+        raise ValueError("emit_timeouts needs within_minutes: only a "
+                         "window can time a partial match out")
 
     # navigation bookkeeping (MatchCodeGenerator.scala's IterativeCondition
     # analog): which per-run closures refine which stages, which (var, col)
@@ -293,7 +311,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     key_ddl = ", ".join(f"{k} {by_type[k]}" for k in keys)
     out_schema = (f"{key_ddl}, start_id bigint, end_id bigint, "
                   "start_ts timestamp, end_ts timestamp, n_events int, "
-                  "ev_ids array<bigint>, ev_stages array<int>")
+                  "ev_ids array<bigint>, ev_stages array<int>"
+                  + (", timed_out boolean" if emit_timeouts else ""))
     # typed-column state (no JSON blob): runs are stored as parallel
     # arrays; the per-run variable-length event lists are flattened into
     # one array with per-run lengths (``r_evlen``) for reslicing.  The
@@ -393,6 +412,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
             nn[var] = nn.get(var, 0) + 1
             return (vd, nn)
         matches: list[tuple] = []   # (start_us, last_us, ev_ids, ev_stages)
+        timeouts: list[tuple] = []  # same shape: window-expired partials
 
         # the after-match cut is an EVENT POSITION, (ts_us, event_id) —
         # not a bare timestamp — so two events sharing a microsecond are
@@ -448,8 +468,14 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     # prunes the shared buffer the same way)
                     if after_match != NO_SKIP and (run[A], run[EV][0]) <= cut:
                         continue
-                    # window expiry kills the run before it can consume
+                    # window expiry kills the run before it can consume;
+                    # with emit_timeouts the consumed prefix goes to the
+                    # timeout output (TimedOutPartialMatchHandler) instead
+                    # of vanishing
                     if within_us is not None and ts_us - run[A] > within_us:
+                        if emit_timeouts:
+                            timeouts.append((run[A], run[L], run[EV],
+                                             run[ST]))
                         continue
                     # negation guard: a matching event kills the run;
                     # a strict guard (notNext) checks only this event
@@ -612,17 +638,22 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                       [u for r in runs for u in r[EU]],
                       cut[0], cut[1], nav_ser,
                       _json.dumps(prev_rows) if prev_rows else ""))
-        if matches:
-            yield pd.DataFrame({
-                **{k: [key_[i]] * len(matches)
+        if matches or timeouts:
+            rows = matches + timeouts
+            out = {
+                **{k: [key_[i]] * len(rows)
                    for i, k in enumerate(keys)},
-                "start_id": [mt[2][0] for mt in matches],
-                "end_id": [mt[2][-1] for mt in matches],
-                "start_ts": pd.to_datetime([mt[0] for mt in matches], unit="us"),
-                "end_ts": pd.to_datetime([mt[1] for mt in matches], unit="us"),
-                "n_events": [len(mt[2]) for mt in matches],
-                "ev_ids": [mt[2] for mt in matches],
-                "ev_stages": [mt[3] for mt in matches]})
+                "start_id": [mt[2][0] for mt in rows],
+                "end_id": [mt[2][-1] for mt in rows],
+                "start_ts": pd.to_datetime([mt[0] for mt in rows], unit="us"),
+                "end_ts": pd.to_datetime([mt[1] for mt in rows], unit="us"),
+                "n_events": [len(mt[2]) for mt in rows],
+                "ev_ids": [mt[2] for mt in rows],
+                "ev_stages": [mt[3] for mt in rows]}
+            if emit_timeouts:
+                out["timed_out"] = ([False] * len(matches)
+                                    + [True] * len(timeouts))
+            yield pd.DataFrame(out)
 
     return (tagged.groupBy(*keys)
             .applyInPandasWithState(fn, out_schema, state_schema,

@@ -260,3 +260,62 @@ def test_skip_to_first_vs_last_loop_event(spark):
                     after_match=("skip_to_last", "B"))
     assert first == [(1, 2, 4, 5), (3, 4, 5)]
     assert last == [(1, 2, 4, 5)]
+
+
+def test_timeout_partial_matches_emitted(spark):
+    """emit_timeouts: a window-expired partial run is emitted with
+    timed_out=true instead of vanishing (TimedOutPartialMatchHandler /
+    PatternStream.flatSelect timeoutTag)."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "x"), _ev(3, 3, "x"),   # a1 expires
+            _ev(4, 4, "a"), _ev(5, 5, "b")]                   # a2-b match
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'")]
+    out = run_to_completion(
+        match_nfa(_stream(spark, rows), stages, within_minutes=2,
+                  emit_timeouts=True), "append")
+    got = sorted((tuple(r.ev_ids), r.timed_out, r.n_events)
+                 for r in out.collect())
+    assert got == [((1,), True, 1), ((4, 5), False, 2)]
+
+
+def test_timeout_reports_partial_depth(spark):
+    """A three-stage run that consumed two events times out with the
+    two-event prefix (the handler receives the partial match content)."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 4, "x")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'"),
+              NfaStage(pred="event_type = 'c'")]
+    out = run_to_completion(
+        match_nfa(_stream(spark, rows), stages, within_minutes=2,
+                  emit_timeouts=True), "append")
+    got = sorted((tuple(r.ev_ids), r.timed_out) for r in out.collect())
+    assert got == [((1, 2), True)]
+
+
+def test_timeout_requires_within(spark):
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'")]
+    with pytest.raises(ValueError, match="within"):
+        match_nfa(_stream(spark, [_ev(1, 0, "a")]), stages,
+                  emit_timeouts=True)
+
+
+def test_allow_combinations_enumerates_subsequences(spark):
+    """oneOrMore().allowCombinations() (Quantifier.java): a1 a2 a3 b
+    yields all 7 non-empty subsequences closed by b."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "a"), _ev(3, 2, "a"), _ev(4, 3, "b")]
+    pat = (Pattern.begin("a").one_or_more().allow_combinations()
+           .followed_by("b"))
+    out = run_to_completion(pat.match_stream(_stream(spark, rows)), "append")
+    got = sorted(tuple(r.ev_ids) for r in out.collect())
+    assert got == [(1, 2, 3, 4), (1, 2, 4), (1, 3, 4), (1, 4),
+                   (2, 3, 4), (2, 4), (3, 4)]
+
+
+def test_allow_combinations_needs_loop(spark):
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    with pytest.raises(ValueError, match="loop"):
+        Pattern.begin("a").allow_combinations()
