@@ -265,6 +265,109 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     return intra.unionByName(cross)
 
 
+def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
+                  k: int = 8, band_rows: int = 4,
+                  method: str = "md5") -> DataFrame:
+    """Per-document LSH index row: the persisted artifact incremental
+    dedup joins new batches against.
+
+    Columns: ``id, nw (distinct-word count), wh (compact word-hash set,
+    bigint), bk0..bk{n_bands-1} (band keys)``.  In production this frame
+    is written ONCE per corpus snapshot — a few hundred bytes per
+    document instead of the text — and each incoming batch is deduped
+    against it without ever rescanning the corpus (write it partitioned/
+    bucketed by a band key so the per-band candidate joins co-locate).
+    """
+    n_bands = k // band_rows
+    d = (with_words(df, text_col)
+         .select(F.col(id_col), F.expr("array_distinct(words)").alias("ws")))
+    sig_cols = [
+        F.expr(f"array_min(transform(ws, w -> {_salted_hash(i, method)}))")
+        .alias(f"m{i}") for i in range(k)]
+    d = d.select(
+        id_col,
+        F.expr(f"array_distinct(transform(ws, w -> {hash64_expr('w', method)}))")
+        .alias("wh"), *sig_cols)
+    band_cols = []
+    for b in range(n_bands):
+        ms = [f"m{b * band_rows + r}" for r in range(band_rows)]
+        if method == "xxhash64":
+            kx = f"xxhash64({b}L, {', '.join(ms)})"
+        else:
+            cols = "||'_'||".join(f"cast({m} as string)" for m in ms)
+            kx = hash64_expr(f"md5({cols})")
+        band_cols.append(F.expr(kx).alias(f"bk{b}"))
+    return d.select(id_col, F.expr("size(wh)").alias("nw"), "wh", *band_cols)
+
+
+def lsh_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
+                          id_col: str, text_col: str = "text",
+                          k: int = 8, band_rows: int = 4,
+                          threshold: float = 0.8,
+                          method: str = "md5") -> DataFrame:
+    """Incremental MinHash+LSH dedup: an incoming batch against a
+    PERSISTED corpus index (:func:`minhash_index`) — the shape a
+    training-data pipeline runs per ingest, where re-deduping the full
+    corpus per batch would be quadratic over the pipeline's lifetime.
+
+    Returns ``(old_id, new_id, jaccard)`` for cross pairs with exact
+    Jaccard >= threshold that share at least one LSH band.
+
+    Scale design (100 TB corpus, GB-scale daily batch):
+    - the corpus side is the index, never the text: band keys + compact
+      word-hash sets, read from the store already bucketed;
+    - candidates come from per-band equi-joins (new side tiny → AQE
+      broadcasts it); the first-matching-band rule makes the band union
+      duplicate-free by construction, so there is no distinct() over
+      the candidate set (same construction as the full pipeline);
+    - verification is exact Jaccard on the index's word-hash sets with
+      the size prefilter — only candidate rows ever materialize.
+    Compose with :func:`exact_dedup_groups` on the batch first when
+    ingests carry heavy exact-duplicate mass.
+    """
+    n_bands = k // band_rows
+    new_idx = minhash_index(new_df, id_col, text_col, k, band_rows,
+                            method).localCheckpoint()
+    slim_o = index_df.select(F.col(id_col).alias("old_id"),
+                             *[f"bk{b}" for b in range(n_bands)])
+    slim_n = new_idx.select(F.col(id_col).alias("new_id"),
+                            *[f"bk{b}" for b in range(n_bands)])
+    parts = []
+    for b in range(n_bands):
+        o = slim_o.alias("o")
+        nn = slim_n.alias("n")
+        cond = F.col(f"o.bk{b}") == F.col(f"n.bk{b}")
+        for j in range(b):
+            # null-safe: an earlier null band key never matched, so it
+            # must not suppress emission here (first-matching-band rule)
+            cond = cond & ~F.col(f"o.bk{j}").eqNullSafe(F.col(f"n.bk{j}"))
+        parts.append(o.join(nn, cond).select("old_id", "new_id"))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+
+    wh_o = index_df.select(F.col(id_col).alias("old_id"),
+                           F.col("wh").alias("wh_o"),
+                           F.col("nw").alias("nw_o"))
+    wh_n = new_idx.select(F.col(id_col).alias("new_id"),
+                          F.col("wh").alias("wh_n"),
+                          F.col("nw").alias("nw_n"))
+    # same verify construction as minhash_lsh_pairs: exact size-ratio
+    # prefilter, then a rand()*0 optimization barrier so the jaccard
+    # filter is not pushed into the join (array_intersect would run
+    # twice per pair)
+    return (cand.join(wh_o, "old_id").join(wh_n, "new_id")
+            .filter(f"least(nw_o, nw_n) >= {threshold} * greatest(nw_o, nw_n)")
+            .select("old_id", "new_id",
+                    F.expr("size(array_intersect(wh_o, wh_n)) "
+                           "+ cast(rand()*0 as int)").alias("ni"),
+                    F.expr("nw_o + nw_n").alias("ns"))
+            .withColumn("jaccard",
+                        F.expr("round(ni / cast(ns - ni as double), 6)"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("old_id", "new_id", "jaccard"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint over distinct words: bit b is set when more than

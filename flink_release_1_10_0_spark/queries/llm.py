@@ -219,6 +219,49 @@ def minhash_lsh_dup_pairs_xxh(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Incremental dedup: an incoming batch (doc_id % 17 == 0) against the
+# persisted LSH index of the existing corpus (the rest) — the per-ingest
+# shape of a production training-data pipeline.  Oracle: same banding as
+# the full-pipeline oracle, candidates restricted to old x new pairs.
+# --------------------------------------------------------------------------
+_INCR_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents),
+sig AS (SELECT doc_id, {_sig_cols_duck} FROM w),
+bands AS ({_band_selects}),
+cand AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id
+         FROM bands o JOIN bands n
+           ON o.band = n.band AND o.key = n.key
+         WHERE o.doc_id % 17 <> 0 AND n.doc_id % 17 = 0)
+SELECT old_id, new_id,
+       round(CAST(len(list_intersect(wo.ws, wn.ws)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(wo.ws, wn.ws))) AS DOUBLE),
+             6) AS jaccard
+FROM cand
+JOIN w wo ON wo.doc_id = old_id
+JOIN w wn ON wn.doc_id = new_id
+WHERE round(CAST(len(list_intersect(wo.ws, wn.ws)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(wo.ws, wn.ws))) AS DOUBLE),
+            6) >= 0.8
+"""
+
+
+@register("dedup_incremental_lsh", _INCR_ORACLE)
+def dedup_incremental_lsh(spark, sf_dir):
+    """New-batch-vs-corpus dedup against the persisted MinHash index
+    (``llm/dedup.py:minhash_index`` / ``lsh_incremental_pairs``): the
+    corpus text is never rescanned — only its index rows join."""
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 17 <> 0")
+    new = docs.filter("doc_id % 17 = 0")
+    # the index is a persisted store artifact in production; material-
+    # izing it here stands in for the store read
+    idx = D.minhash_index(old, "doc_id", k=_K,
+                          band_rows=_BAND_ROWS).localCheckpoint()
+    return D.lsh_incremental_pairs(idx, new, "doc_id", k=_K,
+                                   band_rows=_BAND_ROWS, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints
 # --------------------------------------------------------------------------
 _SIMHASH_ORACLE = f"""

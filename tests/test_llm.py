@@ -245,3 +245,29 @@ def test_minhash_lsh_high_band_geometry(spark):
     # identical-word-set cluster is found regardless of geometry
     assert default <= expect
     assert (1, 2) in default
+
+
+def test_incremental_lsh_equals_full_cross_pairs(spark):
+    """Incremental dedup (new batch vs the persisted index) must emit
+    exactly the full pipeline's pairs restricted to old x new — same
+    banding, same verification, no corpus rescan."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        lsh_incremental_pairs, minhash_index, minhash_lsh_pairs)
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter("doc_id % 17 <> 0")
+    new = docs.filter("doc_id % 17 = 0")
+    idx = minhash_index(old, "doc_id").localCheckpoint()
+    incr = {(r.old_id, r.new_id): r.jaccard
+            for r in lsh_incremental_pairs(idx, new, "doc_id").collect()}
+
+    full = minhash_lsh_pairs(docs, "doc_id", threshold=0.8).collect()
+    cross = {}
+    for r in full:
+        a_new, b_new = r.id_a % 17 == 0, r.id_b % 17 == 0
+        if a_new != b_new:   # exactly one side in the batch
+            key = (r.id_b, r.id_a) if a_new else (r.id_a, r.id_b)
+            cross[key] = r.jaccard
+    assert incr == cross
+    assert len(incr) > 0   # the synthetic corpus has cross dups
