@@ -7,15 +7,18 @@ Reference semantics: ``flink-libraries/flink-cep/.../pattern/
 Pattern.java:50-542`` executed per key as in ``nfa/NFA.java:85`` /
 ``CepOperator.java:82``.
 
-Oracle construction: the NFA's default contiguity is *relaxed
-deterministic* (``followedBy``): a partial match consumes the FIRST
-matching event after its current position and every matching begin-event
-starts a fresh run (no-skip).  Each oracle therefore unrolls the pattern
-as a chain of "next event of type X strictly after position P" lateral
-joins per key, with the within-window applied to the completed match —
-an event past the window kills a run before it can consume, and any
-later completion would be past the window too, so ``end.ts - start.ts
-<= W`` is exact.
+Oracle construction: between SINGLETON stages the default contiguity is
+*relaxed deterministic* (``followedBy``): a partial match consumes the
+FIRST matching event after its current position and every matching
+begin-event starts a fresh run (no-skip) — those oracles unroll the
+pattern as a chain of "next event of type X strictly after position P"
+lateral joins per key.  LOOP stages carry the reference's full edge set
+(stop-early PROCEED prefixes + the loop's own IGNORE survival,
+``NFACompiler.java:827`` — see ``cep_nfa_loop_prefix_matches`` for the
+two-row-family oracle shape).  The within-window applies to the
+completed match — an event past the window kills a run before it can
+consume, and any later completion would be past the window too, so
+``end.ts - start.ts <= W`` is exact.
 """
 
 from __future__ import annotations
@@ -1336,25 +1339,21 @@ def cep_timeout_partial_matches(spark, sf_dir):
 # allowCombinations (Quantifier.java / Pattern.java:389): every
 # order-preserving subsequence of qualifying loop events forms its own
 # match.  view[value>100]+ (combinations) -> purchase within 7 days;
-# output = matches per user.  Oracle: all runs die at each purchase
-# (the purchase stage is deterministic relaxed), so for each purchase
-# the candidate views sit strictly between the previous purchase and
-# it; v of them satisfy the window from their own start, and the
+# output = matches per user.  Oracle: the loop's SKIP_TILL_ANY ignore
+# edge keeps every subset run alive THROUGH a purchase (it matches later
+# purchases again), so for each purchase the candidates are ALL views
+# before it; v of them satisfy the window from their own start
+# (window expiry kills a subset at its min element's deadline), and the
 # subsets with an in-window minimum element number 2^v - 1.
 # --------------------------------------------------------------------------
 _COMBINATIONS_ORACLE = """
 WITH ev AS (SELECT user_id, event_id, ts, event_type, value FROM events),
-p AS (SELECT user_id, event_id, ts,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_ts,
-             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_id
+p AS (SELECT user_id, event_id, ts
       FROM ev WHERE event_type = 'purchase'),
 v AS (SELECT p.user_id, p.event_id AS p_id, count(*) AS vcnt
       FROM p JOIN ev a ON a.user_id = p.user_id
        AND a.event_type = 'view' AND a.value > 100
        AND (a.ts, a.event_id) < (p.ts, p.event_id)
-       AND (p.prev_ts IS NULL OR (a.ts, a.event_id) > (p.prev_ts, p.prev_id))
        AND p.ts <= a.ts + INTERVAL 7 DAY
       GROUP BY 1, 2)
 SELECT user_id,
@@ -1366,9 +1365,11 @@ FROM v GROUP BY user_id
 @register("cep_allow_combinations", _COMBINATIONS_ORACLE)
 def cep_allow_combinations(spark, sf_dir):
     """``oneOrMore().allowCombinations()`` through the generic NFA:
-    the pre-take run survives each loop take, so the runs enumerate
-    every subsequence of the qualifying views before the closing
-    purchase (``Quantifier.java`` combinations; the dedicated
+    the pre-take run survives each continuing loop take, so the runs
+    enumerate every subsequence of the qualifying views; the loop's
+    SKIP_TILL_ANY ignore edge keeps those runs alive through each
+    purchase, matching every later closing too until the window
+    expires (``Quantifier.java`` combinations; the dedicated
     two-stage operators keep their deterministic semantics)."""
     ev = read_stream_table(spark, sf_dir, "events")
     m = (Pattern.begin("view").where("value > 100").one_or_more()
@@ -1377,3 +1378,99 @@ def cep_allow_combinations(spark, sf_dir):
     batch = run_to_completion(m, "append")
     return (batch.groupBy("user_id")
             .agg(F.count("*").cast("bigint").alias("n_matches")))
+
+
+# --------------------------------------------------------------------------
+# Relaxed-loop PROCEED branching (the reference's contiguity table,
+# docs/dev/libs/cep.md + NFACompiler.java:827): signup click+ purchase
+# within 7 days emits every stop-early prefix, and the loop branch
+# survives each purchase (its IGNORE edge) to match later closings.
+# Oracle: two row families —
+#   full:  for each purchase p in-window after signup a, the open run
+#          holds ALL clicks between a and p (>= 1 of them);
+#   fork:  closing the loop at prefix length k >= 1 happens when click
+#          k+1 is taken (in-window), and that closed state matches the
+#          FIRST purchase after click k+1 (in-window).
+# --------------------------------------------------------------------------
+_LOOP_PREFIX_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+s AS (SELECT user_id, event_id AS a_id, ts AS a_ts
+      FROM ev WHERE event_type = 'signup'),
+ck AS (SELECT s.user_id, s.a_id, s.a_ts, c.event_id AS c_id, c.ts AS c_ts,
+              row_number() OVER (PARTITION BY s.user_id, s.a_id
+                                 ORDER BY c.ts, c.event_id) AS rn
+       FROM s JOIN ev c ON c.user_id = s.user_id AND c.event_type = 'click'
+        AND (c.ts, c.event_id) > (s.a_ts, s.a_id)),
+full_m AS (
+  SELECT s.user_id, s.a_id AS start_id, p.event_id AS end_id,
+         CAST(2 + (SELECT count(*) FROM ev c
+                   WHERE c.user_id = s.user_id AND c.event_type = 'click'
+                     AND (c.ts, c.event_id) > (s.a_ts, s.a_id)
+                     AND (c.ts, c.event_id) < (p.ts, p.event_id)) AS INT)
+           AS n_events
+  FROM s JOIN ev p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND (p.ts, p.event_id) > (s.a_ts, s.a_id)
+   AND p.ts <= s.a_ts + INTERVAL 7 DAY),
+fork_m AS (
+  SELECT k.user_id, k.a_id AS start_id, p.event_id AS end_id,
+         CAST(k.rn + 1 AS INT) AS n_events
+  FROM ck k JOIN LATERAL (
+    SELECT event_id, ts FROM ev p
+    WHERE p.user_id = k.user_id AND p.event_type = 'purchase'
+      AND (p.ts, p.event_id) > (k.c_ts, k.c_id)
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+  WHERE k.rn >= 2 AND k.c_ts <= k.a_ts + INTERVAL 7 DAY
+    AND p.ts <= k.a_ts + INTERVAL 7 DAY)
+SELECT user_id, start_id, end_id, n_events FROM full_m WHERE n_events >= 3
+UNION ALL
+SELECT user_id, start_id, end_id, n_events FROM fork_m
+"""
+
+
+@register("cep_nfa_loop_prefix_matches", _LOOP_PREFIX_ORACLE)
+def cep_nfa_loop_prefix_matches(spark, sf_dir):
+    """Mid-pattern relaxed loop with full reference edge semantics:
+    stop-early prefixes via the persisted PROCEED state and loop
+    survival across closings via its IGNORE edge
+    (``NFACompiler.java:827``; ``NFA.java:574`` IGNORE-after-PROCEED)."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("signup").followed_by("click").one_or_more()
+         .followed_by("purchase").within(7 * 24 * 60).match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# Leading optional (Pattern.begin(..).optional()): the start state
+# PROCEEDs through the optional, so a purchase alone matches (1 event)
+# and each view also pairs with its first following purchase in-window
+# (2 events) — both branches, the CEP-library contract.
+# --------------------------------------------------------------------------
+_LEADING_OPT_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events)
+SELECT v.user_id, v.event_id AS start_id, p.event_id AS end_id,
+       CAST(2 AS INT) AS n_events
+FROM (SELECT * FROM ev WHERE event_type = 'view') v
+JOIN LATERAL (
+  SELECT event_id, ts FROM ev p
+  WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+    AND (p.ts, p.event_id) > (v.ts, v.event_id)
+  ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+WHERE p.ts <= v.ts + INTERVAL 3 DAY
+UNION ALL
+SELECT user_id, event_id AS start_id, event_id AS end_id,
+       CAST(1 AS INT) AS n_events
+FROM ev WHERE event_type = 'purchase'
+"""
+
+
+@register("cep_leading_optional", _LEADING_OPT_ORACLE)
+def cep_leading_optional(spark, sf_dir):
+    """view?.purchase within 3 days through the generic NFA: runs begin
+    at the optional view AND directly at the purchase stage
+    (start-state PROCEED through leading optionals)."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("view").optional().followed_by("purchase")
+         .within(3 * 24 * 60).match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")

@@ -43,7 +43,8 @@ class _Stage:
     strict: bool = False        # next() — no ignore self-loop
     any_match: bool = False     # followedByAny() — no consumption
     optional: bool = False      # optional() — stage may be skipped
-    times_n: int | None = None  # times(n)
+    times_n: int | None = None  # times(n) / times(n, m) lower bound
+    times_m: int | None = None  # times(n, m) upper bound (range form)
     or_more: bool = False       # timesOrMore(n)
     consecutive: bool = False
     greedy: bool = False        # greedy() — loop wins over advance
@@ -71,6 +72,8 @@ class _Stage:
                 out.add(f_)
         if self.times_n is not None:
             out.add("times_n")
+        if self.times_m is not None:
+            out.add("times_range")
         if self.wheres or self.ors:
             out.add("conditions")
         if self.until_sql is not None:
@@ -93,8 +96,13 @@ class Pattern:
         self.stages[-1].one_or_more = True
         return self
 
-    def times(self, n: int) -> "Pattern":
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        """Exactly ``n`` occurrences, or ``n`` to ``m`` with the range
+        form (``Pattern.times(from, to)``, ``Pattern.java:472``)."""
+        if m is not None and m < n:
+            raise ValueError(f"times({n}, {m}): to < from")
         self.stages[-1].times_n = n
+        self.stages[-1].times_m = m
         return self
 
     def times_or_more(self, n: int) -> "Pattern":
@@ -190,7 +198,10 @@ class Pattern:
         out = []
         for s in self.stages:
             if s.times_n is not None:
-                mn, mx = s.times_n, (None if s.or_more else s.times_n)
+                mn = s.times_n
+                mx = (None if s.or_more
+                      else s.times_m if s.times_m is not None
+                      else s.times_n)
             elif s.one_or_more:
                 mn, mx = 1, None
             elif s.optional:
@@ -350,6 +361,16 @@ def compile_match_pattern(pattern: str, define: dict[str, str],
             greedy=not reluctant and not (mn == 1 and mx == 1),
             nav=(nav or {}).get(var)))
         pos = m.end()
+    if stages[0].min_times == 0:
+        # the generic NFA starts a run at every stage reachable through
+        # leading optionals and emits EVERY branch (the CEP-library
+        # contract); SQL:2016 emits ONE preferred match per start row,
+        # which would need greedy backtracking across those start
+        # alternatives — refuse rather than silently over-emit.
+        raise NotImplementedError(
+            "leading optional/star PATTERN variable: SQL row-pattern "
+            "matching emits one preferred match per start row; anchor "
+            "the pattern with a mandatory first variable")
     last = stages[-1]
     if (last.min_times == 0 or last.is_loop()) and not last.greedy:
         # SQL:2016 reluctant quantifiers produce ONE shortest match per

@@ -25,12 +25,24 @@ Execution model (Spark-first):
   (ts, event_id) order; state is the run list (typed Arrow arrays),
   bounded by the within-window and a hard run cap — never the event
   history.
-- Transitions per event mirror the reference NFA's edge types: TAKE
-  (consume into current/next stage), IGNORE (relaxed contiguity skips a
-  non-matching event), STOP (strict contiguity or a negation guard kills
-  the run).  ``followedByAny`` keeps the pre-TAKE run alive
-  (non-deterministic relaxed contiguity); ``greedy`` suppresses the
-  advance branch while the loop stage still matches.
+- Transitions per event mirror the reference NFA's edge set
+  (``NFACompiler.java:827`` conditions walked by ``NFA.java``'s
+  decision graph): TAKE (consume into the current stage or any
+  PROCEED-reachable later stage), IGNORE (a relaxed stage keeps its
+  branch whenever the event was not consumed INTO it — so advancing
+  out of a satisfied loop also leaves the loop branch alive to match
+  later closings), STOP (strict contiguity at the CURRENT stage, or a
+  negation guard, kills the branch).  The PROCEED state of a satisfied
+  non-greedy loop persists through the next stage's IGNORE edge: when
+  the loop takes another event (or a strict loop dies on a foreign
+  event), the closed-loop prefix is forked to the next stage, so
+  ``a b+ c`` over ``a b1 b2 c`` emits both ``{a b1 c}`` and
+  ``{a b1 b2 c}`` — the reference's relaxed/consecutive contiguity
+  table.  ``followedByAny`` keeps the pre-TAKE run alive even when the
+  stage consumed the event (SKIP_TILL_ANY); ``greedy`` suppresses the
+  advance branch while the loop stage still matches and guards PROCEED
+  with NOT(take) (``updateWithGreedyCondition``), which is what makes
+  the SQL-quantifier tier emit single maximal matches.
 - After-match skip: ``no_skip`` (the reference's default),
   ``skip_past_last`` (AfterMatchSkipStrategy.skipPastLastEvent — kills
   runs begun at/before the match end and suppresses new runs there), or
@@ -154,11 +166,13 @@ def _validate(stages: list[NfaStage]) -> None:
                 "semantics need lookahead; use a non-greedy optional "
                 "(both the short and long match are then emitted, like "
                 "the reference) or make the stage mandatory")
-    if stages[0].min_times == 0:
-        raise NotImplementedError(
-            "leading optional/star stage: runs only begin at the first "
-            "stage's predicate — drop the leading optional or register "
-            "both variants")
+    # leading optional/star stages are supported: the start state
+    # PROCEEDs through them, so a run can begin at any stage reachable
+    # from stage 0 through leading min-0 stages (the reference's start
+    # state does the same; the SQL MATCH_RECOGNIZE tier keeps its own
+    # rejection in compile_match_pattern — SQL emits ONE preferred
+    # match per start row, which needs greedy backtracking across the
+    # start alternatives, while the CEP tier emits every branch).
     for i, s in enumerate(stages):
         if s.contiguity not in ("strict", "relaxed", "relaxed_nd"):
             raise ValueError(f"bad contiguity {s.contiguity!r}")
@@ -352,6 +366,18 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
             j += 1
         return j
 
+    # start candidates: stage 0 plus every consuming stage reachable
+    # from it through leading min-0 stages — the reference's start
+    # state PROCEEDs through leading optionals, so `A? B` begins a run
+    # at B (with A skipped) as well as at A
+    start_stages = []
+    _j = real_next(0)
+    while _j < n:
+        start_stages.append(_j)
+        if spec[_j][MIN] > 0:
+            break
+        _j = real_next(_j + 1)
+
     def guard_between(a: int, b: int) -> int:
         """Index of a negation stage strictly between a and b, else -1."""
         for g in range(a + 1, b):
@@ -535,8 +561,28 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     else:
                         taken = [j for j in cands if m[j]]
                     if not taken:
-                        if any(spec[j][CONT] == "strict" for j in cands):
-                            continue          # strict contiguity violated
+                        if spec[s_][CONT] == "strict":
+                            # strict contiguity violated at the CURRENT
+                            # stage: this branch dies — but a satisfied
+                            # loop's PROCEEDED state survives through the
+                            # next stage's IGNORE edge (the reference's
+                            # consecutive() row: `a b+.consecutive c`
+                            # over `a b1 d c` still emits {a b1 c}); a
+                            # strict cand DEEPER in the chain only lacks
+                            # its own TAKE this event, it never kills
+                            # this branch (NFACompiler.java:827 edges;
+                            # NFA.java:574 "IGNORE after PROCEED").
+                            if t_ >= spec[s_][MIN]:
+                                nxt0 = real_next(s_ + 1)
+                                if (nxt0 < n
+                                        and spec[nxt0][CONT] != "strict"):
+                                    g0 = guard_between(s_, nxt0)
+                                    new_runs.append(
+                                        [nxt0, 0, g0,
+                                         g0 >= 0 and spec[g0][CONT] == "strict",
+                                         run[A], run[L], run[EV], run[ST],
+                                         run[EU], run[NV]])
+                            continue
                         new_runs.append(run)  # IGNORE
                         continue
                     # greedy loop: suppress the advance branch while the
@@ -574,39 +620,99 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             new_runs.append([j, t2, -1, False,
                                              run[A], ts_us, evs2, sts2, us2,
                                              nv2])
-                    if any(spec[j][CONT] == "relaxed_nd" for j in taken):
+                    # relaxed_nd keep: a SINGLETON nd stage is
+                    # followedByAny (outer SKIP_TILL_ANY — every take
+                    # keeps the pre-take run); a LOOP nd stage is
+                    # allowCombinations (INNER SKIP_TILL_ANY,
+                    # Quantifier.java) — only CONTINUING takes keep the
+                    # pre-take run, the first take is governed by the
+                    # outer relaxed strategy (getIgnoreCondition vs
+                    # getInnerIgnoreCondition, NFACompiler.java:791/:827),
+                    # so `a b+ c` with combinations never emits a subset
+                    # missing the loop's first event.
+                    if any(spec[j][CONT] == "relaxed_nd"
+                           and (spec[j][MAX] == 1
+                                or (j == run[S] and run[T] >= 1))
+                           for j in taken):
                         new_runs.append(run)  # keep the pre-TAKE run alive
-                # a matching event always also begins a fresh run
-                # (the NFA start state is always active — NO_SKIP default)
-                start_ok = m[0] and (ts_us, eid) > cut
-                if start_ok and 0 in nav_fns:
-                    # fresh run: empty match buffer (own-var refs see the
-                    # current row; other-var navigation is NULL)
-                    start_ok = nav_fns[0](rowvals, {}, {}, prev_rows) is True
-                if start_ok:
-                    nv0 = (nav_take(EMPTY_NAV, stage_var[0], rowvals)
-                           if merged_tracked else EMPTY_NAV)
-                    mn0, mx0 = spec[0][MIN], spec[0][MAX]
-                    nxt = real_next(1)
-                    if nxt >= n and mx0 == 1:
-                        emit(ts_us, ts_us, [eid], [0], [ts_us])
-                    else:
-                        if (1 >= mn0 and tail_opt[0]
-                                and not spec[0][GREEDY]):
+                    # PROCEED fork (NFACompiler.java:827 SKIP_TILL_NEXT
+                    # edge set): a non-greedy loop taking ANOTHER event
+                    # would destroy its stop-early prefix — the reference
+                    # persists the proceeded state (loop closed, waiting
+                    # at the next stage) whenever that state's IGNORE
+                    # edge (NOT(next pred)) accepts this event, so
+                    # `a b1 b2 c` still emits {a b1 c}.  No fork when the
+                    # event also matches the next stage (the advance
+                    # branch in `taken` already covers it), the next
+                    # stage is strict (no IGNORE edge), the loop is
+                    # greedy (PROCEED is guarded with NOT(take) —
+                    # updateWithGreedyCondition), or the loop is
+                    # relaxed_nd (the kept pre-take run reaches the same
+                    # states and a fork would double-emit).
+                    s0 = run[S]
+                    if (s0 in taken and run[T] >= spec[s0][MIN]
+                            and not spec[s0][GREEDY]
+                            and spec[s0][CONT] != "relaxed_nd"):
+                        nxt0 = real_next(s0 + 1)
+                        if (nxt0 < n and not m[nxt0]
+                                and spec[nxt0][CONT] != "strict"):
+                            g0 = guard_between(s0, nxt0)
+                            new_runs.append(
+                                [nxt0, 0, g0,
+                                 g0 >= 0 and spec[g0][CONT] == "strict",
+                                 run[A], run[L], run[EV], run[ST],
+                                 run[EU], run[NV]])
+                    # stage IGNORE edge on advance (NFACompiler.java:827:
+                    # SKIP_TILL_NEXT ignores events NOT matching the
+                    # stage's own take condition, SKIP_TILL_ANY ignores
+                    # unconditionally): when this event advanced out of
+                    # a relaxed stage without being consumed INTO it,
+                    # the stage's own branch survives — `a b+ c` keeps
+                    # matching later c's with more b's.  (An until-
+                    # stopped loop never reaches here: the until path
+                    # rebinds the run past the loop first, matching the
+                    # reference's ignore-edge extension with NOT(until);
+                    # a relaxed_nd stage consumed this event keeps its
+                    # pre-take run through the nd-keep above instead.)
+                    if s0 not in taken and spec[s0][CONT] != "strict":
+                        new_runs.append(run)
+                # a matching event always also begins a fresh run — at
+                # stage 0 or at any stage the start state PROCEEDs to
+                # through leading optionals (the NFA start state is
+                # always active — NO_SKIP default)
+                if (ts_us, eid) > cut:
+                    for js in start_stages:
+                        if not m[js]:
+                            continue
+                        fjs = nav_fns.get(js)
+                        # fresh run: empty match buffer (own-var refs see
+                        # the current row; other-var navigation is NULL)
+                        if fjs is not None and fjs(
+                                rowvals, {}, {}, prev_rows) is not True:
+                            continue
+                        nv0 = (nav_take(EMPTY_NAV, stage_var[js], rowvals)
+                               if merged_tracked else EMPTY_NAV)
+                        mnj0, mxj0 = spec[js][MIN], spec[js][MAX]
+                        nxt = real_next(js + 1)
+                        if nxt >= n and mxj0 == 1:
+                            emit(ts_us, ts_us, [eid], [js], [ts_us])
+                            continue
+                        if (1 >= mnj0 and tail_opt[js]
+                                and not spec[js][GREEDY]):
                             # one consumed event already completes the
                             # match (rest of the pattern is optional /
                             # this is a satisfied trailing loop's first
                             # take): emit the short match, keep the run
-                            emit(ts_us, ts_us, [eid], [0], [ts_us])
-                        if mx0 == 1:
-                            g = guard_between(0, nxt)
+                            emit(ts_us, ts_us, [eid], [js], [ts_us])
+                        if mxj0 == 1:
+                            g = guard_between(js, nxt)
                             new_runs.append(
                                 [nxt, 0, g,
                                  g >= 0 and spec[g][CONT] == "strict",
-                                 ts_us, ts_us, [eid], [0], [ts_us], nv0])
+                                 ts_us, ts_us, [eid], [js], [ts_us], nv0])
                         else:
-                            new_runs.append([0, 1, -1, False,
-                                             ts_us, ts_us, [eid], [0],
+                            new_runs.append([js, 1, -1, False,
+                                             ts_us, ts_us, [eid], [js],
                                              [ts_us], nv0])
                 if prev_depth:
                     # PREV is physical: every partition row (matched or

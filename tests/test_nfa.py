@@ -319,3 +319,97 @@ def test_allow_combinations_needs_loop(spark):
 
     with pytest.raises(ValueError, match="loop"):
         Pattern.begin("a").allow_combinations()
+
+
+def test_relaxed_loop_contiguity_table(spark):
+    """The reference docs' relaxed row: `a b+ c` over
+    a b1 d b2 d b3 c emits {a b1 c}, {a b1 b2 c}, {a b1 b2 b3 c} —
+    stop-early prefixes anchored at the loop's first take."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "d"),
+            _ev(4, 3, "b"), _ev(5, 4, "d"), _ev(6, 5, "b"), _ev(7, 6, "c")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1, max_times=None),
+              NfaStage(pred="event_type = 'c'")]
+    assert _matches(spark, rows, stages) == \
+        [(1, 2, 4, 6, 7), (1, 2, 4, 7), (1, 2, 7)]
+
+
+def test_consecutive_loop_contiguity_table(spark):
+    """The reference docs' consecutive row: same input, strict inner
+    contiguity — only {a b1 c} survives (d kills the loop branch but
+    the proceeded prefix state lives through c's IGNORE edge)."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "d"),
+            _ev(4, 3, "b"), _ev(5, 4, "d"), _ev(6, 5, "b"), _ev(7, 6, "c")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1, max_times=None,
+                       contiguity="strict"),
+              NfaStage(pred="event_type = 'c'")]
+    assert _matches(spark, rows, stages) == [(1, 2, 7)]
+
+
+def test_loop_branch_survives_advance(spark):
+    """The loop's IGNORE edge keeps its branch alive when the run
+    advances on a closing event: a b+ c over a b1 c1 b2 c2 matches
+    (a b1 c1), (a b1 b2 c2) AND (a b1 c2)."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "c"),
+            _ev(4, 3, "b"), _ev(5, 4, "c")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1, max_times=None),
+              NfaStage(pred="event_type = 'c'")]
+    assert _matches(spark, rows, stages) == [(1, 2, 3), (1, 2, 4, 5), (1, 2, 5)]
+
+
+def test_combinations_anchor_at_first_take(spark):
+    """allowCombinations is INNER contiguity: the loop's first take is
+    governed by the outer relaxed strategy, so `a b+ c` combinations
+    over a b1 b2 c emits {a b1 c} and {a b1 b2 c} but never a subset
+    missing b1 (the reference's combinations row)."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "b"), _ev(4, 3, "c")]
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1, max_times=None,
+                       contiguity="relaxed_nd"),
+              NfaStage(pred="event_type = 'c'")]
+    assert _matches(spark, rows, stages) == [(1, 2, 3, 4), (1, 2, 4)]
+
+
+def test_leading_optional_starts_at_second_stage(spark):
+    """A? B (Pattern.begin(a).optional().followed_by(b)): the start
+    state PROCEEDs through the leading optional, so a lone b matches,
+    and an a b input yields both the long and the short match."""
+    stages = [NfaStage(pred="event_type = 'a'", min_times=0, max_times=1),
+              NfaStage(pred="event_type = 'b'")]
+    assert _matches(spark, [_ev(1, 0, "x"), _ev(2, 1, "b")], stages) == [(2,)]
+    assert _matches(spark, [_ev(1, 0, "a"), _ev(2, 1, "b")], stages) == \
+        [(1, 2), (2,)]
+
+
+def test_leading_star_all_branches(spark):
+    """A* B over a1 a2 b: zero-, one- and two-A starts all match —
+    {a1 a2 b}, {a1 b}, {a2 b}, {b}."""
+    stages = [NfaStage(pred="event_type = 'a'", min_times=0, max_times=None),
+              NfaStage(pred="event_type = 'b'")]
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "a"), _ev(3, 2, "b")]
+    assert _matches(spark, rows, stages) == [(1, 2, 3), (1, 3), (2, 3), (3,)]
+
+
+def test_sql_pattern_rejects_leading_optional(spark):
+    from flink_release_1_10_0_spark.streaming.cep import compile_match_pattern
+
+    with pytest.raises(NotImplementedError, match="leading"):
+        compile_match_pattern("A? B", {"A": "value < 10", "B": "value >= 10"})
+
+
+def test_times_range_facade(spark):
+    """Pattern.times(from, to) (Pattern.java:472): a.times(1, 2) then b
+    over a1 a2 b emits the 2-take branch, the stop-early 1-take prefix,
+    and the fresh 1-take run."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "a"), _ev(3, 2, "b")]
+    pat = Pattern.begin("a").times(1, 2).followed_by("b")
+    out = run_to_completion(pat.match_stream(_stream(spark, rows)), "append")
+    got = sorted(tuple(r.ev_ids) for r in out.collect())
+    assert got == [(1, 2, 3), (1, 3), (2, 3)]
+
+    with pytest.raises(ValueError, match="to < from"):
+        Pattern.begin("a").times(3, 2)
