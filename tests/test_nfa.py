@@ -413,3 +413,35 @@ def test_times_range_facade(spark):
 
     with pytest.raises(ValueError, match="to < from"):
         Pattern.begin("a").times(3, 2)
+
+
+def test_group_pattern_times_unrolls(spark):
+    """(a b){2} (GroupPattern.java; Pattern.begin(Pattern).times(2)):
+    two mandatory copies, relaxed at every seam."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    sub = Pattern.begin("a").followed_by("b")
+    pat = Pattern.begin_pattern(sub, times=2)
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "x"),
+            _ev(4, 3, "a"), _ev(5, 4, "b")]
+    out = run_to_completion(pat.match_stream(_stream(spark, rows)), "append")
+    got = sorted(tuple(r.ev_ids) for r in out.collect())
+    assert got == [(1, 2, 4, 5)]
+
+    with pytest.raises(NotImplementedError, match="group"):
+        Pattern.begin_pattern(sub, times=0)
+
+
+def test_group_pattern_next_strict_seam(spark):
+    """a next((b c)): the group's first event must immediately follow."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    sub = Pattern.begin("b").followed_by("c")
+    pat = Pattern.begin("a").next_pattern(sub)
+    ok = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "c")]
+    broken = [_ev(1, 0, "a"), _ev(2, 1, "x"), _ev(3, 2, "b"), _ev(4, 3, "c")]
+    out_ok = run_to_completion(pat.match_stream(_stream(spark, ok)), "append")
+    assert sorted(tuple(r.ev_ids) for r in out_ok.collect()) == [(1, 2, 3)]
+    out_b = run_to_completion(pat.match_stream(_stream(spark, broken)),
+                              "append")
+    assert out_b.count() == 0
