@@ -1474,3 +1474,42 @@ def cep_leading_optional(spark, sf_dir):
          .within(3 * 24 * 60).match_stream(ev))
     return run_to_completion(
         m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# Group pattern with a bounded quantifier (GroupPattern.java;
+# Pattern.begin(Pattern).times(2)): (click purchase){2} within 14 days,
+# unrolled to four mandatory relaxed stages.
+# --------------------------------------------------------------------------
+_GROUP_TIMES_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events)
+SELECT c1.user_id, c1.event_id AS start_id, p2.event_id AS end_id,
+       CAST(4 AS INT) AS n_events
+FROM (SELECT * FROM ev WHERE event_type = 'click') c1,
+LATERAL (SELECT event_id, ts FROM ev p
+         WHERE p.user_id = c1.user_id AND p.event_type = 'purchase'
+           AND (p.ts, p.event_id) > (c1.ts, c1.event_id)
+         ORDER BY p.ts, p.event_id LIMIT 1) p1,
+LATERAL (SELECT event_id, ts FROM ev c
+         WHERE c.user_id = c1.user_id AND c.event_type = 'click'
+           AND (c.ts, c.event_id) > (p1.ts, p1.event_id)
+         ORDER BY c.ts, c.event_id LIMIT 1) c2,
+LATERAL (SELECT event_id, ts FROM ev p
+         WHERE p.user_id = c1.user_id AND p.event_type = 'purchase'
+           AND (p.ts, p.event_id) > (c2.ts, c2.event_id)
+         ORDER BY p.ts, p.event_id LIMIT 1) p2
+WHERE p2.ts <= c1.ts + INTERVAL 14 DAY
+"""
+
+
+@register("cep_group_pattern_times", _GROUP_TIMES_ORACLE)
+def cep_group_pattern_times(spark, sf_dir):
+    """Bounded group quantifier via compile-time unrolling
+    (``GroupPattern.java``): (click purchase){2} is exactly the
+    four-stage relaxed chain."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    sub = Pattern.begin("click").followed_by("purchase")
+    m = (Pattern.begin_pattern(sub, times=2).within(14 * 24 * 60)
+         .match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")

@@ -92,6 +92,52 @@ class Pattern:
     def begin(cls, event_type: str) -> "Pattern":
         return cls(stages=[_Stage(event_type)])
 
+    # ---- group patterns (GroupPattern.java; Pattern.begin/next/
+    # followedBy(Pattern) overloads) -------------------------------
+    # Bounded group quantifiers compile by UNROLLING the sub-pattern
+    # (times(n) -> n copies, contiguity preserved stage-by-stage) —
+    # exact for n >= 1 because every copy is mandatory.  Unbounded
+    # ((A B)+) and optional ((A B)?) groups are rejected loudly: the
+    # flat-stage NFA has no group-iteration state, and per-stage
+    # optionality would accept partially-consumed copies.
+
+    @classmethod
+    def begin_pattern(cls, sub: "Pattern", times: int = 1) -> "Pattern":
+        """``Pattern.begin(Pattern)``: start with a (possibly repeated)
+        sub-pattern."""
+        import copy as _copy
+
+        if times < 1:
+            raise NotImplementedError(
+                "optional/unbounded group quantifiers need group-"
+                "iteration state; only times(n >= 1) groups unroll")
+        return cls(stages=[_copy.deepcopy(s)
+                           for _ in range(times) for s in sub.stages])
+
+    def followed_by_pattern(self, sub: "Pattern",
+                            times: int = 1) -> "Pattern":
+        """``Pattern.followedBy(Pattern)``: sequence a sub-pattern
+        (relaxed contiguity at the seam), unrolled ``times`` times."""
+        import copy as _copy
+
+        if times < 1:
+            raise NotImplementedError(
+                "optional/unbounded group quantifiers need group-"
+                "iteration state; only times(n >= 1) groups unroll")
+        for _ in range(times):
+            self.stages.extend(_copy.deepcopy(s) for s in sub.stages)
+        return self
+
+    def next_pattern(self, sub: "Pattern") -> "Pattern":
+        """``Pattern.next(Pattern)``: strict contiguity at the seam —
+        the sub-pattern's first event must immediately follow."""
+        import copy as _copy
+
+        stages = [_copy.deepcopy(s) for s in sub.stages]
+        stages[0].strict = True
+        self.stages.extend(stages)
+        return self
+
     def one_or_more(self) -> "Pattern":
         self.stages[-1].one_or_more = True
         return self
