@@ -367,3 +367,13 @@ def test_sort_partition_no_global_exchange_after_sort(spark):
     # the only exchange is the explicit repartition on user_id
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_incremental_dedup_broadcasts_batch_no_cartesian(spark):
+    """Incremental LSH dedup: the new batch joins the persisted index
+    through per-band equi-joins (broadcastable small side), never a
+    cartesian; verification stays JVM-side."""
+    plan = plan_of(spark, "dedup_incremental_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BatchEvalPython" not in plan
