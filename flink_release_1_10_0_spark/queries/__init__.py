@@ -107,7 +107,7 @@ _PIN = [
     "flink_sql_mr_skip_past_last", "cep_timeout_partial_matches",
     "cep_allow_combinations", "dedup_incremental_lsh",
     "cep_nfa_loop_prefix_matches", "cep_leading_optional",
-    "cep_group_pattern_times",
+    "cep_group_pattern_times", "flink_sql_mr_subset_union",
     # ---- 50-window boundary: everything below already has driver
     #      evidence from rounds 1-6 (order kept stable for re-runs) ----
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",

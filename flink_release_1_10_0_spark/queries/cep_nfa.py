@@ -1513,3 +1513,69 @@ def cep_group_pattern_times(spark, sf_dir):
          .match_stream(ev))
     return run_to_completion(
         m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# SQL:2016 SUBSET union variables in MEASURES — an EXCEEDS-reference
+# surface (the reference documents SUBSET as unsupported,
+# docs/dev/table/streaming/match_recognize.md): S = (A, C) aggregates
+# over the rows mapped to either variable.
+# --------------------------------------------------------------------------
+_SQL_MR_SUBSET_TEXT = """
+SELECT user_id, CAST(match_no AS BIGINT) AS match_no,
+       s_sum, s_cnt, n_b
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES SUM(S.value) AS s_sum, COUNT(S.*) AS s_cnt,
+           COUNT(B.*) AS n_b, MATCH_NUMBER() AS match_no
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B+ C)
+  SUBSET S = (A, C)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'view',
+         C AS event_type = 'purchase' AND C.value > 10
+) AS m
+"""
+
+_MR_SUBSET_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT a.user_id, a.rn AS a_rn, nx.rn AS c_rn,
+         a.value AS a_val, nx.value AS c_val
+  FROM (SELECT * FROM o WHERE event_type = 'click') a,
+  LATERAL (SELECT rn, event_type, value FROM o x
+           WHERE x.user_id = a.user_id AND x.rn > a.rn
+             AND x.event_type <> 'view'
+           ORDER BY x.rn LIMIT 1) nx
+  WHERE nx.event_type = 'purchase' AND nx.value > 10 AND nx.rn > a.rn + 1)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY a_rn) AS BIGINT)
+         AS match_no,
+       CAST(CAST(a_val AS DECIMAL(18,2)) + CAST(c_val AS DECIMAL(18,2))
+            AS DOUBLE) AS s_sum,
+       CAST(2 AS BIGINT) AS s_cnt,
+       CAST((SELECT count(*) FROM o b
+             WHERE b.user_id = m.user_id AND b.rn > m.a_rn AND b.rn < m.c_rn)
+            AS BIGINT) AS n_b
+FROM m
+"""
+
+
+@register("flink_sql_mr_subset_union", _MR_SUBSET_ORACLE)
+def flink_sql_mr_subset_union(spark, sf_dir):
+    """SUBSET S = (A, C) through the SQL surface: SUM/COUNT over the
+    union variable (rows mapped to ANY member — SQL:2016 SUBSET;
+    beyond the reference's documented MR surface)."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_SUBSET_TEXT,
+        batch_df=t(spark, sf_dir, "events"),
+        stream_df=read_stream_table(spark, sf_dir, "events"))

@@ -74,8 +74,8 @@ _ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", re.IGNORECASE)
 
 # clause keywords in grammar order; matched only at paren-depth 0
 _CLAUSES = ["PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
-            "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "WITHIN",
-            "DEFINE"]
+            "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "SUBSET",
+            "WITHIN", "DEFINE"]
 
 
 @dataclass
@@ -90,6 +90,7 @@ class MatchSpec:
     pattern: str = ""
     within_minutes: float | None = None
     define: dict[str, str] = field(default_factory=dict)
+    subsets: dict[str, list[str]] = field(default_factory=dict)
     outer: str = ""          # statement with the clause replaced by {VIEW}
 
 
@@ -255,22 +256,43 @@ def parse_match_recognize(query: str) -> MatchSpec:
         elif kw == "ALL ROWS PER MATCH":
             spec.rows_per_match = "all"
         elif kw == "AFTER MATCH":
-            s = re.sub(r"^\s*SKIP\s+", "", content, flags=re.IGNORECASE)
-            s = s.strip().lower()
-            if s in ("to next row", "to_next_row"):
+            s = re.sub(r"^\s*SKIP\s+", "", content,
+                       flags=re.IGNORECASE).strip()
+            low = s.lower()
+            if low in ("to next row", "to_next_row"):
                 spec.after_match = "skip_to_next_row"
-            elif s in ("past last row", "past_last_row"):
+            elif low in ("past last row", "past_last_row"):
                 spec.after_match = "skip_past_last_row"
             else:
-                mm = re.match(r"to\s+(first|last)\s+([A-Za-z_]\w*)$", s)
+                # keywords case-insensitive, but the pattern-variable
+                # name keeps its case (stage names are case-sensitive)
+                mm = re.match(r"to\s+(first|last)\s+([A-Za-z_]\w*)$", s,
+                              re.IGNORECASE)
                 if not mm:
                     raise ValueError(f"bad AFTER MATCH clause: {content!r}")
-                spec.after_match = f"skip_to_{mm.group(1)} {mm.group(2)}"
+                spec.after_match = (f"skip_to_{mm.group(1).lower()} "
+                                    f"{mm.group(2)}")
         elif kw == "PATTERN":
             inner = content.strip()
             if not (inner.startswith("(") and inner.endswith(")")):
                 raise ValueError("PATTERN needs parentheses")
             spec.pattern = inner[1:-1].strip()
+        elif kw == "SUBSET":
+            # SQL:2016 SUBSET S = (A, B): a union variable usable in
+            # MEASURES (rows mapped to ANY member).  The reference
+            # documents SUBSET as unsupported
+            # (docs/dev/table/streaming/match_recognize.md) — this is
+            # an EXCEEDS-reference surface, MEASURES-side only.
+            for item in _split_top_commas(content):
+                sm = re.match(r"^([A-Za-z_]\w*)\s*=\s*\(([^)]*)\)$",
+                              item.strip())
+                if not sm:
+                    raise ValueError(f"bad SUBSET item: {item!r}")
+                members = [v.strip() for v in sm.group(2).split(",")
+                           if v.strip()]
+                if not members:
+                    raise ValueError(f"empty SUBSET: {item!r}")
+                spec.subsets[sm.group(1)] = members
         elif kw == "WITHIN":
             im = _INTERVAL.match(content.strip())
             if not im:
@@ -291,6 +313,26 @@ def parse_match_recognize(query: str) -> MatchSpec:
     if not spec.partition_by or not spec.order_by:
         raise NotImplementedError(
             "PARTITION BY and ORDER BY are required (keyed event time)")
+    for sname, members in spec.subsets.items():
+        if sname in spec.define:
+            raise ValueError(
+                f"SUBSET {sname!r} collides with a DEFINE variable")
+        for v in members:
+            if v not in spec.define:
+                raise ValueError(
+                    f"SUBSET {sname!r} member {v!r} has no DEFINE")
+        # MEASURES-side only: a subset referenced from DEFINE would
+        # need union-variable navigation state in the NFA, and SKIP TO
+        # a subset needs a union cut target — refuse loudly
+        for dv, dtext in spec.define.items():
+            if re.search(rf"\b{re.escape(sname)}\s*\.", dtext):
+                raise NotImplementedError(
+                    f"SUBSET {sname!r} referenced in DEFINE {dv!r}: "
+                    "subsets are a MEASURES surface here")
+        if spec.after_match.split()[-1] == sname:
+            raise NotImplementedError(
+                f"AFTER MATCH SKIP TO the SUBSET {sname!r}: skip "
+                "targets must be pattern variables")
     return spec
 
 
@@ -372,7 +414,7 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
         # user may list DEFINE conditions in any order
         log, batch, stage_names=[s.name for s in stages],
         measures=spec.measures, partition_by=spec.partition_by,
-        rows_per_match=spec.rows_per_match)
+        rows_per_match=spec.rows_per_match, subsets=spec.subsets)
     if spec.match_number_alias:
         out = out.withColumnRenamed("match_no", spec.match_number_alias)
     view = f"_match_recognize_{next(_counter)}"

@@ -532,7 +532,8 @@ _NAV_FRAGMENT = __import__("re").compile(
     __import__("re").IGNORECASE)
 
 
-def _measure_sql_any(spec: str, valid_vars: list[str] | None = None) -> str:
+def _measure_sql_any(spec: str, valid_vars: list[str] | None = None,
+                     subsets: dict[str, list[str]] | None = None) -> str:
     """Compile a MEASURES expression — a single navigation aggregate OR
     a compound scalar expression over them (``LAST(A.value) -
     FIRST(B.value)``, ``ROUND(AVG(X.v), 2)``) — to one SQL aggregate
@@ -544,7 +545,7 @@ def _measure_sql_any(spec: str, valid_vars: list[str] | None = None) -> str:
     expressions are a ONE ROW PER MATCH surface — the ALL ROWS path
     keeps the single-call grammar."""
     try:
-        return _measure_sql(spec)
+        return _measure_sql(spec, subsets)
     except ValueError:
         pass
     out, last_end, n_frag = [], 0, 0
@@ -552,12 +553,13 @@ def _measure_sql_any(spec: str, valid_vars: list[str] | None = None) -> str:
         frag = m.group(0)
         if valid_vars is not None:
             _, _, var, _, _ = _parse_measure(frag)
-            if var not in valid_vars:
+            if var not in valid_vars and var not in (subsets or {}):
                 raise ValueError(
                     f"MEASURES fragment {frag!r}: {var!r} is not a "
-                    f"pattern variable (have {sorted(valid_vars)})")
+                    f"pattern variable or SUBSET "
+                    f"(have {sorted(valid_vars)})")
         out.append(spec[last_end:m.start()])
-        out.append("(" + _measure_sql(frag) + ")")
+        out.append("(" + _measure_sql(frag, subsets) + ")")
         last_end = m.end()
         n_frag += 1
     if n_frag == 0:
@@ -566,7 +568,20 @@ def _measure_sql_any(spec: str, valid_vars: list[str] | None = None) -> str:
     return "".join(out)
 
 
-def _measure_sql(spec: str) -> str:
+def _subset_filter(var: str,
+                   subsets: dict[str, list[str]] | None) -> str:
+    """CLASSIFIER filter for one variable — or, for a SQL:2016 SUBSET
+    union variable, for ANY of its members (rows mapped to any member,
+    the SUBSET contract)."""
+    members = (subsets or {}).get(var)
+    if members is None:
+        return f"FILTER (WHERE var = '{var}')"
+    quoted = ", ".join(f"'{v}'" for v in members)
+    return f"FILTER (WHERE var IN ({quoted}))"
+
+
+def _measure_sql(spec: str,
+                 subsets: dict[str, list[str]] | None = None) -> str:
     """Compile a MEASURES expression to a grouped aggregate over the
     exploded match rows (columns: event attributes + ``var`` =
     CLASSIFIER, ``pos`` = position in match).  ONE ROW PER MATCH output
@@ -579,7 +594,7 @@ def _measure_sql(spec: str) -> str:
     match mapped fewer than k+1 rows to V — SQL:2016 navigation
     out-of-range semantics)."""
     _, fn_, var, col, off = _parse_measure(spec)
-    flt = f"FILTER (WHERE var = '{var}')"
+    flt = _subset_filter(var, subsets)
     if fn_ in ("FIRST", "LAST") and off:
         idx = off + 1 if fn_ == "FIRST" else -(off + 1)
         return (f"try_element_at(array_sort(collect_list("
@@ -595,7 +610,8 @@ def _measure_sql(spec: str) -> str:
     return f"{fn_.lower()}({col}) {flt}"
 
 
-def _measure_window(spec: str, w_final, w_running):
+def _measure_window(spec: str, w_final, w_running,
+                    subsets: dict[str, list[str]] | None = None):
     """Same measure as a window aggregate (ALL ROWS PER MATCH attaches
     measure values to every row of the match without a self-join —
     FILTER isn't valid in a window spec, so conditionals stand in).
@@ -607,7 +623,9 @@ def _measure_window(spec: str, w_final, w_running):
 
     mode, fn_, var, col, off = _parse_measure(spec)
     w = w_running if mode == "RUNNING" else w_final
-    is_var = F.col("var") == var
+    members = (subsets or {}).get(var)
+    is_var = (F.col("var").isin(members) if members is not None
+              else F.col("var") == var)
     if fn_ in ("FIRST", "LAST") and off:
         # offset navigation: pos-sorted (pos, col) pairs of V's rows in
         # the frame, indexed k+1 from the matching end (NULL if absent)
@@ -634,7 +652,9 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
                              stage_names: list[str],
                              measures: dict[str, str],
                              partition_by: str | list[str] = "user_id",
-                             rows_per_match: str = "one") -> DataFrame:
+                             rows_per_match: str = "one",
+                             subsets: dict[str, list[str]] | None = None,
+                             ) -> DataFrame:
     """MEASURES + ONE/ALL ROWS PER MATCH projection over a completed
     match log (``StreamExecMatch.scala:69`` / ``MatchCodeGenerator.scala``
     measure codegen; ``PatternProcessFunctionRunner`` output modes).
@@ -676,7 +696,8 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
                   F.element_at(names, F.col("z.ev_stages") + 1).alias("var")))
     joined = ex.join(events.drop(*keys), "event_id")
     if rows_per_match == "one":
-        aggs = [F.expr(_measure_sql_any(spec, valid_vars=stage_names))
+        aggs = [F.expr(_measure_sql_any(spec, valid_vars=stage_names,
+                                        subsets=subsets))
                 .alias(name) for name, spec in measures.items()]
         return joined.groupBy(*keys, "match_no").agg(*aggs)
     wm = Window.partitionBy(*keys, "match_no")
@@ -684,7 +705,7 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = joined.select(*keys, "match_no", "pos", "event_id",
                         F.col("var").alias("classifier"),
-                        *[_measure_window(spec, wm, wr).alias(name)
+                        *[_measure_window(spec, wm, wr, subsets).alias(name)
                           for name, spec in measures.items()])
     return out
 

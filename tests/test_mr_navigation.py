@@ -431,3 +431,82 @@ def test_measure_window_nav_offset(spark):
     assert [r.b_oob for r in out] == [None, None, None]
     # RUNNING: prefix frame — no second B until pos 2
     assert [r.run for r in out] == [None, None, 60.0]
+
+
+def test_subset_rejections():
+    """SUBSET is a MEASURES surface: DEFINE references and skip-to
+    targets naming a subset refuse loudly; members must be DEFINEd."""
+    import pytest
+
+    from flink_release_1_10_0_spark.sql_match import parse_match_recognize
+
+    base = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES SUM(S.value) AS s
+      ONE ROW PER MATCH
+      {after}
+      PATTERN (A B)
+      SUBSET S = ({members})
+      DEFINE A AS event_type = 'click', B AS {bdef}
+    ) AS m
+    """
+    ok = parse_match_recognize(base.format(
+        after="AFTER MATCH SKIP TO NEXT ROW", members="A, B",
+        bdef="event_type = 'view'"))
+    assert ok.subsets == {"S": ["A", "B"]}
+
+    with pytest.raises(ValueError, match="no DEFINE"):
+        parse_match_recognize(base.format(
+            after="AFTER MATCH SKIP TO NEXT ROW", members="A, Z",
+            bdef="event_type = 'view'"))
+    with pytest.raises(NotImplementedError, match="MEASURES surface"):
+        parse_match_recognize(base.format(
+            after="AFTER MATCH SKIP TO NEXT ROW", members="A, B",
+            bdef="B.value > S.value"))
+    with pytest.raises(NotImplementedError, match="skip"):
+        parse_match_recognize(base.format(
+            after="AFTER MATCH SKIP TO LAST S", members="A, B",
+            bdef="event_type = 'view'"))
+
+
+def test_sql_surface_skip_to_var_keeps_case(spark):
+    """Regression: `AFTER MATCH SKIP TO LAST A` through the SQL text
+    must keep the variable's case (the parser used to lowercase it,
+    so the skip target missed every stage) — the SQL-surface result
+    equals the programmatic facade's."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+    from flink_release_1_10_0_spark.streaming.cep import (
+        match_recognize_pattern)
+    from flink_release_1_10_0_spark.streaming.core import (
+        read_stream_table, run_to_completion)
+
+    sf = "/root/testdata/sf0.001"
+    sql = """
+    SELECT user_id, start_id, end_id
+    FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(A.event_id) AS start_id, LAST(C.event_id) AS end_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO LAST A
+      PATTERN (A+ C)
+      DEFINE A AS event_type = 'click',
+             C AS event_type = 'purchase'
+    ) AS m
+    """
+    got = execute_match_recognize_sql(
+        spark, sql, batch_df=t(spark, sf, "events"),
+        stream_df=read_stream_table(spark, sf, "events"))
+    want = run_to_completion(
+        match_recognize_pattern(
+            read_stream_table(spark, sf, "events"), "user_id",
+            define={"A": "event_type = 'click'",
+                    "C": "event_type = 'purchase'"},
+            pattern="A+ C", after_match="skip_to_last A")
+        .select("user_id", "start_id", "end_id"), "append")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.count() > 0
