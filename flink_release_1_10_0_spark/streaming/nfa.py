@@ -654,7 +654,10 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             and not spec[s0][GREEDY]
                             and spec[s0][CONT] != "relaxed_nd"):
                         nxt0 = real_next(s0 + 1)
-                        if (nxt0 < n and not m[nxt0]
+                        # IGNORE = NOT(full take condition, nav
+                        # refinement included): fork whenever the next
+                        # stage did not consume this event
+                        if (nxt0 < n and nxt0 not in taken
                                 and spec[nxt0][CONT] != "strict"):
                             g0 = guard_between(s0, nxt0)
                             new_runs.append(
