@@ -42,6 +42,10 @@ HEADLINE = [
     "source_dbapi_roundtrip",
     "queryable_state_snapshot",
     "stream_iterate_feedback_halving",
+    # round-7 families: the SQL MATCH_RECOGNIZE front end (parser +
+    # NFA + declarative measures) and incremental new-batch dedup
+    "flink_sql_match_recognize",
+    "dedup_incremental_lsh",
 ]
 
 

@@ -63,7 +63,13 @@ _LOADED = False
 # (MATCH_RECOGNIZE composite partition keys; the two trailing-stage NFA
 # emission closers).  50 slots → cumulative driver evidence COMPLETE
 # for every query registered through round 6 (296/296) after r7, and
-# 299/299 including round 7's additions.
+# 299/299 including the first three round-7 additions.  The REMAINING
+# 10 round-7 additions (MR measures expression / WITHIN / SKIP PAST
+# LAST / SUBSET, CEP timeout side output, allowCombinations, loop
+# prefix semantics, leading optional, group patterns, incremental
+# dedup) queue immediately below the boundary and fill round 8's
+# window — all locally gate-green at sf0.01 AND sf0.1
+# (VERIFY_FULL_r07.txt).
 _PIN = [
     # ---- the 28 never-driver-verified backlog names (registration
     #      order preserved from the round-6 overflow) ----
@@ -99,10 +105,8 @@ _PIN = [
     #      below the boundary and leads round 8's window ----
     "flink_sql_mr_composite_partition", "cep_nfa_trailing_optional",
     "cep_nfa_trailing_one_or_more",
-    # ---- round-8 window head: the only queries without driver
-    #      evidence after r7 (measures expression + the late-round-7
-    #      SQL-surface WITHIN / SKIP PAST LAST closers + the CEP
-    #      timeout-side-output / allowCombinations additions) ----
+    # ---- round-8 window head: the 10 round-7 additions without
+    #      driver evidence after r7 (positions 50-59) ----
     "flink_sql_mr_measures_expression", "flink_sql_mr_within_interval",
     "flink_sql_mr_skip_past_last", "cep_timeout_partial_matches",
     "cep_allow_combinations", "dedup_incremental_lsh",
