@@ -535,3 +535,72 @@ def test_nfa_trailing_emission_matches_bruteforce(spark, syms, quant):
         for k in range(1, limit + 1):
             expect.append((i + 1, *bs[:k]))             # per-extension
     assert got == sorted(expect)
+
+
+def _ref_loop_nfa(syms: list[str], mn: int, mx):
+    """Independent reference simulator for A B{mn,mx} C (all relaxed,
+    non-greedy), written in the NFACompiler state-machine style —
+    explicit TAKE / IGNORE / PROCEED edge walking per branch
+    (NFACompiler.java:827; NFA.java createDecisionGraph) — rather than
+    the engine's cand-chain formulation.  Branch = (node, k, consumed):
+    node 'B' is the looping state after k takes, node 'C' the
+    proceeded/closed state."""
+    branches: set[tuple] = set()
+    out: set[tuple] = set()
+    for eid, s in enumerate(syms, 1):
+        nxt: set[tuple] = set()
+        for node, k, ev in branches:
+            if node == "B":
+                if s == "b" and (mx is None or k < mx):     # TAKE at loop
+                    nxt.add(("B", k + 1, ev + (eid,)))
+                if s != "b":                                # IGNORE at loop
+                    nxt.add(("B", k, ev))
+                if k >= mn:                                 # PROCEED
+                    if s == "c":                            # TAKE at C
+                        out.add(ev + (eid,))
+                    else:                                   # IGNORE at C
+                        nxt.add(("C", 0, ev))
+            else:                                           # closed at C
+                if s == "c":
+                    out.add(ev + (eid,))
+                else:
+                    nxt.add(("C", 0, ev))
+        if s == "a":                                        # start state
+            nxt.add(("B", 0, (eid,)))
+        branches = nxt
+    return out
+
+
+@given(syms=st.lists(st.sampled_from(["a", "b", "c", "x"]),
+                     min_size=1, max_size=10),
+       mn=st.integers(min_value=1, max_value=2),
+       mx=st.sampled_from([None, 2, 3]))
+@settings(**_SETTINGS)
+def test_nfa_loop_edge_set_matches_reference_machine(spark, syms, mn, mx):
+    """The engine's loop edge semantics (PROCEED prefixes, loop IGNORE
+    survival) must equal an independent simulator of the reference's
+    compiled state machine on random inputs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.nfa import NfaStage, match_nfa
+
+    if mx is not None and mx < mn:
+        mx = mn
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, s, 0.0)
+            for i, s in enumerate(syms, 1)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="nfa_loopprop_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=mn, max_times=mx),
+              NfaStage(pred="event_type = 'c'")]
+    out = run_to_completion(match_nfa(sdf, stages), "append")
+    got = {tuple(r.ev_ids) for r in out.collect()}
+    assert got == _ref_loop_nfa(syms, mn, mx)

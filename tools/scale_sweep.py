@@ -65,6 +65,13 @@ HEADS = [
      "linear (hash exchange + partition-local sort)"),
     ("stream_iterate_feedback_halving",
      "linear (~9 fixed rounds, per-round map+filter)"),
+    # round-7 additions: incremental dedup joins the batch against the
+    # corpus index (batch fixed, index 10x -> per-band equi-joins stay
+    # linear in the index); the MR SQL front end is the keyed-NFA
+    # regime (runs/key bounded by the strict-contiguity pattern)
+    ("dedup_incremental_lsh", "linear (bucketed band joins, batch fixed)"),
+    ("flink_sql_match_recognize",
+     "linear (keyed strict-contiguity NFA, runs/key bounded)"),
 ]
 
 
