@@ -46,7 +46,8 @@ class _Stage:
     times_n: int | None = None  # times(n) / times(n, m) lower bound
     times_m: int | None = None  # times(n, m) upper bound (range form)
     or_more: bool = False       # timesOrMore(n)
-    consecutive: bool = False
+    consecutive: bool = False   # inner STRICT (between loop iterations)
+    combinations: bool = False  # inner ANY (allowCombinations)
     greedy: bool = False        # greedy() — loop wins over advance
     wheres: list[str] = field(default_factory=list)   # .where(sql) — ANDed
     ors: list[str] = field(default_factory=list)      # .or_(sql) — ORed
@@ -67,7 +68,8 @@ class _Stage:
         refuses to route to an operator that would drop any of them."""
         out = set()
         for f_ in ("one_or_more", "negated", "strict", "any_match",
-                   "optional", "or_more", "consecutive", "greedy"):
+                   "optional", "or_more", "consecutive", "greedy",
+                   "combinations"):
             if getattr(self, f_):
                 out.add(f_)
         if self.times_n is not None:
@@ -164,16 +166,20 @@ class Pattern:
     def allow_combinations(self) -> "Pattern":
         """Non-deterministic relaxed contiguity INSIDE the last (loop)
         stage (``Quantifier.allowCombinations``, ``Pattern.java:389``):
-        after each take the pre-take run stays alive, so every
-        order-preserving subsequence of loop events forms its own
-        partial match — ``a1 a2 b`` yields ``{a1 a2 b}``, ``{a1 b}``
-        and ``{a2 b}``.  Combinatorial by design (the reference is
-        too); the per-key run cap still bounds state."""
+        after each CONTINUING take the pre-take run stays alive, so
+        every order-preserving subsequence of loop events (anchored at
+        the loop's first take — the entry seam keeps the outer
+        strategy) forms its own partial match.  Combinatorial by
+        design (the reference is too); the per-key run cap still
+        bounds state."""
         s = self.stages[-1]
         if not (s.one_or_more or s.times_n is not None):
             raise ValueError("allow_combinations() applies to a loop "
                              "stage (oneOrMore/times/timesOrMore)")
-        s.any_match = True
+        if s.consecutive:
+            raise ValueError("allow_combinations() conflicts with "
+                             "consecutive()")
+        s.combinations = True
         return self
 
     def optional(self) -> "Pattern":
@@ -260,14 +266,18 @@ class Pattern:
                 cont = "relaxed_nd"
             else:
                 cont = "relaxed"
-            # consecutive() = strict contiguity between loop iterations;
-            # the generic engine uses one contiguity knob for both edges
-            if s.consecutive:
-                cont = "strict"
+            # the OUTER knob above carries the sequencing verb
+            # (next/followedBy/followedByAny — the entry seam);
+            # consecutive()/allowCombinations() set the INNER strategy
+            # between loop iterations (Quantifier.java inner consuming
+            # strategy), leaving the seam untouched: `a b+ c` with
+            # consecutive() still allows a gap between a and b1
+            inner = ("strict" if s.consecutive
+                     else "relaxed_nd" if s.combinations else None)
             out.append(NfaStage(
                 pred=s.pred_sql(), name=s.event_type, contiguity=cont,
                 min_times=mn, max_times=mx, greedy=s.greedy,
-                until=s.until_sql, negated=s.negated))
+                until=s.until_sql, negated=s.negated, inner=inner))
         return out
 
     def match_stream(self, events: DataFrame, key: str = "user_id",

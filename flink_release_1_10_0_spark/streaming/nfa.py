@@ -125,16 +125,31 @@ class NfaStage:
 
     pred: str
     name: str = ""
-    contiguity: str = "relaxed"      # strict | relaxed | relaxed_nd
+    contiguity: str = "relaxed"      # OUTER strategy (stage entry seam)
     min_times: int = 1
     max_times: int | None = 1        # None = unbounded loop
     greedy: bool = False
     until: str | None = None         # loop stop condition
     negated: bool = False            # guard stage: consumes nothing
     nav: Any = None                  # navexpr.NavPred | None
+    # INNER strategy — contiguity BETWEEN loop iterations
+    # (Quantifier.getInnerConsumingStrategy: consecutive() = strict,
+    # allowCombinations() = relaxed_nd).  None = same as the outer
+    # knob, with ONE compat reading: a bare relaxed_nd LOOP means
+    # allowCombinations (inner ANY, outer relaxed) — set ``inner``
+    # explicitly to override.
+    inner: str | None = None
 
     def is_loop(self) -> bool:
         return self.max_times is None or self.max_times > 1
+
+    def edge_strategies(self) -> tuple[str, str]:
+        """(outer, inner) consuming strategies, compat rule applied."""
+        if self.inner is None:
+            if self.is_loop() and self.contiguity == "relaxed_nd":
+                return "relaxed", "relaxed_nd"
+            return self.contiguity, self.contiguity
+        return self.contiguity, self.inner
 
 
 def _validate(stages: list[NfaStage]) -> None:
@@ -176,6 +191,12 @@ def _validate(stages: list[NfaStage]) -> None:
     for i, s in enumerate(stages):
         if s.contiguity not in ("strict", "relaxed", "relaxed_nd"):
             raise ValueError(f"bad contiguity {s.contiguity!r}")
+        if s.inner is not None and s.inner not in (
+                "strict", "relaxed", "relaxed_nd"):
+            raise ValueError(f"bad inner contiguity {s.inner!r}")
+        if s.inner is not None and not s.is_loop():
+            raise ValueError("inner contiguity applies to loop stages "
+                             "only (it governs BETWEEN-iteration edges)")
         if s.negated:
             if s.nav is not None:
                 raise NotImplementedError(
@@ -349,10 +370,15 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     "cut_us bigint, cut_id bigint, "
                     "r_nav array<string>, prev_rows string")
 
-    # spec captured as plain tuples (tiny, serialized into the closure)
-    spec = [(s.contiguity, s.min_times, s.max_times, s.greedy,
-             s.until is not None, s.negated) for s in stages]
-    CONT, MIN, MAX, GREEDY, HAS_UNTIL, NEG = range(6)
+    # spec captured as plain tuples (tiny, serialized into the closure);
+    # CONT = outer (entry-seam) strategy, INN = inner (between-loop-
+    # iteration) strategy, both resolved through edge_strategies()
+    spec = []
+    for s in stages:
+        outer_c, inner_c = s.edge_strategies()
+        spec.append((outer_c, s.min_times, s.max_times, s.greedy,
+                     s.until is not None, s.negated, inner_c))
+    CONT, MIN, MAX, GREEDY, HAS_UNTIL, NEG, INN = range(7)
 
     # tail_opt[j]: every consuming stage strictly after j is optional —
     # a run that just satisfied j's quantifier holds a complete match
@@ -561,7 +587,16 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     else:
                         taken = [j for j in cands if m[j]]
                     if not taken:
-                        if spec[s_][CONT] == "strict":
+                        # effective IGNORE strategy at the current
+                        # position: inside a loop (>=1 take) the INNER
+                        # strategy governs; waiting to enter, the OUTER
+                        # one (Quantifier inner vs outer consuming
+                        # strategies — consecutive() hardens only the
+                        # between-iteration edges, the entry seam keeps
+                        # the sequencing verb's contiguity)
+                        eff = (spec[s_][INN] if t_ >= 1
+                               else spec[s_][CONT])
+                        if eff == "strict":
                             # strict contiguity violated at the CURRENT
                             # stage: this branch dies — but a satisfied
                             # loop's PROCEEDED state survives through the
@@ -620,20 +655,20 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             new_runs.append([j, t2, -1, False,
                                              run[A], ts_us, evs2, sts2, us2,
                                              nv2])
-                    # relaxed_nd keep: a SINGLETON nd stage is
-                    # followedByAny (outer SKIP_TILL_ANY — every take
-                    # keeps the pre-take run); a LOOP nd stage is
-                    # allowCombinations (INNER SKIP_TILL_ANY,
-                    # Quantifier.java) — only CONTINUING takes keep the
-                    # pre-take run, the first take is governed by the
-                    # outer relaxed strategy (getIgnoreCondition vs
-                    # getInnerIgnoreCondition, NFACompiler.java:791/:827),
-                    # so `a b+ c` with combinations never emits a subset
-                    # missing the loop's first event.
-                    if any(spec[j][CONT] == "relaxed_nd"
-                           and (spec[j][MAX] == 1
-                                or (j == run[S] and run[T] >= 1))
-                           for j in taken):
+                    # relaxed_nd keep (SKIP_TILL_ANY ignore fires even
+                    # when the take fires): an ENTERING take — into a
+                    # stage the run was not already looping in — is
+                    # governed by the OUTER strategy (followedByAny),
+                    # a CONTINUING loop take by the INNER one
+                    # (allowCombinations; getIgnoreCondition vs
+                    # getInnerIgnoreCondition, NFACompiler.java:791/:827)
+                    # — so `a b+ c` with combinations never emits a
+                    # subset missing the loop's first event.
+                    kept_pre = any(
+                        (spec[j][INN] if (j == run[S] and run[T] >= 1)
+                         else spec[j][CONT]) == "relaxed_nd"
+                        for j in taken)
+                    if kept_pre:
                         new_runs.append(run)  # keep the pre-TAKE run alive
                     # PROCEED fork (NFACompiler.java:827 SKIP_TILL_NEXT
                     # edge set): a non-greedy loop taking ANOTHER event
@@ -652,7 +687,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     s0 = run[S]
                     if (s0 in taken and run[T] >= spec[s0][MIN]
                             and not spec[s0][GREEDY]
-                            and spec[s0][CONT] != "relaxed_nd"):
+                            and not kept_pre):
                         nxt0 = real_next(s0 + 1)
                         # IGNORE = NOT(full take condition, nav
                         # refinement included): fork whenever the next
@@ -677,7 +712,9 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     # reference's ignore-edge extension with NOT(until);
                     # a relaxed_nd stage consumed this event keeps its
                     # pre-take run through the nd-keep above instead.)
-                    if s0 not in taken and spec[s0][CONT] != "strict":
+                    if s0 not in taken and (
+                            spec[s0][INN] if run[T] >= 1
+                            else spec[s0][CONT]) != "strict":
                         new_runs.append(run)
                 # a matching event always also begins a fresh run — at
                 # stage 0 or at any stage the start state PROCEEDs to

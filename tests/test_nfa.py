@@ -445,3 +445,39 @@ def test_group_pattern_next_strict_seam(spark):
     out_b = run_to_completion(pat.match_stream(_stream(spark, broken)),
                               "append")
     assert out_b.count() == 0
+
+
+def test_consecutive_inner_keeps_entry_seam_relaxed(spark):
+    """consecutive() hardens only BETWEEN loop iterations
+    (Quantifier inner strategy): `a b+.consecutive c` still allows a
+    gap between a and the first b, and a gap INSIDE the loop kills
+    only the loop branch (the proceeded prefix survives)."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    pat = (Pattern.begin("a").followed_by("b").one_or_more()
+           .consecutive().followed_by("c"))
+    # seam gap (x between a and b1): both the full and the prefix match
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "x"), _ev(3, 2, "b"),
+            _ev(4, 3, "b"), _ev(5, 4, "c")]
+    out = run_to_completion(pat.match_stream(_stream(spark, rows)), "append")
+    assert sorted(tuple(r.ev_ids) for r in out.collect()) == \
+        [(1, 3, 4, 5), (1, 3, 5)]
+    # gap INSIDE the loop: only the pre-gap prefix survives, via the
+    # proceeded state (the reference's consecutive contiguity-table row)
+    rows2 = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "d"),
+             _ev(4, 3, "b"), _ev(5, 4, "c")]
+    out2 = run_to_completion(pat.match_stream(_stream(spark, rows2)),
+                             "append")
+    assert sorted(tuple(r.ev_ids) for r in out2.collect()) == [(1, 2, 5)]
+
+
+def test_inner_contiguity_validation(spark):
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    with pytest.raises(ValueError, match="conflicts"):
+        (Pattern.begin("a").one_or_more().consecutive()
+         .allow_combinations())
+    with pytest.raises(ValueError, match="loop stages only"):
+        match_nfa(_stream(spark, [_ev(1, 0, "a")]),
+                  [NfaStage(pred="event_type = 'a'", inner="strict"),
+                   NfaStage(pred="event_type = 'b'")])
