@@ -1579,3 +1579,50 @@ def flink_sql_mr_subset_union(spark, sf_dir):
         spark, _SQL_MR_SUBSET_TEXT,
         batch_df=t(spark, sf_dir, "events"),
         stream_df=read_stream_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Inner-vs-outer contiguity through the generic NFA: signup
+# click{2}.consecutive() purchase within 7 days.  consecutive() hardens
+# only BETWEEN the two clicks (they must be position-adjacent per user);
+# the seam signup->click1 stays relaxed (first click after the signup,
+# gaps allowed).  Exact times(2) means no stop-early prefixes: one
+# deterministic chance per signup.
+# --------------------------------------------------------------------------
+_CONSEC_SEAM_ORACLE = """
+WITH o AS (SELECT user_id, event_id, ts, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+s AS (SELECT user_id, event_id AS start_id, ts AS s_ts, rn
+      FROM o WHERE event_type = 'signup'),
+c1 AS (SELECT s.*, c.rn AS c1_rn FROM s JOIN LATERAL (
+        SELECT rn FROM o c
+        WHERE c.user_id = s.user_id AND c.event_type = 'click'
+          AND c.rn > s.rn
+        ORDER BY c.rn LIMIT 1) c ON TRUE),
+c2 AS (SELECT c1.*, n.rn AS c2_rn FROM c1 JOIN o n
+        ON n.user_id = c1.user_id AND n.rn = c1.c1_rn + 1
+       AND n.event_type = 'click')
+SELECT c2.user_id, c2.start_id, p.event_id AS end_id,
+       CAST(4 AS INT) AS n_events
+FROM c2 JOIN LATERAL (
+   SELECT event_id, ts FROM o p
+   WHERE p.user_id = c2.user_id AND p.event_type = 'purchase'
+     AND p.rn > c2.c2_rn
+   ORDER BY p.rn LIMIT 1) p ON TRUE
+WHERE p.ts <= c2.s_ts + INTERVAL 7 DAY
+"""
+
+
+@register("cep_consecutive_times_seam", _CONSEC_SEAM_ORACLE)
+def cep_consecutive_times_seam(spark, sf_dir):
+    """times(2).consecutive() mid-pattern: the inner strategy is strict
+    (adjacent clicks), the entry seam relaxed (Quantifier inner vs
+    outer consuming strategies, NFACompiler.java:791/:827)."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("signup").followed_by("click").times(2)
+         .consecutive().followed_by("purchase").within(7 * 24 * 60)
+         .match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")
