@@ -107,7 +107,7 @@ _PIN = [
     "flink_sql_mr_composite_partition", "cep_nfa_trailing_optional",
     "cep_nfa_trailing_one_or_more",
     # ---- round-8 window head: the 11 round-7 additions without
-    #      driver evidence after r7 (positions 50-59) ----
+    #      driver evidence after r7 (positions 50-60) ----
     "flink_sql_mr_measures_expression", "flink_sql_mr_within_interval",
     "flink_sql_mr_skip_past_last", "cep_timeout_partial_matches",
     "cep_allow_combinations", "dedup_incremental_lsh",
