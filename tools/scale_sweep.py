@@ -97,6 +97,8 @@ HEADS_100X = {
         "linear: bucketed LSH, cluster widths fixed, 100x unique sets",
     "cep_nfa_four_stage":
         "linear: keyed NFA, 100x keys, runs/key bounded",
+    "dedup_incremental_lsh":
+        "linear: per-band equi-joins vs the index, disjoint copy vocabularies",
 }
 
 
