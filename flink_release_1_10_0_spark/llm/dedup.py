@@ -56,6 +56,32 @@ def _salted_hash(i: int, method: str) -> str:
     return hash64_expr(f"concat('{i}:', w)")
 
 
+# THE canonical signature / band-key formulas — shared by the full
+# pipeline (minhash_lsh_pairs), the signature query (minhash_signatures)
+# and the PERSISTED index (minhash_index): the index outlives the code
+# that wrote it, so a formula change here is a declared index-format
+# change, never a silent drift between writer and reader.
+
+def _sig_exprs(k: int, method: str) -> list[str]:
+    """k MinHash signature expressions over a distinct-word array ``ws``."""
+    return [f"array_min(transform(ws, w -> {_salted_hash(i, method)}))"
+            for i in range(k)]
+
+
+def _band_key_exprs(k: int, band_rows: int, method: str) -> list[str]:
+    """One 60-bit band-key expression per band over columns m0..m{k-1}."""
+    out = []
+    for b in range(k // band_rows):
+        ms = [f"m{b * band_rows + r}" for r in range(band_rows)]
+        if method == "xxhash64":
+            # multi-arg native hash of the band's signature slice
+            out.append(f"xxhash64({b}L, {', '.join(ms)})")
+        else:
+            cols = "||'_'||".join(f"cast({m} as string)" for m in ms)
+            out.append(hash64_expr(f"md5({cols})"))
+    return out
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
                        k: int = 8, method: str = "md5") -> DataFrame:
     """K-permutation MinHash over the distinct word set.  Hash family:
@@ -64,11 +90,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
     production path (~2× on the signature stage — k hashes per word).
     Returns id + m0..m{k-1} BIGINT columns."""
     d = with_words(df, text_col).withColumn("ws", F.expr("array_distinct(words)"))
-    sig_cols = []
-    for i in range(k):
-        salted = _salted_hash(i, method)
-        sig_cols.append(
-            F.expr(f"array_min(transform(ws, w -> {salted}))").alias(f"m{i}"))
+    sig_cols = [F.expr(e).alias(f"m{i}")
+                for i, e in enumerate(_sig_exprs(k, method))]
     return d.select(F.col(id_col), *sig_cols)
 
 
@@ -134,24 +157,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             .withColumn("wh", F.expr(
                 f"array_distinct(transform(ws, w -> {hash64_expr('w', method)}))")))
 
-    sig_cols = []
-    for i in range(k):
-        salted = _salted_hash(i, method)
-        sig_cols.append(
-            F.expr(f"array_min(transform(ws, w -> {salted}))").alias(f"m{i}"))
+    sig_cols = [F.expr(e).alias(f"m{i}")
+                for i, e in enumerate(_sig_exprs(k, method))]
     sigs = uniq.select("fp", *sig_cols)
 
-    band_keys = []
-    for b in range(n_bands):
-        ms = [f"m{b * band_rows + r}" for r in range(band_rows)]
-        if method == "xxhash64":
-            # multi-arg native hash of the band's signature slice
-            band_keys.append(f"xxhash64({b}L, {', '.join(ms)})")
-        else:
-            cols = "||'_'||".join(f"cast({m} as string)" for m in ms)
-            band_keys.append(hash64_expr(f"md5({cols})"))
     keyed = sigs.select(
-        "fp", *[F.expr(kx).alias(f"bk{b}") for b, kx in enumerate(band_keys)])
+        "fp", *[F.expr(kx).alias(f"bk{b}")
+                for b, kx in enumerate(_band_key_exprs(k, band_rows,
+                                                       method))])
     # materialize once: ``keyed`` is consumed 2x per band (bucket-size
     # aggregation + join probe), and each consumer would re-evaluate the
     # k-permutation signature hashes over every word (the md5 path's
@@ -278,25 +291,17 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
     against it without ever rescanning the corpus (write it partitioned/
     bucketed by a band key so the per-band candidate joins co-locate).
     """
-    n_bands = k // band_rows
     d = (with_words(df, text_col)
          .select(F.col(id_col), F.expr("array_distinct(words)").alias("ws")))
-    sig_cols = [
-        F.expr(f"array_min(transform(ws, w -> {_salted_hash(i, method)}))")
-        .alias(f"m{i}") for i in range(k)]
+    sig_cols = [F.expr(e).alias(f"m{i}")
+                for i, e in enumerate(_sig_exprs(k, method))]
     d = d.select(
         id_col,
         F.expr(f"array_distinct(transform(ws, w -> {hash64_expr('w', method)}))")
         .alias("wh"), *sig_cols)
-    band_cols = []
-    for b in range(n_bands):
-        ms = [f"m{b * band_rows + r}" for r in range(band_rows)]
-        if method == "xxhash64":
-            kx = f"xxhash64({b}L, {', '.join(ms)})"
-        else:
-            cols = "||'_'||".join(f"cast({m} as string)" for m in ms)
-            kx = hash64_expr(f"md5({cols})")
-        band_cols.append(F.expr(kx).alias(f"bk{b}"))
+    band_cols = [F.expr(kx).alias(f"bk{b}")
+                 for b, kx in enumerate(_band_key_exprs(k, band_rows,
+                                                        method))]
     return d.select(id_col, F.expr("size(wh)").alias("nw"), "wh", *band_cols)
 
 

@@ -109,6 +109,11 @@ class Pattern:
         sub-pattern."""
         import copy as _copy
 
+        if sub.within_minutes is not None:
+            raise ValueError(
+                "the sub-pattern carries within(): a group cannot "
+                "scope a window to itself — set within() on the OUTER "
+                "pattern instead")
         if times < 1:
             raise NotImplementedError(
                 "optional/unbounded group quantifiers need group-"
@@ -122,6 +127,11 @@ class Pattern:
         (relaxed contiguity at the seam), unrolled ``times`` times."""
         import copy as _copy
 
+        if sub.within_minutes is not None:
+            raise ValueError(
+                "the sub-pattern carries within(): a group cannot "
+                "scope a window to itself — set within() on the OUTER "
+                "pattern instead")
         if times < 1:
             raise NotImplementedError(
                 "optional/unbounded group quantifiers need group-"
@@ -135,6 +145,11 @@ class Pattern:
         the sub-pattern's first event must immediately follow."""
         import copy as _copy
 
+        if sub.within_minutes is not None:
+            raise ValueError(
+                "the sub-pattern carries within(): a group cannot "
+                "scope a window to itself — set within() on the OUTER "
+                "pattern instead")
         stages = [_copy.deepcopy(s) for s in sub.stages]
         stages[0].strict = True
         self.stages.extend(stages)
@@ -274,6 +289,17 @@ class Pattern:
             # consecutive() still allows a gap between a and b1
             inner = ("strict" if s.consecutive
                      else "relaxed_nd" if s.combinations else None)
+            if s.any_match and (mn, mx) != (1, 1):
+                # followedByAny INTO a loop: outer SKIP_TILL_ANY entry
+                # semantics (every possible loop anchor) are not what
+                # the bare-relaxed_nd-loop compat reading gives
+                # (allowCombinations) — refuse instead of silently
+                # reinterpreting
+                raise NotImplementedError(
+                    "followedByAny into a LOOP stage: outer "
+                    "SKIP_TILL_ANY entry is not supported — use "
+                    "allow_combinations() for inner-ANY subsequence "
+                    "semantics, or drop the quantifier")
             out.append(NfaStage(
                 pred=s.pred_sql(), name=s.event_type, contiguity=cont,
                 min_times=mn, max_times=mx, greedy=s.greedy,

@@ -132,7 +132,12 @@ def _cmp(op: str):
 
 
 def _num(v) -> bool:
-    return isinstance(v, (int, float)) and not isinstance(v, bool)
+    # numbers.Number covers int/float AND decimal.Decimal — DecimalType
+    # columns reach rowvals as decimal.Decimal via pandas tolist(), and
+    # rejecting them would silently NULL every navigation predicate
+    # over a DECIMAL column (diverging from the Spark-SQL fast path)
+    import numbers
+    return isinstance(v, numbers.Number) and not isinstance(v, bool)
 
 
 def _arith(op: str):
@@ -144,6 +149,12 @@ def _arith(op: str):
     def fn(a, b):
         if not _num(a) or not _num(b):
             return None
+        # decimal.Decimal refuses mixed arithmetic with float — compute
+        # in float like the rest of the closure tier (predicates are
+        # comparisons; the SQL fast path owns exact decimal math)
+        import decimal
+        if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
+            a, b = float(a), float(b)
         if op == "+":
             return a + b
         if op == "-":

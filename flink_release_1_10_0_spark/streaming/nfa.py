@@ -161,10 +161,18 @@ def _validate(stages: list[NfaStage]) -> None:
             "negation must sit between two consuming stages (trailing "
             "notFollowedBy routes to stateful.cep_not_followed_by)")
     last = stages[-1]
-    if (last.greedy and last.is_loop() and last.max_times is None
-            and last.until is None):
+    if (last.greedy and last.is_loop() and last.until is None
+            and (last.max_times is None
+                 or last.max_times > last.min_times)
+            and last.edge_strategies()[1] != "strict"):
+        # strict inner contiguity decides closure at the first foreign
+        # event (the SQL tier — the maximal match emits there); a
+        # RELAXED greedy trailing loop below saturation can always be
+        # extended by a later event, so emission is undecidable without
+        # a closing condition
         raise NotImplementedError(
-            "trailing GREEDY unbounded loop needs until(): maximal-match "
+            "trailing GREEDY relaxed loop needs until() (or strict "
+            "contiguity / an exact quantifier): maximal-match "
             "emission requires a loop-closing condition (the non-greedy "
             "form emits one match per extension instead)")
     # the trailing optional chain: every consuming stage in it must be
@@ -609,8 +617,22 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             # NFA.java:574 "IGNORE after PROCEED").
                             if t_ >= spec[s_][MIN]:
                                 nxt0 = real_next(s_ + 1)
-                                if (nxt0 < n
-                                        and spec[nxt0][CONT] != "strict"):
+                                if nxt0 >= n:
+                                    # TRAILING satisfied loop closed by
+                                    # a strict violation: the greedy
+                                    # (SQL-quantifier) tier emits the
+                                    # maximal match now — the PROCEED-
+                                    # to-final edge fires on the very
+                                    # event that ends the run (SQL:2016
+                                    # greedy backtracking yields the
+                                    # consumed maximum; PATTERN
+                                    # (A B{2,3}) over a b b x matches
+                                    # {a b b}).  Non-greedy already
+                                    # emitted every prefix.
+                                    if spec[s_][GREEDY]:
+                                        emit(run[A], run[L], run[EV],
+                                             run[ST], run[EU])
+                                elif spec[nxt0][CONT] != "strict":
                                     g0 = guard_between(s_, nxt0)
                                     new_runs.append(
                                         [nxt0, 0, g0,

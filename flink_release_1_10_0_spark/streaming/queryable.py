@@ -101,7 +101,7 @@ def as_queryable_state(state_df: DataFrame, name: str,
             "trigger republishes the full keyed snapshot to the driver. "
             "Fine for small keyed state; for large key cardinality use "
             "backend='dbapi' (update-mode deltas into an external "
-            "store).", ResourceWarning, stacklevel=2)
+            "store).", UserWarning, stacklevel=2)
         handle = QueryableStateHandle(spark, name, key_cols, "memory")
         writer = (state_df.writeStream.format("memory").queryName(name)
                   .outputMode("complete")

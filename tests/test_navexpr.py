@@ -104,3 +104,18 @@ def test_has_navigation_detector():
     assert has_navigation("PREV(value) < value", "U", ["U"])
     assert not has_navigation("B.price > 10 AND event_type = 'x'",
                               "B", ["A", "B"])
+
+
+def test_arith_accepts_decimal():
+    """DecimalType columns reach the closure as decimal.Decimal —
+    navigation arithmetic must not silently NULL them (review fix)."""
+    from decimal import Decimal
+
+    from flink_release_1_10_0_spark.streaming.navexpr import (
+        compile_nav_predicate)
+
+    p = compile_nav_predicate("U.value > PREV(U.value) + 1", "U", ["U"])
+    assert p.fn({"value": Decimal("5.0")}, {}, {},
+                [{"value": Decimal("3.0")}]) is True
+    assert p.fn({"value": Decimal("3.5")}, {}, {},
+                [{"value": Decimal("3.0")}]) is not True

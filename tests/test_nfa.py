@@ -123,7 +123,7 @@ def test_validation_rejects_unsupported_shapes(spark):
     # GREEDY maximal-match emission needs a loop close / lookahead:
     # trailing greedy unbounded loop without until, and trailing greedy
     # optional, both refuse (their non-greedy forms are supported)
-    with pytest.raises(NotImplementedError, match="GREEDY unbounded"):
+    with pytest.raises(NotImplementedError, match="GREEDY relaxed"):
         match_nfa(_stream(spark, [_ev(1, 0, "a")]),
                   [NfaStage(pred="event_type = 'a'", min_times=1,
                             max_times=None, greedy=True)])
@@ -481,3 +481,84 @@ def test_inner_contiguity_validation(spark):
         match_nfa(_stream(spark, [_ev(1, 0, "a")]),
                   [NfaStage(pred="event_type = 'a'", inner="strict"),
                    NfaStage(pred="event_type = 'b'")])
+
+
+def test_trailing_greedy_bounded_strict_emits_maximal(spark):
+    """PATTERN (A B{2,3}) — a strict-contiguity trailing greedy
+    bounded-range loop closed below saturation by a foreign event
+    emits the maximal match there (SQL:2016 greedy backtracking);
+    previously it silently returned nothing."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "b"), _ev(4, 3, "x")]
+    stages = [NfaStage(pred="event_type = 'a'", contiguity="strict"),
+              NfaStage(pred="event_type = 'b'", contiguity="strict",
+                       min_times=2, max_times=3, greedy=True)]
+    assert _matches(spark, rows, stages) == [(1, 2, 3)]
+    # saturated at 3: emitted at the take, no double emission at x
+    rows2 = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "b"),
+             _ev(4, 3, "b"), _ev(5, 4, "x")]
+    assert _matches(spark, rows2, stages) == [(1, 2, 3, 4)]
+    # below min: nothing
+    rows3 = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "x")]
+    assert _matches(spark, rows3, stages) == []
+    # relaxed greedy bounded-range trailing without until: refuses
+    with pytest.raises(NotImplementedError, match="GREEDY relaxed"):
+        match_nfa(_stream(spark, rows), [
+            NfaStage(pred="event_type = 'a'"),
+            NfaStage(pred="event_type = 'b'", min_times=2, max_times=3,
+                     greedy=True)])
+
+
+def test_sql_pattern_bounded_range_end_to_end(spark):
+    """The confirmed repro shape through the SQL surface: PATTERN
+    (A B{2,3}) finds the two-b match."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    sf = "/root/testdata/sf0.001"
+    sql = """
+    SELECT user_id, start_id, CAST(n_b AS BIGINT) AS n_b
+    FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(A.event_id) AS start_id, COUNT(B.*) AS n_b
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B{2,3})
+      DEFINE A AS event_type = 'click',
+             B AS event_type = 'view'
+    ) AS m
+    """
+    got = execute_match_recognize_sql(
+        spark, sql, batch_df=t(spark, sf, "events"),
+        stream_df=__import__(
+            "flink_release_1_10_0_spark.streaming.core",
+            fromlist=["read_stream_table"]).read_stream_table(
+                spark, sf, "events"))
+    rows = got.collect()
+    assert all(2 <= r.n_b <= 3 for r in rows)
+    assert any(r.n_b == 2 for r in rows)   # closed-below-saturation matches
+
+
+def test_group_pattern_rejects_sub_within(spark):
+    """A sub-pattern's within() cannot silently vanish when grouped."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    sub = Pattern.begin("a").followed_by("b").within(60)
+    with pytest.raises(ValueError, match="OUTER"):
+        Pattern.begin_pattern(sub, times=2)
+    with pytest.raises(ValueError, match="OUTER"):
+        Pattern.begin("x").followed_by_pattern(sub)
+    with pytest.raises(ValueError, match="OUTER"):
+        Pattern.begin("x").next_pattern(sub)
+
+
+def test_followed_by_any_into_loop_refuses(spark):
+    """Outer SKIP_TILL_ANY entry into a loop is unsupported — refuse
+    instead of silently reading it as allowCombinations."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    pat = (Pattern.begin("a").followed_by_any("b").one_or_more()
+           .followed_by("c"))
+    with pytest.raises(NotImplementedError, match="SKIP_TILL_ANY"):
+        pat.match_stream(_stream(spark, [_ev(1, 0, "a")]))
