@@ -245,6 +245,40 @@ WHERE round(CAST(len(list_intersect(wo.ws, wn.ws)) AS DOUBLE)
 """
 
 
+# The index ARTIFACT itself (scalar projection: band keys + distinct-
+# word-hash count) — the reader/writer format the incremental path
+# depends on, re-derived independently in DuckDB.
+_duck_band = {
+    b: "md5(" + " || '_' || ".join(
+        f"CAST(m{b * _BAND_ROWS + r} AS VARCHAR)" for r in range(_BAND_ROWS))
+    + ")"
+    for b in range(_K // _BAND_ROWS)
+}
+_INDEX_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents),
+sig AS (SELECT doc_id, ws, {_sig_cols_duck} FROM w)
+SELECT doc_id,
+       CAST(len(list_distinct(list_transform(ws, w -> {_dhash64('w')})))
+            AS BIGINT) AS nw,
+       {_dhash64(_duck_band[0])} AS bk0,
+       {_dhash64(_duck_band[1])} AS bk1
+FROM sig
+"""
+
+
+@register("dedup_minhash_index", _INDEX_ORACLE)
+def dedup_minhash_index(spark, sf_dir):
+    """The persisted LSH index rows (llm/dedup.py:minhash_index): band
+    keys + compact word-hash cardinality per document, format-checked
+    against an independent DuckDB derivation — the artifact contract
+    the incremental dedup path reads."""
+    from pyspark.sql import functions as F
+    idx = D.minhash_index(t(spark, sf_dir, "documents"), "doc_id",
+                          k=_K, band_rows=_BAND_ROWS)
+    return idx.select("doc_id", F.col("nw").cast("bigint").alias("nw"),
+                      "bk0", "bk1")
+
+
 @register("dedup_incremental_lsh", _INCR_ORACLE)
 def dedup_incremental_lsh(spark, sf_dir):
     """New-batch-vs-corpus dedup against the persisted MinHash index
