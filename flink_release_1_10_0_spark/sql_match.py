@@ -55,6 +55,10 @@ Documented narrowings (each raises, never silently degrades):
   (``FIRST(V.col, k)``/``LAST(V.col, k)``, SQL:2016 logical offsets,
   NULL when out of range) work in both output modes.  ALL ROWS PER
   MATCH keeps the single-aggregate grammar for each measure.
+- ``SUBSET S = (A, B)`` union variables are supported in MEASURES
+  (rows mapped to ANY member — an EXCEEDS-reference surface, the
+  reference documents SUBSET as unsupported); SUBSET references in
+  DEFINE and SKIP-TO targets naming a subset refuse loudly.
 """
 
 from __future__ import annotations
