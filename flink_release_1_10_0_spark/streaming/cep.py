@@ -26,6 +26,16 @@ Supported pattern shapes (the MATCH_RECOGNIZE core):
 ``where`` conditions are event-type predicates (the keyed-stream layout
 the reference's CepOperator runs on); richer per-event predicates can be
 pushed as filters before ``match_stream``.
+
+Beyond the dedicated-operator shapes above, every other combination
+compiles onto the generic NFA (``streaming/nfa.py``) with the
+reference's full edge set: arbitrary-length sequences, times(n)/
+times(from, to) quantifiers, consecutive()/allow_combinations() INNER
+loop strategies (the entry seam keeps the sequencing verb's
+contiguity), leading optionals, bounded group patterns
+(``begin_pattern``/``followed_by_pattern``/``next_pattern``, unrolled),
+after-match skip strategies, and — with ``match_stream(...,
+emit_timeouts=True)`` — the timed-out-partial-match side output.
 """
 
 from __future__ import annotations

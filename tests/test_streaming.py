@@ -382,11 +382,20 @@ def test_queryable_state_memory_point_lookup(spark):
 
     from flink_release_1_10_0_spark.streaming.datastream import DataStream
 
+    import warnings
+
     ev = read_stream_table(spark, "/root/testdata/sf0.001", "events")
-    # through the KeyedStream facade (KeyedStream.asQueryableState)
-    h = (DataStream(ev).key_by("user_id")
-         .as_queryable_state("qs_mem_test", F.count(F.lit(1)).alias("n"),
-                             backend="memory"))
+    # through the KeyedStream facade (KeyedStream.asQueryableState);
+    # the memory backend's complete-mode scale caveat must surface as a
+    # DEFAULT-VISIBLE warning category (review fix: ResourceWarning is
+    # filtered out by stock interpreters)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("default")
+        h = (DataStream(ev).key_by("user_id")
+             .as_queryable_state("qs_mem_test", F.count(F.lit(1)).alias("n"),
+                                 backend="memory"))
+    assert any(issubclass(w.category, UserWarning)
+               and "COMPLETE-mode" in str(w.message) for w in caught)
     batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
              .groupBy("user_id").count().collect())
     expect = {r.user_id: r["count"] for r in batch}
