@@ -64,7 +64,7 @@ _LOADED = False
 # emission closers).  50 slots → cumulative driver evidence COMPLETE
 # for every query registered through round 6 (296/296) after r7, and
 # 299/299 including the first three round-7 additions.  The REMAINING
-# 13 round-7 additions (MR measures expression / nav offsets / WITHIN /
+# round-7 additions (MR measures expression / nav offsets / WITHIN /
 # SKIP PAST LAST / SUBSET, CEP timeout side output, allowCombinations,
 # loop prefix semantics, leading optional, group patterns,
 # consecutive-seam, incremental dedup) queue immediately below the
@@ -105,7 +105,7 @@ _PIN = [
     #      below the boundary and leads round 8's window ----
     "flink_sql_mr_composite_partition", "cep_nfa_trailing_optional",
     "cep_nfa_trailing_one_or_more",
-    # ---- round-8 window head: the 13 round-7 additions without
+    # ---- round-8 window head: the round-7 additions without
     #      driver evidence after r7 ----
     "flink_sql_mr_measures_expression", "flink_sql_mr_within_interval",
     "flink_sql_mr_skip_past_last", "cep_timeout_partial_matches",
@@ -113,7 +113,7 @@ _PIN = [
     "cep_nfa_loop_prefix_matches", "cep_leading_optional",
     "cep_group_pattern_times", "flink_sql_mr_subset_union",
     "cep_consecutive_times_seam", "flink_sql_mr_nav_offset_measures",
-    "dedup_minhash_index",
+    "dedup_minhash_index", "dedup_incremental_survivors",
     # ---- 50-window boundary: everything below already has driver
     #      evidence from rounds 1-6 (order kept stable for re-runs) ----
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",

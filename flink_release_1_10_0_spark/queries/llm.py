@@ -295,6 +295,46 @@ def dedup_incremental_lsh(spark, sf_dir):
                                    band_rows=_BAND_ROWS, threshold=0.8)
 
 
+# The ingest DECISION the incremental path exists for: which new-batch
+# documents SURVIVE dedup against the corpus (no old near-dup at the
+# threshold) and may be appended to the training set + index.
+_INCR_SURVIVORS_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents),
+sig AS (SELECT doc_id, {_sig_cols_duck} FROM w),
+bands AS ({_band_selects}),
+cand AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id
+         FROM bands o JOIN bands n
+           ON o.band = n.band AND o.key = n.key
+         WHERE o.doc_id % 17 <> 0 AND n.doc_id % 17 = 0),
+dup AS (SELECT DISTINCT new_id FROM cand
+        JOIN w wo ON wo.doc_id = old_id
+        JOIN w wn ON wn.doc_id = new_id
+        WHERE round(CAST(len(list_intersect(wo.ws, wn.ws)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(wo.ws, wn.ws)))
+                     AS DOUBLE), 6) >= 0.8)
+SELECT doc_id FROM documents
+WHERE doc_id % 17 = 0 AND doc_id NOT IN (SELECT new_id FROM dup)
+"""
+
+
+@register("dedup_incremental_survivors", _INCR_SURVIVORS_ORACLE)
+def dedup_incremental_survivors(spark, sf_dir):
+    """Ingest filter: new-batch documents with NO corpus near-dup at
+    the threshold — the rows a production pipeline appends to the
+    training set and the index after each batch (anti-join against the
+    incremental pair output; one extra broadcast-able join)."""
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 17 <> 0")
+    new = docs.filter("doc_id % 17 = 0")
+    idx = D.minhash_index(old, "doc_id", k=_K,
+                          band_rows=_BAND_ROWS).localCheckpoint()
+    pairs = D.lsh_incremental_pairs(idx, new, "doc_id", k=_K,
+                                    band_rows=_BAND_ROWS, threshold=0.8)
+    return (new.join(pairs.select(F.col("new_id").alias("doc_id")),
+                     "doc_id", "left_anti")
+            .select("doc_id"))
+
+
 # --------------------------------------------------------------------------
 # SimHash fingerprints
 # --------------------------------------------------------------------------
