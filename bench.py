@@ -67,8 +67,11 @@ def main():
         run(qs[name](spark, sf_dir))
     # median of 3 trials per query: the host is shared, so a single trial
     # can absorb an unrelated multi-second stall (GC / CPU contention);
-    # the median reflects the plan's actual cost
+    # the median reflects the plan's actual cost.  min/max are recorded
+    # per head so a noisy run is visible IN the artifact (a reader can
+    # tell host noise from a plan regression without re-running).
     times: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in names:
         trials = []
         for _ in range(3):
@@ -76,12 +79,16 @@ def main():
             run(qs[name](spark, sf_dir))
             trials.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(trials), 3)
+        spread[name] = {"median": times[name],
+                        "min": round(min(trials), 3),
+                        "max": round(max(trials), 3)}
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wallclock",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

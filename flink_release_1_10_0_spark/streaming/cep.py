@@ -299,12 +299,14 @@ class Pattern:
             # consecutive() still allows a gap between a and b1
             inner = ("strict" if s.consecutive
                      else "relaxed_nd" if s.combinations else None)
-            if s.any_match and (mn, mx) != (1, 1):
+            if s.any_match and (mx is None or mx > 1):
                 # followedByAny INTO a loop: outer SKIP_TILL_ANY entry
                 # semantics (every possible loop anchor) are not what
                 # the bare-relaxed_nd-loop compat reading gives
                 # (allowCombinations) — refuse instead of silently
-                # reinterpreting
+                # reinterpreting.  Non-loop quantifiers (optional(),
+                # times(1)) carry no inner-strategy ambiguity: the
+                # relaxed_nd entry seam compiles as-is.
                 raise NotImplementedError(
                     "followedByAny into a LOOP stage: outer "
                     "SKIP_TILL_ANY entry is not supported — use "

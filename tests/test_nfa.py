@@ -562,3 +562,27 @@ def test_followed_by_any_into_loop_refuses(spark):
            .followed_by("c"))
     with pytest.raises(NotImplementedError, match="SKIP_TILL_ANY"):
         pat.match_stream(_stream(spark, [_ev(1, 0, "a")]))
+
+
+def test_followed_by_any_optional_compiles(spark):
+    """The loop refusal must NOT fire for non-loop quantifiers:
+    followedByAny(b).optional() is a plain relaxed_nd entry seam with no
+    inner-strategy ambiguity (optional is not a loop).  Over a b1 b2 c
+    the ANY seam anchors a branch at EVERY b (plus the skipped-b match),
+    where plain followedBy+optional anchors only the first."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "b"), _ev(4, 3, "c")]
+    pat_any = (Pattern.begin("a").followed_by_any("b").optional()
+               .followed_by("c"))
+    out = run_to_completion(
+        pat_any.match_stream(_stream(spark, rows)), "append")
+    got = sorted(tuple(r.ev_ids) for r in out.collect())
+    assert got == [(1, 2, 4), (1, 3, 4), (1, 4)]
+
+    pat_plain = (Pattern.begin("a").followed_by("b").optional()
+                 .followed_by("c"))
+    out2 = run_to_completion(
+        pat_plain.match_stream(_stream(spark, rows)), "append")
+    got2 = sorted(tuple(r.ev_ids) for r in out2.collect())
+    assert got2 == [(1, 2, 4), (1, 4)]
