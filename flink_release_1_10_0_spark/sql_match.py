@@ -367,9 +367,17 @@ def _compile_define(spec: MatchSpec) -> tuple[dict[str, str], dict]:
     return sql_define, nav
 
 
-def _bounded_stream(df: DataFrame) -> DataFrame:
+def _bounded_stream(df: DataFrame, keys: list[str] | None = None,
+                    ts_col: str = "ts",
+                    id_col: str = "event_id") -> DataFrame:
     """Replay a bounded table as a micro-stream (one ordered part file —
     the NFA's event-time-ordered arrival contract).
+
+    When ``keys`` is given, one end-of-stream sentinel row per key is
+    appended (``nfa.with_eos_sentinels``) — the final +inf watermark of
+    a bounded reference job, which flushes pending runs so a satisfied
+    trailing-greedy match at the end of the replay emits instead of
+    being silently dropped (SQL:2016 batch semantics).
 
     SCALE CONTRACT: this is the bounded VERIFY harness only — the
     ``coalesce(1)`` funnels the whole input through one task to
@@ -378,8 +386,15 @@ def _bounded_stream(df: DataFrame) -> DataFrame:
     callers must pass ``stream_df`` to
     :func:`execute_match_recognize_sql` (a real keyed stream — Kafka,
     file-monitor, rate source); the NFA itself partitions by key and
-    scales, only this replay helper is single-task."""
+    scales, only this replay helper is single-task.  A user-supplied
+    ``stream_df`` gets NO sentinel (a continuous stream has no end):
+    tail matches still pending when such a replay ends follow the NFA's
+    unbounded contract (see ``streaming/nfa.py`` scope notes)."""
+    from flink_release_1_10_0_spark.streaming.nfa import with_eos_sentinels
+
     spark = df.sparkSession
+    if keys:
+        df = with_eos_sentinels(df, keys, ts_col=ts_col, id_col=id_col)
     src = tempfile.mkdtemp(prefix=f"sqlmatch_src_{next(_counter)}_")
     df.coalesce(1).write.mode("append").parquet(src)
     return spark.readStream.schema(df.schema).parquet(src)
@@ -402,7 +417,9 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
 
     spec = parse_match_recognize(query)
     batch = batch_df if batch_df is not None else spark.table(spec.table)
-    stream = stream_df if stream_df is not None else _bounded_stream(batch)
+    stream = (stream_df if stream_df is not None
+              else _bounded_stream(batch, keys=spec.partition_by,
+                                   ts_col=spec.order_by[0], id_col=id_col))
     define, nav = _compile_define(spec)
     stages = compile_match_pattern(spec.pattern, define, nav=nav)
 

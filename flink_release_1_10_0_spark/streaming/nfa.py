@@ -59,9 +59,13 @@ oneOrMore):
   an ``until`` event (or window expiry) just stops the loop, the
   prefixes are already out.
 - a trailing GREEDY loop emits only the maximal match, when the loop
-  *closes* — on an ``until`` event or bounded saturation.  This is the
-  SQL-quantifier tier (``PATTERN (A B+)`` compiles greedy): SQL:2016
-  greedy quantifiers produce the single maximal match.
+  *closes* — on an ``until`` event, bounded saturation, a strict-inner
+  violation, the within-window expiring on the run (the window closing
+  IS a closing condition: nothing can extend the run anymore, so the
+  consumed maximum emits as a NORMAL match, not a timeout), or an
+  end-of-stream sentinel (bounded replays; see ``with_eos_sentinels``).
+  This is the SQL-quantifier tier (``PATTERN (A B+)`` compiles greedy):
+  SQL:2016 greedy quantifiers produce the single maximal match.
 - a trailing NON-greedy ``optional`` emits both the short and the long
   match (``Pattern.optional`` at pattern end emits both in the
   reference); more generally, whenever a run satisfies a stage whose
@@ -76,11 +80,17 @@ Scope notes (documented narrowings vs the reference):
 - a negation's neighbor stages must be non-optional, and the stage
   before it non-looping (the guard window is then exactly "between the
   two consumed events", matching the reference for these shapes).
-- a trailing GREEDY unbounded loop needs ``until()`` and a trailing
-  GREEDY ``optional`` is rejected: maximal-match emission would need
-  lookahead ("no more loop events will come"), which an unbounded
-  stream cannot decide without a closing condition; the non-greedy
-  forms above are the reference-faithful alternative.
+- a trailing GREEDY unbounded RELAXED loop needs ``until()`` or a
+  ``within`` window, and a trailing GREEDY ``optional`` is rejected:
+  maximal-match emission would need lookahead ("no more loop events
+  will come"), which an unbounded stream cannot decide without a
+  closing condition; the non-greedy forms above are the
+  reference-faithful alternative.
+- window expiry and EOS flush are driven by same-key arrivals (the
+  sentinel for bounded replays): on a TRUE unbounded stream a key that
+  goes silent forever holds its pending maximal match open — the
+  reference emits those via cross-key watermark timers, which this
+  event-driven engine does not model.
 """
 
 from __future__ import annotations
@@ -101,6 +111,17 @@ MAX_RUNS_PER_KEY = 512
 # a checkpoint whose schema doesn't match — an explicit version makes
 # that an announced format break, not a surprise.
 NFA_STATE_FORMAT_VERSION = 2
+
+# End-of-stream sentinel id for BOUNDED replays: a row whose id equals
+# this value (appended by ``with_eos_sentinels``, sorted last per key by
+# its timestamp) flushes the key's pending runs — the analog of the
+# final +inf watermark a bounded reference job emits.  Satisfied
+# trailing-greedy runs emit as NORMAL matches (their maximal consumed
+# prefix is decided: nothing follows); other partials go to the timeout
+# output when ``emit_timeouts`` is on, else are dropped.  The sentinel
+# row itself never matches a stage, never starts a run, and never
+# appears in any output.
+EOS_SENTINEL_ID = -(2 ** 62)
 
 NO_SKIP = "no_skip"                    # AfterMatchSkipStrategy.noSkip (default)
 SKIP_PAST_LAST = "skip_past_last"      # AfterMatchSkipStrategy.skipPastLastEvent
@@ -139,6 +160,18 @@ class NfaStage:
     # allowCombinations (inner ANY, outer relaxed) — set ``inner``
     # explicitly to override.
     inner: str | None = None
+    # Quantified GROUP pattern support (GroupPattern.java:30 compiled
+    # via NFACompiler's middle states): set ON THE GROUP'S LAST STAGE.
+    # ``group_start`` = index of the group's first stage; the group is
+    # the contiguous stage span [group_start .. this stage], repeated
+    # ``group_min``..``group_max`` times (None = unbounded).  A run
+    # completing the span either loops back to ``group_start`` (rep
+    # count below max) or proceeds past the group (rep count at least
+    # min) — both edges offered non-deterministically, like the
+    # reference's group middle state.
+    group_start: int | None = None
+    group_min: int = 1
+    group_max: int | None = 1
 
     def is_loop(self) -> bool:
         return self.max_times is None or self.max_times > 1
@@ -152,7 +185,7 @@ class NfaStage:
         return self.contiguity, self.inner
 
 
-def _validate(stages: list[NfaStage]) -> None:
+def _validate(stages: list[NfaStage], has_window: bool = False) -> None:
     n = len(stages)
     if not stages:
         raise ValueError("empty pattern")
@@ -162,17 +195,19 @@ def _validate(stages: list[NfaStage]) -> None:
             "notFollowedBy routes to stateful.cep_not_followed_by)")
     last = stages[-1]
     if (last.greedy and last.is_loop() and last.until is None
+            and not has_window
             and (last.max_times is None
                  or last.max_times > last.min_times)
             and last.edge_strategies()[1] != "strict"):
         # strict inner contiguity decides closure at the first foreign
-        # event (the SQL tier — the maximal match emits there); a
-        # RELAXED greedy trailing loop below saturation can always be
+        # event (the SQL tier — the maximal match emits there), and a
+        # within-window decides it when it expires on the run; a
+        # RELAXED greedy trailing loop with NEITHER can always be
         # extended by a later event, so emission is undecidable without
         # a closing condition
         raise NotImplementedError(
-            "trailing GREEDY relaxed loop needs until() (or strict "
-            "contiguity / an exact quantifier): maximal-match "
+            "trailing GREEDY relaxed loop needs until(), within(), "
+            "strict contiguity, or an exact quantifier: maximal-match "
             "emission requires a loop-closing condition (the non-greedy "
             "form emits one match per extension instead)")
     # the trailing optional chain: every consuming stage in it must be
@@ -274,7 +309,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     reference's NFA would resume from, because the no-skip engine
     already keeps a parallel run per possible start position.
     """
-    _validate(stages)
+    _validate(stages, has_window=within_minutes is not None)
     keys = [key] if isinstance(key, str) else list(key)
     tiebreak = list(order_tiebreakers or [])
     skip_var_idx: set[int] = set()
@@ -510,6 +545,25 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                        if nav_fns else None)
             for r_i in range(len(ids)):
                 eid, ts_us = ids[r_i], tss[r_i]
+                if eid == EOS_SENTINEL_ID:
+                    # end-of-stream flush (bounded replays; the final
+                    # +inf watermark of a bounded reference job): a
+                    # satisfied trailing-greedy run's maximal match is
+                    # decided — emit it; every other partial times out
+                    # (or is dropped without the timeout output)
+                    for run in runs:
+                        if after_match != NO_SKIP \
+                                and (run[A], run[EV][0]) <= cut:
+                            continue
+                        s_f = run[S]
+                        if (spec[s_f][GREEDY] and run[T] >= spec[s_f][MIN]
+                                and tail_opt[s_f] and run[G] < 0):
+                            emit(run[A], run[L], run[EV], run[ST], run[EU])
+                        elif emit_timeouts:
+                            timeouts.append((run[A], run[L], run[EV],
+                                             run[ST]))
+                    runs = []
+                    continue
                 m = [mvec[i][r_i] for i in range(n)]
                 rowvals = None
                 if nav_fns:
@@ -528,12 +582,21 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     # prunes the shared buffer the same way)
                     if after_match != NO_SKIP and (run[A], run[EV][0]) <= cut:
                         continue
-                    # window expiry kills the run before it can consume;
-                    # with emit_timeouts the consumed prefix goes to the
-                    # timeout output (TimedOutPartialMatchHandler) instead
-                    # of vanishing
+                    # window expiry kills the run before it can consume —
+                    # but a SATISFIED trailing-greedy run is not a partial
+                    # match: the closing window is its loop-closing
+                    # condition (nothing inside the window can extend it
+                    # anymore), so the consumed maximum emits as a NORMAL
+                    # match (its span fits the window by construction).
+                    # Other runs: with emit_timeouts the consumed prefix
+                    # goes to the timeout output
+                    # (TimedOutPartialMatchHandler) instead of vanishing
                     if within_us is not None and ts_us - run[A] > within_us:
-                        if emit_timeouts:
+                        s_x = run[S]
+                        if (spec[s_x][GREEDY] and run[T] >= spec[s_x][MIN]
+                                and tail_opt[s_x] and run[G] < 0):
+                            emit(run[A], run[L], run[EV], run[ST], run[EU])
+                        elif emit_timeouts:
                             timeouts.append((run[A], run[L], run[EV],
                                              run[ST]))
                         continue
@@ -826,3 +889,32 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     return (tagged.groupBy(*keys)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def with_eos_sentinels(df: DataFrame, key: str | list[str],
+                       ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """Append one end-of-stream sentinel row per key to a BOUNDED batch
+    frame before replaying it through :func:`match_nfa` — the analog of
+    the final +inf watermark a bounded reference job emits, which is
+    what flushes pending runs (satisfied trailing-greedy matches emit,
+    other partials time out; see ``EOS_SENTINEL_ID``).
+
+    The sentinel carries ``id = EOS_SENTINEL_ID``, ``ts = max(ts) + 1
+    day`` for its key (so it sorts strictly last), and NULL in every
+    other column; the NFA recognizes it by id and never lets it match,
+    start a run, or reach any output.  Bounded replays only — a
+    continuous stream has no end to mark."""
+    keys = [key] if isinstance(key, str) else list(key)
+    sent = (df.groupBy(*keys)
+            .agg((F.max(ts_col) + F.expr("INTERVAL 1 DAY")).alias(ts_col)))
+    cols = []
+    for f_ in df.schema.fields:
+        if f_.name in keys or f_.name == ts_col:
+            cols.append(F.col(f_.name))
+        elif f_.name == id_col:
+            cols.append(F.lit(EOS_SENTINEL_ID).cast(f_.dataType)
+                        .alias(f_.name))
+        else:
+            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    return df.unionByName(sent.select(*cols))

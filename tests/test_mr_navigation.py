@@ -510,3 +510,36 @@ def test_sql_surface_skip_to_var_keeps_case(spark):
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_trailing_plus_tail_match_emits_at_table_end(spark):
+    """PATTERN (A B+) with the match ending on the table's last row:
+    SQL:2016 batch semantics return the maximal match — the bounded
+    replay's EOS sentinel (the final +inf watermark of a bounded job)
+    flushes it instead of silently dropping it.  The mid-table match
+    (closed by a foreign row) must still emit exactly once."""
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:01:00", 1, "view", 2.0),
+            (3, "2024-01-01 10:02:00", 1, "other", 0.0),  # closes match 1
+            (4, "2024-01-01 10:03:00", 1, "click", 3.0),
+            (5, "2024-01-01 10:04:00", 1, "view", 4.0),
+            (6, "2024-01-01 10:05:00", 1, "view", 5.0)]   # table ends mid-run
+    df = _events(spark, rows)
+    out = execute_match_recognize_sql(spark, """
+        SELECT user_id, a_id, n_b, b_last
+        FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS a_id, COUNT(B.*) AS n_b,
+                   LAST(B.value) AS b_last
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE A AS event_type = 'click',
+                 B AS event_type = 'view'
+        )""", batch_df=df).collect()
+    got = sorted((r.a_id, r.n_b, r.b_last) for r in out)
+    assert got == [(1, 1, 2.0), (4, 2, 5.0)]

@@ -540,6 +540,74 @@ def test_sql_pattern_bounded_range_end_to_end(spark):
     assert any(r.n_b == 2 for r in rows)   # closed-below-saturation matches
 
 
+def test_trailing_greedy_expiry_emits_maximal(spark):
+    """A satisfied trailing-greedy loop whose within-window expires is a
+    COMPLETED match, not a timed-out partial: the window closing is the
+    loop-closing condition (nothing in-window can extend the run), so
+    the consumed maximum emits as a normal match — with emit_timeouts
+    it must NOT be mislabeled timed_out."""
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "b"),
+            _ev(4, 59, "x")]  # same-key event past the 10-min window
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1, max_times=None,
+                       greedy=True)]
+    # relaxed greedy trailing loop is now legal WITH a window
+    assert _matches(spark, rows, stages, within_minutes=10) == [(1, 2, 3)]
+    out = run_to_completion(
+        match_nfa(_stream(spark, rows), stages, within_minutes=10,
+                  emit_timeouts=True), "append")
+    got = sorted((tuple(r.ev_ids), r.timed_out) for r in out.collect())
+    assert got == [((1, 2, 3), False)]
+
+
+def test_trailing_greedy_needs_closing_condition(spark):
+    """Without until()/within()/strict/exact bounds a relaxed greedy
+    trailing loop still refuses (emission undecidable)."""
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1, max_times=None,
+                       greedy=True)]
+    with pytest.raises(NotImplementedError, match="closing condition"):
+        match_nfa(_stream(spark, [_ev(1, 0, "a")]), stages)
+
+
+def test_eos_sentinel_flushes_trailing_greedy(spark):
+    """A satisfied trailing-greedy run still pending when a bounded
+    replay ends emits via the end-of-stream sentinel (the bounded job's
+    final +inf watermark) — previously silently dropped.  Partials flush
+    to the timeout output when emit_timeouts is on."""
+    from flink_release_1_10_0_spark.streaming.nfa import with_eos_sentinels
+
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "b")]
+    df = (spark.createDataFrame(rows, _SCHEMA)
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    sent = with_eos_sentinels(df, "user_id")
+    src = tempfile.mkdtemp(prefix="nfa_eos_")
+    sent.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(sent.schema).parquet(src)
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1, max_times=3,
+                       greedy=True)]
+    out = run_to_completion(match_nfa(sdf, stages, within_minutes=600),
+                            "append")
+    assert sorted(tuple(r.ev_ids) for r in out.collect()) == [(1, 2, 3)]
+
+    # partial (unsatisfied) runs flush to the timeout side output
+    rows2 = [_ev(1, 0, "a"), _ev(2, 1, "b")]
+    df2 = (spark.createDataFrame(rows2, _SCHEMA)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    src2 = tempfile.mkdtemp(prefix="nfa_eos2_")
+    with_eos_sentinels(df2, "user_id").coalesce(1) \
+        .write.mode("append").parquet(src2)
+    sdf2 = spark.readStream.schema(df2.schema).parquet(src2)
+    stages2 = [NfaStage(pred="event_type = 'a'"),
+               NfaStage(pred="event_type = 'b'", min_times=3, max_times=3)]
+    out2 = run_to_completion(
+        match_nfa(sdf2, stages2, within_minutes=60, emit_timeouts=True),
+        "append")
+    got2 = sorted((tuple(r.ev_ids), r.timed_out) for r in out2.collect())
+    assert got2 == [((1, 2), True)]
+
+
 def test_group_pattern_rejects_sub_within(spark):
     """A sub-pattern's within() cannot silently vanish when grouped."""
     from flink_release_1_10_0_spark.streaming.cep import Pattern
