@@ -39,12 +39,14 @@ PARTITION BY accepts any number of columns (composite keys like
 ``(tenant, symbol)`` shuffle the NFA exactly like single ones — the
 reference's arbitrary partition collation,
 ``StreamExecMatch.scala:69``); ORDER BY takes the event-time column
-first plus optional ascending tiebreaker columns (``ORDER BY ts,
-event_id``) that refine per-key processing order.
+first plus optional tiebreakers that refine per-key processing order —
+plain columns or scalar expressions, each with an optional ``ASC``/
+``DESC`` suffix (``ORDER BY ts, priority DESC, value * -1`` — the
+reference accepts arbitrary collations after the rowtime).
 
 Documented narrowings (each raises, never silently degrades):
-- ORDER BY's first column must be the event-time column and all ORDER
-  BY columns are ascending (``DESC`` raises);
+- ORDER BY's FIRST operand must be the event-time column, ascending
+  (the rowtime collation; descending event time raises);
 - ``NEXT(...)`` inside DEFINE (needs lookahead; the reference rejects
   it outside MEASURES too) and navigation over non-scalar columns;
 - MEASURES accept navigation aggregates (FIRST/LAST/MIN/MAX/SUM/AVG/
@@ -86,7 +88,10 @@ _CLAUSES = ["PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
 class MatchSpec:
     table: str
     partition_by: list[str]
-    order_by: list[str]          # [event-time col, *ascending tiebreakers]
+    # [event-time col, *tiebreakers] — tiebreakers are normalized
+    # "operand" / "operand DESC" strings; an operand may be a column
+    # name or a scalar SQL expression (computed pre-shuffle)
+    order_by: list[str]
     measures: dict[str, str] = field(default_factory=dict)
     match_number_alias: str | None = None
     rows_per_match: str = "one"
@@ -184,21 +189,51 @@ def _split_top_commas(s: str) -> list[str]:
 
 
 def _plain_sort_col(item: str) -> str:
-    """A PARTITION BY / ORDER BY operand must be a bare column name,
-    optionally suffixed ``ASC`` (``DESC`` / expressions raise — the NFA
-    consumes events in ascending event-time order)."""
+    """A PARTITION BY operand must be a bare column name, optionally
+    suffixed ``ASC``."""
     m = re.match(r"^([A-Za-z_]\w*)(?:\s+(ASC|DESC))?$", item.strip(),
                  re.IGNORECASE)
     if not m:
         raise NotImplementedError(
-            f"PARTITION BY / ORDER BY operand must be a plain column "
-            f"name, got {item!r}")
+            f"PARTITION BY operand must be a plain column name, "
+            f"got {item!r}")
     if m.group(2) and m.group(2).upper() == "DESC":
         raise NotImplementedError(
-            "ORDER BY ... DESC is not supported (the NFA consumes "
-            "events in ascending event-time order, like the reference's "
-            "rowtime collation)")
+            "PARTITION BY ... DESC is meaningless (keys have no order)")
     return m.group(1)
+
+
+_ORDER_DIR = re.compile(r"\s+(ASC|DESC)\s*$", re.IGNORECASE)
+
+
+def _order_operand(item: str, is_first: bool) -> str:
+    """Parse one ORDER BY operand; returns the normalized form
+    ``"operand"`` or ``"operand DESC"``.
+
+    The FIRST operand is the event-time attribute: it must be a plain
+    ascending column (the NFA consumes events in ascending event time —
+    the reference's rowtime collation).  TIEBREAKERS accept any column
+    name or scalar SQL expression with an optional ``ASC``/``DESC``
+    suffix — the reference accepts arbitrary collations after the
+    rowtime (``StreamExecMatch.scala:69``); expression operands are
+    computed as derived columns before the keyed shuffle."""
+    s = item.strip()
+    asc = True
+    dm = _ORDER_DIR.search(s)
+    if dm:
+        asc = dm.group(1).upper() != "DESC"
+        s = s[:dm.start()].strip()
+    if is_first:
+        if not re.match(r"^[A-Za-z_]\w*$", s):
+            raise NotImplementedError(
+                "ORDER BY's first operand is the event-time attribute "
+                f"and must be a plain column name, got {item!r}")
+        if not asc:
+            raise NotImplementedError(
+                "descending event time is not supported (the NFA "
+                "consumes events in ascending event-time order, like "
+                "the reference's rowtime collation)")
+    return s if asc else f"{s} DESC"
 
 
 _INTERVAL = re.compile(
@@ -243,8 +278,8 @@ def parse_match_recognize(query: str) -> MatchSpec:
             spec.partition_by = [_plain_sort_col(c)
                                  for c in _split_top_commas(content)]
         elif kw == "ORDER BY":
-            spec.order_by = [_plain_sort_col(c)
-                             for c in _split_top_commas(content)]
+            spec.order_by = [_order_operand(c, is_first=(i == 0))
+                             for i, c in enumerate(_split_top_commas(content))]
         elif kw == "MEASURES":
             for item in _split_top_commas(content):
                 am_ = _AS_SPLIT.search(item)
@@ -423,13 +458,29 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
     define, nav = _compile_define(spec)
     stages = compile_match_pattern(spec.pattern, define, nav=nav)
 
+    # expression tiebreakers (ORDER BY ts, value * -1, ...) become
+    # derived columns computed JVM-side before the keyed shuffle; plain
+    # column operands (with optional DESC) pass straight through
+    from pyspark.sql import functions as F
+    tiebreakers = []
+    for i, item in enumerate(spec.order_by[1:]):
+        dm = _ORDER_DIR.search(item)
+        operand = item[:dm.start()].strip() if dm else item
+        suffix = " DESC" if item.endswith(" DESC") else ""
+        if re.match(r"^[A-Za-z_]\w*$", operand):
+            tiebreakers.append(operand + suffix)
+        else:
+            name = f"__ob{i}"
+            stream = stream.withColumn(name, F.expr(operand))
+            tiebreakers.append(name + suffix)
+
     from flink_release_1_10_0_spark.streaming.cep import _parse_after_match
     log = run_to_completion(
         match_nfa(stream, stages, within_minutes=spec.within_minutes,
                   key=spec.partition_by,
                   after_match=_parse_after_match(spec.after_match),
                   ts_col=spec.order_by[0], id_col=id_col,
-                  order_tiebreakers=spec.order_by[1:]), "append")
+                  order_tiebreakers=tiebreakers), "append")
     out = match_recognize_measures(
         # stage order comes from PATTERN, not the DEFINE clause — a
         # user may list DEFINE conditions in any order

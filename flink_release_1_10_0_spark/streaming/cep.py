@@ -32,10 +32,13 @@ compiles onto the generic NFA (``streaming/nfa.py``) with the
 reference's full edge set: arbitrary-length sequences, times(n)/
 times(from, to) quantifiers, consecutive()/allow_combinations() INNER
 loop strategies (the entry seam keeps the sequencing verb's
-contiguity), leading optionals, bounded group patterns
-(``begin_pattern``/``followed_by_pattern``/``next_pattern``, unrolled),
-after-match skip strategies, and — with ``match_stream(...,
-emit_timeouts=True)`` — the timed-out-partial-match side output.
+contiguity), leading optionals, group patterns
+(``begin_pattern``/``followed_by_pattern``/``next_pattern``) both
+unrolled (``times=n``) and QUANTIFIED (``group_optional``/
+``group_one_or_more``/``group_times``/``group_times_or_more`` — NFA
+group loop-back edges, GroupPattern.java:30), after-match skip
+strategies, and — with ``match_stream(..., emit_timeouts=True)`` —
+the timed-out-partial-match side output.
 """
 
 from __future__ import annotations
@@ -99,24 +102,33 @@ class Pattern:
 
     stages: list[_Stage] = field(default_factory=list)
     within_minutes: float | None = None
+    # quantified groups: (start_idx, end_idx, min_reps, max_reps|None)
+    groups: list[tuple] = field(default_factory=list)
+    # span of the most recent *_pattern() call, quantifiable while it
+    # is still the pattern tail
+    _last_group: tuple | None = None
 
     @classmethod
     def begin(cls, event_type: str) -> "Pattern":
         return cls(stages=[_Stage(event_type)])
 
-    # ---- group patterns (GroupPattern.java; Pattern.begin/next/
+    # ---- group patterns (GroupPattern.java:30; Pattern.begin/next/
     # followedBy(Pattern) overloads) -------------------------------
-    # Bounded group quantifiers compile by UNROLLING the sub-pattern
-    # (times(n) -> n copies, contiguity preserved stage-by-stage) —
-    # exact for n >= 1 because every copy is mandatory.  Unbounded
-    # ((A B)+) and optional ((A B)?) groups are rejected loudly: the
-    # flat-stage NFA has no group-iteration state, and per-stage
-    # optionality would accept partially-consumed copies.
+    # Two tiers:
+    # - ``times=n`` (n >= 1) UNROLLS the sub-pattern into n mandatory
+    #   copies — exact, no group state needed;
+    # - the ``group_*`` quantifier methods attach a REAL group
+    #   quantifier (optional / oneOrMore / times(from, to) /
+    #   timesOrMore) executed by the NFA's group loop-back edges
+    #   (NFACompiler's middle states).  Quantified groups need >= 2
+    #   plain consuming stages with exact inner quantifiers — the NFA
+    #   validates and refuses the rest loudly.
 
     @classmethod
     def begin_pattern(cls, sub: "Pattern", times: int = 1) -> "Pattern":
-        """``Pattern.begin(Pattern)``: start with a (possibly repeated)
-        sub-pattern."""
+        """``Pattern.begin(Pattern)``: start with a sub-pattern —
+        unrolled ``times`` times, or quantified via a following
+        ``group_*`` call (``times`` must stay 1 then)."""
         import copy as _copy
 
         if sub.within_minutes is not None:
@@ -126,15 +138,20 @@ class Pattern:
                 "pattern instead")
         if times < 1:
             raise NotImplementedError(
-                "optional/unbounded group quantifiers need group-"
-                "iteration state; only times(n >= 1) groups unroll")
-        return cls(stages=[_copy.deepcopy(s)
-                           for _ in range(times) for s in sub.stages])
+                "times(n) group unrolling needs n >= 1; for optional/"
+                "unbounded group quantifiers use group_optional()/"
+                "group_one_or_more()/group_times(from, to)")
+        p = cls(stages=[_copy.deepcopy(s)
+                        for _ in range(times) for s in sub.stages])
+        if times == 1:
+            p._last_group = (0, len(p.stages) - 1)
+        return p
 
     def followed_by_pattern(self, sub: "Pattern",
                             times: int = 1) -> "Pattern":
         """``Pattern.followedBy(Pattern)``: sequence a sub-pattern
-        (relaxed contiguity at the seam), unrolled ``times`` times."""
+        (relaxed contiguity at the seam) — unrolled ``times`` times, or
+        quantified via a following ``group_*`` call."""
         import copy as _copy
 
         if sub.within_minutes is not None:
@@ -144,10 +161,14 @@ class Pattern:
                 "pattern instead")
         if times < 1:
             raise NotImplementedError(
-                "optional/unbounded group quantifiers need group-"
-                "iteration state; only times(n >= 1) groups unroll")
+                "times(n) group unrolling needs n >= 1; for optional/"
+                "unbounded group quantifiers use group_optional()/"
+                "group_one_or_more()/group_times(from, to)")
+        start = len(self.stages)
         for _ in range(times):
             self.stages.extend(_copy.deepcopy(s) for s in sub.stages)
+        self._last_group = ((start, len(self.stages) - 1)
+                            if times == 1 else None)
         return self
 
     def next_pattern(self, sub: "Pattern") -> "Pattern":
@@ -160,10 +181,57 @@ class Pattern:
                 "the sub-pattern carries within(): a group cannot "
                 "scope a window to itself — set within() on the OUTER "
                 "pattern instead")
+        start = len(self.stages)
         stages = [_copy.deepcopy(s) for s in sub.stages]
         stages[0].strict = True
         self.stages.extend(stages)
+        self._last_group = (start, len(self.stages) - 1)
         return self
+
+    # ---- group quantifiers (Quantifier applied to a GroupPattern) --
+
+    def _quantify_group(self, mn: int, mx: int | None) -> "Pattern":
+        if self._last_group is None:
+            raise ValueError(
+                "group quantifier without a group: call begin_pattern/"
+                "followed_by_pattern/next_pattern (times=1) first")
+        start, end = self._last_group
+        if end != len(self.stages) - 1:
+            raise ValueError(
+                "group quantifier must directly follow its group "
+                "(stages were appended in between)")
+        if end == start:
+            raise NotImplementedError(
+                "single-stage group quantifier: quantify the stage "
+                "itself (times/one_or_more/optional)")
+        if any(g[0] <= end and start <= g[1] for g in self.groups):
+            raise NotImplementedError(
+                "nested/overlapping group quantifiers are not supported")
+        self.groups.append((start, end, mn, mx))
+        self._last_group = None
+        return self
+
+    def group_optional(self) -> "Pattern":
+        """``GroupPattern.optional()``: the whole sub-pattern may be
+        skipped (0 or 1 repetitions)."""
+        return self._quantify_group(0, 1)
+
+    def group_one_or_more(self) -> "Pattern":
+        """``GroupPattern.oneOrMore()``: the sub-pattern repeats 1+
+        times; each completed repetition of a trailing group emits a
+        prefix match (the reference's partial-match semantics)."""
+        return self._quantify_group(1, None)
+
+    def group_times(self, n: int, m: int | None = None) -> "Pattern":
+        """``GroupPattern.times(n[, m])``: exactly n (or n..m)
+        repetitions, executed by the NFA group loop (no unrolling)."""
+        if m is not None and m < n:
+            raise ValueError(f"group_times({n}, {m}): to < from")
+        return self._quantify_group(n, m if m is not None else n)
+
+    def group_times_or_more(self, n: int) -> "Pattern":
+        """``GroupPattern.timesOrMore(n)``: at least n repetitions."""
+        return self._quantify_group(n, None)
 
     def one_or_more(self) -> "Pattern":
         self.stages[-1].one_or_more = True
@@ -316,6 +384,10 @@ class Pattern:
                 pred=s.pred_sql(), name=s.event_type, contiguity=cont,
                 min_times=mn, max_times=mx, greedy=s.greedy,
                 until=s.until_sql, negated=s.negated, inner=inner))
+        for (gs_, ge_, gmn_, gmx_) in self.groups:
+            out[ge_].group_start = gs_
+            out[ge_].group_min = gmn_
+            out[ge_].group_max = gmx_
         return out
 
     def match_stream(self, events: DataFrame, key: str = "user_id",
@@ -345,6 +417,13 @@ class Pattern:
         st = self.stages
         flags = [s.flags() for s in st]
         w = self.within_minutes
+        if self.groups and not emit_timeouts:
+            # quantified group patterns always run on the generic NFA
+            # (the dedicated operators have no group-iteration state)
+            from flink_release_1_10_0_spark.streaming.nfa import match_nfa
+            return match_nfa(events, self._compile_nfa_stages(),
+                             within_minutes=w, key=key,
+                             after_match=after_match)
         if emit_timeouts:
             if any(s.negated for s in st):
                 raise NotImplementedError(

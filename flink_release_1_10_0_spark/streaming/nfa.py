@@ -107,10 +107,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 MAX_RUNS_PER_KEY = 512
 
 # Bumped whenever ``state_schema`` below changes shape (v1: runs only;
-# v2: + r_nav/prev_rows navigation fields).  Spark's state store rejects
-# a checkpoint whose schema doesn't match — an explicit version makes
-# that an announced format break, not a surprise.
-NFA_STATE_FORMAT_VERSION = 2
+# v2: + r_nav/prev_rows navigation fields; v3: + r_greps group-pattern
+# rep counters).  Spark's state store rejects a checkpoint whose schema
+# doesn't match — an explicit version makes that an announced format
+# break, not a surprise.
+NFA_STATE_FORMAT_VERSION = 3
 
 # End-of-stream sentinel id for BOUNDED replays: a row whose id equals
 # this value (appended by ``with_eos_sentinels``, sorted last per key by
@@ -231,7 +232,64 @@ def _validate(stages: list[NfaStage], has_window: bool = False) -> None:
     # rejection in compile_match_pattern — SQL emits ONE preferred
     # match per start row, which needs greedy backtracking across the
     # start alternatives, while the CEP tier emits every branch).
+    # quantified GROUP patterns (GroupPattern.java:30): validate the
+    # span layout and the documented inner-stage narrowing — each
+    # refusal is loud, never a silent reinterpretation
+    open_g: int | None = None
     for i, s in enumerate(stages):
+        if s.group_start is not None:
+            gs_, gmn_, gmx_ = s.group_start, s.group_min, s.group_max
+            if not (0 <= gs_ < i):
+                raise ValueError(
+                    f"group end at stage {i}: group_start {gs_} must "
+                    "point at an EARLIER stage (single-stage groups are "
+                    "plain stage quantifiers)")
+            if open_g is not None and gs_ <= open_g:
+                raise NotImplementedError(
+                    "nested/overlapping group patterns are not "
+                    "supported (the reference compiles nesting via "
+                    "recursive middle states; flatten or unroll)")
+            if gmn_ < 0 or (gmx_ is not None and gmx_ < max(1, gmn_)):
+                raise ValueError("bad group quantifier bounds")
+            if gmn_ == 0 and (stages[gs_].contiguity == "strict"
+                              or (i + 1 < n
+                                  and stages[i + 1].contiguity == "strict")):
+                raise NotImplementedError(
+                    "optional (min-0) group with a STRICT seam: the "
+                    "engine rests runs at the skippable group's start, "
+                    "so both seams must be relaxed")
+            if gmn_ == 0 and gs_ > 0 and (
+                    stages[gs_ - 1].is_loop()
+                    or stages[gs_ - 1].until is not None
+                    or stages[gs_ - 1].negated):
+                raise NotImplementedError(
+                    "optional (min-0) group directly after a loop/"
+                    "until/negation stage: the loop's stop-early edges "
+                    "cannot target a skippable group (insert a "
+                    "mandatory stage between them)")
+            for k in range(gs_, i + 1):
+                sk = stages[k]
+                if k > gs_ and sk.group_start is not None and k < i:
+                    raise NotImplementedError(
+                        "nested group patterns are not supported")
+                if (gmn_, gmx_) != (1, 1):
+                    if sk.min_times != (sk.max_times
+                                        if sk.max_times is not None
+                                        else -1):
+                        raise NotImplementedError(
+                            "stages inside a QUANTIFIED group need "
+                            "exact quantifiers (min == max): a "
+                            "satisfied-but-extendable inner loop makes "
+                            "the rep boundary ambiguous")
+                    if (sk.negated or sk.until is not None
+                            or sk.greedy or sk.nav is not None
+                            or sk.contiguity == "relaxed_nd"
+                            or sk.inner is not None):
+                        raise NotImplementedError(
+                            "stages inside a QUANTIFIED group must be "
+                            "plain consuming stages (no negation/until/"
+                            "navigation/greedy/followedByAny)")
+            open_g = i
         if s.contiguity not in ("strict", "relaxed", "relaxed_nd"):
             raise ValueError(f"bad contiguity {s.contiguity!r}")
         if s.inner is not None and s.inner not in (
@@ -281,10 +339,14 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     carried into the match output with its input type.
 
     ``order_tiebreakers`` are extra ORDER BY columns after the event
-    time: processing order per key becomes ``(ts, *tiebreakers,
-    id)``.  The within-window and after-match cut positions remain
-    event-time + id granular (the reference's collation handling uses
-    the time attribute for both as well).
+    time: processing order per key becomes ``(ts, *tiebreakers, id)``.
+    Each entry is a column name, optionally suffixed `` DESC`` (or
+    `` ASC``) — the reference accepts arbitrary collations after the
+    rowtime (``StreamExecMatch.scala:69``), so descending tiebreakers
+    order same-timestamp events in reverse.  The within-window and
+    after-match cut positions remain event-time + id granular (the
+    reference's collation handling uses the time attribute for both as
+    well).
 
     ``emit_timeouts=True`` additionally emits TIMED-OUT PARTIAL matches
     (the reference's ``TimedOutPartialMatchHandler`` /
@@ -311,7 +373,18 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     """
     _validate(stages, has_window=within_minutes is not None)
     keys = [key] if isinstance(key, str) else list(key)
-    tiebreak = list(order_tiebreakers or [])
+    tiebreak, tb_desc = [], set()
+    for item in (order_tiebreakers or []):
+        parts = item.split()
+        if len(parts) == 2 and parts[1].upper() == "DESC":
+            tiebreak.append(parts[0])
+            tb_desc.add(parts[0])
+        elif len(parts) == 2 and parts[1].upper() == "ASC":
+            tiebreak.append(parts[0])
+        elif len(parts) == 1:
+            tiebreak.append(parts[0])
+        else:
+            raise ValueError(f"bad order tiebreaker {item!r}")
     skip_var_idx: set[int] = set()
     if isinstance(after_match, tuple):
         mode, var = after_match
@@ -399,19 +472,21 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     # r_nav/prev_rows: tiny JSON blobs (a few navigated scalars per run /
     # the last prev_depth rows), populated ONLY for navigation patterns —
     # empty strings otherwise, so non-nav patterns pay nothing.
-    # STATE FORMAT v2 (see NFA_STATE_FORMAT_VERSION): v2 added the
-    # r_nav/prev_rows fields, so a streaming query restarted from a
-    # checkpoint written by the v1 schema fails the state-store schema
-    # compatibility check rather than migrating — restart such queries
-    # from a fresh checkpoint location (the reference documents the same
-    # contract for changed CEP state serializers).
+    # STATE FORMAT v3 (see NFA_STATE_FORMAT_VERSION): v2 added the
+    # r_nav/prev_rows fields, v3 the r_greps group-rep counters, so a
+    # streaming query restarted from a checkpoint written by an older
+    # schema fails the state-store schema compatibility check rather
+    # than migrating — restart such queries from a fresh checkpoint
+    # location (the reference documents the same contract for changed
+    # CEP state serializers).
     state_schema = ("r_stage array<int>, r_times array<int>, "
                     "r_guard array<int>, r_gstrict array<boolean>, "
                     "r_start_us array<bigint>, r_last_us array<bigint>, "
                     "r_evlen array<int>, r_evids array<bigint>, "
                     "r_evstages array<int>, r_evus array<bigint>, "
                     "cut_us bigint, cut_id bigint, "
-                    "r_nav array<string>, prev_rows string")
+                    "r_nav array<string>, prev_rows string, "
+                    "r_greps array<int>")
 
     # spec captured as plain tuples (tiny, serialized into the closure);
     # CONT = outer (entry-seam) strategy, INN = inner (between-loop-
@@ -423,11 +498,19 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                      s.until is not None, s.negated, inner_c))
     CONT, MIN, MAX, GREEDY, HAS_UNTIL, NEG, INN = range(7)
 
-    # tail_opt[j]: every consuming stage strictly after j is optional —
-    # a run that just satisfied j's quantifier holds a complete match
-    # and (non-greedy tier) emits the prefix while continuing to extend
-    tail_opt = [all(spec[k][MIN] == 0 for k in range(j + 1, n)
-                    if not spec[k][NEG]) for j in range(n)]
+    # quantified group spans (GroupPattern.java:30 middle states):
+    # grp_end maps a group's LAST stage index -> (start index, min reps,
+    # max reps); g_of maps every member stage to its group id (= the end
+    # index, -1 outside); skip0 maps a min-0 group's start -> the index
+    # just past its end (the whole-group skip edge)
+    grp_end = {i: (s.group_start, s.group_min, s.group_max)
+               for i, s in enumerate(stages) if s.group_start is not None}
+    g_of = [-1] * n
+    for e_, (gs0, _, _) in grp_end.items():
+        for k_ in range(gs0, e_ + 1):
+            g_of[k_] = e_
+    skip0 = {gs0: e_ + 1 for e_, (gs0, gmn0, _) in grp_end.items()
+             if gmn0 == 0}
 
     def real_next(j: int) -> int:
         """First consuming (non-negated) stage index at/after j; n if none."""
@@ -435,14 +518,50 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
             j += 1
         return j
 
+    # tail_opt[j]: every consuming stage strictly after j is skippable
+    # (min-0 stage, or a whole min-0 group) — a run that just satisfied
+    # j's quantifier holds a complete match and (non-greedy tier) emits
+    # the prefix while continuing to extend
+    def _tail_opt(j: int) -> bool:
+        k = j + 1
+        while k < n:
+            if spec[k][NEG]:
+                k += 1
+            elif k in skip0:
+                k = skip0[k]
+            elif spec[k][MIN] == 0:
+                k += 1
+            else:
+                return False
+        return True
+
+    tail_opt = [_tail_opt(j) for j in range(n)]
+
+    def entries_from(j: int) -> list[int]:
+        """Consuming stages enterable once position j's quantifier is
+        satisfied: the linear next stage, plus each stage reachable by
+        skipping whole min-0 groups (the group skip edge)."""
+        out = []
+        j2 = real_next(j + 1)
+        while j2 < n:
+            out.append(j2)
+            if j2 in skip0:
+                j2 = real_next(skip0[j2])
+                continue
+            break
+        return out
+
     # start candidates: stage 0 plus every consuming stage reachable
-    # from it through leading min-0 stages — the reference's start
-    # state PROCEEDs through leading optionals, so `A? B` begins a run
-    # at B (with A skipped) as well as at A
+    # from it through leading min-0 stages and min-0 GROUPS — the
+    # reference's start state PROCEEDs through leading optionals, so
+    # `A? B` begins a run at B (with A skipped) as well as at A
     start_stages = []
     _j = real_next(0)
     while _j < n:
         start_stages.append(_j)
+        if _j in skip0:
+            _j = real_next(skip0[_j])
+            continue
         if spec[_j][MIN] > 0:
             break
         _j = real_next(_j + 1)
@@ -460,7 +579,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         if state.exists:
             (r_stage, r_times, r_guard, r_gstrict, r_start, r_last,
              r_evlen, r_evids, r_evstages, r_evus, cut_us, cut_id,
-             r_nav, prev_json) = state.get
+             r_nav, prev_json, r_greps) = state.get
             cut = (int(cut_us), int(cut_id))
             evids, evstages, evus = list(r_evids), list(r_evstages), list(r_evus)
             runs, off = [], 0
@@ -474,15 +593,17 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                              int(r_guard[i]), bool(r_gstrict[i]),
                              int(r_start[i]), int(r_last[i]),
                              evids[off:off + ln], evstages[off:off + ln],
-                             evus[off:off + ln], nv])
+                             evus[off:off + ln], nv, int(r_greps[i])])
                 off += ln
             prev_rows = _json.loads(prev_json) if prev_json else []
         else:
             runs, cut, prev_rows = [], (-1, -1), []
         # run record (plain list): [stage, times, guard, guard_strict,
-        # start_us, last_us, ev_ids, ev_stages, ev_us, nav]
+        # start_us, last_us, ev_ids, ev_stages, ev_us, nav, group_reps]
         # nav = (navvals: {var: {col: [firsts, lasts]}}, navn: {var: count})
-        S, T, G, GS, A, L, EV, ST, EU, NV = range(10)
+        # group_reps = completed repetitions of the group the run's
+        # CURRENT stage belongs to (0 outside groups / in the first rep)
+        S, T, G, GS, A, L, EV, ST, EU, NV, GR = range(11)
 
         def nav_take(nv, var, rowvals):
             """Copy-on-write nav update when an event is consumed into
@@ -532,9 +653,10 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
+            sort_cols = [ts_col, *[c for c in tiebreak
+                                   if c not in (ts_col, id_col)], id_col]
             pdf = pdf.sort_values(
-                [ts_col, *[c for c in tiebreak
-                           if c not in (ts_col, id_col)], id_col])
+                sort_cols, ascending=[c not in tb_desc for c in sort_cols])
             ids = pdf[id_col].astype("int64").tolist()
             tss = pdf[ts_col].values.astype("datetime64[us]").astype("int64").tolist()
             mvec = [pdf[f"__m{i}"].fillna(False).astype(bool).tolist()
@@ -625,22 +747,40 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         g = guard_between(s_, nxt)
                         run = [nxt, 0, g, g >= 0 and spec[g][CONT] == "strict",
                                run[A], run[L], run[EV], run[ST], run[EU],
-                               run[NV]]
+                               run[NV], 0]
                         s_, t_ = nxt, 0
                     # candidate stages this event could consume into:
-                    # the current stage (while below max), then each next
-                    # stage reachable through satisfied/optional stages
+                    # the current stage (while below max), the group
+                    # loop-back edge (at a completed rep below max reps),
+                    # then each next stage reachable through satisfied/
+                    # optional stages and whole min-0 group skips
                     cands = []
                     mx = spec[s_][MAX]
                     if mx is None or t_ < mx:
                         cands.append(s_)
-                    j, tj = s_, t_
-                    while j < n and tj >= spec[j][MIN]:
-                        j2 = real_next(j + 1)
-                        if j2 >= n:
-                            break
-                        cands.append(j2)
-                        j, tj = j2, 0
+                    lb_off = None     # loop-back take target this run
+                    proceed_ok = t_ >= spec[s_][MIN]
+                    ge_s = grp_end.get(s_)
+                    if ge_s is not None and proceed_ok:
+                        gsx, gmnx, gmxx = ge_s
+                        done0 = run[GR] + 1
+                        if gmxx is None or done0 < gmxx:
+                            lb_off = gsx
+                            cands.append(gsx)
+                        if done0 < gmnx:
+                            proceed_ok = False
+                    if proceed_ok:
+                        work, seenw = [s_], set()
+                        while work:
+                            jw = work.pop()
+                            if jw in seenw:
+                                continue
+                            seenw.add(jw)
+                            for j2 in entries_from(jw):
+                                if j2 not in cands:
+                                    cands.append(j2)
+                                if spec[j2][MIN] == 0:
+                                    work.append(j2)
                     if nav_fns:
                         # per-run navigation refinement (IterativeCondition):
                         # the SQL bit must be set AND the nav closure must be
@@ -664,9 +804,33 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         # one (Quantifier inner vs outer consuming
                         # strategies — consecutive() hardens only the
                         # between-iteration edges, the entry seam keeps
-                        # the sequencing verb's contiguity)
-                        eff = (spec[s_][INN] if t_ >= 1
-                               else spec[s_][CONT])
+                        # the sequencing verb's contiguity).  A run
+                        # waiting at a COMPLETED group rep follows the
+                        # loop-back seam (the group start's contiguity —
+                        # the reference's group middle state owns the
+                        # ignore edge there, not the last inner stage)
+                        ge_w = grp_end.get(s_)
+                        at_rep_end = ge_w is not None and t_ >= spec[s_][MIN]
+                        if at_rep_end:
+                            eff = spec[ge_w[0]][CONT]
+                        else:
+                            eff = (spec[s_][INN] if t_ >= 1
+                                   else spec[s_][CONT])
+                        if eff == "strict" and at_rep_end:
+                            # strict loop-back seam violated: the rep
+                            # sequence ends here — fork the past-group
+                            # state(s) if the group is satisfied, then die
+                            if run[GR] + 1 >= ge_w[1]:
+                                for nxt0 in entries_from(s_):
+                                    if spec[nxt0][CONT] == "strict":
+                                        continue
+                                    g0 = guard_between(s_, nxt0)
+                                    new_runs.append(
+                                        [nxt0, 0, g0,
+                                         g0 >= 0 and spec[g0][CONT] == "strict",
+                                         run[A], run[L], run[EV], run[ST],
+                                         run[EU], run[NV], 0])
+                            continue
                         if eff == "strict":
                             # strict contiguity violated at the CURRENT
                             # stage: this branch dies — but a satisfied
@@ -701,7 +865,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                                         [nxt0, 0, g0,
                                          g0 >= 0 and spec[g0][CONT] == "strict",
                                          run[A], run[L], run[EV], run[ST],
-                                         run[EU], run[NV]])
+                                         run[EU], run[NV], 0])
                             continue
                         new_runs.append(run)  # IGNORE
                         continue
@@ -716,8 +880,55 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         us2 = run[EU] + [ts_us]
                         nv2 = (nav_take(run[NV], stage_var[j], rowvals)
                                if merged_tracked else run[NV])
+                        # group rep bookkeeping: a loop-back take starts
+                        # the next repetition; moving within the same
+                        # group keeps the count; entering (or leaving)
+                        # a group resets it
+                        if j == lb_off:
+                            gr2 = run[GR] + 1
+                        elif g_of[j] >= 0 and g_of[j] == g_of[run[S]]:
+                            gr2 = run[GR]
+                        else:
+                            gr2 = 0
                         mnj, mxj = spec[j][MIN], spec[j][MAX]
                         nxt = real_next(j + 1)
+                        ge_j = grp_end.get(j)
+                        if ge_j is not None:
+                            # take lands on a group END stage: a rep
+                            # completes when the stage quantifier is
+                            # satisfied; the run then holds BOTH the
+                            # loop-back and the proceed edge (offered by
+                            # the cands walk from this resting state)
+                            gsj, gmnj, gmxj = ge_j
+                            done_j = gr2 + 1
+                            sat_in = mxj is not None and t2 == mxj
+                            g_sat = t2 >= mnj and done_j >= gmnj
+                            g_full = gmxj is not None and done_j == gmxj
+                            if nxt >= n and g_sat and sat_in and g_full:
+                                emit(run[A], ts_us, evs2, sts2, us2)
+                                continue
+                            if g_sat and tail_opt[j]:
+                                # per-completed-rep prefix emission
+                                # (trailing group loop: Pattern.java:306
+                                # partial-match semantics per iteration)
+                                emit(run[A], ts_us, evs2, sts2, us2)
+                            if sat_in and g_full and nxt < n:
+                                # full group: advance — one explicit run
+                                # per skip-chain position (a PROCEEDed
+                                # computation state each, like the
+                                # reference's NFA materializes)
+                                for tgt in entries_from(j):
+                                    g = guard_between(j, tgt)
+                                    new_runs.append(
+                                        [tgt, 0, g,
+                                         g >= 0 and spec[g][CONT] == "strict",
+                                         run[A], ts_us, evs2, sts2, us2,
+                                         nv2, 0])
+                            else:
+                                new_runs.append([j, t2, -1, False, run[A],
+                                                 ts_us, evs2, sts2, us2,
+                                                 nv2, gr2])
+                            continue
                         if nxt >= n and t2 >= mnj and mxj is not None \
                                 and t2 == mxj:
                             emit(run[A], ts_us, evs2, sts2, us2)
@@ -730,16 +941,26 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             # partial-match semantics)
                             emit(run[A], ts_us, evs2, sts2, us2)
                         if mxj is not None and t2 == mxj and nxt < n:
-                            # bounded stage saturated: advance pointer now
-                            g = guard_between(j, nxt)
-                            new_runs.append(
-                                [nxt, 0, g,
-                                 g >= 0 and spec[g][CONT] == "strict",
-                                 run[A], ts_us, evs2, sts2, us2, nv2])
+                            # bounded stage saturated: advance pointer
+                            # now — one explicit run per skip-chain
+                            # position when the next stage opens
+                            # skippable min-0 groups (the reference
+                            # materializes a computation state per
+                            # PROCEED, so the entered-group branch and
+                            # the skipped-past branch evolve separately)
+                            for tgt in entries_from(j):
+                                g = guard_between(j, tgt)
+                                gr_adv = (gr2 if g_of[tgt] >= 0
+                                          and g_of[tgt] == g_of[j] else 0)
+                                new_runs.append(
+                                    [tgt, 0, g,
+                                     g >= 0 and spec[g][CONT] == "strict",
+                                     run[A], ts_us, evs2, sts2, us2, nv2,
+                                     gr_adv])
                         else:
                             new_runs.append([j, t2, -1, False,
                                              run[A], ts_us, evs2, sts2, us2,
-                                             nv2])
+                                             nv2, gr2])
                     # relaxed_nd keep (SKIP_TILL_ANY ignore fires even
                     # when the take fires): an ENTERING take — into a
                     # stage the run was not already looping in — is
@@ -784,7 +1005,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                                 [nxt0, 0, g0,
                                  g0 >= 0 and spec[g0][CONT] == "strict",
                                  run[A], run[L], run[EV], run[ST],
-                                 run[EU], run[NV]])
+                                 run[EU], run[NV], 0])
                     # stage IGNORE edge on advance (NFACompiler.java:827:
                     # SKIP_TILL_NEXT ignores events NOT matching the
                     # stage's own take condition, SKIP_TILL_ANY ignores
@@ -797,9 +1018,19 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     # reference's ignore-edge extension with NOT(until);
                     # a relaxed_nd stage consumed this event keeps its
                     # pre-take run through the nd-keep above instead.)
-                    if s0 not in taken and (
-                            spec[s0][INN] if run[T] >= 1
-                            else spec[s0][CONT]) != "strict":
+                    # a fired loop-back consumed the waiting state's own
+                    # take edge, and the ignore of a completed-rep rest
+                    # follows the loop-back seam (SKIP_TILL_NEXT: ignore
+                    # only events NOT matching the state's own take)
+                    lb_fired = lb_off is not None and lb_off in taken
+                    ge_k = grp_end.get(s0)
+                    if ge_k is not None and run[T] >= spec[s0][MIN]:
+                        keep_eff = spec[ge_k[0]][CONT]
+                    else:
+                        keep_eff = (spec[s0][INN] if run[T] >= 1
+                                    else spec[s0][CONT])
+                    if s0 not in taken and not lb_fired \
+                            and keep_eff != "strict":
                         new_runs.append(run)
                 # a matching event always also begins a fresh run — at
                 # stage 0 or at any stage the start state PROCEEDs to
@@ -830,15 +1061,17 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             # take): emit the short match, keep the run
                             emit(ts_us, ts_us, [eid], [js], [ts_us])
                         if mxj0 == 1:
-                            g = guard_between(js, nxt)
-                            new_runs.append(
-                                [nxt, 0, g,
-                                 g >= 0 and spec[g][CONT] == "strict",
-                                 ts_us, ts_us, [eid], [js], [ts_us], nv0])
+                            for tgt in entries_from(js):
+                                g = guard_between(js, tgt)
+                                new_runs.append(
+                                    [tgt, 0, g,
+                                     g >= 0 and spec[g][CONT] == "strict",
+                                     ts_us, ts_us, [eid], [js], [ts_us],
+                                     nv0, 0])
                         else:
                             new_runs.append([js, 1, -1, False,
                                              ts_us, ts_us, [eid], [js],
-                                             [ts_us], nv0])
+                                             [ts_us], nv0, 0])
                 if prev_depth:
                     # PREV is physical: every partition row (matched or
                     # not) becomes the next row's predecessor
@@ -850,7 +1083,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                 seen = set()
                 runs = []
                 for r in new_runs:
-                    k2 = (r[S], r[T], r[G], tuple(r[EV]))
+                    k2 = (r[S], r[T], r[G], r[GR], tuple(r[EV]))
                     if k2 not in seen:
                         seen.add(k2)
                         runs.append(r)
@@ -868,7 +1101,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                       [s2 for r in runs for s2 in r[ST]],
                       [u for r in runs for u in r[EU]],
                       cut[0], cut[1], nav_ser,
-                      _json.dumps(prev_rows) if prev_rows else ""))
+                      _json.dumps(prev_rows) if prev_rows else "",
+                      [r[GR] for r in runs]))
         if matches or timeouts:
             rows = matches + timeouts
             out = {

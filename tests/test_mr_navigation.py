@@ -314,16 +314,66 @@ FROM ev MATCH_RECOGNIZE (
     assert without == []
 
 
-def test_order_by_desc_rejected(spark):
+def test_order_by_desc_event_time_rejected(spark):
+    """Only the FIRST operand (the rowtime) refuses DESC; tiebreakers
+    accept arbitrary collations (StreamExecMatch.scala:69)."""
     import pytest
 
     from flink_release_1_10_0_spark.sql_match import parse_match_recognize
 
-    with pytest.raises(NotImplementedError, match="DESC"):
+    with pytest.raises(NotImplementedError, match="descending event time"):
         parse_match_recognize("""
 SELECT * FROM t MATCH_RECOGNIZE (
   PARTITION BY k ORDER BY ts DESC MEASURES 1 AS one ONE ROW PER MATCH
   PATTERN (A) DEFINE A AS TRUE) AS m""")
+    spec = parse_match_recognize("""
+SELECT * FROM t MATCH_RECOGNIZE (
+  PARTITION BY k ORDER BY ts, priority DESC, value * -1
+  MEASURES 1 AS one ONE ROW PER MATCH
+  PATTERN (A) DEFINE A AS TRUE) AS m""")
+    assert spec.order_by == ["ts", "priority DESC", "value * -1"]
+
+
+def test_order_by_desc_tiebreaker_and_expression(spark):
+    """ORDER BY ts, value DESC: two same-timestamp events process in
+    descending value order, flipping which strict pair matches; an
+    expression operand (value * -1 ascending) is the same collation."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "a", 1.0),
+            (2, "2024-01-01 10:00:00", 1, "b", 2.0),
+            (3, "2024-01-01 10:05:00", 1, "a", 9.0),
+            (4, "2024-01-01 10:05:00", 1, "b", 5.0)]
+    df = _events(spark, rows)
+    sql = """
+SELECT user_id, start_id, end_id
+FROM ev MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, {TB}
+  MEASURES FIRST(A.event_id) AS start_id, LAST(B.event_id) AS end_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B)
+  DEFINE A AS event_type = 'a',
+         B AS event_type = 'b'
+) AS m
+"""
+    # SQL row-pattern matching is over CONSECUTIVE rows, so the
+    # collation decides adjacency.  Ascending value: row order is
+    # (a1, b2, b4, a3) — only (a1, b2) is A-then-B adjacent.
+    # Descending: (b2, a1, a3, b4) — a1's next row is a3 (dies), a3's
+    # is b4, so only (a3, b4) matches.
+    asc = sorted((r.start_id, r.end_id)
+                 for r in _run(spark, df, sql.replace("{TB}", "value"))
+                 .collect())
+    desc = sorted((r.start_id, r.end_id)
+                  for r in _run(spark, df, sql.replace("{TB}", "value DESC"))
+                  .collect())
+    expr = sorted((r.start_id, r.end_id)
+                  for r in _run(spark, df,
+                                sql.replace("{TB}", "value * -1")).collect())
+    assert desc == expr            # same collation, two spellings
+    assert asc != desc             # the collation really changes matches
+    assert desc == [(3, 4)]
+    assert asc == [(1, 2)]
 
 
 def test_qualified_prev_over_other_variable_rejected():

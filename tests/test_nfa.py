@@ -654,3 +654,84 @@ def test_followed_by_any_optional_compiles(spark):
         pat_plain.match_stream(_stream(spark, rows)), "append")
     got2 = sorted(tuple(r.ev_ids) for r in out2.collect())
     assert got2 == [(1, 2, 4), (1, 4)]
+
+
+def test_group_quantifiers_end_to_end(spark):
+    """Quantified groups on the NFA loop-back edges (GroupPattern.java:30):
+    optional group (both the skip and take branch), oneOrMore (prefix
+    per completed rep), times(n) exact."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    sub = Pattern.begin("a").followed_by("b")
+    rows = [_ev(1, 0, "x"), _ev(2, 1, "a"), _ev(3, 2, "b"),
+            _ev(4, 3, "a"), _ev(5, 4, "b"), _ev(6, 5, "y")]
+
+    def got(pat):
+        out = run_to_completion(pat.match_stream(_stream(spark, rows)),
+                                "append")
+        return sorted(tuple(r.ev_ids) for r in out.collect())
+
+    p_opt = (Pattern.begin("x").followed_by_pattern(sub).group_optional()
+             .followed_by("y"))
+    assert got(p_opt) == [(1, 2, 3, 6), (1, 6)]
+
+    p_oom = (Pattern.begin("x").followed_by_pattern(sub)
+             .group_one_or_more())
+    assert got(p_oom) == [(1, 2, 3), (1, 2, 3, 4, 5)]
+
+    p_two = Pattern.begin("x").followed_by_pattern(sub).group_times(2)
+    assert got(p_two) == [(1, 2, 3, 4, 5)]
+
+
+def test_group_quantifier_refusals(spark):
+    """The documented group narrowings refuse loudly: nested quantified
+    groups, inner loops, single-stage groups, quantifier after extra
+    stages."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+    from flink_release_1_10_0_spark.streaming.nfa import NfaStage, match_nfa
+
+    with pytest.raises(NotImplementedError, match="single-stage"):
+        Pattern.begin("x").followed_by_pattern(
+            Pattern.begin("a")).group_optional()
+    with pytest.raises(ValueError, match="directly follow"):
+        (Pattern.begin("x")
+         .followed_by_pattern(Pattern.begin("a").followed_by("b"))
+         .followed_by("c").group_one_or_more())
+    # inner stage with a non-exact quantifier inside a quantified group
+    stages = [NfaStage(pred="event_type = 'x'"),
+              NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1, max_times=None,
+                       group_start=1, group_min=1, group_max=None)]
+    with pytest.raises(NotImplementedError, match="exact quantifiers"):
+        match_nfa(_stream(spark, [_ev(1, 0, "x")]), stages)
+    # optional group with a strict seam
+    stages2 = [NfaStage(pred="event_type = 'x'"),
+               NfaStage(pred="event_type = 'a'", contiguity="strict"),
+               NfaStage(pred="event_type = 'b'",
+                        group_start=1, group_min=0, group_max=1)]
+    with pytest.raises(NotImplementedError, match="STRICT seam"):
+        match_nfa(_stream(spark, [_ev(1, 0, "x")]), stages2)
+
+
+def test_group_loop_state_survives_microbatches(spark):
+    """Group rep counters round-trip through the state store: a group
+    loop split across two micro-batches still counts reps correctly
+    (x ((a b)){2} with the second rep in batch 2)."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    df1 = (spark.createDataFrame(
+        [_ev(1, 0, "x"), _ev(2, 1, "a"), _ev(3, 2, "b")], _SCHEMA)
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    df2 = (spark.createDataFrame(
+        [_ev(4, 3, "a"), _ev(5, 4, "b"), _ev(6, 5, "a"), _ev(7, 6, "b")],
+        _SCHEMA).withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="nfa_grpbatch_")
+    df1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df1.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    pat = (Pattern.begin("x")
+           .followed_by_pattern(Pattern.begin("a").followed_by("b"))
+           .group_times(2))
+    df2.coalesce(1).write.mode("append").parquet(src)
+    out = run_to_completion(pat.match_stream(sdf), "append")
+    assert sorted(tuple(r.ev_ids) for r in out.collect()) == [(1, 2, 3, 4, 5)]

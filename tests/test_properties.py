@@ -604,3 +604,105 @@ def test_nfa_loop_edge_set_matches_reference_machine(spark, syms, mn, mx):
     out = run_to_completion(match_nfa(sdf, stages), "append")
     got = {tuple(r.ev_ids) for r in out.collect()}
     assert got == _ref_loop_nfa(syms, mn, mx)
+
+
+def _ref_group_nfa(syms: list[str], gmn: int, gmx, has_y: bool):
+    """Independent reference simulator for X ((A B))Q [Y] (relaxed
+    seams, non-greedy), written in the NFACompiler group-middle-state
+    style — explicit TAKE / IGNORE / PROCEED / LOOP-BACK edge walking
+    per branch (GroupPattern.java:30 compiled via NFACompiler middle
+    states) — rather than the engine's cand-chain formulation.
+    Branch = (node, reps, consumed): 'E' entered-awaiting-first-rep,
+    'A' mid-rep (took a, awaiting b), 'R' at a completed-rep boundary
+    (loop-back | proceed), 'F' past a full group awaiting y."""
+    branches: set[tuple] = set()
+    out: set[tuple] = set()
+    for eid, s in enumerate(syms, 1):
+        nxt: set[tuple] = set()
+        for node, k, ev in branches:
+            if node == "E":
+                if s == "a":
+                    nxt.add(("A", 0, ev + (eid,)))    # TAKE: consumed
+                else:
+                    nxt.add((node, k, ev))            # IGNORE: stays
+            elif node == "A":
+                if s == "b":
+                    done, ev2 = k + 1, ev + (eid,)
+                    if not has_y and done >= gmn:
+                        out.add(ev2)                  # trailing prefix
+                    if gmx is None or done < gmx:
+                        nxt.add(("R", done, ev2))
+                    elif has_y:
+                        nxt.add(("F", done, ev2))
+                else:
+                    nxt.add((node, k, ev))            # relaxed IGNORE
+            elif node == "R":
+                took = False
+                if s == "a" and (gmx is None or k < gmx):
+                    nxt.add(("A", k, ev + (eid,)))    # LOOP-BACK
+                    took = True
+                if has_y and s == "y" and k >= gmn:
+                    out.add(ev + (eid,))              # PROCEED + TAKE
+                if not took:
+                    nxt.add((node, k, ev))            # seam IGNORE
+            else:                                     # F: past the group
+                if has_y and s == "y":
+                    out.add(ev + (eid,))              # consumed; dies
+                else:
+                    nxt.add((node, k, ev))
+        if s == "x":                                  # start state
+            if not has_y and gmn == 0:
+                out.add((eid,))                       # trailing optional
+            nxt.add(("E", 0, (eid,)))
+            if gmn == 0 and has_y:
+                # the whole-group-skip PROCEED is materialized as its
+                # own computation state at x-take time (it survives the
+                # group branch consuming later a's)
+                nxt.add(("F", 0, (eid,)))
+        branches = nxt
+    return out
+
+
+@given(syms=st.lists(st.sampled_from(["a", "b", "x", "y", "q"]),
+                     min_size=1, max_size=9),
+       quant=st.sampled_from([(0, 1), (1, None), (1, 2), (2, 2)]),
+       has_y=st.booleans())
+@settings(**_SETTINGS)
+def test_nfa_group_edges_match_reference_machine(spark, syms, quant, has_y):
+    """Quantified group patterns X ((A B))Q [Y]: the engine's group
+    loop-back / skip-over / proceed edges must equal an independent
+    simulator of the reference's compiled group middle states on
+    random inputs (optional, oneOrMore, times(from,to), times(n))."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+
+    gmn, gmx = quant
+    if gmn == 0 and not has_y and "x" not in syms:
+        syms = syms + ["x"]   # keep at least one start candidate
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, s, 0.0)
+            for i, s in enumerate(syms, 1)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="nfa_grpprop_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+
+    pat = Pattern.begin("x").followed_by_pattern(
+        Pattern.begin("a").followed_by("b"))
+    if (gmn, gmx) == (0, 1):
+        pat = pat.group_optional()
+    elif (gmn, gmx) == (1, None):
+        pat = pat.group_one_or_more()
+    else:
+        pat = pat.group_times(gmn, gmx)
+    if has_y:
+        pat = pat.followed_by("y")
+    out = run_to_completion(pat.match_stream(sdf), "append")
+    got = {tuple(r.ev_ids) for r in out.collect()}
+    assert got == _ref_group_nfa(syms, gmn, gmx, has_y)
