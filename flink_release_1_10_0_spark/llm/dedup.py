@@ -305,11 +305,44 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
     return d.select(id_col, F.expr("size(wh)").alias("nw"), "wh", *band_cols)
 
 
-def lsh_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
+def write_minhash_index(index_df: DataFrame, path: str,
+                        table: str | None = None,
+                        buckets: int = 32) -> str:
+    """Persist a :func:`minhash_index` frame the way its docstring
+    prescribes: BUCKETED BY the first band key, so each per-band
+    candidate equi-join in :func:`lsh_incremental_pairs` co-locates
+    with a bucket-pruned scan instead of shuffling the whole corpus
+    index per ingest.
+
+    Spark's bucketed writes go through the catalog (``saveAsTable`` —
+    a plain ``parquet(path)`` cannot record bucket metadata), so the
+    index is written as a table named ``table`` (default: derived from
+    the path) with ``path`` as its location.  Returns the table name;
+    read it back with ``spark.table(name)`` — scans and joins then see
+    the bucketing (no Exchange on the bk0 side at join time when the
+    join key includes bk0 and bucket counts line up).
+
+    At 100 TB: ``buckets`` should scale with corpus size (a few hundred
+    MB of index rows per bucket); re-bucketing happens only on index
+    REWRITE, which a production pipeline does rarely (the incremental
+    path appends survivors' index rows per ingest)."""
+    name = table or ("idx_" + "".join(
+        ch if ch.isalnum() else "_" for ch in path.strip("/").rsplit("/", 1)[-1]))
+    (index_df.write.mode("overwrite")
+     .option("path", path)
+     .bucketBy(buckets, "bk0")
+     .sortBy("bk0")
+     .format("parquet")
+     .saveAsTable(name))
+    return name
+
+
+def lsh_incremental_pairs(index_df: DataFrame, new_df: DataFrame | None,
                           id_col: str, text_col: str = "text",
                           k: int = 8, band_rows: int = 4,
                           threshold: float = 0.8,
-                          method: str = "md5") -> DataFrame:
+                          method: str = "md5",
+                          new_index_df: DataFrame | None = None) -> DataFrame:
     """Incremental MinHash+LSH dedup: an incoming batch against a
     PERSISTED corpus index (:func:`minhash_index`) — the shape a
     training-data pipeline runs per ingest, where re-deduping the full
@@ -318,21 +351,36 @@ def lsh_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
     Returns ``(old_id, new_id, jaccard)`` for cross pairs with exact
     Jaccard >= threshold that share at least one LSH band.
 
+    ``new_df`` is the incoming batch TEXT; callers that already hold
+    ``minhash_index(new_df)`` (e.g. a survivors pass that also appends
+    the index rows) pass it as ``new_index_df`` instead, so the batch
+    signatures are computed ONCE across the composed plan.
+
+    SCOPE — intra-batch near-duplicates: this function emits OLD-vs-NEW
+    pairs only.  Two mutually-near-duplicate documents arriving in the
+    SAME batch produce no pair here (neither is in the corpus index
+    yet); an ingest decision that must also collapse those composes
+    :func:`minhash_lsh_pairs` over the (small) batch — see
+    ``queries/llm.py:dedup_incremental_intra_batch`` — or
+    :func:`exact_dedup_groups` for exact-duplicate mass.
+
     Scale design (100 TB corpus, GB-scale daily batch):
     - the corpus side is the index, never the text: band keys + compact
-      word-hash sets, read from the store already bucketed;
+      word-hash sets, read from the store already bucketed
+      (:func:`write_minhash_index`);
     - candidates come from per-band equi-joins (new side tiny → AQE
       broadcasts it); the first-matching-band rule makes the band union
       duplicate-free by construction, so there is no distinct() over
       the candidate set (same construction as the full pipeline);
     - verification is exact Jaccard on the index's word-hash sets with
       the size prefilter — only candidate rows ever materialize.
-    Compose with :func:`exact_dedup_groups` on the batch first when
-    ingests carry heavy exact-duplicate mass.
     """
     n_bands = k // band_rows
-    new_idx = minhash_index(new_df, id_col, text_col, k, band_rows,
-                            method).localCheckpoint()
+    if (new_df is None) == (new_index_df is None):
+        raise ValueError("pass exactly one of new_df / new_index_df")
+    new_idx = (new_index_df if new_index_df is not None
+               else minhash_index(new_df, id_col, text_col, k, band_rows,
+                                  method).localCheckpoint())
     slim_o = index_df.select(F.col(id_col).alias("old_id"),
                              *[f"bk{b}" for b in range(n_bands)])
     slim_n = new_idx.select(F.col(id_col).alias("new_id"),

@@ -322,17 +322,96 @@ def dedup_incremental_survivors(spark, sf_dir):
     """Ingest filter: new-batch documents with NO corpus near-dup at
     the threshold — the rows a production pipeline appends to the
     training set and the index after each batch (anti-join against the
-    incremental pair output; one extra broadcast-able join)."""
+    incremental pair output; one extra broadcast-able join).
+
+    The batch index is computed ONCE (``minhash_index`` +
+    localCheckpoint) and passed to ``lsh_incremental_pairs`` via
+    ``new_index_df`` — the same frame a production survivors pass
+    appends to the persisted index, so batch signatures are never
+    derived twice in the composed plan.
+
+    SCOPE: old-vs-new dedup only — mutually-near-duplicate documents
+    WITHIN the batch all survive here (none is in the corpus index
+    yet); ``dedup_incremental_intra_batch`` below is the ingest
+    decision that also collapses those."""
     docs = t(spark, sf_dir, "documents")
     old = docs.filter("doc_id % 17 <> 0")
     new = docs.filter("doc_id % 17 = 0")
     idx = D.minhash_index(old, "doc_id", k=_K,
                           band_rows=_BAND_ROWS).localCheckpoint()
-    pairs = D.lsh_incremental_pairs(idx, new, "doc_id", k=_K,
-                                    band_rows=_BAND_ROWS, threshold=0.8)
+    new_idx = D.minhash_index(new, "doc_id", k=_K,
+                              band_rows=_BAND_ROWS).localCheckpoint()
+    pairs = D.lsh_incremental_pairs(idx, None, "doc_id", k=_K,
+                                    band_rows=_BAND_ROWS, threshold=0.8,
+                                    new_index_df=new_idx)
     return (new.join(pairs.select(F.col("new_id").alias("doc_id")),
                      "doc_id", "left_anti")
             .select("doc_id"))
+
+
+# The FULL ingest decision (closes the documented intra-batch gap of
+# lsh_incremental_pairs): a new document survives iff it has no corpus
+# near-dup AND no intra-batch near-dup with a smaller doc_id (the
+# batch-local keep-first rule; the smaller-id representative survives
+# and is what gets appended to the index).  Intra-batch pairs come from
+# minhash_lsh_pairs over the (small) batch — identical wordsets share
+# every band key, so the oracle's shared-band candidate set covers the
+# exact-duplicate mass too.
+_INCR_INTRA_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_distinct({_DWORDS}) AS ws FROM documents),
+sig AS (SELECT doc_id, {_sig_cols_duck} FROM w),
+bands AS ({_band_selects}),
+cand AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id
+         FROM bands o JOIN bands n
+           ON o.band = n.band AND o.key = n.key
+         WHERE o.doc_id % 17 <> 0 AND n.doc_id % 17 = 0),
+dup AS (SELECT DISTINCT new_id FROM cand
+        JOIN w wo ON wo.doc_id = old_id
+        JOIN w wn ON wn.doc_id = new_id
+        WHERE round(CAST(len(list_intersect(wo.ws, wn.ws)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(wo.ws, wn.ws)))
+                     AS DOUBLE), 6) >= 0.8),
+icand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 = 0
+            AND a.doc_id < b.doc_id),
+idup AS (SELECT DISTINCT id_b FROM icand
+         JOIN w wa ON wa.doc_id = id_a
+         JOIN w wb ON wb.doc_id = id_b
+         WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(wa.ws, wb.ws)))
+                      AS DOUBLE), 6) >= 0.8)
+SELECT doc_id FROM documents
+WHERE doc_id % 17 = 0
+  AND doc_id NOT IN (SELECT new_id FROM dup)
+  AND doc_id NOT IN (SELECT id_b FROM idup)
+"""
+
+
+@register("dedup_incremental_intra_batch", _INCR_INTRA_ORACLE)
+def dedup_incremental_intra_batch(spark, sf_dir):
+    """Full per-ingest dedup decision: drop new documents near-dup to
+    the corpus (via the persisted index) AND near-dup to a smaller-id
+    batch sibling (via minhash_lsh_pairs over the small batch — the
+    intra-batch composition the incremental path's docstring
+    prescribes).  What remains is exactly the set appended to the
+    training set and the index."""
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 17 <> 0")
+    new = docs.filter("doc_id % 17 = 0")
+    idx = D.minhash_index(old, "doc_id", k=_K,
+                          band_rows=_BAND_ROWS).localCheckpoint()
+    new_idx = D.minhash_index(new, "doc_id", k=_K,
+                              band_rows=_BAND_ROWS).localCheckpoint()
+    cross = D.lsh_incremental_pairs(idx, None, "doc_id", k=_K,
+                                    band_rows=_BAND_ROWS, threshold=0.8,
+                                    new_index_df=new_idx)
+    intra = D.minhash_lsh_pairs(new, "doc_id", k=_K,
+                                band_rows=_BAND_ROWS, threshold=0.8)
+    drop = (cross.select(F.col("new_id").alias("doc_id"))
+            .unionByName(intra.select(F.col("id_b").alias("doc_id"))))
+    return (new.join(drop, "doc_id", "left_anti").select("doc_id"))
 
 
 # --------------------------------------------------------------------------

@@ -271,3 +271,69 @@ def test_incremental_lsh_equals_full_cross_pairs(spark):
             cross[key] = r.jaccard
     assert incr == cross
     assert len(incr) > 0   # the synthetic corpus has cross dups
+
+
+def test_write_minhash_index_roundtrip_bucketed(spark):
+    """write_minhash_index persists the index bucketed by bk0 (the
+    storage layout minhash_index's docstring prescribes); reading it
+    back through the catalog feeds lsh_incremental_pairs unchanged —
+    same pairs as the in-memory index — and the scan reports the
+    bucket spec."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        lsh_incremental_pairs, minhash_index, write_minhash_index)
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter("doc_id % 17 <> 0")
+    new = docs.filter("doc_id % 17 = 0")
+    idx = minhash_index(old, "doc_id")
+    path = tempfile.mkdtemp(prefix="mh_index_")
+    name = write_minhash_index(idx, path, table="mh_idx_test", buckets=8)
+    stored = spark.table(name)
+    mem = sorted(map(tuple, lsh_incremental_pairs(idx, new, "doc_id")
+                     .collect()))
+    disk = sorted(map(tuple, lsh_incremental_pairs(stored, new, "doc_id")
+                      .collect()))
+    assert mem == disk and len(disk) > 0
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+    assert "bk0" in txt and ("Num Buckets 8" in txt or "8 buckets" in txt)
+    spark.sql(f"DROP TABLE {name}")
+
+
+def test_incremental_prebuilt_index_overload(spark):
+    """lsh_incremental_pairs(new_index_df=...) returns the same pairs
+    as the new_df text path, and the composed survivors plan contains
+    NO signature computation (both index frames are checkpointed once
+    — array_min(transform(...)) must not appear downstream)."""
+    import pytest as _pytest
+
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        lsh_incremental_pairs, minhash_index)
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter("doc_id % 17 <> 0")
+    new = docs.filter("doc_id % 17 = 0")
+    idx = minhash_index(old, "doc_id").localCheckpoint()
+    new_idx = minhash_index(new, "doc_id").localCheckpoint()
+    via_text = sorted(map(tuple,
+                          lsh_incremental_pairs(idx, new, "doc_id")
+                          .collect()))
+    via_index = sorted(map(tuple,
+                           lsh_incremental_pairs(idx, None, "doc_id",
+                                                 new_index_df=new_idx)
+                           .collect()))
+    assert via_text == via_index and len(via_index) > 0
+    pairs = lsh_incremental_pairs(idx, None, "doc_id", new_index_df=new_idx)
+    from pyspark.sql import functions as F
+    survivors = new.join(pairs.select(F.col("new_id").alias("doc_id")),
+                         "doc_id", "left_anti").select("doc_id")
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan  # signatures computed once, at checkpoint
+    with _pytest.raises(ValueError, match="exactly one"):
+        lsh_incremental_pairs(idx, new, "doc_id", new_index_df=new_idx)
+    with _pytest.raises(ValueError, match="exactly one"):
+        lsh_incremental_pairs(idx, None, "doc_id")
