@@ -72,6 +72,22 @@ oneOrMore):
   remaining consuming stages are all optional, the current prefix is
   emitted and the run keeps extending.
 
+Quantified GROUP patterns (``GroupPattern.java:30``, ``Quantifier``
+applied to ``Pattern.begin/next/followedBy(Pattern)``): a contiguous
+stage span can repeat — the span's last stage carries ``group_start``/
+``group_min``/``group_max``, and a run completing the span holds both
+the LOOP-BACK edge (re-enter the span's first stage, rep count below
+max) and the PROCEED edge (past the span, rep count at least min), like
+the reference's group middle states.  Min-0 (optional) groups add a
+whole-group SKIP edge; advancing into a skippable group materializes
+one explicit run per skip-chain position, so the entered-group branch
+and the skipped-past branch evolve separately (the reference's
+per-PROCEED computation states).  Trailing group loops emit one prefix
+match per completed repetition (partial-match semantics).  Narrowings
+(loud): groups are non-nested spans of >= 2 plain consuming stages with
+exact inner quantifiers (no negation/until/navigation/greedy/
+followedByAny inside); optional groups need relaxed seams.
+
 Scope notes (documented narrowings vs the reference):
 - a trailing ``notFollowedBy`` is supported only via the dedicated
   watermark-timer operator (``stateful.cep_not_followed_by``) that the

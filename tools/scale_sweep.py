@@ -99,6 +99,15 @@ HEADS_100X = {
         "linear: keyed NFA, 100x keys, runs/key bounded",
     "dedup_incremental_lsh":
         "linear: per-band equi-joins vs the index, disjoint copy vocabularies",
+    # round-8 additions (round-7 verdict ask #5): the steepest 10x
+    # ratio (text_repetition_stats, explode + two-level agg — all
+    # map-side + one shuffle on (doc, gram), output linear in corpus)
+    # and the feedback iteration (fixed ~64-round cap, per-round
+    # map+filter over the shrinking frontier — linear in row count)
+    "text_repetition_stats":
+        "linear: explode + two-level agg, one shuffle on (doc, gram)",
+    "stream_iterate_feedback_halving":
+        "linear: fixed round cap, per-round map+filter on the frontier",
 }
 
 
