@@ -735,3 +735,23 @@ def test_group_loop_state_survives_microbatches(spark):
     df2.coalesce(1).write.mode("append").parquet(src)
     out = run_to_completion(pat.match_stream(sdf), "append")
     assert sorted(tuple(r.ev_ids) for r in out.collect()) == [(1, 2, 3, 4, 5)]
+
+
+def test_group_pattern_with_timeout_side_output(spark):
+    """Quantified groups compose with the timeout side output: a group
+    rep left incomplete when the within-window expires emits to the
+    timeout output; a completed match stays timed_out=false."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    rows = [_ev(1, 0, "x"), _ev(2, 1, "a"), _ev(3, 2, "b"), _ev(4, 3, "y"),
+            # second anchor: group never completes, window expires at 59
+            _ev(5, 30, "x"), _ev(6, 31, "a"), _ev(7, 59, "q")]
+    pat = (Pattern.begin("x")
+           .followed_by_pattern(Pattern.begin("a").followed_by("b"))
+           .group_times(1).followed_by("y").within(10))
+    out = run_to_completion(
+        pat.match_stream(_stream(spark, rows), emit_timeouts=True),
+        "append")
+    got = sorted((tuple(r.ev_ids), r.timed_out) for r in out.collect())
+    assert ((1, 2, 3, 4), False) in got
+    assert any(t and ids[0] == 5 for ids, t in got)

@@ -377,3 +377,12 @@ def test_incremental_dedup_broadcasts_batch_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_intra_batch_ingest_decision_plan(spark):
+    """The full per-ingest dedup decision (corpus near-dups + intra-batch
+    near-dups + two anti-joins) stays JVM-side with no cartesian — the
+    composition adds joins, not new scan mechanics."""
+    plan = plan_of(spark, "dedup_incremental_intra_batch")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
