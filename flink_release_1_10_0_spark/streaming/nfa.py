@@ -567,6 +567,31 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
             break
         return out
 
+    # pattern-shape tables, computed ONCE at compile time (the per-event
+    # hot loop walks them; rebuilding them per (event, run) measured 2x
+    # on NFA-heavy heads):
+    # entries_cache[j] — the advance targets past stage j;
+    # proceed_cands[j] — every stage a run satisfied at j can consume
+    # into beyond j itself (the PROCEED closure through min-0 stages and
+    # skippable groups).  Both are static: the only dynamic candidate is
+    # the group loop-back edge, which depends on the run's rep count.
+    entries_cache = [entries_from(j) for j in range(n)]
+    proceed_cands = []
+    for s0_ in range(n):
+        cands0: list[int] = []
+        work, seenw = [s0_], set()
+        while work:
+            jw = work.pop()
+            if jw in seenw:
+                continue
+            seenw.add(jw)
+            for j2_ in entries_cache[jw]:
+                if j2_ not in cands0:
+                    cands0.append(j2_)
+                if spec[j2_][MIN] == 0:
+                    work.append(j2_)
+        proceed_cands.append(cands0)
+
     # start candidates: stage 0 plus every consuming stage reachable
     # from it through leading min-0 stages and min-0 GROUPS — the
     # reference's start state PROCEEDs through leading optionals, so
@@ -786,17 +811,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         if done0 < gmnx:
                             proceed_ok = False
                     if proceed_ok:
-                        work, seenw = [s_], set()
-                        while work:
-                            jw = work.pop()
-                            if jw in seenw:
-                                continue
-                            seenw.add(jw)
-                            for j2 in entries_from(jw):
-                                if j2 not in cands:
-                                    cands.append(j2)
-                                if spec[j2][MIN] == 0:
-                                    work.append(j2)
+                        cands.extend(proceed_cands[s_])
                     if nav_fns:
                         # per-run navigation refinement (IterativeCondition):
                         # the SQL bit must be set AND the nav closure must be
@@ -837,7 +852,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             # sequence ends here — fork the past-group
                             # state(s) if the group is satisfied, then die
                             if run[GR] + 1 >= ge_w[1]:
-                                for nxt0 in entries_from(s_):
+                                for nxt0 in entries_cache[s_]:
                                     if spec[nxt0][CONT] == "strict":
                                         continue
                                     g0 = guard_between(s_, nxt0)
@@ -933,7 +948,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                                 # per skip-chain position (a PROCEEDed
                                 # computation state each, like the
                                 # reference's NFA materializes)
-                                for tgt in entries_from(j):
+                                for tgt in entries_cache[j]:
                                     g = guard_between(j, tgt)
                                     new_runs.append(
                                         [tgt, 0, g,
@@ -964,7 +979,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             # materializes a computation state per
                             # PROCEED, so the entered-group branch and
                             # the skipped-past branch evolve separately)
-                            for tgt in entries_from(j):
+                            for tgt in entries_cache[j]:
                                 g = guard_between(j, tgt)
                                 gr_adv = (gr2 if g_of[tgt] >= 0
                                           and g_of[tgt] == g_of[j] else 0)
@@ -1077,7 +1092,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             # take): emit the short match, keep the run
                             emit(ts_us, ts_us, [eid], [js], [ts_us])
                         if mxj0 == 1:
-                            for tgt in entries_from(js):
+                            for tgt in entries_cache[js]:
                                 g = guard_between(js, tgt)
                                 new_runs.append(
                                     [tgt, 0, g,
