@@ -1789,3 +1789,58 @@ def flink_sql_mr_order_desc_tiebreaker(spark, sf_dir):
         "ts_h", F.date_trunc("hour", F.col("ts")))
     return execute_match_recognize_sql(spark, _SQL_MR_DESC_TB_TEXT,
                                        batch_df=ev)
+
+
+# --------------------------------------------------------------------------
+# Group loop with a STRICT seam (Pattern.next(Pattern).oneOrMore()):
+# signup next((click purchase))+ — the group's first stage keeps the
+# next() contiguity, so BOTH the entry (click immediately after signup)
+# and every loop-back (next rep's click immediately after the previous
+# purchase) are strict, while the inner click->purchase seam stays
+# relaxed.  Oracle: lead() finds each anchor's immediate successor; a
+# step edge exists only when that successor is a click, and the rep
+# then closes at the first purchase after it; chains via recursive CTE.
+# --------------------------------------------------------------------------
+_GROUP_STRICT_SEAM_ORACLE = """
+WITH RECURSIVE
+ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+nx AS (SELECT user_id, event_id, ts, event_type,
+              lead(event_id)   OVER w AS nid,
+              lead(event_type) OVER w AS ntype,
+              lead(ts)         OVER w AS nts
+       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+step AS (
+  SELECT e.user_id, e.event_id AS from_id, p2.event_id AS to_id
+  FROM (SELECT user_id, event_id, nid, nts FROM nx
+        WHERE event_type IN ('signup', 'purchase')
+          AND ntype = 'click') e,
+  LATERAL (SELECT event_id, ts FROM ev p
+           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND (p.ts, p.event_id) > (e.nts, e.nid)
+           ORDER BY p.ts, p.event_id LIMIT 1) p2),
+chain(user_id, start_id, end_id, reps) AS (
+  SELECT st.user_id, s.event_id, st.to_id, 1
+  FROM ev s JOIN step st
+    ON st.user_id = s.user_id AND st.from_id = s.event_id
+  WHERE s.event_type = 'signup'
+  UNION ALL
+  SELECT ch.user_id, ch.start_id, st.to_id, ch.reps + 1
+  FROM chain ch JOIN step st
+    ON st.user_id = ch.user_id AND st.from_id = ch.end_id)
+SELECT user_id, start_id, end_id, CAST(1 + 2 * reps AS INT) AS n_events
+FROM chain
+"""
+
+
+@register("cep_group_pattern_strict_seam", _GROUP_STRICT_SEAM_ORACLE)
+def cep_group_pattern_strict_seam(spark, sf_dir):
+    """Group loop whose entry AND loop-back seams are strict
+    (``Pattern.next(Pattern)`` + ``GroupPattern.oneOrMore``): rep
+    sequences chain only while each rep's click immediately follows
+    the previous anchor; prefix match per completed rep."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    sub = Pattern.begin("click").followed_by("purchase")
+    m = (Pattern.begin("signup").next_pattern(sub).group_one_or_more()
+         .match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")

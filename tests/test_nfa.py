@@ -755,3 +755,82 @@ def test_group_pattern_with_timeout_side_output(spark):
     got = sorted((tuple(r.ev_ids), r.timed_out) for r in out.collect())
     assert ((1, 2, 3, 4), False) in got
     assert any(t and ids[0] == 5 for ids, t in got)
+
+
+def test_leading_optional_group(spark):
+    """Pattern BEGINNING with a min-0 group: ((a b))? y — runs start
+    inside the group AND directly at y (the start state PROCEEDs over
+    the whole skippable group)."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "y")]
+    pat = (Pattern.begin_pattern(Pattern.begin("a").followed_by("b"))
+           .group_optional().followed_by("y"))
+    out = run_to_completion(pat.match_stream(_stream(spark, rows)), "append")
+    assert sorted(tuple(r.ev_ids) for r in out.collect()) == [(1, 2, 3), (3,)]
+
+
+def test_leading_group_loop(spark):
+    """((a b))+ as the WHOLE pattern: every completed rep emits a
+    prefix, and every group start anchors a fresh run."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    rows = [_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "a"), _ev(4, 3, "b")]
+    pat = (Pattern.begin_pattern(Pattern.begin("a").followed_by("b"))
+           .group_one_or_more())
+    out = run_to_completion(pat.match_stream(_stream(spark, rows)), "append")
+    assert sorted(tuple(r.ev_ids) for r in out.collect()) == \
+        [(1, 2), (1, 2, 3, 4), (3, 4)]
+
+
+def test_two_chained_optional_groups(spark):
+    """x ((a b))? ((c d))?: the skip chain crosses BOTH groups (x alone
+    matches), and each group independently takes or skips."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    rows = [_ev(1, 0, "x"), _ev(2, 1, "a"), _ev(3, 2, "b"),
+            _ev(4, 3, "c"), _ev(5, 4, "d")]
+    pat = (Pattern.begin("x")
+           .followed_by_pattern(Pattern.begin("a").followed_by("b"))
+           .group_optional()
+           .followed_by_pattern(Pattern.begin("c").followed_by("d"))
+           .group_optional())
+    out = run_to_completion(pat.match_stream(_stream(spark, rows)), "append")
+    assert sorted(tuple(r.ev_ids) for r in out.collect()) == \
+        [(1,), (1, 2, 3), (1, 2, 3, 4, 5), (1, 4, 5)]
+
+
+def test_group_loop_skip_past_last(spark):
+    """Group loop + AFTER MATCH skipPastLastEvent: the first completed
+    rep's emission prunes the still-looping run (begun at/before the
+    match end), so the longer match never forms."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    rows = [_ev(1, 0, "x"), _ev(2, 1, "a"), _ev(3, 2, "b"),
+            _ev(4, 3, "a"), _ev(5, 4, "b")]
+    pat = (Pattern.begin("x")
+           .followed_by_pattern(Pattern.begin("a").followed_by("b"))
+           .group_one_or_more())
+    out = run_to_completion(
+        pat.match_stream(_stream(spark, rows), after_match="skip_past_last"),
+        "append")
+    assert sorted(tuple(r.ev_ids) for r in out.collect()) == [(1, 2, 3)]
+
+
+def test_group_loop_window_expiry(spark):
+    """Group loop + within: a pending rep sequence is killed by window
+    expiry (non-greedy: completed-rep prefixes already emitted in-window
+    survive)."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    rows = [_ev(1, 0, "x"), _ev(2, 1, "a"), _ev(3, 2, "b"),
+            _ev(4, 59, "y")]
+    pat = (Pattern.begin("x")
+           .followed_by_pattern(Pattern.begin("a").followed_by("b"))
+           .group_one_or_more().followed_by("y").within(10))
+    out = run_to_completion(pat.match_stream(_stream(spark, rows)), "append")
+    assert [tuple(r.ev_ids) for r in out.collect()] == []
+    rows2 = [_ev(1, 0, "x"), _ev(2, 1, "a"), _ev(3, 2, "b"), _ev(4, 5, "y")]
+    out2 = run_to_completion(pat.match_stream(_stream(spark, rows2)),
+                             "append")
+    assert [tuple(r.ev_ids) for r in out2.collect()] == [(1, 2, 3, 4)]
