@@ -1844,3 +1844,104 @@ def cep_group_pattern_strict_seam(spark, sf_dir):
          .match_stream(ev))
     return run_to_completion(
         m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# Trailing GREEDY relaxed loop closed by the WITHIN window (round-8
+# emission semantics): signup click+.greedy() within 2 days.  The
+# window closing IS the loop-closing condition — the maximal click set
+# emits as a NORMAL match when the first same-key event past the
+# window arrives (event-driven expiry; a key with no later event holds
+# its run open, the facade's unbounded contract).  Oracle: per signup,
+# all clicks inside the window, emitted iff a later same-key event
+# strictly past the window exists.
+# --------------------------------------------------------------------------
+_TRAILING_GREEDY_CLOSE_ORACLE = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+s AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'signup'),
+m AS (
+  SELECT s.user_id, s.event_id AS start_id,
+         max_by(c.event_id,
+                CAST(epoch_us(c.ts) AS HUGEINT) * 1000000000
+                + c.event_id) AS end_id,
+         CAST(1 + count(*) AS INT) AS n_events
+  FROM s JOIN ev c
+    ON c.user_id = s.user_id AND c.event_type = 'click'
+   AND (c.ts, c.event_id) > (s.ts, s.event_id)
+   AND c.ts <= s.ts + INTERVAL 2 DAY
+  GROUP BY s.user_id, s.event_id, s.ts
+  HAVING EXISTS (SELECT 1 FROM ev e
+                 WHERE e.user_id = s.user_id
+                   AND e.ts > s.ts + INTERVAL 2 DAY))
+SELECT user_id, start_id, end_id, n_events FROM m
+"""
+
+
+@register("cep_trailing_greedy_window_close", _TRAILING_GREEDY_CLOSE_ORACLE)
+def cep_trailing_greedy_window_close(spark, sf_dir):
+    """signup click+.greedy() within 48h: the maximal in-window click
+    set emits as a normal match when the window expires on the run
+    (the round-8 trailing-greedy emission rule — previously these runs
+    were silently dropped)."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    m = (Pattern.begin("signup").followed_by("click").one_or_more()
+         .greedy().within(2 * 24 * 60).match_stream(ev))
+    return run_to_completion(
+        m.select("user_id", "start_id", "end_id", "n_events"), "append")
+
+
+# --------------------------------------------------------------------------
+# SQL PATTERN (A B+) with the tail match at partition end (round-8 EOS
+# sentinel): maximal consecutive view-runs immediately after a click,
+# SQL:2016 strict contiguity + greedy quantifier.  Oracle:
+# gaps-and-islands over the per-user row sequence — each view island
+# whose immediate predecessor row is a click is exactly one match.
+# --------------------------------------------------------------------------
+_MR_TRAILING_PLUS_ORACLE = """
+WITH o AS (SELECT user_id, event_id, event_type,
+                  row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+vi AS (SELECT user_id, rn, event_id,
+              rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                AS grp
+       FROM o WHERE event_type = 'view'),
+isl AS (SELECT user_id, grp, min(rn) AS lo,
+               max_by(event_id, rn) AS end_id,
+               CAST(count(*) AS BIGINT) AS n_b
+        FROM vi GROUP BY user_id, grp)
+SELECT i.user_id, c.event_id AS start_id, i.end_id, i.n_b
+FROM isl i JOIN o c
+  ON c.user_id = i.user_id AND c.rn = i.lo - 1 AND c.event_type = 'click'
+"""
+
+_SQL_MR_TRAILING_PLUS_TEXT = """
+SELECT user_id, start_id, end_id, n_b
+FROM ev MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS start_id, LAST(B.event_id) AS end_id,
+           COUNT(B.*) AS n_b
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B+)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'view'
+) AS m
+"""
+
+
+@register("flink_sql_mr_trailing_plus_tail", _MR_TRAILING_PLUS_ORACLE)
+def flink_sql_mr_trailing_plus_tail(spark, sf_dir):
+    """PATTERN (A B+): maximal consecutive view-runs after each click.
+    Mid-table runs close on the first non-view row (strict greedy
+    backtracking); a run still open at the partition's last row emits
+    via the bounded replay's end-of-stream sentinel — the round-8
+    SQL:2016 batch-semantics closer."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_TRAILING_PLUS_TEXT,
+        batch_df=t(spark, sf_dir, "events"))
