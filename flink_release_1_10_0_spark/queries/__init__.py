@@ -76,19 +76,29 @@ _PIN = [
     # ---- NEW in round 8 ----
     "cep_group_pattern_optional", "cep_group_pattern_one_or_more",
     "flink_sql_mr_order_desc_tiebreaker", "dedup_incremental_intra_batch",
-    # ---- regression fill (32): oldest-evidence families first ----
+    # ---- round-8 postscript additions (no driver evidence yet) ----
+    "cep_group_pattern_strict_seam", "cep_trailing_greedy_window_close",
+    "flink_sql_mr_trailing_plus_tail",
+    # ---- NEW in round 9: MATCH_RECOGNIZE aggregations (DEFINE RUNNING
+    #      aggregates + MEASURES expression arguments + the leftmost-
+    #      preferment held emission they require) ----
+    "flink_sql_mr_define_agg_avg", "flink_sql_mr_define_agg_sum_expr",
+    "flink_sql_mr_define_agg_minmax",
+    # ---- regression fill: oldest-evidence families first; this round
+    #      weights CEP/MR names because the NFA emission path changed
+    #      (held start-order skip-strategy emission) ----
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items", "tpch_q18_large_volume_customer",
-    "calc_project_filter", "setop_union_all", "setop_intersect_all",
-    "join_inner_equi", "join_semi_exists", "join_theta_nonequi",
-    "agg_grouping_sets", "agg_cube", "sort_limit_topk",
-    "unnest_explode_words",
+    "calc_project_filter", "setop_union_all",
+    "join_inner_equi", "join_semi_exists",
+    "agg_grouping_sets", "sort_limit_topk",
     "stream_tumble_agg", "stream_dedup_keep_last", "stream_topn_per_key",
     "stream_cep_error_then_purchase", "stream_interval_join",
-    "stream_lookup_join", "stream_session_window", "stream_temporal_join",
+    "stream_session_window",
     "cep_nfa_four_stage", "cep_nfa_until_loop",
-    "flink_sql_match_recognize",
+    "flink_sql_match_recognize", "cep_mr_skip_to_last",
+    "flink_sql_mr_vshape_canonical",
     "minhash_lsh_dup_pairs", "simhash_fingerprint", "dedup_exact_md5",
     "graph_connected_components", "similarity_ivf_topk_pruned",
     # ---- 50-window boundary: everything below already has driver

@@ -1945,3 +1945,245 @@ def flink_sql_mr_trailing_plus_tail(spark, sf_dir):
     return execute_match_recognize_sql(
         spark, _SQL_MR_TRAILING_PLUS_TEXT,
         batch_df=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE aggregations in DEFINE (round 9): the reference's
+# flagship Aggregations example shape (match_recognize.md:263-330,
+# MatchCodeGenerator.scala aggregate codegen) — PATTERN (A+ B) with
+# A AS AVG(A.value) < 40 accumulates rows while the RUNNING average
+# (current row included) stays below the threshold; the first breaking
+# row is B (default-TRUE DEFINE, md:257).  AFTER MATCH SKIP PAST LAST
+# ROW + SQL leftmost preferment (a younger run's early completion is
+# held and discarded while an older run extends — NFA.java:364's
+# completedMatches queue) make matches exactly the sequential fold the
+# oracle computes with a recursive CTE: one state row per (user, rn),
+# emitting (start, break) whenever the running average would leave the
+# band.  Both engines accumulate the run sum in the same row order, so
+# the threshold decisions agree bit-for-bit; the reported average is
+# rounded to 6dp (the aggregate-order convention).
+# --------------------------------------------------------------------------
+_MR_AGG_AVG_ORACLE = """
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+st AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS cnt,
+         CAST(0 AS DOUBLE) AS sm, CAST(NULL AS BIGINT) AS start_rn,
+         CAST(NULL AS BIGINT) AS em_start, CAST(NULL AS BIGINT) AS em_end,
+         CAST(NULL AS DOUBLE) AS em_sum, CAST(NULL AS INT) AS em_cnt
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT s.user_id, e.rn,
+         CASE WHEN (s.sm + e.value) / (s.cnt + 1) < 40 THEN s.cnt + 1
+              ELSE 0 END,
+         CASE WHEN (s.sm + e.value) / (s.cnt + 1) < 40 THEN s.sm + e.value
+              ELSE CAST(0 AS DOUBLE) END,
+         CASE WHEN (s.sm + e.value) / (s.cnt + 1) < 40
+              THEN coalesce(s.start_rn, e.rn) END,
+         CASE WHEN (s.sm + e.value) / (s.cnt + 1) >= 40 AND s.cnt > 0
+              THEN s.start_rn END,
+         CASE WHEN (s.sm + e.value) / (s.cnt + 1) >= 40 AND s.cnt > 0
+              THEN e.rn END,
+         CASE WHEN (s.sm + e.value) / (s.cnt + 1) >= 40 AND s.cnt > 0
+              THEN s.sm END,
+         CASE WHEN (s.sm + e.value) / (s.cnt + 1) >= 40 AND s.cnt > 0
+              THEN s.cnt END
+  FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+SELECT s.user_id, e1.ts AS start_t, e2.ts AS end_t,
+       ROUND(s.em_sum / s.em_cnt, 6) AS avg_val,
+       CAST(s.em_cnt AS BIGINT) AS n_a
+FROM st s
+JOIN ev e1 ON e1.user_id = s.user_id AND e1.rn = s.em_start
+JOIN ev e2 ON e2.user_id = s.user_id AND e2.rn = s.em_end - 1
+WHERE s.em_start IS NOT NULL
+"""
+
+_SQL_MR_AGG_AVG_TEXT = """
+SELECT user_id, start_t, end_t, ROUND(avg_val, 6) AS avg_val, n_a
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(A.ts) AS start_t, LAST(A.ts) AS end_t,
+           AVG(A.value) AS avg_val, COUNT(A.*) AS n_a
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A+ B)
+  DEFINE A AS AVG(A.value) < 40
+)
+"""
+
+
+@register("flink_sql_mr_define_agg_avg", _MR_AGG_AVG_ORACLE)
+def flink_sql_mr_define_agg_avg(spark, sf_dir):
+    """RUNNING AVG in DEFINE — the reference docs' flagship aggregate
+    pattern (match_recognize.md:278: longest period the average price
+    stays under a threshold), with B left to the default-TRUE DEFINE
+    and the leftmost-preferment held emission it requires."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_AGG_AVG_TEXT, batch_df=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Aggregate over an EXPRESSION argument (md:326: valid iff it references
+# a single pattern variable) in BOTH clauses: DEFINE accumulates
+# SUM(A.value * A.value) (sum of squares) and MEASURES reports it.
+# --------------------------------------------------------------------------
+_MR_AGG_SUMSQ_ORACLE = """
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+st AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS cnt,
+         CAST(0 AS DOUBLE) AS ss, CAST(NULL AS BIGINT) AS start_rn,
+         CAST(NULL AS BIGINT) AS em_start, CAST(NULL AS BIGINT) AS em_end,
+         CAST(NULL AS DOUBLE) AS em_ss, CAST(NULL AS INT) AS em_cnt
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT s.user_id, e.rn,
+         CASE WHEN s.ss + e.value * e.value < 5000 THEN s.cnt + 1
+              ELSE 0 END,
+         CASE WHEN s.ss + e.value * e.value < 5000
+              THEN s.ss + e.value * e.value ELSE CAST(0 AS DOUBLE) END,
+         CASE WHEN s.ss + e.value * e.value < 5000
+              THEN coalesce(s.start_rn, e.rn) END,
+         CASE WHEN s.ss + e.value * e.value >= 5000 AND s.cnt > 0
+              THEN s.start_rn END,
+         CASE WHEN s.ss + e.value * e.value >= 5000 AND s.cnt > 0
+              THEN e.rn END,
+         CASE WHEN s.ss + e.value * e.value >= 5000 AND s.cnt > 0
+              THEN s.ss END,
+         CASE WHEN s.ss + e.value * e.value >= 5000 AND s.cnt > 0
+              THEN s.cnt END
+  FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+SELECT s.user_id, e1.ts AS start_t,
+       ROUND(s.em_ss, 6) AS sum_sq,
+       CAST(s.em_cnt AS BIGINT) AS n_a
+FROM st s
+JOIN ev e1 ON e1.user_id = s.user_id AND e1.rn = s.em_start
+WHERE s.em_start IS NOT NULL
+"""
+
+_SQL_MR_AGG_SUMSQ_TEXT = """
+SELECT user_id, start_t, ROUND(sum_sq, 6) AS sum_sq, n_a
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(A.ts) AS start_t,
+           SUM(A.value * A.value) AS sum_sq, COUNT(A.*) AS n_a
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A+ B)
+  DEFINE A AS SUM(A.value * A.value) < 5000
+)
+"""
+
+
+@register("flink_sql_mr_define_agg_sum_expr", _MR_AGG_SUMSQ_ORACLE)
+def flink_sql_mr_define_agg_sum_expr(spark, sf_dir):
+    """Expression-argument aggregate (``SUM(A.value * A.value)``) in
+    DEFINE and MEASURES — the single-variable expression rule the
+    reference documents at match_recognize.md:326."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_AGG_SUMSQ_TEXT, batch_df=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Two aggregates combined in ONE DEFINE predicate: MAX - MIN bounds the
+# run's value spread.  Exact float min/max on both sides — no
+# accumulation-order sensitivity at all, so values compare unrounded.
+# --------------------------------------------------------------------------
+_MR_AGG_MINMAX_ORACLE = """
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+st AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS cnt,
+         CAST(NULL AS DOUBLE) AS mn, CAST(NULL AS DOUBLE) AS mx,
+         CAST(NULL AS BIGINT) AS start_rn,
+         CAST(NULL AS BIGINT) AS em_start, CAST(NULL AS BIGINT) AS em_end,
+         CAST(NULL AS DOUBLE) AS em_mn, CAST(NULL AS DOUBLE) AS em_mx,
+         CAST(NULL AS INT) AS em_cnt
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT s.user_id, e.rn,
+         CASE WHEN greatest(coalesce(s.mx, e.value), e.value)
+                   - least(coalesce(s.mn, e.value), e.value) < 25
+              THEN s.cnt + 1 ELSE 0 END,
+         CASE WHEN greatest(coalesce(s.mx, e.value), e.value)
+                   - least(coalesce(s.mn, e.value), e.value) < 25
+              THEN least(coalesce(s.mn, e.value), e.value) END,
+         CASE WHEN greatest(coalesce(s.mx, e.value), e.value)
+                   - least(coalesce(s.mn, e.value), e.value) < 25
+              THEN greatest(coalesce(s.mx, e.value), e.value) END,
+         CASE WHEN greatest(coalesce(s.mx, e.value), e.value)
+                   - least(coalesce(s.mn, e.value), e.value) < 25
+              THEN coalesce(s.start_rn, e.rn) END,
+         CASE WHEN greatest(coalesce(s.mx, e.value), e.value)
+                   - least(coalesce(s.mn, e.value), e.value) >= 25
+                   AND s.cnt > 0 THEN s.start_rn END,
+         CASE WHEN greatest(coalesce(s.mx, e.value), e.value)
+                   - least(coalesce(s.mn, e.value), e.value) >= 25
+                   AND s.cnt > 0 THEN e.rn END,
+         CASE WHEN greatest(coalesce(s.mx, e.value), e.value)
+                   - least(coalesce(s.mn, e.value), e.value) >= 25
+                   AND s.cnt > 0 THEN s.mn END,
+         CASE WHEN greatest(coalesce(s.mx, e.value), e.value)
+                   - least(coalesce(s.mn, e.value), e.value) >= 25
+                   AND s.cnt > 0 THEN s.mx END,
+         CASE WHEN greatest(coalesce(s.mx, e.value), e.value)
+                   - least(coalesce(s.mn, e.value), e.value) >= 25
+                   AND s.cnt > 0 THEN s.cnt END
+  FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+SELECT s.user_id,
+       CAST(e1.event_id AS BIGINT) AS start_id,
+       s.em_mn AS lo, s.em_mx AS hi, CAST(s.em_cnt AS BIGINT) AS n_a
+FROM st s
+JOIN ev e1 ON e1.user_id = s.user_id AND e1.rn = s.em_start
+WHERE s.em_start IS NOT NULL
+"""
+
+_SQL_MR_AGG_MINMAX_TEXT = """
+SELECT user_id, start_id, lo, hi, n_a
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(A.event_id) AS start_id,
+           MIN(A.value) AS lo, MAX(A.value) AS hi, COUNT(A.*) AS n_a
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A+ B)
+  DEFINE A AS MAX(A.value) - MIN(A.value) < 25
+)
+"""
+
+
+@register("flink_sql_mr_define_agg_minmax", _MR_AGG_MINMAX_ORACLE)
+def flink_sql_mr_define_agg_minmax(spark, sf_dir):
+    """MAX(A.value) - MIN(A.value) < 25 in one DEFINE predicate: two
+    running aggregates composed by the predicate grammar (the
+    reference compiles aggregate calls as RexNodes inside arbitrary
+    DEFINE expressions, MatchCodeGenerator.scala)."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_AGG_MINMAX_TEXT, batch_df=t(spark, sf_dir, "events"))

@@ -29,11 +29,17 @@ DEFINE predicates come in two tiers:
 - no navigation (``B AS B.value < 10``): own-variable prefix stripped,
   evaluated as a JVM-side Spark SQL boolean column (the fast path);
 - with navigation (``B AS B.price > LAST(A.price)``, ``C AS C.v <
-  A.v``, ``U AS U.value > PREV(U.value)``): compiled by
+  A.v``, ``U AS U.value > PREV(U.value)``) or an AGGREGATE with the
+  reference's RUNNING semantics (``A AS AVG(A.price) < 15`` — the
+  aggregate ranges over A's mapped rows so far, the row under test
+  included; ``SUM/AVG/MIN/MAX/COUNT``, expression arguments over a
+  single variable, ``COUNT(V.*)``/``COUNT(*)``;
+  ``match_recognize.md:263-331``): compiled by
   ``streaming/navexpr.py`` into a per-run closure the NFA evaluates
   against its bounded match buffer — the reference's
   IterativeCondition path (``MatchCodeGenerator.scala`` navigation
-  codegen over ``flink-cep`` NFA state).
+  codegen over ``flink-cep`` NFA state).  A pattern variable with no
+  DEFINE defaults to TRUE (``match_recognize.md:257``).
 
 PARTITION BY accepts any number of columns (composite keys like
 ``(tenant, symbol)`` shuffle the NFA exactly like single ones — the
@@ -451,6 +457,14 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
     from flink_release_1_10_0_spark.streaming.nfa import match_nfa
 
     spec = parse_match_recognize(query)
+    # a pattern variable with no DEFINE gets the default TRUE condition
+    # (the reference: "If a condition is not defined for a pattern
+    # variable, a default condition will be used which evaluates to
+    # true for every row", match_recognize.md:257 — its flagship
+    # aggregation example leaves B undefined)
+    for pv in re.findall(r"[A-Za-z_]\w*", spec.pattern):
+        if pv not in spec.subsets:
+            spec.define.setdefault(pv, "TRUE")
     batch = batch_df if batch_df is not None else spark.table(spec.table)
     stream = (stream_df if stream_df is not None
               else _bounded_stream(batch, keys=spec.partition_by,

@@ -568,11 +568,15 @@ def _parse_after_match(after_match: str):
     full surface (``AfterMatchSkipStrategy``; parsed by
     ``StreamExecMatch.scala:69`` from the MATCH_RECOGNIZE clause)."""
     from flink_release_1_10_0_spark.streaming.nfa import (
-        NO_SKIP, SKIP_PAST_LAST, SKIP_TO_FIRST, SKIP_TO_LAST)
+        SKIP_PAST_LAST, SKIP_TO_FIRST, SKIP_TO_LAST, SKIP_TO_NEXT)
 
     am = after_match.strip().lower()
     if am == "skip_to_next_row":
-        return NO_SKIP
+        # SkipToNextStrategy (a REAL skip strategy in the reference, not
+        # noSkip): one preferred match per start position, start-order
+        # emission — partials/held matches starting AT an emitted
+        # match's start event are discarded
+        return SKIP_TO_NEXT
     if am == "skip_past_last_row":
         return SKIP_PAST_LAST
     parts = after_match.split()
@@ -601,6 +605,15 @@ _MEASURE_AGG = __import__("re").compile(
     r"^\s*(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*([A-Za-z_]\w*)\.(\w+|\*)"
     r"\s*(?:,\s*(\d+)\s*)?\)\s*$",
     __import__("re").IGNORECASE)
+
+# Aggregate over an EXPRESSION argument (``SUM(A.price * A.tax)``) —
+# valid in the reference iff every reference inside names a single
+# pattern variable (match_recognize.md:326); FIRST/LAST keep the plain
+# V.col grammar (offset navigation has no expression form there either)
+_MEASURE_AGG_EXPR = __import__("re").compile(
+    r"^\s*(MIN|MAX|SUM|AVG|COUNT)\s*\(\s*(.+?)\s*\)\s*$",
+    __import__("re").IGNORECASE | __import__("re").DOTALL)
+_QUAL_REF = __import__("re").compile(r"\b([A-Za-z_]\w*)\s*\.\s*(\w+)")
 
 # Columns carrying money amounts: SUM over these takes the decimal-exact
 # accumulation path (the repo's cross-engine determinism convention, see
@@ -632,6 +645,11 @@ def _parse_measure(spec: str) -> tuple[str, str, str, str, int]:
         mode, s = "RUNNING", s[len("running "):]
     elif low.startswith("final "):
         mode, s = "FINAL", s[len("final "):]
+    if __import__("re").match(r"^\s*COUNT\s*\(\s*\*\s*\)\s*$", s,
+                              __import__("re").IGNORECASE):
+        # COUNT(*): every row of the match, no classifier filter (the
+        # "*" variable marker compiles to an unfiltered aggregate)
+        return mode, "COUNT", "*", "*", 0
     m = _MEASURE_AGG.match(s)
     if m:
         fn_ = m.group(1).upper()
@@ -641,6 +659,34 @@ def _parse_measure(spec: str) -> tuple[str, str, str, str, int]:
                 f"bad MEASURES expression {spec!r}: a navigation offset "
                 f"is only valid on FIRST/LAST, not {fn_}")
         return mode, fn_, m.group(2), m.group(3), off
+    m = _MEASURE_AGG_EXPR.match(s)
+    if m:
+        # aggregate over an expression argument: every qualified
+        # reference must name ONE pattern variable (``SUM(A.price *
+        # A.tax)`` valid, ``AVG(A.price * B.tax)`` not — the
+        # reference's rule, match_recognize.md:326); the stripped
+        # expression rides in the col slot and passes to Spark SQL
+        # verbatim under the variable's CLASSIFIER filter
+        fn_, arg = m.group(1).upper(), m.group(2)
+        if arg.count("(") != arg.count(")"):
+            # `AVG(X.v) - AVG(X.w)` starts with an aggregate call too:
+            # an unbalanced capture means the call is one FRAGMENT of a
+            # compound expression — let the compound path split it
+            raise ValueError(f"bad MEASURES expression {spec!r}")
+        if arg.upper().startswith("DISTINCT "):
+            raise NotImplementedError(
+                "DISTINCT aggregates in MEASURES are not supported "
+                "(the reference refuses them too, "
+                "match_recognize.md:331)")
+        avars = {v for v, _ in _QUAL_REF.findall(arg)}
+        if len(avars) != 1:
+            raise ValueError(
+                f"bad MEASURES expression {spec!r}: an aggregate "
+                f"argument must reference exactly one pattern variable "
+                f"(got {sorted(avars)})")
+        var = next(iter(avars))
+        expr = __import__("re").sub(rf"\b{var}\s*\.\s*", "", arg)
+        return mode, fn_, var, expr, 0
     var, _, col = s.strip().partition(".")
     if not col or not var.isidentifier():
         raise ValueError(f"bad MEASURES expression {spec!r}")
@@ -700,6 +746,8 @@ def _subset_filter(var: str,
     """CLASSIFIER filter for one variable — or, for a SQL:2016 SUBSET
     union variable, for ANY of its members (rows mapped to any member,
     the SUBSET contract)."""
+    if var == "*":
+        return ""        # COUNT(*): all match rows, no classifier filter
     members = (subsets or {}).get(var)
     if members is None:
         return f"FILTER (WHERE var = '{var}')"
@@ -751,8 +799,11 @@ def _measure_window(spec: str, w_final, w_running,
     mode, fn_, var, col, off = _parse_measure(spec)
     w = w_running if mode == "RUNNING" else w_final
     members = (subsets or {}).get(var)
-    is_var = (F.col("var").isin(members) if members is not None
-              else F.col("var") == var)
+    if var == "*":               # COUNT(*): every match row
+        is_var = F.lit(True)
+    else:
+        is_var = (F.col("var").isin(members) if members is not None
+                  else F.col("var") == var)
     if fn_ in ("FIRST", "LAST") and off:
         # offset navigation: pos-sorted (pos, col) pairs of V's rows in
         # the frame, indexed k+1 from the matching end (NULL if absent)
@@ -762,13 +813,16 @@ def _measure_window(spec: str, w_final, w_running,
         idx = off + 1 if fn_ == "FIRST" else -(off + 1)
         return F.try_element_at(pairs, F.lit(idx))["v"]
     if fn_ == "COUNT":
-        v = F.lit(1) if col == "*" else F.col(col)
+        # F.expr also covers expression arguments (SUM(A.price * A.tax)
+        # rides through _parse_measure with the stripped expression in
+        # the col slot)
+        v = F.lit(1) if col == "*" else F.expr(col)
         return F.count(F.when(is_var, v)).over(w)
     if fn_ == "SUM" and col in _MONEY_COLS:
         return (F.sum(F.when(is_var, F.col(col).cast("decimal(18,2)")))
                 .over(w).cast("double"))
     if fn_ in ("SUM", "MIN", "MAX", "AVG"):
-        return getattr(F, fn_.lower())(F.when(is_var, F.col(col))).over(w)
+        return getattr(F, fn_.lower())(F.when(is_var, F.expr(col))).over(w)
     # FIRST/LAST: order by pos via struct min/max
     s = F.when(is_var, F.struct(F.col("pos"), F.col(col).alias("__v")))
     agg = F.min(s) if fn_ == "FIRST" else F.max(s)

@@ -32,6 +32,20 @@ Supported grammar (raises NotImplementedError beyond it):
   or not it was matched (SQL:2016 PREV; default k=1)
 - ``NEXT(...)`` in DEFINE needs lookahead — rejected like the reference
   rejects it outside MEASURES.
+- aggregates ``SUM/AVG/MIN/MAX(expr)``, ``COUNT(V.col)``,
+  ``COUNT(V.*)``, ``COUNT(*)`` with the reference's RUNNING semantics
+  (``docs/dev/table/streaming/match_recognize.md:263-331``,
+  ``MatchCodeGenerator.scala`` aggregate codegen): the aggregate ranges
+  over the rows mapped to the variable SO FAR in this match, including
+  the current row when it is (tentatively) classified as that variable
+  — ``A AS AVG(A.price) < 15`` accepts a row iff the average with it
+  appended stays below 15, exactly the reference's flagship example.
+  The argument may be an expression, but must reference a single
+  pattern variable (``SUM(A.price * A.tax)`` is valid,
+  ``AVG(A.price * B.tax)`` refuses — the reference's rule), and
+  ``DISTINCT`` aggregates refuse like the reference.  The NFA tracks
+  one bounded accumulator ``(count, sum, min, max)`` per (variable,
+  argument) per run — never the row history.
 
 A navigation that resolves to no row (variable unmatched, offset past
 the buffer, PREV before the first row) is SQL NULL; a predicate that
@@ -64,18 +78,29 @@ class NavPred:
     # var -> col -> [need_first, need_last] (how many head/tail values)
     tracked: dict[str, dict[str, list[int]]] = field(default_factory=dict)
     prev_depth: int = 0
+    # var -> agg_key -> arg evaluator (None = row-count only, COUNT(V.*));
+    # the NFA keeps one (count, sum, min, max) accumulator per entry per
+    # run, updated when a row is consumed into var
+    aggs: dict[str, dict[str, object]] = field(default_factory=dict)
+    # a COUNT(*) / COUNT(V.*) appears: the NFA then counts EVERY
+    # consumed row per variable (navn), not just tracked ones
+    count_all: bool = False
 
 
 _TOKEN = re.compile(r"""
     \s*(?:
       (?P<num>\d+(?:\.\d+)?)
     | '(?P<str>(?:[^']|'')*)'
+    | (?P<star>[A-Za-z_]\w*\s*\.\s*\*)
     | (?P<ident>[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?)
     | (?P<op><>|!=|<=|>=|=|<|>|\+|-|\*|/|%|\(|\)|,)
     )""", re.VERBOSE)
 
 _KEYWORDS = {"AND", "OR", "NOT", "IS", "NULL", "TRUE", "FALSE",
-             "FIRST", "LAST", "PREV", "NEXT"}
+             "FIRST", "LAST", "PREV", "NEXT",
+             "SUM", "AVG", "COUNT", "MIN", "MAX"}
+
+_AGG_KINDS = ("SUM", "AVG", "COUNT", "MIN", "MAX")
 
 
 def _tokenize(s: str) -> list[tuple[str, object]]:
@@ -95,6 +120,9 @@ def _tokenize(s: str) -> list[tuple[str, object]]:
             out.append(("num", float(t) if "." in t else int(t)))
         elif m.group("str") is not None:
             out.append(("str", m.group("str").replace("''", "'")))
+        elif m.group("star") is not None:
+            out.append(("star", re.sub(r"\s*\.\s*\*", "",
+                                       m.group("star"))))
         elif m.group("ident") is not None:
             ident = re.sub(r"\s*\.\s*", ".", m.group("ident"))
             up = ident.upper()
@@ -178,6 +206,10 @@ class _Compiler:
         self.row_cols: set[str] = set()
         self.tracked: dict[str, dict[str, list[int]]] = {}
         self.prev_depth = 0
+        self.aggs: dict[str, dict[str, object]] = {}
+        self.count_all = False
+        self.in_agg = False
+        self.agg_vars: set[str] = set()
 
     # token helpers ------------------------------------------------------
     def peek(self):
@@ -346,6 +378,87 @@ class _Compiler:
         self.expect_op(")")
         return var, col, off
 
+    def _agg_call(self, kind: str) -> Evaluator:
+        """Parse + compile ``SUM/AVG/MIN/MAX(expr)``, ``COUNT(V.col)``,
+        ``COUNT(V.*)``, ``COUNT(*)`` with RUNNING semantics: the value
+        over the rows mapped to the variable so far in this match, the
+        current row included when it is tentatively classified as that
+        variable (``match_recognize.md:263-331``)."""
+        self.expect_op("(")
+        pk, pv = self.peek()
+        if pk == "ident" and pv.upper() == "DISTINCT":
+            raise NotImplementedError(
+                "DISTINCT aggregates in MATCH_RECOGNIZE are not "
+                "supported (the reference refuses them too, "
+                "match_recognize.md:331)")
+        if kind == "COUNT" and (pk, pv) == ("op", "*"):
+            # COUNT(*): every row of the candidate match, the current
+            # (tentatively classified) row included
+            self.take()
+            self.expect_op(")")
+            self.count_all = True
+            return lambda row, nav, navn, prev: sum(navn.values()) + 1
+        if pk == "star":
+            # COUNT(V.*): rows mapped to V (current row included when V
+            # is the variable being defined)
+            if kind != "COUNT":
+                raise NotImplementedError(
+                    f"{kind}(V.*) is not valid — only COUNT takes V.*")
+            self.take()
+            self.expect_op(")")
+            var = pv
+            if var not in self.vars:
+                raise ValueError(
+                    f"COUNT({var}.*): {var!r} is not a pattern variable")
+            self.count_all = True
+            own = var == self.own
+            return (lambda row, nav, navn, prev, var=var, own=own:
+                    navn.get(var, 0) + (1 if own else 0))
+        # expression argument over a single pattern variable
+        i0 = self.i
+        self.in_agg, self.agg_vars = True, set()
+        arg = self.add_expr()
+        self.in_agg = False
+        self.expect_op(")")
+        if len(self.agg_vars) != 1:
+            raise NotImplementedError(
+                f"{kind}(...) argument must reference exactly one "
+                f"pattern variable (got {sorted(self.agg_vars)}) — "
+                "SUM(A.price * A.tax) is valid, AVG(A.price * B.tax) "
+                "is not (the reference's single-variable rule)")
+        var = next(iter(self.agg_vars))
+        # stable accumulator key: the argument's token slice (dedups the
+        # same argument text across predicates sharing a pattern)
+        akey = "\x00" + kind + ":" + repr(self.toks[i0:self.i - 1])
+        self.aggs.setdefault(var, {})[akey] = arg
+        own = var == self.own
+
+        def fn(row, nav, navn, prev, kind=kind, var=var, own=own,
+               arg=arg, akey=akey):
+            acc = nav.get(var, {}).get(akey)
+            n, s, mn, mx = acc if acc else (0, None, None, None)
+            if own:
+                v = arg(row, nav, navn, prev)
+                if v is not None:
+                    import decimal
+                    if isinstance(v, decimal.Decimal):
+                        v = float(v)
+                    n += 1
+                    if _num(v):
+                        s = v if s is None else s + v
+                    mn = v if mn is None or v < mn else mn
+                    mx = v if mx is None or v > mx else mx
+            if kind == "COUNT":
+                return n
+            if kind == "SUM":
+                return s
+            if kind == "AVG":
+                return None if not n or s is None else s / n
+            if kind == "MIN":
+                return mn
+            return mx
+        return fn
+
     def primary(self) -> Evaluator:
         k, v = self.take()
         if k == "num" or k == "str":
@@ -364,6 +477,18 @@ class _Compiler:
                 "NEXT(...) in DEFINE needs lookahead — the reference "
                 "rejects it outside MEASURES too; use PREV on the later "
                 "variable instead")
+        if k == "kw" and v in _AGG_KINDS:
+            if self.in_agg:
+                raise NotImplementedError(
+                    f"nested aggregate {v}(...) inside an aggregate "
+                    "argument is not supported (the reference refuses "
+                    "nested aggregations too)")
+            return self._agg_call(v)
+        if self.in_agg and k == "kw" and v in ("FIRST", "LAST", "PREV"):
+            raise NotImplementedError(
+                f"{v}(...) navigation inside an aggregate argument is "
+                "not supported (the reference's aggregate arguments are "
+                "row expressions over a single pattern variable)")
         if k == "kw" and v in ("FIRST", "LAST"):
             var, col, off = self._nav_args()
             off = 0 if off is None else off
@@ -416,6 +541,24 @@ class _Compiler:
                 return prev[-off].get(col) if off <= len(prev) else None
             return fn
         if k == "ident":
+            if self.in_agg:
+                if "." not in v:
+                    raise NotImplementedError(
+                        f"unqualified column {v!r} inside an aggregate "
+                        "argument: qualify it with the pattern variable "
+                        "(SUM(A.price)) — the aggregate ranges over "
+                        "that variable's mapped rows")
+                var, col = v.split(".", 1)
+                if var not in self.vars:
+                    raise ValueError(
+                        f"unknown qualifier {var!r} in aggregate "
+                        f"argument (pattern variables: "
+                        f"{sorted(self.vars)})")
+                self.agg_vars.add(var)
+                self.row_cols.add(col)
+                # the arg closure is applied to ONE mapped row of the
+                # variable at accumulation time: `row` is that row
+                return lambda row, nav, navn, prev, col=col: row.get(col)
             if "." in v:
                 var, col = v.split(".", 1)
                 if var == self.own:
@@ -448,13 +591,16 @@ def compile_nav_predicate(pred: str, own_var: str,
     c = _Compiler(pred, own_var, all_vars)
     fn = c.parse()
     return NavPred(fn=fn, row_cols=frozenset(c.row_cols),
-                   tracked=c.tracked, prev_depth=c.prev_depth)
+                   tracked=c.tracked, prev_depth=c.prev_depth,
+                   aggs=c.aggs, count_all=c.count_all)
 
 
 def has_navigation(pred: str, own_var: str, all_vars: list[str]) -> bool:
     """True when the predicate needs per-run evaluation: a FIRST/LAST/
-    PREV/NEXT call, or a qualified reference to ANOTHER variable."""
-    if re.search(r"\b(FIRST|LAST|PREV|NEXT)\s*\(", pred, re.IGNORECASE):
+    PREV/NEXT call, an aggregate (SUM/AVG/COUNT/MIN/MAX — RUNNING over
+    the match buffer), or a qualified reference to ANOTHER variable."""
+    if re.search(r"\b(FIRST|LAST|PREV|NEXT|SUM|AVG|COUNT|MIN|MAX)\s*\(",
+                 pred, re.IGNORECASE):
         return True
     return any(re.search(rf"\b{re.escape(v)}\s*\.", pred)
                for v in all_vars if v != own_var)

@@ -43,12 +43,25 @@ Execution model (Spark-first):
   advance branch while the loop stage still matches and guards PROCEED
   with NOT(take) (``updateWithGreedyCondition``), which is what makes
   the SQL-quantifier tier emit single maximal matches.
-- After-match skip: ``no_skip`` (the reference's default),
-  ``skip_past_last`` (AfterMatchSkipStrategy.skipPastLastEvent — kills
-  runs begun at/before the match end and suppresses new runs there), or
-  ``("skip_to_first"|"skip_to_last", var)`` (skipToFirst/skipToLast —
-  kills runs begun before the first/last event the match mapped to
-  ``var``; the surviving parallel runs are the resume positions).
+- After-match skip: ``no_skip`` (the reference's default — every match
+  emits immediately, completion order), ``skip_to_next``
+  (AfterMatchSkipStrategy.skipToNext — one preferred match per start
+  position, SQL's AFTER MATCH SKIP TO NEXT ROW), ``skip_past_last``
+  (skipPastLastEvent — kills runs begun at/before the match end and
+  suppresses new runs there), or ``("skip_to_first"|"skip_to_last",
+  var)`` (skipToFirst/skipToLast — kills runs begun before the
+  first/last event the match mapped to ``var``; the surviving parallel
+  runs are the resume positions).  Under every skip strategy (not
+  no_skip), a completed match is HELD until no EARLIER-STARTED partial
+  run remains alive, then emitted in start order with the strategy's
+  pruning applied to both the partial runs and the other held matches —
+  the reference's completedMatches priority queue
+  (``NFA.java:364 processMatchesAccordingToSkipStrategy``), which is
+  what makes preferment leftmost-start (SQL:2016), not
+  completion-order: a younger match that completes first while an
+  older run is still extending (e.g. under a running-aggregate DEFINE)
+  waits, and is discarded when the older match's pruning id covers its
+  start.
 
 Trailing-stage emission (the reference's partial-match surface,
 ``flink-cep/.../pattern/Pattern.java:246`` optional / ``:306``
@@ -107,6 +120,14 @@ Scope notes (documented narrowings vs the reference):
   goes silent forever holds its pending maximal match open — the
   reference emits those via cross-key watermark timers, which this
   event-driven engine does not model.
+- at end-of-stream, a HELD skip-strategy match still blocked by an
+  older UNSATISFIED partial run is discarded, exactly like the
+  reference's bounded-job close (the completedMatches queue is never
+  drained past a live partial).  Full SQL:2016 batch semantics would
+  backtrack the blocked run (re-binding its tail rows to the later
+  pattern stages, e.g. ``A+ B`` handing A's last row to B) — a
+  divergence this engine shares with the reference; with a ``within``
+  window the blocked partial expires and the held match emits, on both.
 """
 
 from __future__ import annotations
@@ -124,10 +145,11 @@ MAX_RUNS_PER_KEY = 512
 
 # Bumped whenever ``state_schema`` below changes shape (v1: runs only;
 # v2: + r_nav/prev_rows navigation fields; v3: + r_greps group-pattern
-# rep counters).  Spark's state store rejects a checkpoint whose schema
-# doesn't match — an explicit version makes that an announced format
-# break, not a surprise.
-NFA_STATE_FORMAT_VERSION = 3
+# rep counters; v4: + c_* held-completed-match fields for start-order
+# skip-strategy emission).  Spark's state store rejects a checkpoint
+# whose schema doesn't match — an explicit version makes that an
+# announced format break, not a surprise.
+NFA_STATE_FORMAT_VERSION = 4
 
 # End-of-stream sentinel id for BOUNDED replays: a row whose id equals
 # this value (appended by ``with_eos_sentinels``, sorted last per key by
@@ -141,6 +163,7 @@ NFA_STATE_FORMAT_VERSION = 3
 EOS_SENTINEL_ID = -(2 ** 62)
 
 NO_SKIP = "no_skip"                    # AfterMatchSkipStrategy.noSkip (default)
+SKIP_TO_NEXT = "skip_to_next"          # AfterMatchSkipStrategy.skipToNext
 SKIP_PAST_LAST = "skip_past_last"      # AfterMatchSkipStrategy.skipPastLastEvent
 SKIP_TO_FIRST = "skip_to_first"        # AfterMatchSkipStrategy.skipToFirst(var)
 SKIP_TO_LAST = "skip_to_last"          # AfterMatchSkipStrategy.skipToLast(var)
@@ -378,7 +401,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     continuous query has no end-of-stream — the reference flushes those
     only via the final +inf watermark of a bounded job).
 
-    ``after_match`` is ``no_skip``, ``skip_past_last``, or a tuple
+    ``after_match`` is ``no_skip``, ``skip_to_next``,
+    ``skip_past_last``, or a tuple
     ``("skip_to_first"|"skip_to_last", var)`` naming a pattern variable
     (``AfterMatchSkipStrategy.skipToFirst/skipToLast``,
     ``flink-libraries/flink-cep/.../nfa/aftermatch/``): after a match,
@@ -410,7 +434,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         if not skip_var_idx:
             raise ValueError(f"skip-to variable {var!r} not in pattern")
         after_match = mode
-    elif after_match not in (NO_SKIP, SKIP_PAST_LAST):
+    elif after_match not in (NO_SKIP, SKIP_TO_NEXT, SKIP_PAST_LAST):
         raise ValueError(f"bad after_match {after_match!r}")
     n = len(stages)
     within_us = None if within_minutes is None else int(within_minutes * 60_000_000)
@@ -424,6 +448,11 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     # history), and how many physical rows back PREV reaches
     nav_fns = {i: s.nav.fn for i, s in enumerate(stages) if s.nav is not None}
     merged_tracked: dict[str, dict[str, list[int]]] = {}
+    # var -> agg accumulator key -> arg evaluator (RUNNING aggregates in
+    # DEFINE, match_recognize.md:263-331: one bounded (count, sum, min,
+    # max) accumulator per entry per run, updated on consumption)
+    merged_aggs: dict[str, dict[str, Any]] = {}
+    count_all = False      # a COUNT(*)/COUNT(V.*): count every consumed row
     nav_row_cols: set[str] = set()
     prev_depth = 0
     for s in stages:
@@ -431,11 +460,15 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
             continue
         nav_row_cols |= set(s.nav.row_cols)
         prev_depth = max(prev_depth, s.nav.prev_depth)
+        count_all = count_all or getattr(s.nav, "count_all", False)
+        for var, aggd in getattr(s.nav, "aggs", {}).items():
+            merged_aggs.setdefault(var, {}).update(aggd)
         for var, cols in s.nav.tracked.items():
             for col, (nf, nl) in cols.items():
                 cur = merged_tracked.setdefault(var, {}).setdefault(
                     col, [0, 0])
                 cur[0], cur[1] = max(cur[0], nf), max(cur[1], nl)
+    nav_track = bool(merged_tracked or merged_aggs or count_all)
     stage_var = [s.name for s in stages]
     if nav_fns:
         # nav values round-trip through the state store as JSON — keep
@@ -488,13 +521,16 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     # r_nav/prev_rows: tiny JSON blobs (a few navigated scalars per run /
     # the last prev_depth rows), populated ONLY for navigation patterns —
     # empty strings otherwise, so non-nav patterns pay nothing.
-    # STATE FORMAT v3 (see NFA_STATE_FORMAT_VERSION): v2 added the
-    # r_nav/prev_rows fields, v3 the r_greps group-rep counters, so a
-    # streaming query restarted from a checkpoint written by an older
-    # schema fails the state-store schema compatibility check rather
-    # than migrating — restart such queries from a fresh checkpoint
-    # location (the reference documents the same contract for changed
-    # CEP state serializers).
+    # STATE FORMAT v4 (see NFA_STATE_FORMAT_VERSION): v2 added the
+    # r_nav/prev_rows fields, v3 the r_greps group-rep counters, v4 the
+    # c_* held-completed-match fields (skip-strategy matches wait until
+    # no EARLIER-started partial run is alive — the reference's
+    # completedMatches priority queue, NFA.java:364), so a streaming
+    # query restarted from a checkpoint written by an older schema
+    # fails the state-store schema compatibility check rather than
+    # migrating — restart such queries from a fresh checkpoint location
+    # (the reference documents the same contract for changed CEP state
+    # serializers).
     state_schema = ("r_stage array<int>, r_times array<int>, "
                     "r_guard array<int>, r_gstrict array<boolean>, "
                     "r_start_us array<bigint>, r_last_us array<bigint>, "
@@ -502,7 +538,10 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     "r_evstages array<int>, r_evus array<bigint>, "
                     "cut_us bigint, cut_id bigint, "
                     "r_nav array<string>, prev_rows string, "
-                    "r_greps array<int>")
+                    "r_greps array<int>, "
+                    "c_start array<bigint>, c_last array<bigint>, "
+                    "c_evlen array<int>, c_evids array<bigint>, "
+                    "c_evstages array<int>, c_evus array<bigint>")
 
     # spec captured as plain tuples (tiny, serialized into the closure);
     # CONT = outer (entry-seam) strategy, INN = inner (between-loop-
@@ -615,12 +654,16 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         return -1
 
     def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import decimal as _decimal
         import json as _json
+        import numbers as _numbers
         EMPTY_NAV = ({}, {})
         if state.exists:
             (r_stage, r_times, r_guard, r_gstrict, r_start, r_last,
              r_evlen, r_evids, r_evstages, r_evus, cut_us, cut_id,
-             r_nav, prev_json, r_greps) = state.get
+             r_nav, prev_json, r_greps,
+             c_start, c_last, c_evlen, c_evids, c_evstages,
+             c_evus) = state.get
             cut = (int(cut_us), int(cut_id))
             evids, evstages, evus = list(r_evids), list(r_evstages), list(r_evus)
             runs, off = [], 0
@@ -637,8 +680,17 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                              evus[off:off + ln], nv, int(r_greps[i])])
                 off += ln
             prev_rows = _json.loads(prev_json) if prev_json else []
+            cevids = list(c_evids)
+            cevst, cevus_ = list(c_evstages), list(c_evus)
+            pending, off = [], 0
+            for i in range(len(c_start)):
+                ln = c_evlen[i]
+                pending.append((int(c_start[i]), int(c_last[i]),
+                                cevids[off:off + ln], cevst[off:off + ln],
+                                cevus_[off:off + ln]))
+                off += ln
         else:
-            runs, cut, prev_rows = [], (-1, -1), []
+            runs, cut, prev_rows, pending = [], (-1, -1), [], []
         # run record (plain list): [stage, times, guard, guard_strict,
         # start_us, last_us, ev_ids, ev_stages, ev_us, nav, group_reps]
         # nav = (navvals: {var: {col: [firsts, lasts]}}, navn: {var: count})
@@ -649,22 +701,43 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         def nav_take(nv, var, rowvals):
             """Copy-on-write nav update when an event is consumed into
             ``var``: append the tracked columns' values (bounded head +
-            tail) and bump the per-variable count."""
+            tail), fold the row into the variable's aggregate
+            accumulators, and bump the per-variable count."""
             spec_v = merged_tracked.get(var)
-            if spec_v is None:
+            agg_v = merged_aggs.get(var)
+            if spec_v is None and agg_v is None and not count_all:
                 return nv
             navvals, navn = nv
             vd = dict(navvals)
             old = vd.get(var) or {}
-            new_cols = {}
-            for col, (nf, nl) in spec_v.items():
-                f, l = old.get(col, ([], []))
-                val = rowvals.get(col)
-                if len(f) < nf:
-                    f = list(f) + [val]
-                l = (list(l) + [val])[-nl:] if nl else list(l)
-                new_cols[col] = (f, l)
-            vd[var] = new_cols
+            # start from the old entries so agg accumulators survive a
+            # tracked-cols-only update and vice versa
+            new_cols = dict(old)
+            if spec_v:
+                for col, (nf, nl) in spec_v.items():
+                    f, l = old.get(col, ([], []))
+                    val = rowvals.get(col)
+                    if len(f) < nf:
+                        f = list(f) + [val]
+                    l = (list(l) + [val])[-nl:] if nl else list(l)
+                    new_cols[col] = (f, l)
+            if agg_v:
+                for akey, arg in agg_v.items():
+                    n_, s_, mn_, mx_ = old.get(
+                        akey, (0, None, None, None))
+                    v = arg(rowvals, None, None, None)
+                    if v is not None:
+                        if isinstance(v, _decimal.Decimal):
+                            v = float(v)       # JSON round-trip safety
+                        n_ += 1
+                        if (isinstance(v, _numbers.Number)
+                                and not isinstance(v, bool)):
+                            s_ = v if s_ is None else s_ + v
+                        mn_ = v if mn_ is None or v < mn_ else mn_
+                        mx_ = v if mx_ is None or v > mx_ else mx_
+                    new_cols[akey] = (n_, s_, mn_, mx_)
+            if new_cols:
+                vd[var] = new_cols
             nn = dict(navn)
             nn[var] = nn.get(var, 0) + 1
             return (vd, nn)
@@ -677,19 +750,61 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         # (runs are compared by their start event's position, inclusive:
         # start <= cut is pruned)
         def emit(run_start, run_last, evs, sts, eus):
-            nonlocal cut
-            matches.append((run_start, run_last, evs, sts))
-            if after_match == SKIP_PAST_LAST:
-                cut = max(cut, (run_last, evs[-1]))
-            elif after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
-                sel = [(u, e) for u, e, st2 in zip(eus, evs, sts)
-                       if st2 in skip_var_idx]
-                if sel:
-                    tgt = min(sel) if after_match == SKIP_TO_FIRST else max(sel)
-                    # runs beginning strictly before the skip target die;
-                    # a run beginning AT the target survives (the cut is
-                    # inclusive, so step one event-id back)
-                    cut = max(cut, (tgt[0], tgt[1] - 1))
+            # NO_SKIP emits immediately (the reference's non-skip branch,
+            # NFA.java:346); under a skip strategy the completed match is
+            # HELD until no earlier-started partial run is alive — the
+            # reference's completedMatches priority queue + start-order
+            # emission (NFA.java:364 processMatchesAccordingToSkipStrategy)
+            # — so preferment is by START position (SQL:2016 leftmost),
+            # not completion order, and a younger match that completes
+            # first is discarded when an older match's pruning id covers
+            # its start.
+            if after_match == NO_SKIP:
+                matches.append((run_start, run_last, evs, sts))
+            else:
+                pending.append((run_start, run_last, evs, sts, eus))
+
+        def resolve(live_runs):
+            """Emit held matches in start order while the earliest one
+            starts at-or-before every live partial run, applying the
+            skip strategy's pruning id to BOTH the run list and the
+            remaining held matches (AfterMatchSkipStrategy.prune on
+            partialMatches + completedMatches)."""
+            nonlocal cut, pending
+            if after_match == NO_SKIP or not pending:
+                return live_runs
+            while pending:
+                pending.sort(key=lambda p: (p[0], p[2][0]))
+                p = pending[0]
+                if live_runs:
+                    mn = min((r[A], r[EV][0]) for r in live_runs)
+                    if (p[0], p[2][0]) > mn:
+                        break
+                pending.pop(0)
+                matches.append((p[0], p[1], p[2], p[3]))
+                if after_match == SKIP_PAST_LAST:
+                    cut = max(cut, (p[1], p[2][-1]))
+                elif after_match == SKIP_TO_NEXT:
+                    # discard matches/partials starting AT the emitted
+                    # match's start (SkipToNextStrategy: prune <= first
+                    # event) — later starts survive
+                    cut = max(cut, (p[0], p[2][0]))
+                else:
+                    sel = [(u, e) for u, e, st2 in zip(p[4], p[2], p[3])
+                           if st2 in skip_var_idx]
+                    if sel:
+                        tgt = (min(sel) if after_match == SKIP_TO_FIRST
+                               else max(sel))
+                        # runs beginning strictly before the skip target
+                        # die; a run beginning AT the target survives
+                        # (the cut is inclusive, so step one id back)
+                        cut = max(cut, (tgt[0], tgt[1] - 1))
+                if cut > (-1, -1):
+                    live_runs = [r for r in live_runs
+                                 if (r[A], r[EV][0]) > cut]
+                    pending = [q for q in pending
+                               if (q[0], q[2][0]) > cut]
+            return live_runs
 
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -714,6 +829,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     # satisfied trailing-greedy run's maximal match is
                     # decided — emit it; every other partial times out
                     # (or is dropped without the timeout output)
+                    blockers = []
                     for run in runs:
                         if after_match != NO_SKIP \
                                 and (run[A], run[EV][0]) <= cut:
@@ -722,10 +838,23 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         if (spec[s_f][GREEDY] and run[T] >= spec[s_f][MIN]
                                 and tail_opt[s_f] and run[G] < 0):
                             emit(run[A], run[L], run[EV], run[ST], run[EU])
-                        elif emit_timeouts:
-                            timeouts.append((run[A], run[L], run[EV],
-                                             run[ST]))
+                        else:
+                            if emit_timeouts:
+                                timeouts.append((run[A], run[L], run[EV],
+                                                 run[ST]))
+                            # an UNSATISFIED partial: it never completes,
+                            # but it still blocks younger held matches —
+                            # the reference's bounded-job close leaves
+                            # completedMatches queued behind a live
+                            # partial unemitted, so those are DISCARDED
+                            # here, not flushed (full SQL:2016 batch
+                            # backtracking would instead re-bind the
+                            # blocked run's tail rows — a documented
+                            # divergence both engines share)
+                            blockers.append(run)
                     runs = []
+                    resolve(blockers)
+                    pending.clear()
                     continue
                 m = [mvec[i][r_i] for i in range(n)]
                 rowvals = None
@@ -910,7 +1039,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         sts2 = run[ST] + [j]
                         us2 = run[EU] + [ts_us]
                         nv2 = (nav_take(run[NV], stage_var[j], rowvals)
-                               if merged_tracked else run[NV])
+                               if nav_track else run[NV])
                         # group rep bookkeeping: a loop-back take starts
                         # the next repetition; moving within the same
                         # group keeps the count; entering (or leaving)
@@ -1078,7 +1207,7 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                                 rowvals, {}, {}, prev_rows) is not True:
                             continue
                         nv0 = (nav_take(EMPTY_NAV, stage_var[js], rowvals)
-                               if merged_tracked else EMPTY_NAV)
+                               if nav_track else EMPTY_NAV)
                         mnj0, mxj0 = spec[js][MIN], spec[js][MAX]
                         nxt = real_next(js + 1)
                         if nxt >= n and mxj0 == 1:
@@ -1120,6 +1249,11 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                         runs.append(r)
                 if len(runs) > MAX_RUNS_PER_KEY:
                     runs = runs[-MAX_RUNS_PER_KEY:]
+                # start-order skip-strategy emission: held matches flush
+                # while no earlier-started partial remains (the
+                # reference resolves the completedMatches queue after
+                # each event's computation states, NFA.java:337-364)
+                runs = resolve(runs)
 
         nav_ser = ["" if not (r[NV][0] or r[NV][1])
                    else _json.dumps({"v": r[NV][0], "n": r[NV][1]})
@@ -1133,7 +1267,12 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                       [u for r in runs for u in r[EU]],
                       cut[0], cut[1], nav_ser,
                       _json.dumps(prev_rows) if prev_rows else "",
-                      [r[GR] for r in runs]))
+                      [r[GR] for r in runs],
+                      [p[0] for p in pending], [p[1] for p in pending],
+                      [len(p[2]) for p in pending],
+                      [e for p in pending for e in p[2]],
+                      [s2 for p in pending for s2 in p[3]],
+                      [u for p in pending for u in p[4]]))
         if matches or timeouts:
             rows = matches + timeouts
             out = {

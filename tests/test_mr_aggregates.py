@@ -1,0 +1,250 @@
+"""MATCH_RECOGNIZE aggregations in DEFINE and MEASURES, plus the
+start-order (leftmost) skip-strategy preferment they expose.
+
+Reference: docs/dev/table/streaming/match_recognize.md:263-331 (the
+Aggregations section — its published 12-row AVG example is replayed
+verbatim below), flink-cep/.../nfa/NFA.java:364
+(processMatchesAccordingToSkipStrategy — completed matches are held in
+a start-ordered priority queue until no earlier-started partial match
+is alive), MatchCodeGenerator.scala (aggregate codegen)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+
+
+def _run(spark, df, sql):
+    # batch path: execute_match_recognize_sql replays through
+    # _bounded_stream, which appends the per-key EOS sentinel (the
+    # bounded job's final watermark) — held skip-strategy matches and
+    # trailing-greedy runs flush at end-of-stream
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+    return execute_match_recognize_sql(spark, sql, batch_df=df)
+
+
+def test_reference_flagship_avg_example(spark):
+    """The reference docs' own 12-row example
+    (match_recognize.md:278-330): PATTERN (A+ B), A AS AVG(A.price) <
+    15 — expected output is published in the docs: two matches,
+    (10:00:00..10:00:03, 14.5) and (10:00:05..10:00:10, 13.5).  The
+    second match also locks leftmost preferment: a younger run (start
+    10:00:07) completes FIRST and must be discarded, not emitted."""
+    base = dt.datetime(2011, 4, 1, 10, 0, 0)
+    prices = [12, 17, 13, 16, 25, 2, 4, 10, 15, 25, 25, 30]
+    rows = [(i, str(base + dt.timedelta(seconds=i)), 1, "t", float(p))
+            for i, p in enumerate(prices)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, start_t, end_t, avg_price
+        FROM ticker MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.ts) AS start_t, LAST(A.ts) AS end_t,
+                   AVG(A.value) AS avg_price
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ B)
+          DEFINE A AS AVG(A.value) < 15
+        )""").orderBy("start_t").collect()
+    got = [(r.start_t.second, r.end_t.second, r.avg_price) for r in out]
+    assert got == [(0, 3, 14.5), (5, 10, 13.5)]
+
+
+def test_define_aggregate_expression_and_measures_expression(spark):
+    """SUM over an EXPRESSION argument in both DEFINE and MEASURES
+    (match_recognize.md:326: valid iff a single pattern variable):
+    A AS SUM(A.value * A.value) < 100 accumulates squares."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "t", 3.0),   # ss 9
+            (2, "2024-01-01 10:00:01", 1, "t", 5.0),   # ss 34
+            (3, "2024-01-01 10:00:02", 1, "t", 7.0),   # ss 83
+            (4, "2024-01-01 10:00:03", 1, "t", 9.0),   # ss 164 -> B
+            (5, "2024-01-01 10:00:04", 1, "t", 11.0)]  # ss 121 -> no A
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, ss, n_a FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES SUM(A.value * A.value) AS ss, COUNT(A.*) AS n_a
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ B)
+          DEFINE A AS SUM(A.value * A.value) < 100
+        )""").collect()
+    assert [(r.ss, r.n_a) for r in out] == [(83.0, 3)]
+
+
+def test_define_min_max_range(spark):
+    """MAX - MIN between two aggregates in one DEFINE predicate:
+    A AS MAX(A.value) - MIN(A.value) < 10 bounds the run's spread."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "t", 20.0),
+            (2, "2024-01-01 10:00:01", 1, "t", 25.0),   # spread 5 ok
+            (3, "2024-01-01 10:00:02", 1, "t", 14.0),   # spread 11 -> B
+            (4, "2024-01-01 10:00:03", 1, "t", 15.0),
+            (5, "2024-01-01 10:00:04", 1, "t", 16.0)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, lo, hi, n_a FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES MIN(A.value) AS lo, MAX(A.value) AS hi,
+                   COUNT(A.*) AS n_a
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ B)
+          DEFINE A AS MAX(A.value) - MIN(A.value) < 10
+        )""").orderBy("n_a").collect()
+    # first match: A={20,25} B=14; resume at 15: A={15,16} never closes
+    assert [(r.lo, r.hi, r.n_a) for r in out] == [(20.0, 25.0, 2)]
+
+
+def test_count_star_vs_count_var(spark):
+    """COUNT(*) counts every row of the candidate match across all
+    variables; COUNT(A.*) only A's rows; COUNT(A.col) only non-null
+    values.  C AS COUNT(*) = 3 closes the match at total length 3."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "a", 1.0),
+            (2, "2024-01-01 10:00:01", 1, "b", 2.0),
+            (3, "2024-01-01 10:00:02", 1, "c", 3.0),
+            (4, "2024-01-01 10:00:03", 1, "a", 4.0)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, n_all FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES COUNT(*) AS n_all
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B C)
+          DEFINE A AS event_type = 'a',
+                 B AS event_type = 'b',
+                 C AS event_type = 'c' AND COUNT(*) = 3
+        )""").collect()
+    assert [r.n_all for r in out] == [3]
+
+
+def test_default_true_define(spark):
+    """A pattern variable with no DEFINE defaults to TRUE
+    (match_recognize.md:257) — the reference's flagship example leaves
+    B undefined."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:00:01", 1, "view", 2.0)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, b_val FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES LAST(B.value) AS b_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS event_type = 'click'
+        )""").collect()
+    assert [r.b_val for r in out] == [2.0]
+
+
+def test_held_match_discarded_by_older_match(spark):
+    """Leftmost preferment under SKIP TO NEXT ROW: a younger-start
+    match held while an older run extends is KEPT (skip-to-next prunes
+    only same-start matches), and both emit in start order."""
+    # user 1: values 10, 1, 100 with threshold 15 -> the run from e2
+    # completes at e3 first; the run from e1 completes at e3 too
+    rows = [(1, "2024-01-01 10:00:00", 1, "t", 10.0),
+            (2, "2024-01-01 10:00:01", 1, "t", 1.0),
+            (3, "2024-01-01 10:00:02", 1, "t", 100.0)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, n_a FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES COUNT(A.*) AS n_a
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A+ B)
+          DEFINE A AS AVG(A.value) < 15
+        )""").collect()
+    # start e1: A={10,1} B=100; start e2: A={1} B=100 — both emit
+    assert sorted(r.n_a for r in out) == [1, 2]
+
+
+def test_aggregate_state_survives_microbatches(spark):
+    """The per-run (count, sum, min, max) accumulator round-trips
+    through the state store: an A+ run split across two micro-batches
+    keeps its running average."""
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+    from flink_release_1_10_0_spark.streaming.nfa import with_eos_sentinels
+
+    rows1 = [(1, "2024-01-01 10:00:00", 1, "t", 12.0),
+             (2, "2024-01-01 10:00:01", 1, "t", 17.0)]
+    rows2 = [(3, "2024-01-01 10:00:02", 1, "t", 13.0),
+             # avg(12,17,13,100)=35.5 breaks -> B
+             (4, "2024-01-01 10:00:03", 1, "t", 100.0)]
+    df1, df2 = _events(spark, rows1), _events(spark, rows2)
+    batch = df1.unionByName(df2)
+    src = tempfile.mkdtemp(prefix="mragg_batch_")
+    df1.coalesce(1).write.mode("append").parquet(src)
+    with_eos_sentinels(df2, "user_id").coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(df1.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    out = execute_match_recognize_sql(spark, """
+        SELECT user_id, avg_a, n_a FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES AVG(A.value) AS avg_a, COUNT(A.*) AS n_a
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ B)
+          DEFINE A AS AVG(A.value) < 15
+        )""", batch_df=batch, stream_df=stream).collect()
+    assert [(r.avg_a, r.n_a) for r in out] == [(14.0, 3)]
+
+
+def test_refusals(spark):
+    """Loud narrowings, all matching the reference's documented rules:
+    DISTINCT (md:331), multi-variable arguments (md:326), nested
+    aggregates, navigation inside an argument, unqualified columns."""
+    from flink_release_1_10_0_spark.streaming.navexpr import (
+        compile_nav_predicate)
+
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        compile_nav_predicate("COUNT(DISTINCT A.value) > 2", "A", ["A"])
+    with pytest.raises(NotImplementedError, match="exactly one"):
+        compile_nav_predicate("AVG(A.value * B.value) < 5", "A",
+                              ["A", "B"])
+    with pytest.raises(NotImplementedError, match="nested"):
+        compile_nav_predicate("SUM(AVG(A.value)) < 5", "A", ["A"])
+    with pytest.raises(NotImplementedError, match="navigation inside"):
+        compile_nav_predicate("SUM(LAST(A.value)) < 5", "A", ["A"])
+    with pytest.raises(NotImplementedError, match="unqualified"):
+        compile_nav_predicate("SUM(value) < 5", "A", ["A"])
+    with pytest.raises(NotImplementedError, match="only COUNT"):
+        compile_nav_predicate("SUM(A.*) > 1", "A", ["A"])
+
+
+def test_measures_distinct_refusal(spark):
+    """DISTINCT in a MEASURES aggregate refuses loudly too."""
+    from flink_release_1_10_0_spark.streaming.cep import _parse_measure
+
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        _parse_measure("SUM(DISTINCT A.value * A.value)")
+
+
+def test_count_nonnull_column(spark):
+    """COUNT(A.col) counts only rows where the argument is non-null —
+    exercised through the navexpr closure directly (the NFA feeds
+    per-row values the same way)."""
+    from flink_release_1_10_0_spark.streaming.navexpr import (
+        compile_nav_predicate)
+
+    p = compile_nav_predicate("COUNT(A.value) >= 2", "A", ["A"])
+    # simulate: one prior A row with value 5 already accumulated
+    akey = next(iter(p.aggs["A"]))
+    nav = {"A": {akey: (1, 5.0, 5.0, 5.0)}}
+    assert p.fn({"value": 7.0}, nav, {"A": 1}, []) is True   # 2 non-null
+    assert p.fn({"value": None}, nav, {"A": 1}, []) is False  # still 1
