@@ -46,6 +46,9 @@ HEADLINE = [
     # NFA + declarative measures) and incremental new-batch dedup
     "flink_sql_match_recognize",
     "dedup_incremental_lsh",
+    # round-9 family: DEFINE aggregates (per-run accumulators + held
+    # start-order skip-strategy emission) — the new NFA hot path
+    "flink_sql_mr_define_agg_avg",
 ]
 
 

@@ -83,7 +83,7 @@ _PIN = [
     #      aggregates + MEASURES expression arguments + the leftmost-
     #      preferment held emission they require) ----
     "flink_sql_mr_define_agg_avg", "flink_sql_mr_define_agg_sum_expr",
-    "flink_sql_mr_define_agg_minmax",
+    "flink_sql_mr_define_agg_minmax", "flink_sql_mr_match_rowtime",
     # ---- regression fill: oldest-evidence families first; this round
     #      weights CEP/MR names because the NFA emission path changed
     #      (held start-order skip-strategy emission) ----
@@ -98,7 +98,6 @@ _PIN = [
     "stream_session_window",
     "cep_nfa_four_stage", "cep_nfa_until_loop",
     "flink_sql_match_recognize", "cep_mr_skip_to_last",
-    "flink_sql_mr_vshape_canonical",
     "minhash_lsh_dup_pairs", "simhash_fingerprint", "dedup_exact_md5",
     "graph_connected_components", "similarity_ivf_topk_pruned",
     # ---- 50-window boundary: everything below already has driver

@@ -2187,3 +2187,53 @@ def flink_sql_mr_define_agg_minmax(spark, sf_dir):
 
     return execute_match_recognize_sql(
         spark, _SQL_MR_AGG_MINMAX_TEXT, batch_df=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# MATCH_ROWTIME() (match_recognize.md:1036): the last mapped row's
+# timestamp as the match's rowtime attribute, consumed by a subsequent
+# time-based aggregation (the documented purpose: group windows / joins
+# over the match stream).  Strict SQL adjacency makes the oracle a
+# lead() pair scan.
+# --------------------------------------------------------------------------
+_MR_MATCH_ROWTIME_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type) OVER w AS nt, lead(ts) OVER w AS nts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, date_trunc('hour', nts) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM o WHERE event_type = 'click' AND nt = 'purchase'
+GROUP BY user_id, date_trunc('hour', nts)
+"""
+
+_SQL_MR_MATCH_ROWTIME_TEXT = """
+SELECT user_id, date_trunc('HOUR', mrt) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES MATCH_ROWTIME() AS mrt
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'purchase'
+) GROUP BY user_id, date_trunc('HOUR', mrt)
+"""
+
+
+@register("flink_sql_mr_match_rowtime", _MR_MATCH_ROWTIME_ORACLE)
+def flink_sql_mr_match_rowtime(spark, sf_dir):
+    """MATCH_ROWTIME() as the match stream's rowtime: hourly counts of
+    click->purchase adjacencies grouped on the matched pair's end
+    timestamp (the reference's time-attribute function for subsequent
+    windowed operations)."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_MATCH_ROWTIME_TEXT,
+        batch_df=t(spark, sf_dir, "events"))

@@ -247,6 +247,10 @@ _INTERVAL = re.compile(
     re.IGNORECASE)
 _AS_SPLIT = re.compile(r"\s+AS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
 _MATCH_NO = re.compile(r"^\s*MATCH_NUMBER\s*\(\s*\)\s*$", re.IGNORECASE)
+_MATCH_ROWTIME = re.compile(r"^\s*MATCH_ROWTIME\s*\(\s*\)\s*$",
+                            re.IGNORECASE)
+_MATCH_PROCTIME = re.compile(r"^\s*MATCH_PROCTIME\s*\(\s*\)\s*$",
+                             re.IGNORECASE)
 
 
 def has_match_recognize(query: str) -> bool:
@@ -465,6 +469,23 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
     for pv in re.findall(r"[A-Za-z_]\w*", spec.pattern):
         if pv not in spec.subsets:
             spec.define.setdefault(pv, "TRUE")
+    # MATCH_ROWTIME() (match_recognize.md:1036): the timestamp of the
+    # LAST row mapped to the match, usable as the rowtime of subsequent
+    # windows/joins.  Compiled with zero new grammar: MAX(ts) over a
+    # synthetic SUBSET spanning every pattern variable (= all mapped
+    # rows).  MATCH_PROCTIME() refuses: a replayed batch has no
+    # processing-time attribute to return.
+    _mrt_vars = None
+    for name, expr in list(spec.measures.items()):
+        if _MATCH_PROCTIME.match(expr):
+            raise NotImplementedError(
+                "MATCH_PROCTIME(): processing-time attributes are not "
+                "modeled (event-time replays only); use MATCH_ROWTIME()")
+        if _MATCH_ROWTIME.match(expr):
+            if _mrt_vars is None:
+                _mrt_vars = "__match_rowtime__"
+                spec.subsets[_mrt_vars] = list(spec.define)
+            spec.measures[name] = f"MAX({_mrt_vars}.{spec.order_by[0]})"
     batch = batch_df if batch_df is not None else spark.table(spec.table)
     stream = (stream_df if stream_df is not None
               else _bounded_stream(batch, keys=spec.partition_by,

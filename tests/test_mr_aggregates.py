@@ -248,3 +248,34 @@ def test_count_nonnull_column(spark):
     nav = {"A": {akey: (1, 5.0, 5.0, 5.0)}}
     assert p.fn({"value": 7.0}, nav, {"A": 1}, []) is True   # 2 non-null
     assert p.fn({"value": None}, nav, {"A": 1}, []) is False  # still 1
+
+
+def test_match_rowtime_and_proctime(spark):
+    """MATCH_ROWTIME() returns the LAST mapped row's timestamp
+    (match_recognize.md:1036); MATCH_PROCTIME() refuses (no
+    processing-time attribute in an event-time replay)."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:07:00", 1, "purchase", 2.0)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, mrt FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES MATCH_ROWTIME() AS mrt
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          DEFINE A AS event_type = 'click',
+                 B AS event_type = 'purchase'
+        )""").collect()
+    assert [r.mrt.minute for r in out] == [7]
+    with pytest.raises(NotImplementedError, match="MATCH_PROCTIME"):
+        _run(spark, _events(spark, rows), """
+            SELECT user_id, pt FROM ev MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES MATCH_PROCTIME() AS pt
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (A B)
+              DEFINE A AS event_type = 'click'
+            )""")

@@ -72,6 +72,12 @@ HEADS = [
     ("dedup_incremental_lsh", "linear (bucketed band joins, batch fixed)"),
     ("flink_sql_match_recognize",
      "linear (keyed strict-contiguity NFA, runs/key bounded)"),
+    # round-9 addition: DEFINE aggregates ride per-run O(1) accumulators
+    # (count, sum, min, max) and the held-match queue is pruned at every
+    # emission — the keyed-NFA linear regime with a constant-size state
+    # increment per run
+    ("flink_sql_mr_define_agg_avg",
+     "linear (keyed NFA, O(1) aggregate accumulator per run)"),
 ]
 
 
@@ -108,6 +114,12 @@ HEADS_100X = {
         "linear: explode + two-level agg, one shuffle on (doc, gram)",
     "stream_iterate_feedback_halving":
         "linear: fixed round cap, per-round map+filter on the frontier",
+    # round-9 addition: the DEFINE-aggregate NFA path (running-average
+    # runs + held start-order emission) on 100x keys, per-key depth
+    # unchanged — accumulators are O(1) per run, the pending queue is
+    # pruned at every emission
+    "flink_sql_mr_define_agg_avg":
+        "linear: keyed NFA, 100x keys, O(1) accumulator per run",
 }
 
 
