@@ -84,11 +84,12 @@ _PIN = [
     #      preferment held emission they require) ----
     "flink_sql_mr_define_agg_avg", "flink_sql_mr_define_agg_sum_expr",
     "flink_sql_mr_define_agg_minmax", "flink_sql_mr_match_rowtime",
+    "cep_iterative_condition_sum",
     # ---- regression fill: oldest-evidence families first; this round
     #      weights CEP/MR names because the NFA emission path changed
     #      (held start-order skip-strategy emission) ----
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items", "tpch_q18_large_volume_customer",
     "calc_project_filter", "setop_union_all",
     "join_inner_equi", "join_semi_exists",

@@ -2237,3 +2237,84 @@ def flink_sql_mr_match_rowtime(spark, sf_dir):
     return execute_match_recognize_sql(
         spark, _SQL_MR_MATCH_ROWTIME_TEXT,
         batch_df=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Pattern-API iterative condition (round 9): the CEP facade's where()
+# accepts navigation/aggregate text — the analog of the reference's
+# IterativeCondition over ctx.getEventsForPattern
+# (flink-cep/.../conditions/IterativeCondition.java:56).  A greedy
+# click-loop bounded by its RUNNING SUM (a breaking click is IGNORED by
+# the relaxed loop and a later smaller click can still fit), closed by
+# the next purchase; skip-past-last + leftmost preferment make the
+# result the per-user sequential fold the oracle computes.
+# --------------------------------------------------------------------------
+_CEP_ITER_SUM_ORACLE = """
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+st AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS cnt,
+         CAST(0 AS DOUBLE) AS sm, CAST(NULL AS BIGINT) AS start_id,
+         CAST(NULL AS BIGINT) AS em_start, CAST(NULL AS BIGINT) AS em_end,
+         CAST(NULL AS DOUBLE) AS em_sum, CAST(NULL AS INT) AS em_cnt
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT s.user_id, e.rn,
+         CASE WHEN e.event_type = 'click' AND s.sm + e.value < 300
+              THEN s.cnt + 1
+              WHEN e.event_type = 'purchase' THEN 0
+              ELSE s.cnt END,
+         CASE WHEN e.event_type = 'click' AND s.sm + e.value < 300
+              THEN s.sm + e.value
+              WHEN e.event_type = 'purchase' THEN CAST(0 AS DOUBLE)
+              ELSE s.sm END,
+         CASE WHEN e.event_type = 'click' AND s.sm + e.value < 300
+              THEN coalesce(s.start_id, e.event_id)
+              WHEN e.event_type = 'purchase' THEN CAST(NULL AS BIGINT)
+              ELSE s.start_id END,
+         CASE WHEN e.event_type = 'purchase' AND s.cnt > 0
+              THEN s.start_id END,
+         CASE WHEN e.event_type = 'purchase' AND s.cnt > 0
+              THEN e.event_id END,
+         CASE WHEN e.event_type = 'purchase' AND s.cnt > 0
+              THEN s.sm END,
+         CASE WHEN e.event_type = 'purchase' AND s.cnt > 0
+              THEN s.cnt END
+  FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+SELECT user_id, em_start AS start_id, em_end AS end_id,
+       ROUND(em_sum, 6) AS click_sum, CAST(em_cnt AS BIGINT) AS n_clicks
+FROM st WHERE em_start IS NOT NULL
+"""
+
+
+@register("cep_iterative_condition_sum", _CEP_ITER_SUM_ORACLE)
+def cep_iterative_condition_sum(spark, sf_dir):
+    """Pattern facade with an aggregate where(): clicks accumulate
+    while SUM(click.value) < 300 (greedy loop, breaking clicks ignored
+    under relaxed contiguity), the next purchase completes the match,
+    skip-past-last resumes after it.  click_sum/n_clicks are projected
+    from the consumed event ids — explode + equi-join the values back
+    by id, all JVM-side (the declarative-measures pattern)."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    pat = (Pattern.begin("click").one_or_more().greedy()
+           .where("SUM(click.value) < 300")
+           .followed_by("purchase"))
+    m = run_to_completion(
+        pat.match_stream(ev, after_match="skip_past_last"), "append")
+    ex = (m.select("user_id", "start_id", "end_id",
+                   F.explode(F.arrays_zip("ev_ids", "ev_stages"))
+                   .alias("z"))
+          .select("user_id", "start_id", "end_id",
+                  F.col("z.ev_ids").alias("event_id"),
+                  F.col("z.ev_stages").alias("stage")))
+    clicks = ex.filter(F.col("stage") == 0).join(
+        t(spark, sf_dir, "events").select("event_id", "value"), "event_id")
+    return (clicks.groupBy("user_id", "start_id", "end_id")
+            .agg(F.round(F.sum("value"), 6).alias("click_sum"),
+                 F.count("*").alias("n_clicks")))

@@ -66,12 +66,16 @@ class _Stage:
     ors: list[str] = field(default_factory=list)      # .or_(sql) — ORed
     until_sql: str | None = None                      # .until(sql)
 
-    def pred_sql(self) -> str:
+    def pred_sql(self, wheres: list[str] | None = None) -> str:
         """Compile event-type sugar + where/or conditions to one SQL
-        boolean expression (Pattern.where(...).or(...) semantics)."""
+        boolean expression (Pattern.where(...).or(...) semantics).
+        ``wheres`` overrides the condition list (the NFA compiler keeps
+        navigation conditions out of the SQL bit — they ride the
+        per-run closure instead)."""
+        wheres = self.wheres if wheres is None else wheres
         base = f"event_type = '{self.event_type}'"
-        if self.wheres:
-            base = "(" + " AND ".join([base] + [f"({w})" for w in self.wheres]) + ")"
+        if wheres:
+            base = "(" + " AND ".join([base] + [f"({w})" for w in wheres]) + ")"
         if self.ors:
             base = "(" + " OR ".join([base] + [f"({o})" for o in self.ors]) + ")"
         return base
@@ -337,11 +341,53 @@ class Pattern:
 
     def _compile_nfa_stages(self) -> list:
         """Compile the fluent stages to generic NFA stages
-        (``streaming/nfa.py``)."""
+        (``streaming/nfa.py``).
+
+        ``where()`` conditions containing NAVIGATION or AGGREGATES
+        (``LAST(a.value)``, ``PREV(value)``, ``SUM(c.value) < k``) are
+        the Pattern-API analog of the reference's ``IterativeCondition``
+        (``ctx.getEventsForPattern``, ``flink-cep/.../conditions/
+        IterativeCondition.java:56``): they compile to per-run closures
+        (``navexpr.py``) ANDed with the stage's plain-SQL predicate
+        bits, exactly like the SQL DEFINE tier.  Pattern variables are
+        the stage event types — navigation requires them UNIQUE (the
+        reference's NFACompiler rejects duplicate pattern names too);
+        ``or_()``/``until()`` keep the plain-SQL grammar (refuse with
+        navigation — an OR across the SQL/closure split cannot be
+        evaluated in one tier)."""
+        from flink_release_1_10_0_spark.streaming.navexpr import (
+            compile_nav_predicate, has_navigation)
         from flink_release_1_10_0_spark.streaming.nfa import NfaStage
 
+        all_vars = [s.event_type for s in self.stages]
         out = []
         for s in self.stages:
+            nav_pred = None
+            plain_wheres = s.wheres
+            navs = [w for w in s.wheres
+                    if has_navigation(w, s.event_type, all_vars)]
+            if navs:
+                if len(set(all_vars)) != len(all_vars):
+                    raise NotImplementedError(
+                        "navigation/aggregate conditions need UNIQUE "
+                        "stage event types (the per-variable match "
+                        "buffer is keyed by name; the reference's "
+                        "NFACompiler rejects duplicate pattern names)")
+                if s.ors:
+                    raise NotImplementedError(
+                        "or_() alongside a navigation/aggregate "
+                        "where(): the OR spans the SQL/per-run-closure "
+                        "split — fold it into one where() instead")
+                if s.until_sql is not None and has_navigation(
+                        s.until_sql, s.event_type, all_vars):
+                    raise NotImplementedError(
+                        "until() with navigation/aggregates is not "
+                        "supported (the stop condition is a plain row "
+                        "predicate in the reference too)")
+                plain_wheres = [w for w in s.wheres if w not in navs]
+                nav_pred = compile_nav_predicate(
+                    " AND ".join(f"({w})" for w in navs),
+                    s.event_type, all_vars)
             if s.times_n is not None:
                 mn = s.times_n
                 mx = (None if s.or_more
@@ -381,9 +427,11 @@ class Pattern:
                     "allow_combinations() for inner-ANY subsequence "
                     "semantics, or drop the quantifier")
             out.append(NfaStage(
-                pred=s.pred_sql(), name=s.event_type, contiguity=cont,
+                pred=s.pred_sql(plain_wheres), name=s.event_type,
+                contiguity=cont,
                 min_times=mn, max_times=mx, greedy=s.greedy,
-                until=s.until_sql, negated=s.negated, inner=inner))
+                until=s.until_sql, negated=s.negated, inner=inner,
+                nav=nav_pred))
         for (gs_, ge_, gmn_, gmx_) in self.groups:
             out[ge_].group_start = gs_
             out[ge_].group_min = gmn_

@@ -279,3 +279,55 @@ def test_match_rowtime_and_proctime(spark):
               PATTERN (A B)
               DEFINE A AS event_type = 'click'
             )""")
+
+
+def test_pattern_facade_iterative_condition(spark):
+    """The Pattern-API analog of the reference's IterativeCondition
+    (IterativeCondition.java:56, ctx.getEventsForPattern): where()
+    text with navigation/aggregates compiles to a per-run closure.
+    Greedy click-loop bounded by a running SUM, closed by purchase."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+    from flink_release_1_10_0_spark.streaming.core import (
+        run_to_completion)
+
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 40.0),
+            (2, "2024-01-01 10:01:00", 1, "view", 5.0),
+            (3, "2024-01-01 10:02:00", 1, "click", 30.0),   # sum 70
+            (4, "2024-01-01 10:03:00", 1, "click", 50.0),   # 120 breaks
+            (5, "2024-01-01 10:04:00", 1, "click", 20.0),   # 90 fits
+            (6, "2024-01-01 10:05:00", 1, "purchase", 1.0)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="cepnav_src_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    pat = (Pattern.begin("click").one_or_more().greedy()
+           .where("SUM(click.value) < 100")
+           .followed_by("purchase"))
+    out = run_to_completion(
+        pat.match_stream(stream, after_match="skip_past_last"), "append")
+    # run from e1: clicks 40, 30 taken; 50 breaks (ignored); 20 fits
+    # (sum 90); purchase closes -> ids (1, 3, 5, 6)
+    assert sorted(tuple(r.ev_ids) for r in out.collect()) == [(1, 3, 5, 6)]
+
+
+def test_pattern_facade_nav_refusals(spark):
+    """Facade navigation narrowings refuse loudly: or_() alongside a
+    nav where(), nav in until(), duplicate event types."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    with pytest.raises(NotImplementedError, match="or_"):
+        (Pattern.begin("click").where("SUM(click.value) < 9")
+         .or_("value > 3").followed_by("purchase")
+         ._compile_nfa_stages())
+    with pytest.raises(NotImplementedError, match="until"):
+        (Pattern.begin("click").one_or_more()
+         .where("SUM(click.value) < 9").until("value > LAST(click.value)")
+         .followed_by("purchase")._compile_nfa_stages())
+    with pytest.raises(NotImplementedError, match="UNIQUE"):
+        (Pattern.begin("click").where("SUM(click.value) < 9")
+         .followed_by("click")._compile_nfa_stages())
