@@ -85,18 +85,17 @@ _PIN = [
     "flink_sql_mr_define_agg_avg", "flink_sql_mr_define_agg_sum_expr",
     "flink_sql_mr_define_agg_minmax", "flink_sql_mr_match_rowtime",
     "cep_iterative_condition_sum",
+    "text_winnow_fingerprints", "dedup_winnow_overlap_pairs",
     # ---- regression fill: oldest-evidence families first; this round
     #      weights CEP/MR names because the NFA emission path changed
     #      (held start-order skip-strategy emission) ----
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items", "tpch_q18_large_volume_customer",
+    "tpch_q6_forecast_revenue", "tpch_q18_large_volume_customer",
     "calc_project_filter", "setop_union_all",
     "join_inner_equi", "join_semi_exists",
     "agg_grouping_sets", "sort_limit_topk",
     "stream_tumble_agg", "stream_dedup_keep_last", "stream_topn_per_key",
-    "stream_cep_error_then_purchase", "stream_interval_join",
-    "stream_session_window",
+    "stream_cep_error_then_purchase", "stream_session_window",
     "cep_nfa_four_stage", "cep_nfa_until_loop",
     "flink_sql_match_recognize", "cep_mr_skip_to_last",
     "minhash_lsh_dup_pairs", "simhash_fingerprint", "dedup_exact_md5",

@@ -1211,3 +1211,88 @@ def split_leakage_audit(spark, sf_dir):
                     F.col("part_a")).otherwise(F.lit("cross"))
     return (labeled.groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting by winnowing (round 9): rolling k-gram
+# polynomial hash + window-min selection (the MOSS algorithm,
+# Schleimer/Wilkerson/Aiken SIGMOD'03).  Per-doc fingerprint stats and
+# frequency-capped fingerprint-overlap pairs; the polynomial fold is
+# bit-identical on both engines (no mod, stays under 2^63).
+# --------------------------------------------------------------------------
+_WINNOW_K, _WINNOW_W = 8, 16
+
+_WINNOW_FP_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {km1} + 1), i ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, {k}), j ->
+                 CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+             (a, b) -> a * 31 + b)) AS gh
+  FROM documents WHERE length(text) >= {minlen}),
+f AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(gh) - {wm1} + 1),
+           i -> list_aggregate(gh[CAST(i AS INT):CAST(i + {wm1} AS INT)],
+                               'min')))) AS fp
+  FROM g)
+""".format(k=_WINNOW_K, km1=_WINNOW_K - 1, wm1=_WINNOW_W - 1,
+           minlen=_WINNOW_K + _WINNOW_W - 1)
+
+_WINNOW_STATS_ORACLE = _WINNOW_FP_SQL + """
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM f GROUP BY doc_id
+"""
+
+
+@register("text_winnow_fingerprints", _WINNOW_STATS_ORACLE)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Per-document winnowing fingerprint stats (count of distinct
+    window-min k-gram hashes + extrema) — the document-fingerprinting
+    text operator, map-only per doc."""
+    from flink_release_1_10_0_spark.llm.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(t(spark, sf_dir, "documents"),
+                              k=_WINNOW_K, w=_WINNOW_W)
+    return (fps.groupBy("doc_id")
+            .agg(F.count("*").alias("n_fp"),
+                 F.min("fp").alias("min_fp"),
+                 F.max("fp").alias("max_fp")))
+
+
+_WINNOW_PAIRS_ORACLE = _WINNOW_FP_SQL + """,
+rare AS (
+  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50),
+ff AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 5
+"""
+
+
+@register("dedup_winnow_overlap_pairs", _WINNOW_PAIRS_ORACLE)
+def dedup_winnow_overlap_pairs(spark, sf_dir):
+    """Near-duplicate candidate pairs by shared winnowing fingerprints
+    (>= 5 shared window-min hashes after dropping fingerprints that
+    appear in more than 50 documents — the boilerplate/stop-gram cap
+    that keeps the self-join linear at corpus scale: every surviving
+    fingerprint joins at most 50x50 pairs)."""
+    from flink_release_1_10_0_spark.llm.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(t(spark, sf_dir, "documents"),
+                              k=_WINNOW_K, w=_WINNOW_W)
+    rare = (fps.groupBy("fp").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= 50).select("fp"))
+    ff = fps.join(rare, "fp")
+    a = ff.select(F.col("doc_id").alias("id_a"), "fp")
+    b = ff.select(F.col("doc_id").alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 5))

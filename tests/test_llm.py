@@ -337,3 +337,33 @@ def test_incremental_prebuilt_index_overload(spark):
         lsh_incremental_pairs(idx, new, "doc_id", new_index_df=new_idx)
     with _pytest.raises(ValueError, match="exactly one"):
         lsh_incremental_pairs(idx, None, "doc_id")
+
+
+def test_winnow_fingerprint_coverage_guarantee(spark):
+    """Winnowing's coverage guarantee (Schleimer et al., SIGMOD'03):
+    two documents sharing a substring of length >= k + w - 1 share at
+    least one fingerprint; unrelated documents of disjoint alphabets
+    share none."""
+    from flink_release_1_10_0_spark.llm.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps!"          # 26 chars >= 8+16-1
+    rows = [(1, "aaaa " + shared + " bbbb bbbb bbbb"),
+            (2, "cccc cccc " + shared + " dddd dd"),
+            (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fp"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_doc_filtered(spark):
+    """Documents shorter than k + w - 1 chars have no full window and
+    are excluded (the sequence() count-down guard)."""
+    from flink_release_1_10_0_spark.llm.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "tiny text")],
+                               "doc_id bigint, text string")
+    assert winnow_fingerprints(df).count() == 0
