@@ -2318,3 +2318,129 @@ def cep_iterative_condition_sum(spark, sf_dir):
     return (clicks.groupBy("user_id", "start_id", "end_id")
             .agg(F.round(F.sum("value"), 6).alias("click_sum"),
                  F.count("*").alias("n_clicks")))
+
+
+# --------------------------------------------------------------------------
+# SQL PATTERN GROUPS (round 9, EXCEEDS-reference: match_recognize.md:1106
+# documents pattern groups as unsupported; the NFA's round-8 group
+# quantifiers execute them).  Value classes partition the domain
+# (H >= 45, L < 25, M in [25, 45)), so strict contiguity makes the
+# group rep count deterministic: after each completed (L M) rep the
+# loop-back and proceed branches are distinguished by the very next
+# row's class.  AFTER MATCH SKIP TO NEXT ROW emits one preferred match
+# per anchor independently — the oracle needs no cross-anchor logic.
+# --------------------------------------------------------------------------
+_MR_GROUP_EXACT_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id,
+         CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+              ELSE 'M' END AS cls,
+         lead(CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+                   ELSE 'M' END, 1) OVER w AS c1,
+         lead(CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+                   ELSE 'M' END, 2) OVER w AS c2,
+         lead(CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+                   ELSE 'M' END, 3) OVER w AS c3,
+         lead(CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+                   ELSE 'M' END, 4) OVER w AS c4,
+         lead(CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+                   ELSE 'M' END, 5) OVER w AS c5,
+         lead(event_id, 5) OVER w AS e5
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(event_id AS BIGINT) AS start_id,
+       CAST(e5 AS BIGINT) AS end_id
+FROM o
+WHERE cls = 'H' AND c1 = 'L' AND c2 = 'M' AND c3 = 'L' AND c4 = 'M'
+  AND c5 = 'H'
+"""
+
+_SQL_MR_GROUP_EXACT_TEXT = """
+SELECT user_id, start_id, end_id
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(H.event_id) AS start_id, LAST(T.event_id) AS end_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (H (L M){2} T)
+  DEFINE H AS value >= 45,
+         L AS value < 25,
+         M AS value >= 25 AND value < 45,
+         T AS value >= 45
+)
+"""
+
+
+@register("flink_sql_mr_pattern_group_exact", _MR_GROUP_EXACT_ORACLE)
+def flink_sql_mr_pattern_group_exact(spark, sf_dir):
+    """Exact pattern group ``(L M){2}``: unrolled at compile time (no
+    group state), six strictly-adjacent class-typed rows — the
+    lead-chain oracle."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_GROUP_EXACT_TEXT,
+        batch_df=t(spark, sf_dir, "events"))
+
+
+_MR_GROUP_OOM_SQL_ORACLE = """
+WITH RECURSIVE
+o AS (
+  SELECT user_id, event_id,
+         CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+              ELSE 'M' END AS cls,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+walk(user_id, h_rn, i, k) AS (
+  SELECT user_id, rn, rn + 1, 0 FROM o WHERE cls = 'H'
+  UNION ALL
+  SELECT w.user_id, w.h_rn, w.i + 2, w.k + 1
+  FROM walk w
+  JOIN o l ON l.user_id = w.user_id AND l.rn = w.i AND l.cls = 'L'
+  JOIN o m ON m.user_id = w.user_id AND m.rn = w.i + 1 AND m.cls = 'M')
+SELECT w.user_id,
+       CAST(h.event_id AS BIGINT) AS start_id,
+       CAST(t.event_id AS BIGINT) AS end_id,
+       CAST(w.k AS BIGINT) AS n_pairs
+FROM walk w
+JOIN o h ON h.user_id = w.user_id AND h.rn = w.h_rn
+JOIN o t ON t.user_id = w.user_id AND t.rn = w.i AND t.cls = 'H'
+WHERE w.k >= 1
+"""
+
+_SQL_MR_GROUP_OOM_TEXT = """
+SELECT user_id, start_id, end_id, n_pairs
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(H.event_id) AS start_id, LAST(T.event_id) AS end_id,
+           COUNT(L.*) AS n_pairs
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (H (L M)+ T)
+  DEFINE H AS value >= 45,
+         L AS value < 25,
+         M AS value >= 25 AND value < 45,
+         T AS value >= 45
+)
+"""
+
+
+@register("flink_sql_mr_pattern_group_one_or_more", _MR_GROUP_OOM_SQL_ORACLE)
+def flink_sql_mr_pattern_group_one_or_more(spark, sf_dir):
+    """Unbounded pattern group ``(L M)+`` in SQL text: the NFA group
+    loop-back edges with strict seams; the rep count is deterministic
+    (the row after a completed rep is either L — continue — or
+    H-class — close; the classes partition the value domain).  Oracle:
+    recursive pair-chain walk per anchor."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_GROUP_OOM_TEXT,
+        batch_df=t(spark, sf_dir, "events"))

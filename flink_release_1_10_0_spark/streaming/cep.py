@@ -532,12 +532,31 @@ _PATTERN_TOKEN = __import__("re").compile(
     r"\s*([A-Za-z_]\w*)\s*(\*|\+|\?|\{\d+(?:,\d*)?\})?(\??)")
 
 
+def _parse_quant(quant: str) -> tuple[int, int | None]:
+    """``* + ? {n} {n,} {n,m}`` -> (min, max|None)."""
+    if quant == "*":
+        return 0, None
+    if quant == "+":
+        return 1, None
+    if quant == "?":
+        return 0, 1
+    body = quant[1:-1]
+    if "," not in body:
+        return int(body), int(body)
+    lo, hi = body.split(",")
+    return int(lo), (int(hi) if hi else None)
+
+
 def compile_match_pattern(pattern: str, define: dict[str, str],
                           nav: dict | None = None) -> list:
     """Compile a MATCH_RECOGNIZE PATTERN string — ``A B+ C``,
-    ``A B{2,4} C?`` is rejected only where the NFA documents a narrowing
-    — into generic NFA stages (``StreamExecMatch.scala:69`` compiles the
-    same grammar via ``org.apache.flink.cep.pattern.Pattern``).
+    ``A B{2,4} C?``, and PATTERN GROUPS ``A (B C)+ D`` /
+    ``A (B C){2,3} D`` — into generic NFA stages
+    (``StreamExecMatch.scala:69`` compiles the variable grammar via
+    ``org.apache.flink.cep.pattern.Pattern``; pattern groups are an
+    EXCEEDS-reference surface — the reference documents them as
+    unsupported, ``match_recognize.md:1106`` — executed by the NFA's
+    quantified-group loop-back edges, ``GroupPattern.java:30``).
 
     Semantics: SQL row-pattern matching is over CONSECUTIVE rows, so
     every stage gets strict contiguity (a row matching no usable
@@ -545,43 +564,121 @@ def compile_match_pattern(pattern: str, define: dict[str, str],
     trailing ``?`` on a quantifier (``B*?``) makes it reluctant —
     exactly the SQL:2016 / reference grammar.
 
+    Group narrowings (loud): exact ``(B C){n}`` UNROLLS (no group
+    state); variable-rep groups (``+``, ``{n,}``, ``{n,m}``) need
+    min >= 1 (a min-0 group rests runs at a strict seam) and at least
+    one MANDATORY stage after the group — mid-pattern, strict
+    contiguity makes the rep count deterministic (the proceed and
+    loop-back branches are killed by the very rows that disambiguate
+    them), while a TRAILING variable-rep group would emit one prefix
+    per completed repetition (the CEP partial-match contract) where
+    SQL:2016 greedy emission wants only the maximum.  Nested groups
+    refuse (the NFA's documented narrowing).
+
     ``nav`` maps variables whose DEFINE uses navigation (``LAST(A.x)``
     of another variable, ``PREV``) to compiled ``navexpr.NavPred``
     closures; those stages carry the per-run refinement the NFA
     evaluates like the reference's IterativeConditions
     (``MatchCodeGenerator.scala`` navigation codegen).
     """
+    import re as _re
+
     from flink_release_1_10_0_spark.streaming.nfa import NfaStage
 
-    stages, pos, s = [], 0, pattern.strip()
-    while pos < len(s):
-        m = _PATTERN_TOKEN.match(s, pos)
-        if not m or m.end() == pos:
-            raise ValueError(f"bad PATTERN at {s[pos:]!r}")
-        var, quant, reluctant = m.group(1), m.group(2), m.group(3)
+    def _stage(var, quant, reluctant):
         if var not in define:
             raise ValueError(f"PATTERN variable {var!r} has no DEFINE")
-        if quant is None:
-            mn, mx = 1, 1
-        elif quant == "*":
-            mn, mx = 0, None
-        elif quant == "+":
-            mn, mx = 1, None
-        elif quant == "?":
-            mn, mx = 0, 1
-        else:  # {n} {n,} {n,m}
-            body = quant[1:-1]
-            if "," not in body:
-                mn = mx = int(body)
-            else:
-                lo, hi = body.split(",")
-                mn, mx = int(lo), (int(hi) if hi else None)
-        stages.append(NfaStage(
+        mn, mx = (1, 1) if quant is None else _parse_quant(quant)
+        return NfaStage(
             pred=define[var], name=var, contiguity="strict",
             min_times=mn, max_times=mx,
             greedy=not reluctant and not (mn == 1 and mx == 1),
-            nav=(nav or {}).get(var)))
+            nav=(nav or {}).get(var))
+
+    _GROUP_QUANT = _re.compile(r"\s*(\*|\+|\?|\{\d+(?:,\d*)?\})?(\??)")
+    stages, pos, s = [], 0, pattern.strip()
+    while pos < len(s):
+        while pos < len(s) and s[pos].isspace():
+            pos += 1
+        if pos >= len(s):
+            break
+        if s[pos] == "(":
+            close = s.find(")", pos)
+            if close < 0:
+                raise ValueError(f"unbalanced '(' in PATTERN at {s[pos:]!r}")
+            inner = s[pos + 1:close]
+            if "(" in inner:
+                raise NotImplementedError(
+                    "nested PATTERN groups are not supported (the NFA's "
+                    "group middle states are non-nested; flatten or "
+                    "unroll the inner group)")
+            gm = _GROUP_QUANT.match(s, close + 1)
+            quant, reluctant = gm.group(1), gm.group(2)
+            sub = []
+            ipos = 0
+            inner = inner.strip()
+            while ipos < len(inner):
+                im = _PATTERN_TOKEN.match(inner, ipos)
+                if not im or im.end() == ipos:
+                    raise ValueError(f"bad PATTERN group at {inner[ipos:]!r}")
+                sub.append(_stage(im.group(1), im.group(2), im.group(3)))
+                ipos = im.end()
+            if not sub:
+                raise ValueError("empty PATTERN group")
+            if quant is None:
+                stages.extend(sub)          # plain grouping: (B C) == B C
+            elif len(sub) == 1:
+                # single-variable group: the quantifier is a plain stage
+                # quantifier ((B)+ == B+)
+                mn, mx = _parse_quant(quant)
+                sub[0].min_times, sub[0].max_times = mn, mx
+                sub[0].greedy = (not reluctant
+                                 and not (mn == 1 and mx == 1))
+                stages.extend(sub)
+            else:
+                mn, mx = _parse_quant(quant)
+                if reluctant:
+                    raise NotImplementedError(
+                        "reluctant PATTERN group quantifier: SQL "
+                        "shortest-match group emission needs lookahead")
+                if mn == 0:
+                    raise NotImplementedError(
+                        "optional/star PATTERN group ((B C)? / (B C)*): "
+                        "a min-0 group rests runs at a STRICT seam, "
+                        "which the NFA refuses — make the group "
+                        "mandatory or unroll the alternatives")
+                if mn == mx:
+                    # exact reps: unroll — identical semantics under
+                    # strict contiguity, no group state at all
+                    import copy as _copy
+                    stages.extend(_copy.deepcopy(st)
+                                  for _ in range(mn) for st in sub)
+                else:
+                    gs0 = len(stages)
+                    stages.extend(sub)
+                    stages[-1].group_start = gs0
+                    stages[-1].group_min = mn
+                    stages[-1].group_max = mx
+            pos = close + 1 + (gm.end() - gm.pos)
+            continue
+        m = _PATTERN_TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"bad PATTERN at {s[pos:]!r}")
+        stages.append(_stage(m.group(1), m.group(2), m.group(3)))
         pos = m.end()
+    # a VARIABLE-REP group needs a mandatory stage after it: trailing
+    # group loops emit one prefix per completed repetition (the CEP
+    # partial-match contract), not SQL's single maximal match
+    for i, st in enumerate(stages):
+        if st.group_start is not None and st.group_min != st.group_max:
+            if not any(s2.min_times >= 1 and s2.group_start is None
+                       for s2 in stages[i + 1:]):
+                raise NotImplementedError(
+                    "variable-repetition PATTERN group at the pattern "
+                    "end: SQL greedy emission wants the single maximal "
+                    "match, but a trailing group loop emits one prefix "
+                    "per repetition — anchor the pattern with a "
+                    "mandatory variable after the group")
     if stages[0].min_times == 0:
         # the generic NFA starts a run at every stage reachable through
         # leading optionals and emits EVERY branch (the CEP-library

@@ -331,3 +331,63 @@ def test_pattern_facade_nav_refusals(spark):
     with pytest.raises(NotImplementedError, match="UNIQUE"):
         (Pattern.begin("click").where("SUM(click.value) < 9")
          .followed_by("click")._compile_nfa_stages())
+
+
+def test_sql_pattern_groups(spark):
+    """SQL PATTERN groups (EXCEEDS-reference: match_recognize.md:1106
+    lists them unsupported): exact groups unroll, variable-rep groups
+    compile to NFA group quantifiers, and the narrowings refuse."""
+    from flink_release_1_10_0_spark.streaming.cep import (
+        compile_match_pattern)
+
+    d = {v: "true" for v in "ABCD"}
+    st = compile_match_pattern("A (B C){2} D", d)
+    assert [s.name for s in st] == ["A", "B", "C", "B", "C", "D"]
+    assert all(s.group_start is None for s in st)
+    st = compile_match_pattern("A (B C){1,3} D", d)
+    assert [s.name for s in st] == ["A", "B", "C", "D"]
+    assert (st[2].group_start, st[2].group_min, st[2].group_max) == (1, 1, 3)
+    with pytest.raises(NotImplementedError, match="optional/star"):
+        compile_match_pattern("A (B C)? D", d)
+    with pytest.raises(NotImplementedError, match="pattern end"):
+        compile_match_pattern("A (B C)+", d)
+    with pytest.raises(NotImplementedError, match="nested"):
+        compile_match_pattern("A ((B C) D)+ A", d)
+    with pytest.raises(NotImplementedError, match="reluctant"):
+        compile_match_pattern("A (B C)+? D", d)
+    # plain grouping and single-var groups are sugar
+    assert [s.name for s in compile_match_pattern("A (B C) D", d)] == \
+        ["A", "B", "C", "D"]
+    one = compile_match_pattern("A (B)+ D", d)
+    assert (one[1].min_times, one[1].max_times) == (1, None)
+
+
+def test_sql_pattern_group_end_to_end(spark):
+    """H (L M)+ T with partitioned value classes: the rep count is
+    deterministic under strict contiguity — 2 reps here, and the run
+    whose alternation breaks emits nothing."""
+    vals = [60, 10, 30, 15, 35, 70,    # H L M L M T -> 2 reps
+            5, 25, 80,                 # L M H (no anchor before) ...
+            90, 10, 99]                # H L then 99 breaks (not M)
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "t", float(v))
+            for i, v in enumerate(vals)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, start_id, end_id, n_pairs
+        FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(H.event_id) AS start_id,
+                   LAST(T.event_id) AS end_id, COUNT(L.*) AS n_pairs
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (H (L M)+ T)
+          DEFINE H AS value >= 45,
+                 L AS value < 25,
+                 M AS value >= 25 AND value < 45,
+                 T AS value >= 45
+        )""").collect()
+    got = sorted((r.start_id, r.end_id, r.n_pairs) for r in out)
+    # anchor 0: 2 reps ending at 70(id5); anchor 5: (5,25) one rep,
+    # T=80(id8); anchor 8: L=90? no (90 is H) -> no; anchor 9: 10 L,
+    # 99 not M -> dies
+    assert got == [(0, 5, 2), (5, 8, 1)]
