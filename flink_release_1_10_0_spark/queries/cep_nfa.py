@@ -2444,3 +2444,62 @@ def flink_sql_mr_pattern_group_one_or_more(spark, sf_dir):
     return execute_match_recognize_sql(
         spark, _SQL_MR_GROUP_OOM_TEXT,
         batch_df=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# SQL:2016 pattern EXCLUSION `{- B+ -}` (round 9, EXCEEDS-reference:
+# match_recognize.md:1115 lists exclusion as unsupported): the excluded
+# loop's rows match and feed COUNT(B.*) but are dropped from the ALL
+# ROWS output — only the A and C rows of each match surface.
+# --------------------------------------------------------------------------
+_MR_EXCLUSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT c.user_id, q.rn - c.rn - 1 AS n_b,
+         c.event_id AS a_id, q.event_id AS c_id
+  FROM (SELECT * FROM o WHERE event_type = 'click') c,
+  LATERAL (SELECT rn, event_id, event_type FROM o x
+           WHERE x.user_id = c.user_id AND x.rn > c.rn
+             AND x.event_type <> 'view'
+           ORDER BY x.rn LIMIT 1) q
+  WHERE q.event_type = 'purchase' AND q.rn > c.rn + 1)
+SELECT user_id, CAST(a_id AS BIGINT) AS event_id,
+       'A' AS classifier, CAST(n_b AS BIGINT) AS n_b
+FROM m
+UNION ALL
+SELECT user_id, CAST(c_id AS BIGINT), 'C', CAST(n_b AS BIGINT)
+FROM m
+"""
+
+_SQL_MR_EXCLUSION_TEXT = """
+SELECT user_id, event_id, classifier, n_b
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES COUNT(B.*) AS n_b
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A {- B+ -} C)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'view',
+         C AS event_type = 'purchase'
+)
+"""
+
+
+@register("flink_sql_mr_exclusion_all_rows", _MR_EXCLUSION_ORACLE)
+def flink_sql_mr_exclusion_all_rows(spark, sf_dir):
+    """Pattern exclusion in ALL ROWS PER MATCH: click {- view+ -}
+    purchase — view rows participate in matching and in COUNT(B.*),
+    but only the click and purchase rows are output."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_EXCLUSION_TEXT,
+        batch_df=t(spark, sf_dir, "events"))

@@ -461,6 +461,17 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
     from flink_release_1_10_0_spark.streaming.nfa import match_nfa
 
     spec = parse_match_recognize(query)
+    # pattern EXCLUSION `{- B+ -}` (SQL:2016; the reference documents it
+    # as unsupported, match_recognize.md:1115 — an EXCEEDS surface):
+    # the excluded variables participate in matching (and in MEASURES
+    # aggregates) but their rows are dropped from the ALL ROWS PER
+    # MATCH output.  Under ONE ROW PER MATCH exclusion has no output
+    # effect (the standard's own note) — accepted and ignored.
+    excluded: list[str] = []
+    def _strip_excl(m):
+        excluded.extend(re.findall(r"[A-Za-z_]\w*", m.group(1)))
+        return " " + m.group(1) + " "
+    spec.pattern = re.sub(r"\{-\s*(.*?)\s*-\}", _strip_excl, spec.pattern)
     # a pattern variable with no DEFINE gets the default TRUE condition
     # (the reference: "If a condition is not defined for a pattern
     # variable, a default condition will be used which evaluates to
@@ -521,7 +532,8 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
         # user may list DEFINE conditions in any order
         log, batch, stage_names=[s.name for s in stages],
         measures=spec.measures, partition_by=spec.partition_by,
-        rows_per_match=spec.rows_per_match, subsets=spec.subsets)
+        rows_per_match=spec.rows_per_match, subsets=spec.subsets,
+        exclude=excluded)
     if spec.match_number_alias:
         out = out.withColumnRenamed("match_no", spec.match_number_alias)
     view = f"_match_recognize_{next(_counter)}"

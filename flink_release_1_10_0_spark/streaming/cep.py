@@ -980,6 +980,7 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
                              partition_by: str | list[str] = "user_id",
                              rows_per_match: str = "one",
                              subsets: dict[str, list[str]] | None = None,
+                             exclude: list[str] | None = None,
                              ) -> DataFrame:
     """MEASURES + ONE/ALL ROWS PER MATCH projection over a completed
     match log (``StreamExecMatch.scala:69`` / ``MatchCodeGenerator.scala``
@@ -1002,6 +1003,13 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
       ``classifier`` (CLASSIFIER()), ``pos``, ``event_id``; measures
       default to final-value semantics (SQL:2016 FINAL; prefix with
       ``RUNNING`` for prefix-aggregate semantics per row).
+
+    ``exclude`` names pattern variables under SQL:2016 EXCLUSION
+    (``{- B -}``): their rows participate in matching and in every
+    measure (RUNNING frames included) but are dropped from the ALL
+    ROWS output.  ONE ROW output is unaffected (exclusion has no
+    effect there — the standard's own note; the reference documents
+    exclusion as unsupported, match_recognize.md:1115).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -1033,6 +1041,10 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
                         F.col("var").alias("classifier"),
                         *[_measure_window(spec, wm, wr, subsets).alias(name)
                           for name, spec in measures.items()])
+    if exclude:
+        # EXCLUSION filters output rows AFTER the measure windows ran —
+        # excluded rows still count in RUNNING/FINAL aggregates
+        out = out.filter(~F.col("classifier").isin(list(exclude)))
     return out
 
 

@@ -391,3 +391,35 @@ def test_sql_pattern_group_end_to_end(spark):
     # T=80(id8); anchor 8: L=90? no (90 is H) -> no; anchor 9: 10 L,
     # 99 not M -> dies
     assert got == [(0, 5, 2), (5, 8, 1)]
+
+
+def test_pattern_exclusion_all_rows(spark):
+    """SQL:2016 exclusion `{- B+ -}` (EXCEEDS-reference,
+    match_recognize.md:1115): B rows match and feed the measures but
+    are dropped from the ALL ROWS output; ONE ROW output ignores the
+    marker entirely."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:00:01", 1, "view", 2.0),
+            (3, "2024-01-01 10:00:02", 1, "view", 3.0),
+            (4, "2024-01-01 10:00:03", 1, "purchase", 50.0)]
+    sql_all = """
+        SELECT event_id, classifier, n_b FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES COUNT(B.*) AS n_b
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A {- B+ -} C)
+          DEFINE A AS event_type = 'click',
+                 B AS event_type = 'view',
+                 C AS event_type = 'purchase'
+        )"""
+    out = _run(spark, _events(spark, rows), sql_all).collect()
+    got = sorted((r.event_id, r.classifier, r.n_b) for r in out)
+    # B rows (2, 3) excluded from output; COUNT(B.*) still sees them
+    assert got == [(1, "A", 2), (4, "C", 2)]
+    sql_one = sql_all.replace("ALL ROWS PER MATCH", "ONE ROW PER MATCH") \
+        .replace("SELECT event_id, classifier, n_b",
+                 "SELECT user_id, n_b")
+    out1 = _run(spark, _events(spark, rows), sql_one).collect()
+    assert [r.n_b for r in out1] == [2]
