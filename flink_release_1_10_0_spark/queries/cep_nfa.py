@@ -1959,9 +1959,12 @@ def flink_sql_mr_trailing_plus_tail(spark, sf_dir):
 # completedMatches queue) make matches exactly the sequential fold the
 # oracle computes with a recursive CTE: one state row per (user, rn),
 # emitting (start, break) whenever the running average would leave the
-# band.  Both engines accumulate the run sum in the same row order, so
-# the threshold decisions agree bit-for-bit; the reported average is
-# rounded to 6dp (the aggregate-order convention).
+# band.  Both engines accumulate the PREDICATE's run sum in the same
+# row order, so the threshold decisions agree bit-for-bit; the REPORTED
+# average derives from an exact decimal SUM on both sides (558-row runs
+# exist at sf0.1 — a float pairwise-vs-sequential sum difference can
+# cross a ROUND(x, 6) boundary there, the repo's standing money-column
+# convention avoids it).
 # --------------------------------------------------------------------------
 _MR_AGG_AVG_ORACLE = """
 WITH RECURSIVE
@@ -1994,21 +1997,26 @@ st AS (
               THEN s.cnt END
   FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
 SELECT s.user_id, e1.ts AS start_t, e2.ts AS end_t,
-       ROUND(s.em_sum / s.em_cnt, 6) AS avg_val,
+       ROUND(CAST(SUM(CAST(ea.value AS DECIMAL(18,2))) AS DOUBLE)
+             / s.em_cnt, 6) AS avg_val,
        CAST(s.em_cnt AS BIGINT) AS n_a
 FROM st s
 JOIN ev e1 ON e1.user_id = s.user_id AND e1.rn = s.em_start
 JOIN ev e2 ON e2.user_id = s.user_id AND e2.rn = s.em_end - 1
+JOIN ev ea ON ea.user_id = s.user_id
+          AND ea.rn BETWEEN s.em_start AND s.em_end - 1
 WHERE s.em_start IS NOT NULL
+GROUP BY s.user_id, e1.ts, e2.ts, s.em_cnt
 """
 
 _SQL_MR_AGG_AVG_TEXT = """
-SELECT user_id, start_t, end_t, ROUND(avg_val, 6) AS avg_val, n_a
+SELECT user_id, start_t, end_t, ROUND(sum_val / n_cnt, 6) AS avg_val, n_a
 FROM events MATCH_RECOGNIZE (
   PARTITION BY user_id
   ORDER BY ts
   MEASURES FIRST(A.ts) AS start_t, LAST(A.ts) AS end_t,
-           AVG(A.value) AS avg_val, COUNT(A.*) AS n_a
+           SUM(A.value) AS sum_val, COUNT(A.value) AS n_cnt,
+           COUNT(A.*) AS n_a
   ONE ROW PER MATCH
   AFTER MATCH SKIP PAST LAST ROW
   PATTERN (A+ B)

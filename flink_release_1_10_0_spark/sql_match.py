@@ -471,7 +471,20 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
     def _strip_excl(m):
         excluded.extend(re.findall(r"[A-Za-z_]\w*", m.group(1)))
         return " " + m.group(1) + " "
-    spec.pattern = re.sub(r"\{-\s*(.*?)\s*-\}", _strip_excl, spec.pattern)
+    _excl_re = re.compile(r"\{-\s*(.*?)\s*-\}")
+    outside = _excl_re.sub(" ", spec.pattern)   # pattern minus exclusions
+    spec.pattern = _excl_re.sub(_strip_excl, spec.pattern)
+    for v in excluded:
+        # exclusion here is BY VARIABLE (the output filter drops every
+        # row classified to it); SQL:2016 exclusion is by SPAN — a
+        # variable appearing both inside and outside `{- -}` would
+        # lose its non-excluded rows too, so refuse that shape loudly
+        if re.search(rf"\b{re.escape(v)}\b", outside):
+            raise NotImplementedError(
+                f"excluded variable {v!r} also appears OUTSIDE the "
+                "{- -} span: exclusion is applied per variable here "
+                "(classifier filter), not per span — rename the "
+                "second occurrence")
     # a pattern variable with no DEFINE gets the default TRUE condition
     # (the reference: "If a condition is not defined for a pattern
     # variable, a default condition will be used which evaluates to

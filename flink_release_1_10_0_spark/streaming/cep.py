@@ -367,6 +367,12 @@ class Pattern:
             navs = [w for w in s.wheres
                     if has_navigation(w, s.event_type, all_vars)]
             if navs:
+                if s.negated:
+                    raise NotImplementedError(
+                        "navigation/aggregate where() on a negation "
+                        "stage: guards are evaluated against every "
+                        "in-between event, not a consuming edge (the "
+                        "NFA refuses this too)")
                 if len(set(all_vars)) != len(all_vars):
                     raise NotImplementedError(
                         "navigation/aggregate conditions need UNIQUE "
@@ -629,7 +635,15 @@ def compile_match_pattern(pattern: str, define: dict[str, str],
                 stages.extend(sub)          # plain grouping: (B C) == B C
             elif len(sub) == 1:
                 # single-variable group: the quantifier is a plain stage
-                # quantifier ((B)+ == B+)
+                # quantifier ((B)+ == B+) — ONLY when the inner variable
+                # is unquantified; ((B{2}))+ would need quantifier
+                # composition, not overwrite
+                if (sub[0].min_times, sub[0].max_times) != (1, 1):
+                    raise NotImplementedError(
+                        "quantified variable inside a quantified "
+                        "single-variable group ((B{2})+): compose the "
+                        "quantifiers yourself (B{2} repeated is "
+                        "(B B)+ as a two-stage group)")
                 mn, mx = _parse_quant(quant)
                 sub[0].min_times, sub[0].max_times = mn, mx
                 sub[0].greedy = (not reluctant
@@ -813,10 +827,19 @@ def _parse_measure(spec: str) -> tuple[str, str, str, str, int]:
         # expression rides in the col slot and passes to Spark SQL
         # verbatim under the variable's CLASSIFIER filter
         fn_, arg = m.group(1).upper(), m.group(2)
-        if arg.count("(") != arg.count(")"):
-            # `AVG(X.v) - AVG(X.w)` starts with an aggregate call too:
-            # an unbalanced capture means the call is one FRAGMENT of a
-            # compound expression — let the compound path split it
+        # `MAX(X.v) - MIN(X.v)` starts with an aggregate call too: the
+        # lazy capture is then a FRAGMENT of a compound expression
+        # ('X.v) - MIN(X.v' — paren depth goes NEGATIVE scanning it,
+        # even though the total counts balance).  A prefix-depth check
+        # is the correct fragment detector; an equal-count check is not
+        # (it passes here and would silently drop the classifier filter
+        # from the first fragment) — let the compound path split it.
+        depth = 0
+        for ch in arg:
+            depth += (ch == "(") - (ch == ")")
+            if depth < 0:
+                raise ValueError(f"bad MEASURES expression {spec!r}")
+        if depth != 0:
             raise ValueError(f"bad MEASURES expression {spec!r}")
         if arg.upper().startswith("DISTINCT "):
             raise NotImplementedError(

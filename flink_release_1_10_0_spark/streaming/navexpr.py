@@ -168,6 +168,28 @@ def _num(v) -> bool:
     return isinstance(v, numbers.Number) and not isinstance(v, bool)
 
 
+def fold_acc(acc, v):
+    """Fold one value into a ``(count, sum, min, max)`` RUNNING-aggregate
+    accumulator — the single update rule shared by the NFA's stored
+    per-run state (``nfa.nav_take``) and the tentative current-row
+    evaluation inside the compiled aggregate closure, so the two can
+    never desynchronize.  NULL values don't count; Decimals fold as
+    float (JSON round-trip safety); non-numeric values count and
+    min/max but never sum."""
+    n, s, mn, mx = acc
+    if v is None:
+        return n, s, mn, mx
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    n += 1
+    if _num(v):
+        s = v if s is None else s + v
+    mn = v if mn is None or v < mn else mn
+    mx = v if mx is None or v > mx else mx
+    return n, s, mn, mx
+
+
 def _arith(op: str):
     # Numeric operands only: Python '+' on two strings would concatenate
     # and int/int '/' true-divides, so an untyped closure could diverge
@@ -438,16 +460,10 @@ class _Compiler:
             acc = nav.get(var, {}).get(akey)
             n, s, mn, mx = acc if acc else (0, None, None, None)
             if own:
-                v = arg(row, nav, navn, prev)
-                if v is not None:
-                    import decimal
-                    if isinstance(v, decimal.Decimal):
-                        v = float(v)
-                    n += 1
-                    if _num(v):
-                        s = v if s is None else s + v
-                    mn = v if mn is None or v < mn else mn
-                    mx = v if mx is None or v > mx else mx
+                # tentative include of the current row: same fold as
+                # the stored accumulator update (nfa.nav_take)
+                n, s, mn, mx = fold_acc(
+                    (n, s, mn, mx), arg(row, nav, navn, prev))
             if kind == "COUNT":
                 return n
             if kind == "SUM":

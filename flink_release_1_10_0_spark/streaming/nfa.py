@@ -654,9 +654,10 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
         return -1
 
     def fn(key_: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        import decimal as _decimal
         import json as _json
-        import numbers as _numbers
+
+        from flink_release_1_10_0_spark.streaming.navexpr import (
+            fold_acc as _fold_acc)
         EMPTY_NAV = ({}, {})
         if state.exists:
             (r_stage, r_times, r_guard, r_gstrict, r_start, r_last,
@@ -723,19 +724,12 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     new_cols[col] = (f, l)
             if agg_v:
                 for akey, arg in agg_v.items():
-                    n_, s_, mn_, mx_ = old.get(
-                        akey, (0, None, None, None))
-                    v = arg(rowvals, None, None, None)
-                    if v is not None:
-                        if isinstance(v, _decimal.Decimal):
-                            v = float(v)       # JSON round-trip safety
-                        n_ += 1
-                        if (isinstance(v, _numbers.Number)
-                                and not isinstance(v, bool)):
-                            s_ = v if s_ is None else s_ + v
-                        mn_ = v if mn_ is None or v < mn_ else mn_
-                        mx_ = v if mx_ is None or v > mx_ else mx_
-                    new_cols[akey] = (n_, s_, mn_, mx_)
+                    # the SAME fold the compiled aggregate closures use
+                    # for the tentative current-row evaluation — one
+                    # update rule, no desynchronization possible
+                    new_cols[akey] = _fold_acc(
+                        tuple(old.get(akey, (0, None, None, None))),
+                        arg(rowvals, None, None, None))
             if new_cols:
                 vd[var] = new_cols
             nn = dict(navn)
@@ -773,8 +767,11 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
             nonlocal cut, pending
             if after_match == NO_SKIP or not pending:
                 return live_runs
+            # one sort per resolve: pop(0) and the order-preserving
+            # prune keep the list sorted across iterations (stable sort
+            # breaks (start_us, start_id) ties by completion order)
+            pending.sort(key=lambda p: (p[0], p[2][0]))
             while pending:
-                pending.sort(key=lambda p: (p[0], p[2][0]))
                 p = pending[0]
                 if live_runs:
                     mn = min((r[A], r[EV][0]) for r in live_runs)
@@ -850,8 +847,14 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             # here, not flushed (full SQL:2016 batch
                             # backtracking would instead re-bind the
                             # blocked run's tail rows — a documented
-                            # divergence both engines share)
-                            blockers.append(run)
+                            # divergence both engines share).  With a
+                            # within-window, the final +inf watermark
+                            # EXPIRES every windowed partial before the
+                            # queue drains (reference advanceTime), so
+                            # a windowed partial never blocks at EOS —
+                            # the held match emits.
+                            if within_us is None:
+                                blockers.append(run)
                     runs = []
                     resolve(blockers)
                     pending.clear()
@@ -1254,6 +1257,13 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                 # reference resolves the completedMatches queue after
                 # each event's computation states, NFA.java:337-364)
                 runs = resolve(runs)
+                if len(pending) > MAX_RUNS_PER_KEY:
+                    # the held queue is bounded like the run list: keep
+                    # the EARLIEST-started matches (they emit first;
+                    # under every skip strategy a younger held match is
+                    # the one an older emission's pruning id discards)
+                    pending.sort(key=lambda p: (p[0], p[2][0]))
+                    del pending[MAX_RUNS_PER_KEY:]
 
         nav_ser = ["" if not (r[NV][0] or r[NV][1])
                    else _json.dumps({"v": r[NV][0], "n": r[NV][1]})

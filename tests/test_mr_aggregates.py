@@ -423,3 +423,91 @@ def test_pattern_exclusion_all_rows(spark):
                  "SELECT user_id, n_b")
     out1 = _run(spark, _events(spark, rows), sql_one).collect()
     assert [r.n_b for r in out1] == [2]
+
+
+def test_compound_same_variable_measure_keeps_filters(spark):
+    """`MAX(X.v) - MIN(X.v)` is a COMPOUND expression (two fragments),
+    not a single aggregate over 'v) - MIN(v' — the prefix-depth
+    fragment detector routes it to the compound path, where EACH
+    fragment keeps its classifier filter."""
+    from flink_release_1_10_0_spark.streaming.cep import _measure_sql_any
+
+    sql = _measure_sql_any("MAX(X.v) - MIN(X.v)", valid_vars=["X"])
+    assert sql.count("FILTER (WHERE var = 'X')") == 2
+    # and end-to-end: spread measure over only A's rows
+    rows = [(1, "2024-01-01 10:00:00", 1, "a", 10.0),
+            (2, "2024-01-01 10:00:01", 1, "a", 30.0),
+            (3, "2024-01-01 10:00:02", 1, "b", 999.0)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, spread FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES MAX(A.value) - MIN(A.value) AS spread
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A{2} B)
+          DEFINE A AS event_type = 'a', B AS event_type = 'b'
+        )""").collect()
+    assert [r.spread for r in out] == [20.0]   # 999 (B) must not leak in
+
+
+def test_eos_windowed_blocker_expires_held_match(spark):
+    """A held match blocked by a WINDOWED unsatisfied partial emits at
+    end-of-stream: the final watermark expires the blocker first (the
+    reference's advanceTime), unlike the unwindowed case where the
+    blocked match is discarded."""
+    # user 1: values 10(A-run never closes), 1, 100: run from e2
+    # completes {A=1, B=100} at e3 and is HELD behind the run from e1
+    # (avg(10,1,100)=37 >= 40? 37 < 40 -> still extending at EOS)
+    rows = [(1, "2024-01-01 10:00:00", 1, "t", 10.0),
+            (2, "2024-01-01 10:00:01", 1, "t", 1.0),
+            (3, "2024-01-01 10:00:02", 1, "t", 100.0)]
+    sql = """
+        SELECT user_id, n_a FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES COUNT(A.*) AS n_a
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ B)
+          {WITHIN}
+          DEFINE A AS AVG(A.value) < 40
+        )"""
+    # run from e2: avg(1)=1 ok; e3: avg(1,100)=50.5 >= 40 -> B -> held.
+    # UNWINDOWED: blocked by the e1 run at EOS -> discarded
+    out = _run(spark, _events(spark, rows),
+               sql.replace("{WITHIN}", "")).collect()
+    assert out == []
+    # WINDOWED: the e1 partial expires at the EOS watermark -> emits
+    out = _run(spark, _events(spark, rows),
+               sql.replace("{WITHIN}", "WITHIN INTERVAL '1' HOUR")).collect()
+    assert [r.n_a for r in out] == [1]
+
+
+def test_single_var_group_inner_quantifier_refuses(spark):
+    """((B{2}))+ would silently become B+ under the (B)+ == B+ sugar —
+    it refuses instead."""
+    from flink_release_1_10_0_spark.streaming.cep import (
+        compile_match_pattern)
+
+    with pytest.raises(NotImplementedError, match="compose"):
+        compile_match_pattern("A (B{2})+ C", {v: "true" for v in "ABC"})
+
+
+def test_exclusion_variable_reuse_refuses(spark):
+    """An excluded variable appearing OUTSIDE the {- -} span refuses
+    (exclusion here is per variable, SQL:2016's is per span)."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "a", 1.0)]
+    with pytest.raises(NotImplementedError, match="OUTSIDE"):
+        _run(spark, _events(spark, rows), """
+            SELECT user_id FROM ev MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES COUNT(B.*) AS n_b
+              ALL ROWS PER MATCH
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (A {- B -} C B)
+              DEFINE A AS event_type = 'a',
+                     B AS event_type = 'b',
+                     C AS event_type = 'c'
+            )""")
