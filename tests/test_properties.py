@@ -706,3 +706,49 @@ def test_nfa_group_edges_match_reference_machine(spark, syms, quant, has_y):
     out = run_to_completion(pat.match_stream(sdf), "append")
     got = {tuple(r.ev_ids) for r in out.collect()}
     assert got == _ref_group_nfa(syms, gmn, gmx, has_y)
+
+
+@given(vals=st.lists(st.integers(min_value=1, max_value=9),
+                     min_size=1, max_size=14),
+       thr=st.sampled_from([3, 5, 7]))
+@settings(**_SETTINGS)
+def test_mr_define_aggregate_matches_fold(spark, vals, thr):
+    """Randomized RUNNING-aggregate DEFINE check (round 9): PATTERN
+    (A+ B), A AS AVG(A.value) < thr, AFTER MATCH SKIP PAST LAST ROW —
+    the engine (running accumulators + held start-order emission + EOS
+    discard of matches blocked by an unwindowed partial) must equal the
+    independent sequential fold: extend A while the average with the
+    row appended stays under thr; the first breaking row after a
+    non-empty A is B and the match emits; resume past it."""
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "m", float(v))
+            for i, v in enumerate(vals, 1)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = execute_match_recognize_sql(spark, f"""
+        SELECT user_id, start_id, end_id, n_a FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS start_id,
+                   LAST(B.event_id) AS end_id, COUNT(A.*) AS n_a
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ B)
+          DEFINE A AS AVG(A.value) < {thr}
+        )""", batch_df=df)
+    got = sorted((r.start_id, r.end_id, r.n_a) for r in out.collect())
+
+    expect, cnt, sm, start = [], 0, 0.0, None
+    for i, v in enumerate(vals, 1):
+        if (sm + v) / (cnt + 1) < thr:
+            cnt, sm = cnt + 1, sm + v
+            start = start if start is not None else i
+        elif cnt > 0:
+            expect.append((start, i, cnt))
+            cnt, sm, start = 0, 0.0, None
+    assert got == sorted(expect)
