@@ -2511,3 +2511,65 @@ def flink_sql_mr_exclusion_all_rows(spark, sf_dir):
     return execute_match_recognize_sql(
         spark, _SQL_MR_EXCLUSION_TEXT,
         batch_df=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# SQL:2016 alternation (round 9, EXCEEDS-reference: match_recognize.md
+# :1108 lists alternation as unsupported): PATTERN ((A B | C D) T) runs
+# as the UNION of the expanded branch patterns — exact because the
+# branch heads are disjoint value classes (checked against the input at
+# execution) and AFTER MATCH is SKIP TO NEXT ROW.  The oracle is a
+# lead-chain with the branch disjunction inline.
+# --------------------------------------------------------------------------
+_MR_ALTERNATION_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id,
+         CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+              ELSE 'M' END AS cls,
+         lead(CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+                   ELSE 'M' END, 1) OVER w AS c1,
+         lead(CASE WHEN value >= 45 THEN 'H' WHEN value < 25 THEN 'L'
+                   ELSE 'M' END, 2) OVER w AS c2,
+         lead(event_id, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(e2 AS BIGINT) AS end_id,
+       CAST(CASE WHEN cls = 'L' THEN 1 ELSE 0 END AS BIGINT) AS n_a,
+       CAST(CASE WHEN cls = 'M' THEN 1 ELSE 0 END AS BIGINT) AS n_c
+FROM o
+WHERE ((cls = 'L' AND c1 = 'M') OR (cls = 'M' AND c1 = 'L'))
+  AND c2 = 'H'
+"""
+
+_SQL_MR_ALTERNATION_TEXT = """
+SELECT user_id, end_id, n_a, n_c
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES LAST(T.event_id) AS end_id,
+           COUNT(A.*) AS n_a, COUNT(C.*) AS n_c
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((A B | C D) T)
+  DEFINE A AS value < 25,
+         B AS value >= 25 AND value < 45,
+         C AS value >= 25 AND value < 45,
+         D AS value < 25,
+         T AS value >= 45
+)
+"""
+
+
+@register("flink_sql_mr_alternation", _MR_ALTERNATION_ORACLE)
+def flink_sql_mr_alternation(spark, sf_dir):
+    """Alternation branch union: low-then-mid (A B) or mid-then-low
+    (C D) followed by a high row — measures over the other branch's
+    variables yield 0, and head disjointness is verified against the
+    input before execution."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_ALTERNATION_TEXT,
+        batch_df=t(spark, sf_dir, "events"))

@@ -385,6 +385,69 @@ def parse_match_recognize(query: str) -> MatchSpec:
     return spec
 
 
+def _expand_alternation(pattern: str):
+    """Detect ONE top-level alternation group ``(A B | C D)`` in the
+    PATTERN and expand it: returns ``(branch_patterns, head_vars)`` —
+    one full pattern per alternative plus each alternative's FIRST
+    variable — or ``None`` when the pattern has no alternation.
+
+    SQL:2016 alternation (the reference documents it as unsupported,
+    ``match_recognize.md:1108``) is executed here as the UNION of the
+    expanded branch patterns.  That is exact only when at most one
+    branch can proceed at any divergence point, which strict row-
+    pattern contiguity gives iff the branch HEAD predicates are
+    pairwise disjoint — checked against the actual input at execution
+    (see ``execute_match_recognize_sql``); AFTER MATCH must be SKIP TO
+    NEXT ROW (cross-branch pruning under the other strategies would
+    need one shared NFA).  Narrowings (loud): one alternation group
+    per pattern, plain variable sequences inside (no nested groups),
+    no quantifier on the group or min-0 quantifier on a branch head."""
+    i, n = 0, len(pattern)
+    while i < n:
+        if pattern[i] != "(":
+            i += 1
+            continue
+        j = pattern.find(")", i)
+        if j < 0:
+            return None          # unbalanced: the compiler raises
+        inner = pattern[i + 1:j]
+        if "|" not in inner:
+            i = j + 1
+            continue
+        if "(" in inner:
+            raise NotImplementedError(
+                "alternation branches must be plain variable "
+                "sequences (no nested pattern groups)")
+        rest = pattern[j + 1:]
+        if rest.lstrip()[:1] in ("+", "*", "?", "{"):
+            raise NotImplementedError(
+                "quantified alternation group ((A B | C D)+): "
+                "repetition across alternatives needs a shared NFA — "
+                "unroll the repetition explicitly")
+        if "|" in rest:
+            raise NotImplementedError(
+                "multiple alternation groups in one PATTERN: expand "
+                "the cross product explicitly")
+        branches = [b.strip() for b in inner.split("|")]
+        if any(not b for b in branches):
+            raise ValueError(f"empty alternation branch in {pattern!r}")
+        heads = []
+        for b in branches:
+            hm = re.match(r"([A-Za-z_]\w*)\s*(\*|\?|\{0[,}])?", b)
+            if hm.group(2):
+                raise NotImplementedError(
+                    "min-0 quantifier on an alternation branch HEAD: "
+                    "branch selection is decided by the head row, so "
+                    "the head must be mandatory")
+            heads.append(hm.group(1))
+        return ([f"{pattern[:i]} {b} {rest}".strip() for b in branches],
+                heads)
+    if "|" in pattern:
+        raise ValueError(
+            "alternation needs parentheses: PATTERN ((A B | C D) E)")
+    return None
+
+
 def _compile_define(spec: MatchSpec) -> tuple[dict[str, str], dict]:
     """Split DEFINE into the Spark-SQL fast path and the navigation path.
 
@@ -515,7 +578,9 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
               else _bounded_stream(batch, keys=spec.partition_by,
                                    ts_col=spec.order_by[0], id_col=id_col))
     define, nav = _compile_define(spec)
-    stages = compile_match_pattern(spec.pattern, define, nav=nav)
+    alternation = _expand_alternation(spec.pattern)
+    stages = (None if alternation
+              else compile_match_pattern(spec.pattern, define, nav=nav))
 
     # expression tiebreakers (ORDER BY ts, value * -1, ...) become
     # derived columns computed JVM-side before the keyed shuffle; plain
@@ -534,21 +599,78 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
             tiebreakers.append(name + suffix)
 
     from flink_release_1_10_0_spark.streaming.cep import _parse_after_match
-    log = run_to_completion(
-        match_nfa(stream, stages, within_minutes=spec.within_minutes,
-                  key=spec.partition_by,
-                  after_match=_parse_after_match(spec.after_match),
-                  ts_col=spec.order_by[0], id_col=id_col,
-                  order_tiebreakers=tiebreakers), "append")
-    out = match_recognize_measures(
-        # stage order comes from PATTERN, not the DEFINE clause — a
-        # user may list DEFINE conditions in any order
-        log, batch, stage_names=[s.name for s in stages],
-        measures=spec.measures, partition_by=spec.partition_by,
-        rows_per_match=spec.rows_per_match, subsets=spec.subsets,
-        exclude=excluded)
-    if spec.match_number_alias:
-        out = out.withColumnRenamed("match_no", spec.match_number_alias)
+
+    def _run_one(branch_stages, measure_vars=None, drop_match_no=False):
+        log = run_to_completion(
+            match_nfa(stream, branch_stages,
+                      within_minutes=spec.within_minutes,
+                      key=spec.partition_by,
+                      after_match=_parse_after_match(spec.after_match),
+                      ts_col=spec.order_by[0], id_col=id_col,
+                      order_tiebreakers=tiebreakers), "append")
+        o = match_recognize_measures(
+            # stage order comes from PATTERN, not the DEFINE clause — a
+            # user may list DEFINE conditions in any order
+            log, batch, stage_names=[s.name for s in branch_stages],
+            measures=spec.measures, partition_by=spec.partition_by,
+            rows_per_match=spec.rows_per_match, subsets=spec.subsets,
+            exclude=excluded, measure_vars=measure_vars)
+        return o.drop("match_no") if drop_match_no else o
+
+    if alternation:
+        # SQL:2016 alternation (EXCEEDS-reference, match_recognize.md:
+        # 1108): UNION of the expanded branch patterns — exact iff the
+        # branch heads are pairwise disjoint (strict contiguity then
+        # lets at most one branch proceed per divergence row, so no
+        # cross-branch preferment exists) and AFTER MATCH is SKIP TO
+        # NEXT ROW (no cross-branch pruning).  Disjointness is CHECKED
+        # against the actual input, not assumed.
+        branch_patterns, heads = alternation
+        if spec.rows_per_match != "one":
+            raise NotImplementedError(
+                "alternation with ALL ROWS PER MATCH: per-branch "
+                "match numbering cannot be merged — use ONE ROW")
+        if spec.match_number_alias:
+            raise NotImplementedError(
+                "MATCH_NUMBER() with alternation: numbers would be "
+                "per-branch, not global — drop the measure")
+        if spec.after_match != "skip_to_next_row":
+            raise NotImplementedError(
+                "alternation needs AFTER MATCH SKIP TO NEXT ROW: the "
+                "other strategies prune across branches, which the "
+                "branch-union execution cannot model")
+        if len(set(heads)) != len(heads):
+            raise NotImplementedError(
+                "alternation branches sharing a HEAD variable are "
+                "never disjoint — give each branch a distinct head")
+        for h in heads:
+            if h in nav:
+                raise NotImplementedError(
+                    f"alternation head {h!r} has a navigation/"
+                    "aggregate DEFINE: head disjointness must be a "
+                    "plain row predicate to be checkable")
+        from itertools import combinations
+        for h1, h2 in combinations(heads, 2):
+            both = batch.filter(
+                F.expr(f"({define[h1]}) AND ({define[h2]})"))
+            if both.limit(1).count() > 0:
+                raise ValueError(
+                    f"alternation heads {h1!r} and {h2!r} are NOT "
+                    "disjoint on this input (a row satisfies both "
+                    "DEFINEs): branch selection would be ambiguous — "
+                    "make the head predicates mutually exclusive")
+        all_vars = list(spec.define)
+        parts = [_run_one(compile_match_pattern(bp, define, nav=nav),
+                          measure_vars=all_vars, drop_match_no=True)
+                 for bp in branch_patterns]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    else:
+        out = _run_one(stages)
+        if spec.match_number_alias:
+            out = out.withColumnRenamed("match_no",
+                                        spec.match_number_alias)
     view = f"_match_recognize_{next(_counter)}"
     out.createOrReplaceTempView(view)
     # the outer remainder may itself use Flink group-window functions

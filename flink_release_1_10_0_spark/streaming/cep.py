@@ -1004,6 +1004,7 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
                              rows_per_match: str = "one",
                              subsets: dict[str, list[str]] | None = None,
                              exclude: list[str] | None = None,
+                             measure_vars: list[str] | None = None,
                              ) -> DataFrame:
     """MEASURES + ONE/ALL ROWS PER MATCH projection over a completed
     match log (``StreamExecMatch.scala:69`` / ``MatchCodeGenerator.scala``
@@ -1053,7 +1054,13 @@ def match_recognize_measures(matches: DataFrame, events: DataFrame,
                   F.element_at(names, F.col("z.ev_stages") + 1).alias("var")))
     joined = ex.join(events.drop(*keys), "event_id")
     if rows_per_match == "one":
-        aggs = [F.expr(_measure_sql_any(spec, valid_vars=stage_names,
+        # measure validity is checked against measure_vars when given
+        # (alternation: a measure may reference a variable of ANOTHER
+        # branch — its classifier filter then matches nothing, so
+        # COUNT yields 0 and value aggregates yield NULL, the SQL:2016
+        # unmatched-variable semantics)
+        vv = measure_vars if measure_vars is not None else stage_names
+        aggs = [F.expr(_measure_sql_any(spec, valid_vars=vv,
                                         subsets=subsets))
                 .alias(name) for name, spec in measures.items()]
         return joined.groupBy(*keys, "match_no").agg(*aggs)

@@ -511,3 +511,46 @@ def test_exclusion_variable_reuse_refuses(spark):
                      B AS event_type = 'b',
                      C AS event_type = 'c'
             )""")
+
+
+def test_pattern_alternation(spark):
+    """SQL:2016 alternation (EXCEEDS-reference, match_recognize.md:1108)
+    as a branch union: (A B | C D) T with disjoint heads — measures
+    over the other branch's variables yield 0/NULL; non-disjoint heads
+    and non-skip-to-next strategies refuse."""
+    vals = [10, 30, 60, 35, 5, 70, 12, 14, 90]
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "t", float(v))
+            for i, v in enumerate(vals)]
+    sql = """
+        SELECT user_id, end_id, n_a, n_c FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES LAST(T.event_id) AS end_id,
+                   COUNT(A.*) AS n_a, COUNT(C.*) AS n_c
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN ((A B | C D) T)
+          DEFINE A AS value < 25,
+                 B AS value >= 25 AND value < 45,
+                 C AS value >= 25 AND value < 45,
+                 D AS value < 25,
+                 T AS value >= 45
+        )"""
+    out = _run(spark, _events(spark, rows), sql).collect()
+    got = sorted((r.end_id, r.n_a, r.n_c) for r in out)
+    assert got == [(2, 1, 0), (5, 0, 1)]   # L M H via A B; M L H via C D
+    # non-disjoint heads (same predicate class) refuse at runtime
+    with pytest.raises(Exception, match="NOT disjoint"):
+        _run(spark, _events(spark, rows),
+             sql.replace("A AS value < 25", "A AS value < 45")).collect()
+    # skip past last row refuses (cross-branch pruning unmodeled)
+    with pytest.raises(NotImplementedError, match="SKIP TO NEXT"):
+        _run(spark, _events(spark, rows),
+             sql.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW"))
+    from flink_release_1_10_0_spark.sql_match import _expand_alternation
+    with pytest.raises(NotImplementedError, match="uantified alternation"):
+        _expand_alternation("X (A B | C D)+ Y")
+    with pytest.raises(NotImplementedError, match="multiple alternation"):
+        _expand_alternation("(A | B) (C | D)")
+    with pytest.raises(NotImplementedError, match="branch HEAD"):
+        _expand_alternation("(A? B | C D) E")
