@@ -2573,3 +2573,59 @@ def flink_sql_mr_alternation(spark, sf_dir):
     return execute_match_recognize_sql(
         spark, _SQL_MR_ALTERNATION_TEXT,
         batch_df=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# PERMUTE (round 9, EXCEEDS-reference: match_recognize.md:1111 lists
+# PERMUTE as unsupported): PATTERN (PERMUTE (A, B, C)) rewrites to the
+# alternation of all 6 orderings; the branch-union divergence checks
+# then require the three classes pairwise disjoint (they partition the
+# value domain here).  Oracle: any 3 consecutive rows covering all
+# three classes.
+# --------------------------------------------------------------------------
+_MR_PERMUTE_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id,
+         CASE WHEN value >= 45 THEN 'C' WHEN value < 25 THEN 'A'
+              ELSE 'B' END AS cls,
+         lead(CASE WHEN value >= 45 THEN 'C' WHEN value < 25 THEN 'A'
+                   ELSE 'B' END, 1) OVER w AS c1,
+         lead(CASE WHEN value >= 45 THEN 'C' WHEN value < 25 THEN 'A'
+                   ELSE 'B' END, 2) OVER w AS c2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(event_id AS BIGINT) AS first_id
+FROM o
+WHERE c1 IS NOT NULL AND c2 IS NOT NULL
+  AND cls <> c1 AND cls <> c2 AND c1 <> c2
+"""
+
+_SQL_MR_PERMUTE_TEXT = """
+SELECT user_id, first_id
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES MIN(S.event_id) AS first_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (PERMUTE (A, B, C))
+  SUBSET S = (A, B, C)
+  DEFINE A AS value < 25,
+         B AS value >= 25 AND value < 45,
+         C AS value >= 45
+)
+"""
+
+
+@register("flink_sql_mr_permute", _MR_PERMUTE_ORACLE)
+def flink_sql_mr_permute(spark, sf_dir):
+    """PERMUTE (A, B, C): three consecutive rows covering all three
+    value classes in any order — 6-branch alternation union with
+    runtime-verified pairwise disjointness."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_PERMUTE_TEXT,
+        batch_df=t(spark, sf_dir, "events"))

@@ -387,21 +387,24 @@ def parse_match_recognize(query: str) -> MatchSpec:
 
 def _expand_alternation(pattern: str):
     """Detect ONE top-level alternation group ``(A B | C D)`` in the
-    PATTERN and expand it: returns ``(branch_patterns, head_vars)`` —
-    one full pattern per alternative plus each alternative's FIRST
-    variable — or ``None`` when the pattern has no alternation.
+    PATTERN and expand it: returns the list of full branch patterns
+    (one per alternative), or ``None`` when the pattern has no
+    alternation.
 
     SQL:2016 alternation (the reference documents it as unsupported,
     ``match_recognize.md:1108``) is executed here as the UNION of the
     expanded branch patterns.  That is exact only when at most one
-    branch can proceed at any divergence point, which strict row-
-    pattern contiguity gives iff the branch HEAD predicates are
-    pairwise disjoint — checked against the actual input at execution
-    (see ``execute_match_recognize_sql``); AFTER MATCH must be SKIP TO
-    NEXT ROW (cross-branch pruning under the other strategies would
-    need one shared NFA).  Narrowings (loud): one alternation group
-    per pattern, plain variable sequences inside (no nested groups),
-    no quantifier on the group or min-0 quantifier on a branch head."""
+    branch can proceed past any DIVERGENCE point — strict row-pattern
+    contiguity gives that iff, for every branch pair, the variables at
+    their first differing pattern position have pairwise-DISJOINT
+    predicates; ``execute_match_recognize_sql`` checks exactly those
+    pairs against the actual input (so ``PERMUTE`` expansions with
+    repeated heads work too).  AFTER MATCH must be SKIP TO NEXT ROW
+    (cross-branch pruning under the other strategies would need one
+    shared NFA).  Narrowings (loud): one alternation group per
+    pattern, plain variable sequences inside (no nested groups), no
+    quantifier on the group, no min-0 quantifier at a divergence
+    position."""
     i, n = 0, len(pattern)
     while i < n:
         if pattern[i] != "(":
@@ -431,17 +434,7 @@ def _expand_alternation(pattern: str):
         branches = [b.strip() for b in inner.split("|")]
         if any(not b for b in branches):
             raise ValueError(f"empty alternation branch in {pattern!r}")
-        heads = []
-        for b in branches:
-            hm = re.match(r"([A-Za-z_]\w*)\s*(\*|\?|\{0[,}])?", b)
-            if hm.group(2):
-                raise NotImplementedError(
-                    "min-0 quantifier on an alternation branch HEAD: "
-                    "branch selection is decided by the head row, so "
-                    "the head must be mandatory")
-            heads.append(hm.group(1))
-        return ([f"{pattern[:i]} {b} {rest}".strip() for b in branches],
-                heads)
+        return [f"{pattern[:i]} {b} {rest}".strip() for b in branches]
     if "|" in pattern:
         raise ValueError(
             "alternation needs parentheses: PATTERN ((A B | C D) E)")
@@ -548,6 +541,24 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
                 "{- -} span: exclusion is applied per variable here "
                 "(classifier filter), not per span — rename the "
                 "second occurrence")
+    # PERMUTE (A, B[, C]) (SQL:2016; unsupported in the reference,
+    # match_recognize.md:1111): sugar for the alternation of every
+    # ordering — rewritten here and executed by the branch-union
+    # machinery below, whose divergence checks then require the
+    # permuted variables pairwise disjoint (n! branches share prefixes,
+    # so every pair of permuted variables IS a divergence pair)
+    pm = re.search(r"PERMUTE\s*\(([^)]*)\)", spec.pattern, re.IGNORECASE)
+    if pm:
+        import itertools as _it
+        pvars = [v.strip() for v in pm.group(1).split(",") if v.strip()]
+        if len(pvars) < 2 or len(pvars) > 3:
+            raise NotImplementedError(
+                "PERMUTE with n outside 2..3: n! branch expansion — "
+                "write the orderings you need as an explicit "
+                "alternation")
+        alts = " | ".join(" ".join(p) for p in _it.permutations(pvars))
+        spec.pattern = (spec.pattern[:pm.start()] + "(" + alts + ")"
+                        + spec.pattern[pm.end():])
     # a pattern variable with no DEFINE gets the default TRUE condition
     # (the reference: "If a condition is not defined for a pattern
     # variable, a default condition will be used which evaluates to
@@ -625,7 +636,7 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
         # cross-branch preferment exists) and AFTER MATCH is SKIP TO
         # NEXT ROW (no cross-branch pruning).  Disjointness is CHECKED
         # against the actual input, not assumed.
-        branch_patterns, heads = alternation
+        branch_patterns = alternation
         if spec.rows_per_match != "one":
             raise NotImplementedError(
                 "alternation with ALL ROWS PER MATCH: per-branch "
@@ -639,26 +650,60 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
                 "alternation needs AFTER MATCH SKIP TO NEXT ROW: the "
                 "other strategies prune across branches, which the "
                 "branch-union execution cannot model")
-        if len(set(heads)) != len(heads):
-            raise NotImplementedError(
-                "alternation branches sharing a HEAD variable are "
-                "never disjoint — give each branch a distinct head")
-        for h in heads:
-            if h in nav:
-                raise NotImplementedError(
-                    f"alternation head {h!r} has a navigation/"
-                    "aggregate DEFINE: head disjointness must be a "
-                    "plain row predicate to be checkable")
+        # exactness condition: for every branch pair, the variables at
+        # the FIRST differing pattern position must be disjoint — the
+        # divergence row then selects at most one branch (the shared
+        # prefix evolves identically in both executions, and strict
+        # contiguity kills the unselected branch at the divergence row)
+        _TOK = re.compile(r"[A-Za-z_]\w*(?:\{\d+(?:,\d*)?\}|[*+?])*")
+        toks = [_TOK.findall(bp) for bp in branch_patterns]
         from itertools import combinations
-        for h1, h2 in combinations(heads, 2):
+        div_pairs: set[tuple[str, str]] = set()
+        for t1, t2 in combinations(toks, 2):
+            if t1 == t2:
+                raise ValueError("duplicate alternation branch")
+            k = next(i for i in range(min(len(t1), len(t2)) + 1)
+                     if i >= min(len(t1), len(t2)) or t1[i] != t2[i])
+            if k >= min(len(t1), len(t2)):
+                # one token list is a strict prefix of the other: the
+                # longer branch repeats the shared suffix's variables,
+                # so no single row can select the branch
+                raise NotImplementedError(
+                    "one alternation branch is a strict prefix of "
+                    "another (the extra variables shadow the shared "
+                    "suffix) — rename the overlapping variables")
+            d1, d2 = t1[k], t2[k]
+            for d in (d1, d2):
+                if d.endswith(("?", "*")) or "{0" in d:
+                    raise NotImplementedError(
+                        f"min-0 quantifier at an alternation "
+                        f"divergence position ({d!r}): the divergence "
+                        "row must be mandatory to select the branch")
+            v1 = re.match(r"[A-Za-z_]\w*", d1).group(0)
+            v2 = re.match(r"[A-Za-z_]\w*", d2).group(0)
+            if v1 == v2:
+                raise NotImplementedError(
+                    f"alternation branches diverge inside {v1!r}'s "
+                    "own quantifier: the divergence row cannot select "
+                    "a branch — make the quantifiers equal or split "
+                    "the variable")
+            div_pairs.add((v1, v2))
+        for v1, v2 in sorted(div_pairs):
+            if v1 in nav or v2 in nav:
+                raise NotImplementedError(
+                    f"alternation divergence variable {v1!r}/{v2!r} "
+                    "has a navigation/aggregate DEFINE: divergence "
+                    "disjointness must be a plain row predicate to be "
+                    "checkable")
             both = batch.filter(
-                F.expr(f"({define[h1]}) AND ({define[h2]})"))
+                F.expr(f"({define[v1]}) AND ({define[v2]})"))
             if both.limit(1).count() > 0:
                 raise ValueError(
-                    f"alternation heads {h1!r} and {h2!r} are NOT "
-                    "disjoint on this input (a row satisfies both "
-                    "DEFINEs): branch selection would be ambiguous — "
-                    "make the head predicates mutually exclusive")
+                    f"alternation divergence variables {v1!r} and "
+                    f"{v2!r} are NOT disjoint on this input (a row "
+                    "satisfies both DEFINEs): branch selection would "
+                    "be ambiguous — make the predicates mutually "
+                    "exclusive")
         all_vars = list(spec.define)
         parts = [_run_one(compile_match_pattern(bp, define, nav=nav),
                           measure_vars=all_vars, drop_match_no=True)

@@ -552,5 +552,43 @@ def test_pattern_alternation(spark):
         _expand_alternation("X (A B | C D)+ Y")
     with pytest.raises(NotImplementedError, match="multiple alternation"):
         _expand_alternation("(A | B) (C | D)")
-    with pytest.raises(NotImplementedError, match="branch HEAD"):
-        _expand_alternation("(A? B | C D) E")
+    # min-0 quantifier at the divergence position refuses (executor-
+    # level: the divergence row must be mandatory to select a branch)
+    with pytest.raises(NotImplementedError, match="divergence"):
+        _run(spark, _events(spark, rows),
+             sql.replace("PATTERN ((A B | C D) T)",
+                         "PATTERN ((A? B | C D) T)"))
+
+
+def test_permute(spark):
+    """PERMUTE (A, B) rewrites to (A B | B A); n outside 2..3 refuses;
+    divergence pairs beyond heads are checked (same-head PERMUTE(3)
+    branches diverge at position 2)."""
+    vals = [10, 30, 35, 5]       # A B (match), B A (match from row 2)
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "t", float(v))
+            for i, v in enumerate(vals)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, first_id FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES MIN(S.event_id) AS first_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (PERMUTE (A, B))
+          SUBSET S = (A, B)
+          DEFINE A AS value < 25,
+                 B AS value >= 25 AND value < 45
+        )""").collect()
+    assert sorted(r.first_id for r in out) == [0, 2]
+    with pytest.raises(NotImplementedError, match="PERMUTE"):
+        _run(spark, _events(spark, rows), """
+            SELECT user_id FROM ev MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES COUNT(*) AS n
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (PERMUTE (A, B, C, D))
+              DEFINE A AS value < 10, B AS value >= 10 AND value < 20,
+                     C AS value >= 20 AND value < 30, D AS value >= 30
+            )""")
