@@ -89,13 +89,12 @@ _PIN = [
     "flink_sql_mr_pattern_group_exact",
     "flink_sql_mr_pattern_group_one_or_more",
     "flink_sql_mr_exclusion_all_rows", "flink_sql_mr_alternation",
-    "flink_sql_mr_permute",
+    "flink_sql_mr_permute", "flink_sql_mr_anchor_end",
     # ---- regression fill: oldest-evidence families first; this round
     #      weights CEP/MR names because the NFA emission path changed
     #      (held start-order skip-strategy emission) ----
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue", "tpch_q18_large_volume_customer",
-    "calc_project_filter",
     "stream_tumble_agg", "stream_dedup_keep_last", "stream_topn_per_key",
     "stream_cep_error_then_purchase", "stream_session_window",
     "cep_nfa_four_stage", "cep_nfa_until_loop",

@@ -2629,3 +2629,53 @@ def flink_sql_mr_permute(spark, sf_dir):
     return execute_match_recognize_sql(
         spark, _SQL_MR_PERMUTE_TEXT,
         batch_df=t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# ANCHOR $ (round 9, EXCEEDS-reference: match_recognize.md:1113 refuses
+# anchors as streaming-meaningless — a bounded replay has a well-defined
+# partition end): click immediately followed by purchase, where the
+# purchase is the partition's FINAL event.  Oracle: the last two rows
+# per user by (ts, event_id).
+# --------------------------------------------------------------------------
+_MR_ANCHOR_END_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events)
+SELECT a.user_id, CAST(a.event_id AS BIGINT) AS a_id,
+       CAST(b.event_id AS BIGINT) AS b_id
+FROM (SELECT * FROM o WHERE rd = 2) a
+JOIN (SELECT * FROM o WHERE rd = 1) b USING (user_id)
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+_SQL_MR_ANCHOR_END_TEXT = """
+SELECT user_id, a_id, b_id
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B $)
+  DEFINE A AS event_type = 'click',
+         B AS event_type = 'purchase'
+)
+"""
+
+
+@register("flink_sql_mr_anchor_end", _MR_ANCHOR_END_ORACLE)
+def flink_sql_mr_anchor_end(spark, sf_dir):
+    """$ anchor on a bounded replay: the click->purchase adjacency that
+    CLOSES each user's partition (match end == the partition's last
+    event, enforced as a broadcast-joined bounds filter on the match
+    log before the measures projection)."""
+    from flink_release_1_10_0_spark.queries.helpers import t
+    from flink_release_1_10_0_spark.sql_match import (
+        execute_match_recognize_sql)
+
+    return execute_match_recognize_sql(
+        spark, _SQL_MR_ANCHOR_END_TEXT,
+        batch_df=t(spark, sf_dir, "events"))

@@ -541,6 +541,41 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
                 "{- -} span: exclusion is applied per variable here "
                 "(classifier filter), not per span — rename the "
                 "second occurrence")
+    # ANCHORS ^ / $ (SQL:2016 partition start/end; the reference calls
+    # them streaming-meaningless and refuses, match_recognize.md:1113 —
+    # a BOUNDED replay has a well-defined partition start/end, so they
+    # are supported HERE for the batch path only): parsed off the
+    # pattern ends now, enforced as a post-filter on the match log
+    # (match start == the partition's first event / match end == its
+    # last event) before the measures projection.
+    anchor_start = anchor_end = False
+    p = spec.pattern.strip()
+    if p.startswith("^"):
+        anchor_start, p = True, p[1:].strip()
+    if p.endswith("$"):
+        anchor_end, p = True, p[:-1].strip()
+    if ("^" in p) or ("$" in p):
+        raise NotImplementedError(
+            "anchors are only valid at the pattern ends "
+            "(^ first, $ last) — mid-pattern anchors are contradictory")
+    spec.pattern = p
+    if (anchor_start or anchor_end) and stream_df is not None:
+        raise NotImplementedError(
+            "anchors (^/$) need a BOUNDED replay: partition start/end "
+            "is undecidable on a user-supplied stream (the reference "
+            "refuses anchors entirely for the same reason)")
+    if anchor_end and spec.after_match != "skip_to_next_row":
+        # under SKIP PAST LAST ROW a non-$-anchored match's pruning id
+        # would suppress the later match SQL's anchored search finds
+        # (SQL never emits the unanchored candidate, so it never cuts);
+        # SKIP TO NEXT ROW's cut is the match START, which cannot
+        # suppress any later-starting candidate.  ^ is safe under every
+        # strategy: the held start-order emission never lets a younger
+        # match cut a still-alive older (earlier-starting) run.
+        raise NotImplementedError(
+            "the $ anchor needs AFTER MATCH SKIP TO NEXT ROW (other "
+            "strategies let a discarded unanchored match prune the "
+            "anchored one SQL would find)")
     # PERMUTE (A, B[, C]) (SQL:2016; unsupported in the reference,
     # match_recognize.md:1111): sugar for the alternation of every
     # ordering — rewritten here and executed by the branch-union
@@ -619,6 +654,21 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
                       after_match=_parse_after_match(spec.after_match),
                       ts_col=spec.order_by[0], id_col=id_col,
                       order_tiebreakers=tiebreakers), "append")
+        if anchor_start or anchor_end:
+            # anchor filter on the match LOG, before measures: the
+            # per-key partition bounds frame is tiny — broadcast it
+            ts0 = spec.order_by[0]
+            bounds = (batch.groupBy(*spec.partition_by).agg(
+                F.expr(f"min_by({id_col}, struct({ts0}, {id_col}))")
+                .alias("__first_id"),
+                F.expr(f"max_by({id_col}, struct({ts0}, {id_col}))")
+                .alias("__last_id")))
+            log = log.join(F.broadcast(bounds), spec.partition_by)
+            if anchor_start:
+                log = log.filter(F.col("start_id") == F.col("__first_id"))
+            if anchor_end:
+                log = log.filter(F.col("end_id") == F.col("__last_id"))
+            log = log.drop("__first_id", "__last_id")
         o = match_recognize_measures(
             # stage order comes from PATTERN, not the DEFINE clause — a
             # user may list DEFINE conditions in any order

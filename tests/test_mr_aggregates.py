@@ -592,3 +592,48 @@ def test_permute(spark):
               DEFINE A AS value < 10, B AS value >= 10 AND value < 20,
                      C AS value >= 20 AND value < 30, D AS value >= 30
             )""")
+
+
+def test_anchors(spark):
+    """SQL:2016 anchors ^/$ on bounded replays (the reference refuses
+    them as streaming-meaningless, match_recognize.md:1113 — a bounded
+    partition has a well-defined start/end): ^ keeps only the match
+    starting at the partition's first row, $ only the one ending at
+    its last; $ under SKIP PAST LAST ROW refuses."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "a", 1.0),
+            (2, "2024-01-01 10:00:01", 1, "b", 2.0),
+            (3, "2024-01-01 10:00:02", 1, "a", 3.0),
+            (4, "2024-01-01 10:00:03", 1, "b", 4.0)]
+    base = """
+        SELECT user_id, a_val FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.value) AS a_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN ({PAT})
+          DEFINE A AS event_type = 'a', B AS event_type = 'b'
+        )"""
+    # unanchored: two A B matches
+    out = _run(spark, _events(spark, rows),
+               base.replace("{PAT}", "A B")).collect()
+    assert sorted(r.a_val for r in out) == [1.0, 3.0]
+    # ^ keeps only the partition-initial match
+    out = _run(spark, _events(spark, rows),
+               base.replace("{PAT}", "^ A B")).collect()
+    assert [r.a_val for r in out] == [1.0]
+    # $ keeps only the partition-final match
+    out = _run(spark, _events(spark, rows),
+               base.replace("{PAT}", "A B $")).collect()
+    assert [r.a_val for r in out] == [3.0]
+    # both
+    out = _run(spark, _events(spark, rows),
+               base.replace("{PAT}", "^ A B $")).collect()
+    assert out == []    # no single match spans the whole partition
+    with pytest.raises(NotImplementedError, match="SKIP TO NEXT"):
+        _run(spark, _events(spark, rows),
+             base.replace("{PAT}", "A B $")
+                 .replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW"))
+    with pytest.raises(NotImplementedError, match="pattern ends"):
+        _run(spark, _events(spark, rows),
+             base.replace("{PAT}", "A $ B"))
