@@ -1105,12 +1105,21 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             emit(run[A], ts_us, evs2, sts2, us2)
                         if mxj is not None and t2 == mxj and nxt < n:
                             # bounded stage saturated: advance pointer
-                            # now — one explicit run per skip-chain
-                            # position when the next stage opens
-                            # skippable min-0 groups (the reference
-                            # materializes a computation state per
-                            # PROCEED, so the entered-group branch and
-                            # the skipped-past branch evolve separately)
+                            # now — the reference's times chain wires
+                            # the FINAL take edge directly into the
+                            # next pattern's state
+                            # (NFACompiler.createTimesState: each
+                            # singleton's addTake targets the chain's
+                            # sink, ending at the following pattern),
+                            # so `a b{1,2} c` over `a b b c c` emits
+                            # ONLY (a b b c1) — the saturated loop does
+                            # NOT rest with an ignore edge (unbounded
+                            # loops do; that is the oneOrMore looping
+                            # state, a different construction).  One
+                            # explicit run per skip-chain position when
+                            # the next stage opens skippable min-0
+                            # groups (the reference materializes a
+                            # computation state per PROCEED).
                             for tgt in entries_cache[j]:
                                 g = guard_between(j, tgt)
                                 gr_adv = (gr2 if g_of[tgt] >= 0

@@ -552,7 +552,15 @@ def _ref_loop_nfa(syms: list[str], mn: int, mx):
         for node, k, ev in branches:
             if node == "B":
                 if s == "b" and (mx is None or k < mx):     # TAKE at loop
-                    nxt.add(("B", k + 1, ev + (eid,)))
+                    if mx is not None and k + 1 == mx:
+                        # the reference's times chain wires the FINAL
+                        # take edge directly into the next pattern's
+                        # state (NFACompiler.createTimesState): a
+                        # SATURATED bounded loop has no resting ignore
+                        # edge — the branch sits at C after the take
+                        nxt.add(("C", 0, ev + (eid,)))
+                    else:
+                        nxt.add(("B", k + 1, ev + (eid,)))
                 if s != "b":                                # IGNORE at loop
                     nxt.add(("B", k, ev))
                 if k >= mn:                                 # PROCEED
