@@ -483,3 +483,117 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
             .select(F.col("id").alias("doc_id"),
                     F.col("component").alias("cluster_id"),
                     "cluster_size"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates: sign-random-projection (SRP) LSH
+# ---------------------------------------------------------------------------
+
+def srp_signatures(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64,
+                   planes_per_band: int = 4, n_bands: int = 4,
+                   scale: int = 1000) -> DataFrame:
+    """Sign-random-projection band keys for cosine LSH (Charikar's SimHash
+    for real vectors).  Plane ``j``'s hyperplane is the deterministic
+    ±1 vector ``sign(Knuth_hash(j*dim + i))``; bit ``j`` of a signature is
+    set when the projection of the (integer-quantized) vector onto that
+    plane is non-negative.
+
+    Determinism contract: components are quantized with
+    ``floor(x * scale)`` (exact in any engine) and the projection is pure
+    BIGINT arithmetic, so the signatures — unlike float dot products,
+    whose summation order varies per engine — are bit-identical between
+    Spark and any oracle that replays the same integers.
+
+    Scale shape: one map-only projection pass (no shuffle); the band key
+    is the join/shuffle key downstream, so candidate generation is a
+    per-band equi-join exactly like the MinHash LSH path above.
+    """
+    qv = (f"transform(slice({vec_col}, 1, {dim}), "
+          f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+    d = df.withColumn("__qv", F.expr(qv))
+    dot = (f"aggregate(sequence(0, {dim - 1}), 0L, (a, i) -> a + "
+           f"CASE WHEN pmod((j * {dim} + i + 1) * 2654435761L, 4294967296L) "
+           f"< 2147483648L THEN element_at(__qv, i + 1) "
+           f"ELSE -element_at(__qv, i + 1) END)")
+    cols = [F.col(id_col)]
+    for b in range(n_bands):
+        lo = b * planes_per_band
+        hi = lo + planes_per_band - 1
+        band = (f"aggregate(sequence({lo}, {hi}), 0L, (acc, j) -> acc + "
+                f"IF(({dot}) >= 0, shiftleft(1L, j - {lo}), 0L))")
+        cols.append(F.expr(band).alias(f"sk{b}"))
+    return d.select(*cols)
+
+
+def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        planes_per_band: int = 4, n_bands: int = 4,
+                        threshold: float = 0.35) -> DataFrame:
+    """Embedding near-duplicate pairs: SRP band buckets propose candidate
+    pairs (per-band equi-self-join, first-matching-band rule so a pair
+    sharing several bands is emitted once), exact cosine over the original
+    float vectors verifies them.  Returns (id_a, id_b, cosine),
+    cosine >= threshold, id_a < id_b.
+
+    100 TB design: candidates come only from band-key equi-joins (shuffle
+    on the 2^planes-bucket key per band — no cross join anywhere); the
+    quadratic cosine verify runs per candidate pair, and band geometry
+    (planes_per_band) controls the bucket collision rate exactly like
+    band_rows in the MinHash path.  For recall-critical jobs lower
+    planes_per_band / raise n_bands — cost scales linearly in bands.
+    """
+    sig = srp_signatures(df, id_col, vec_col, dim,
+                         planes_per_band, n_bands).localCheckpoint()
+    parts = []
+    for b in range(n_bands):
+        a = sig.alias("a")
+        c = sig.alias("c")
+        cond = ((F.col(f"a.sk{b}") == F.col(f"c.sk{b}"))
+                & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")))
+        for j in range(b):
+            cond = cond & (F.col(f"a.sk{j}") != F.col(f"c.sk{j}"))
+        parts.append(a.join(c, cond).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b")))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    dotsum = (f"aggregate(sequence(1, {dim}), 0D, (s, i) -> s + "
+              "CAST(element_at(__va, i) AS DOUBLE) "
+              "* CAST(element_at(__vb, i) AS DOUBLE))")
+    nrm = ("sqrt(aggregate({v}, 0D, (s, x) -> s + "
+           "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    cos = (f"round(({dotsum}) / ({nrm.format(v='__va')} "
+           f"* {nrm.format(v='__vb')}), 6)")
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", F.expr(cos))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def embedding_cosine_pairs_exact(df: DataFrame, id_col: str = "vec_id",
+                                 vec_col: str = "embedding", dim: int = 64,
+                                 threshold: float = 0.35,
+                                 id_limit: int | None = None) -> DataFrame:
+    """Exact quadratic cosine near-dup baseline (the recall yardstick for
+    ``embedding_srp_pairs``).  ``id_limit`` fences the O(n^2) pair space —
+    REQUIRED at scale, same contract as ngram_jaccard_pairs."""
+    if id_limit is not None:
+        df = df.filter(F.col(id_col) < id_limit)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    dotsum = (f"aggregate(sequence(1, {dim}), 0D, (s, i) -> s + "
+              "CAST(element_at(__va, i) AS DOUBLE) "
+              "* CAST(element_at(__vb, i) AS DOUBLE))")
+    nrm = ("sqrt(aggregate({v}, 0D, (s, x) -> s + "
+           "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    cos = (f"round(({dotsum}) / ({nrm.format(v='__va')} "
+           f"* {nrm.format(v='__vb')}), 6)")
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.expr(cos))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

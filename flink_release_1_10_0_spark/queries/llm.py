@@ -1296,3 +1296,79 @@ def dedup_winnow_overlap_pairs(spark, sf_dir):
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= 5))
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicates: SRP (sign-random-projection) LSH
+# buckets propose candidates, exact cosine verifies.  The oracle replays
+# the identical integer-quantized projection, band keys,
+# first-matching-band candidate join, and cosine verify.
+# --------------------------------------------------------------------------
+
+def _duck_srp_sig(lo: int) -> str:
+    return (
+        "list_sum(list_transform(range(0, 4), j -> CASE WHEN "
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN "
+        f"(((j + {lo}) * 64 + i) * 2654435761) % 4294967296 < 2147483648 "
+        "THEN qv[i] ELSE -qv[i] END)) >= 0 "
+        "THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))")
+
+
+_DUCK_COS = (
+    "round(list_sum(list_transform(range(1, 65), i -> "
+    "CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(ea.embedding, x -> "
+    "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(eb.embedding, x -> "
+    "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)")
+
+_SRP_PAIRS_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+sig AS (
+  SELECT vec_id, {_duck_srp_sig(0)} AS sk0, {_duck_srp_sig(4)} AS sk1,
+         {_duck_srp_sig(8)} AS sk2, {_duck_srp_sig(12)} AS sk3
+  FROM base),
+cands AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM sig a JOIN sig c ON a.vec_id < c.vec_id AND (
+       a.sk0 = c.sk0
+    OR (a.sk1 = c.sk1 AND a.sk0 <> c.sk0)
+    OR (a.sk2 = c.sk2 AND a.sk0 <> c.sk0 AND a.sk1 <> c.sk1)
+    OR (a.sk3 = c.sk3 AND a.sk0 <> c.sk0 AND a.sk1 <> c.sk1
+        AND a.sk2 <> c.sk2)))
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b, {_DUCK_COS} AS cosine
+  FROM cands
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b) q
+WHERE cosine >= 0.35
+"""
+
+
+@register("dedup_embedding_srp", _SRP_PAIRS_ORACLE)
+def dedup_embedding_srp(spark, sf_dir):
+    return D.embedding_srp_pairs(t(spark, sf_dir, "embeddings"),
+                                 planes_per_band=4, n_bands=4,
+                                 threshold=0.35)
+
+
+_COSINE_EXACT_ORACLE = f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT ea.vec_id AS id_a, eb.vec_id AS id_b, {_DUCK_COS} AS cosine
+  FROM (SELECT * FROM embeddings WHERE vec_id < 150) ea
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 150) eb
+    ON ea.vec_id < eb.vec_id) q
+WHERE cosine >= 0.35
+"""
+
+
+@register("dedup_embedding_cosine_exact", _COSINE_EXACT_ORACLE)
+def dedup_embedding_cosine_exact(spark, sf_dir):
+    """Quadratic recall yardstick for dedup_embedding_srp — id_limit
+    fences the pair space exactly like ngram_jaccard_pairs."""
+    return D.embedding_cosine_pairs_exact(t(spark, sf_dir, "embeddings"),
+                                          threshold=0.35, id_limit=150)

@@ -367,3 +367,45 @@ def test_winnow_short_doc_filtered(spark):
     df = spark.createDataFrame([(1, "tiny text")],
                                "doc_id bigint, text string")
     assert winnow_fingerprints(df).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup: SRP LSH (llm/dedup.py embedding_srp_pairs)
+# --------------------------------------------------------------------------
+
+def test_embedding_srp_oracle(spark, duck):
+    from tests.conftest import compare_query
+    compare_query(spark, duck, "dedup_embedding_srp")
+    compare_query(spark, duck, "dedup_embedding_cosine_exact")
+
+
+def test_srp_candidates_subset_of_exact(spark):
+    """Every SRP-emitted pair must appear in the exact quadratic baseline
+    (same threshold): LSH affects recall, never precision."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        embedding_cosine_pairs_exact, embedding_srp_pairs)
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").filter("vec_id < 120")
+    srp = {(r.id_a, r.id_b, r.cosine)
+           for r in embedding_srp_pairs(emb, threshold=0.3).collect()}
+    exact = {(r.id_a, r.id_b, r.cosine)
+             for r in embedding_cosine_pairs_exact(
+                 emb, threshold=0.3).collect()}
+    assert srp <= exact
+    assert len(exact) > 0
+
+
+def test_srp_signature_determinism_and_range(spark):
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import srp_signatures
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").filter("vec_id < 50")
+    s1 = srp_signatures(emb, planes_per_band=4, n_bands=4).collect()
+    s2 = srp_signatures(emb, planes_per_band=4, n_bands=4).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    for r in s1:
+        for b in range(4):
+            assert 0 <= r[f"sk{b}"] < 16
