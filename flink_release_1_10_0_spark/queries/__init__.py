@@ -52,17 +52,17 @@ _LOADED = False
 # The external driver verifies the FIRST 50 registry entries per round
 # (CORRECTNESS_r01.json stopped at exactly 50).  After round 7 the
 # cumulative ledger stood at 299/313 driver-verified with 0 stale
-# fails (CORRECTNESS_r07 passed all 50 of round 7's window); the 14
-# remaining round-7 additions — judge-verified green at sf0.01 in the
-# round-7 VERDICT — lead round 8's window, closing the ledger at
-# 313/313 for everything registered through round 7.  They are
-# followed by the 4 queries NEW in round 8 (quantified group patterns
-# ×2, the MR ORDER BY DESC-tiebreaker collation, the intra-batch
-# incremental-dedup ingest decision), then 32 REGRESSION slots
-# re-verifying names whose driver evidence is oldest (TPC-H r1,
-# relational r1/r5, streaming r3, CEP/LLM r3-r4) so early-round
-# operators keep fresh evidence as the engine underneath them evolves
-# (this round touched the NFA run-record format and emission edges).
+# fails.  This window leads with every name that still lacks driver
+# evidence, oldest first: the 14 round-7 additions (judge-verified
+# green at sf0.01 in the round-7 VERDICT), the round-8 additions
+# (group quantifiers, DESC tiebreakers, EOS flush, intra-batch
+# ingest), the round-9 additions (MR aggregations, pattern groups,
+# alternation/PERMUTE/exclusion/anchors, winnowing), and this round's
+# additions (temporal-join SQL, State Processor API, SRP embedding
+# near-dup) — 42 names — followed by 8 REGRESSION slots re-verifying
+# names whose driver evidence is oldest (TPC-H r1, streaming r3,
+# CEP/LLM r3-r4) so early-round operators keep fresh evidence as the
+# engine underneath them evolves.
 _PIN = [
     # ---- round-8 window head: the round-7 additions without driver
     #      evidence after r7 (all judge-green at sf0.01, VERDICT r7) --
@@ -90,17 +90,28 @@ _PIN = [
     "flink_sql_mr_pattern_group_one_or_more",
     "flink_sql_mr_exclusion_all_rows", "flink_sql_mr_alternation",
     "flink_sql_mr_permute", "flink_sql_mr_anchor_end",
+    # ---- NEW this round: temporal-join SQL surface (FOR SYSTEM_TIME
+    #      AS OF + LATERAL TABLE), the State Processor API, and the
+    #      SRP embedding near-dup family ----
+    "flink_sql_system_time_lookup", "flink_sql_system_time_left",
+    "flink_sql_temporal_table_function",
+    "state_processor_read_keyed", "state_processor_bootstrap_resume",
+    "state_processor_rescale_roundtrip",
+    "dedup_embedding_srp", "dedup_embedding_cosine_exact",
     # ---- regression fill: oldest-evidence families first; this round
     #      weights CEP/MR names because the NFA emission path changed
     #      (held start-order skip-strategy emission) ----
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue", "tpch_q18_large_volume_customer",
-    "stream_tumble_agg", "stream_dedup_keep_last", "stream_topn_per_key",
-    "stream_cep_error_then_purchase", "stream_session_window",
-    "cep_nfa_four_stage", "cep_nfa_until_loop",
-    "flink_sql_match_recognize", "cep_mr_skip_to_last",
-    "minhash_lsh_dup_pairs", "simhash_fingerprint", "dedup_exact_md5",
+    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
+    "stream_tumble_agg", "stream_topn_per_key",
+    "cep_nfa_four_stage",
+    "flink_sql_match_recognize",
+    "minhash_lsh_dup_pairs", "dedup_exact_md5",
     "graph_connected_components", "similarity_ivf_topk_pruned",
+    "tpch_q3_shipping_priority", "tpch_q18_large_volume_customer",
+    "stream_dedup_keep_last",
+    "stream_cep_error_then_purchase", "stream_session_window",
+    "cep_nfa_until_loop", "cep_mr_skip_to_last",
+    "simhash_fingerprint",
     # ---- 50-window boundary: everything below already has driver
     #      evidence (order kept stable for re-runs) ----
     "tpcds_q_time_hierarchy_rollup", "tpcds_q_snowflake_trade_flow",
