@@ -217,29 +217,48 @@ def kmeans_fit_predict(embeddings: DataFrame, k: int = 4,
     iteration (the centroid update); nothing driver-side but the loop
     counter.  Returns (id, cid, dist_r) for every vector.
     """
-    dim_probe = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    assigned, _ = _kmeans_loop(embeddings, k, iterations, id_col, vec_col)
+    return assigned.select(id_col, "cid",
+                           F.round(F.col("sqdist"), 6).alias("dist_r"))
 
-    def assign(df, cents):
-        # collapse the codebook to ONE broadcast row holding the k
-        # (cid, cvec) structs; the argmin is then array_min over a
-        # transform — per-row, no row multiplication, no shuffle.
-        # (r5 verdict: the previous N×k scored frame + groupBy + join-
-        # back paid an avoidable full-corpus shuffle per iteration.)
-        # array_min on struct(sqdist, cid) is lexicographic — ties
-        # break on the smaller cid, the documented determinism contract.
-        cbook = cents.agg(
-            F.expr("array_sort(collect_list(struct(cid, cvec)))")
-            .alias("cbook"))
-        sq = (f"aggregate(zip_with({vec_col}, cb.cvec, (x, c) -> "
-              "(cast(x as double) - c) * (cast(x as double) - c)), "
-              "cast(0.0 as double), (acc, v) -> acc + v)")
-        best = (f"array_min(transform(cbook, cb -> "
-                f"named_struct('sqdist', {sq}, 'cid', cb.cid)))")
-        return (df.crossJoin(F.broadcast(cbook))
-                .withColumn("b", F.expr(best))
-                .select(id_col, vec_col, F.col("b.cid").alias("cid"),
-                        F.col("b.sqdist").alias("sqdist")))
 
+def kmeans_assign(df: DataFrame, cents: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd assignment pass against a trained (cid, cvec) codebook.
+
+    Collapses the codebook to ONE broadcast row holding the k (cid, cvec)
+    structs; the argmin is then array_min over a transform — per-row, no
+    row multiplication, no shuffle.  (r5 verdict: the previous N×k scored
+    frame + groupBy + join-back paid an avoidable full-corpus shuffle per
+    iteration.)  array_min on struct(sqdist, cid) is lexicographic — ties
+    break on the smaller cid, the documented determinism contract.
+    """
+    cbook = cents.agg(
+        F.expr("array_sort(collect_list(struct(cid, cvec)))")
+        .alias("cbook"))
+    sq = (f"aggregate(zip_with({vec_col}, cb.cvec, (x, c) -> "
+          "(cast(x as double) - c) * (cast(x as double) - c)), "
+          "cast(0.0 as double), (acc, v) -> acc + v)")
+    best = (f"array_min(transform(cbook, cb -> "
+            f"named_struct('sqdist', {sq}, 'cid', cb.cid)))")
+    return (df.crossJoin(F.broadcast(cbook))
+            .withColumn("b", F.expr(best))
+            .select(*df.columns, F.col("b.cid").alias("cid"),
+                    F.col("b.sqdist").alias("sqdist")))
+
+
+def kmeans_train(embeddings: DataFrame, k: int = 4, iterations: int = 3,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Train and RETURN the codebook (cid, cvec) — the reusable model
+    artifact (what the ML Pipeline API's KMeans estimator persists);
+    ``kmeans_assign`` applies it to new data."""
+    _, cents = _kmeans_loop(embeddings, k, iterations, id_col, vec_col)
+    return cents
+
+
+def _kmeans_loop(embeddings: DataFrame, k: int, iterations: int,
+                 id_col: str, vec_col: str):
     # init: smallest-k ids, cid by id order
     from pyspark.sql import Window
     w = Window.orderBy(id_col)
@@ -250,7 +269,7 @@ def kmeans_fit_predict(embeddings: DataFrame, k: int = 4,
     cents = init
     assigned = None
     for _ in range(iterations):
-        assigned = assign(embeddings, cents)
+        assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
         upd = (assigned.select("cid", F.posexplode(vec_col).alias("pos", "v"))
                .groupBy("cid", "pos")
                .agg((F.sum(F.col("v").cast(_DEC)).cast("double")
@@ -259,5 +278,4 @@ def kmeans_fit_predict(embeddings: DataFrame, k: int = 4,
                  .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), "
                              "s -> s.c)").alias("cvec")))
         cents = cents.localCheckpoint(eager=True)  # cut the iterative lineage
-    return assigned.select(id_col, "cid",
-                           F.round(F.col("sqdist"), 6).alias("dist_r"))
+    return assigned, cents
