@@ -1643,3 +1643,35 @@ def partition_custom_routing(spark, sf_dir):
             .groupBy("pid")
             .agg(SF.count(SF.lit(1)).alias("n"),
                  SF.sum("event_id").alias("id_sum")))
+
+
+_SEQ_RT_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("source_sequence_file_roundtrip", _SEQ_RT_ORACLE)
+def source_sequence_file_roundtrip(spark, sf_dir):
+    """SequenceFileWriterFactory.java round-trip analog: orders written
+    as (key, JSON Text) SequenceFile records, read back with an explicit
+    schema, aggregated — the whole write/read chain value-hashed."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.queries.helpers import money
+    from flink_release_1_10_0_spark.sources import formats as FMT
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    out = tempfile.mkdtemp(prefix="seq_rt_") + "/orders_seq"
+    FMT.write_sequence_file(orders, out, key_col="o_orderkey",
+                            value_cols=["o_orderstatus", "o_totalprice"])
+    back = FMT.read_sequence_file(
+        spark, out, key_field="o_orderkey",
+        value_schema="o_orderstatus string, o_totalprice double")
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 F.sum(money("o_totalprice")).cast("double").alias("total")))

@@ -105,3 +105,35 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             shutil.rmtree(path, ignore_errors=True)
         from flink_release_1_10_0_spark.sources.avro_py import write_avro_pure
         write_avro_pure(df, path)
+
+
+def write_sequence_file(df: DataFrame, path: str, key_col: str,
+                        value_cols: list[str]) -> None:
+    """Hadoop SequenceFile sink (``flink-formats/flink-sequence-file/.../
+    SequenceFileWriterFactory.java`` — the reference writes
+    ``SequenceFile<K extends Writable, V extends Writable>``).
+
+    Spark has no DataFrame SequenceFile writer, so this is one of the
+    sanctioned RDD drops: key = the key column, value = a JSON Text
+    payload of the value columns (``to_json(struct(...))`` — schema-driven
+    and null-safe, unlike positional joins).  The write stays fully
+    distributed (``saveAsSequenceFile`` per partition)."""
+    from pyspark.sql import functions as F
+
+    kv = df.select(key_col, F.to_json(F.struct(*value_cols)).alias("__v"))
+    kv.rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def read_sequence_file(spark: SparkSession, path: str, key_field: str,
+                       value_schema: str) -> DataFrame:
+    """SequenceFile source (``SequenceFileWriterFactory.java`` round-trip
+    counterpart): keys + JSON Text values back to typed columns via
+    ``from_json`` with an EXPLICIT schema (never inference)."""
+    from pyspark.sql import functions as F
+
+    rdd = spark.sparkContext.sequenceFile(path)
+    df = spark.createDataFrame(rdd, f"{key_field} bigint, __v string")
+    return df.select(
+        key_field,
+        F.from_json("__v", value_schema).alias("__s")).select(
+        key_field, "__s.*")

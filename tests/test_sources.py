@@ -542,3 +542,22 @@ def test_dbapi_flush_retry_rolls_back_partial_batch():
     got = con.execute("SELECT k FROM kv").fetchall()
     con.close()
     assert got == []
+
+
+def test_sequence_file_roundtrip_types_and_nulls(spark):
+    """SequenceFile (key, JSON Text) roundtrip preserves nulls and types
+    (sources/formats.py write_sequence_file/read_sequence_file)."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources import formats as FMT
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "c", None)],
+        "k bigint, s string, v double")
+    path = tempfile.mkdtemp(prefix="seq_t_") + "/seq"
+    FMT.write_sequence_file(df, path, key_col="k", value_cols=["s", "v"])
+    back = FMT.read_sequence_file(spark, path, key_field="k",
+                                  value_schema="s string, v double")
+    assert dict(back.dtypes) == {"k": "bigint", "s": "string", "v": "double"}
+    rows = {(r.k, r.s, r.v) for r in back.collect()}
+    assert rows == {(1, "a", 1.5), (2, None, 2.5), (3, "c", None)}
