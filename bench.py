@@ -49,6 +49,12 @@ HEADLINE = [
     # round-9 family: DEFINE aggregates (per-run accumulators + held
     # start-order skip-strategy emission) — the new NFA hot path
     "flink_sql_mr_define_agg_avg",
+    # round-10 families: SRP embedding near-dup (band joins + cosine
+    # verify), the temporal-join SQL surface (as-of plan), and the ML
+    # pipeline (scaler fit + broadcast-codebook k-means)
+    "dedup_embedding_srp",
+    "flink_sql_temporal_table_function",
+    "ml_pipeline_scaler_kmeans",
 ]
 
 

@@ -78,6 +78,17 @@ HEADS = [
     # increment per run
     ("flink_sql_mr_define_agg_avg",
      "linear (keyed NFA, O(1) aggregate accumulator per run)"),
+    # round-10 additions: the temporal-join SQL surface rides the
+    # union-and-carry-forward as-of join (one shuffle + one per-key
+    # sort); the State Processor roundtrip is a key-group-partitioned
+    # savepoint write + keyed partial merge; the ML pipeline is a fixed
+    # k/iteration broadcast-codebook loop — all keyed/linear regimes
+    ("flink_sql_temporal_table_function",
+     "linear (union + per-key sort as-of; 7 currency keys -> skew-bound)"),
+    ("state_processor_bootstrap_resume",
+     "linear (key-group savepoint + keyed partial merge)"),
+    ("ml_pipeline_scaler_kmeans",
+     "linear (fixed k/iterations, broadcast codebook)"),
 ]
 
 
@@ -193,8 +204,23 @@ def build_sf1(spark, base: str) -> str:
        .drop("copy")
        .write.mode("overwrite").parquet(f"{out}/events.parquet"))
 
-    for tbl in ["customer", "supplier", "part", "nation", "region",
-                "embeddings"]:
+    # embeddings: 10x rows with a per-(copy, position) deterministic
+    # SIGN FLIP — intra-copy dot products are invariant (the two flips
+    # cancel), cross-copy cosines decorrelate, so the corpus is 10
+    # disjoint copies of the SAME similarity structure (the linear
+    # regime for pair-emitting heads, same argument as the documents
+    # letter rotation)
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    flip = ("zip_with(embedding, sequence(0, size(embedding) - 1), "
+            "(x, i) -> CASE WHEN pmod((copy * 64 + i) * 40503L, 65536) "
+            "< 32768 THEN x ELSE -x END)")
+    (emb.crossJoin(copies)
+       .withColumn("vec_id", F.col("vec_id") + F.col("copy") * OFF)
+       .withColumn("embedding", F.expr(flip))
+       .drop("copy")
+       .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+
+    for tbl in ["customer", "supplier", "part", "nation", "region"]:
         spark.read.parquet(f"{SRC}/{tbl}.parquet") \
              .write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
     return out
@@ -275,6 +301,31 @@ def main():
         secs = time_cc(spark, tier_dir, replicate=tier_name.startswith("sf1"))
         results[cc_name][tier_name] = secs
         print(f"{tier_name:12s} {cc_name:34s} {secs:8.3f}s", flush=True)
+
+    # SRP embedding dedup: candidates scale as n^2 / 2^planes per band,
+    # so the documented contract is planes_per_band ~ log2(n) — the
+    # sweep sizes the geometry to the tier (4 bits at sf0.1, 8 at sf1:
+    # 100x pair space / 16x buckets ≈ 6x candidates — the
+    # geometry-scaled near-linear regime, same reasoning as the MinHash
+    # _FIRST_MATCH_MAX_BANDS guard)
+    srp_name = "dedup_embedding_srp (geometry-scaled)"
+    bounds[srp_name] = "n^2/2^p candidates; p sized to log2(n) -> ~linear"
+    results[srp_name] = {}
+    from flink_release_1_10_0_spark.llm.dedup import embedding_srp_pairs
+    for tier_name, tier_dir, planes in [("sf0.1", SRC, 4),
+                                        ("sf1 (synth)", sf1, 8)]:
+        emb = spark.read.parquet(f"{tier_dir}/embeddings.parquet")
+
+        def run():
+            embedding_srp_pairs(emb, planes_per_band=planes, n_bands=4,
+                                threshold=0.35) \
+                .write.format("noop").mode("overwrite").save()
+        run()  # warm
+        t0 = time.perf_counter()
+        run()
+        results[srp_name][tier_name] = round(time.perf_counter() - t0, 3)
+        print(f"{tier_name:12s} {srp_name:34s} "
+              f"{results[srp_name][tier_name]:8.3f}s", flush=True)
 
     lines = [
         "# Scale sweep",
