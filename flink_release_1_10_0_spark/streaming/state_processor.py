@@ -101,6 +101,19 @@ class _SavepointBase:
         (the reference copies their state handles into the new metadata).
         """
         dest = path or self.path
+        if dest is None:
+            raise ValueError("NewSavepoint.write requires a path")
+        for uid in self._staged:
+            if (self.path is not None
+                    and os.path.abspath(dest) == os.path.abspath(self.path)
+                    and uid in self.meta.get("operators", {})):
+                # Spark's overwrite deletes the target before the staged
+                # frame (lazily reading from it) is computed — refuse the
+                # in-place rewrite instead of failing mid-write (the
+                # reference's WritableSavepoint also writes NEW paths)
+                raise ValueError(
+                    f"operator {uid!r} is staged over its own source "
+                    "savepoint; write(new_path) copy-on-write instead")
         os.makedirs(dest, exist_ok=True)
         operators = {}
         for uid, spec in self.meta.get("operators", {}).items():

@@ -138,3 +138,16 @@ def test_bootstrap_requires_key_column(spark):
     with pytest.raises(ValueError, match="key column"):
         create_savepoint(spark, 4).with_keyed_operator(
             "a", _keyed(spark), ["missing"])
+
+
+def test_in_place_rewrite_of_read_operator_refuses(spark):
+    src = tempfile.mkdtemp(prefix="sp_test_cow_")
+    (create_savepoint(spark, 4)
+     .with_keyed_operator("agg", _keyed(spark), ["k"]).write(src))
+    sp = load_savepoint(spark, src)
+    sp.with_keyed_operator("agg", sp.read_keyed_state("agg"), ["k"])
+    with pytest.raises(ValueError, match="copy-on-write"):
+        sp.write()                       # same path -> refuse
+    dest = tempfile.mkdtemp(prefix="sp_test_cow_new_")
+    sp.write(dest)                       # new path -> fine
+    assert load_savepoint(spark, dest).read_keyed_state("agg").count() == 40
