@@ -223,6 +223,9 @@ class TableEnvironment:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.config = TableConfig()
+        self._lookup_sources: dict = {}
+        self._temporal_fns: dict = {}
+        self._proctime_attrs: dict[str, str] = {}
         from flink_release_1_10_0_spark.functions.registry import register_flink_functions
         register_flink_functions(spark)
 
@@ -286,19 +289,68 @@ class TableEnvironment:
         (reference ``StreamExecValues.scala``)."""
         return Table(self.spark.createDataFrame(rows, schema))
 
+    # temporal-join SQL registrations -------------------------------------
+    def register_lookup_source(self, name: str, table, primary_key: str,
+                               version_cols: tuple[str, ...] = ()) -> None:
+        """Register a versioned dimension as a LookupableTableSource for
+        ``FOR SYSTEM_TIME AS OF`` joins (CommonLookupJoinRule.scala:52)."""
+        from flink_release_1_10_0_spark.sql_temporal import LookupSource
+        df = table.df if isinstance(table, Table) else table
+        self._lookup_sources[name] = LookupSource(
+            df, primary_key, tuple(version_cols))
+
+    def register_temporal_table_function(
+            self, name: str, ttf: "TemporalTableFunction") -> None:
+        """``tEnv.registerFunction("Rates", rates)`` (joins.md:163-166):
+        makes ``LATERAL TABLE (Rates(o.rowtime))`` resolvable in
+        sql_query."""
+        self._temporal_fns[name] = ttf
+
+    def register_proctime_attribute(self, table_name: str, col: str) -> None:
+        """Declare a registered table's processing-time attribute (the
+        ``proctime()`` column of the reference's schema) so ``FOR
+        SYSTEM_TIME AS OF t.proctime`` can validate it."""
+        self._proctime_attrs[table_name] = col
+
     # SQL ----------------------------------------------------------------
     def sql_query(self, query: str) -> Table:
         """Accepts Flink SQL incl. group-window functions (TUMBLE/HOP/
         SESSION + *_START/*_END selectors — rewritten to Spark's
-        window()/session_window(), see sql_windows.py) and the full
+        window()/session_window(), see sql_windows.py), the full
         MATCH_RECOGNIZE clause (excised and run on the NFA stack, see
-        sql_match.py)."""
+        sql_match.py), and the temporal-join forms — ``FOR SYSTEM_TIME
+        AS OF`` against a registered lookup source and ``LATERAL TABLE``
+        over a registered temporal table function (sql_temporal.py)."""
         from flink_release_1_10_0_spark.sql_match import (
             execute_match_recognize_sql, has_match_recognize)
         if has_match_recognize(query):
             # the executor applies rewrite_group_windows to the outer
             # remainder, so MR + TUMBLE/HOP/SESSION in one statement works
             return Table(execute_match_recognize_sql(self.spark, query))
+        from flink_release_1_10_0_spark import sql_temporal as ST
+        if ST._SYSTEM_TIME_RE.search(query):
+            pa = {}
+            parsed = ST.parse_from_clause(query)
+            if parsed:
+                col = self._proctime_attrs.get(parsed[0])
+                if col:
+                    pa[parsed[1]] = col
+            return Table(ST.execute_system_time_join_sql(
+                self.spark, query, tables={},
+                lookup_sources=self._lookup_sources, proctime_attrs=pa))
+        if ST._LATERAL_RE.search(query):
+            parsed = ST.parse_from_clause(query)
+            tables = ({parsed[0]: self.spark.table(parsed[0])}
+                      if parsed else {})
+            fns = {n: ST.TemporalTableFunction(t.history, t.ts_col, t.key_col)
+                   for n, t in self._temporal_fns.items()}
+            pa = {}
+            if parsed:
+                col = self._proctime_attrs.get(parsed[0])
+                if col:
+                    pa[parsed[1]] = col
+            return Table(ST.execute_temporal_function_sql(
+                self.spark, query, tables, fns, proctime_attrs=pa))
         from flink_release_1_10_0_spark.sql_windows import rewrite_group_windows
         return Table(self.spark.sql(rewrite_group_windows(query)))
 

@@ -96,6 +96,23 @@ _LATERAL_RE = re.compile(
 _FROM_RE = re.compile(
     r"\bFROM\s+(?P<tbl>\w+)\s+(?:AS\s+)?(?P<la>\w+)\b", re.IGNORECASE)
 
+_SQL_KEYWORDS = frozenset(
+    "JOIN LEFT RIGHT FULL INNER CROSS OUTER WHERE GROUP ORDER HAVING "
+    "LATERAL ON LIMIT UNION".split())
+
+
+def parse_from_clause(sql: str) -> tuple[str, str] | None:
+    """(table, alias) of the single FROM table; alias falls back to the
+    table name when the next token is a keyword rather than an alias."""
+    m = _FROM_RE.search(sql)
+    if m is None:
+        fm = re.search(r"\bFROM\s+(?P<tbl>\w+)", sql, re.IGNORECASE)
+        return (fm.group("tbl"), fm.group("tbl")) if fm else None
+    tbl, la = m.group("tbl"), m.group("la")
+    if la.upper() in _SQL_KEYWORDS:
+        return tbl, tbl
+    return tbl, la
+
 
 def _snapshot(src: LookupSource) -> DataFrame:
     """Latest version per primary key — the docs' ``LatestRates`` view."""
@@ -195,21 +212,22 @@ def execute_temporal_function_sql(
     lm = _LATERAL_RE.search(sql)
     if lm is None:
         raise ValueError("no LATERAL TABLE clause found")
-    fm = _FROM_RE.search(sql)
-    if fm is None:
+    parsed = parse_from_clause(sql)
+    if parsed is None:
         raise ValueError("could not parse FROM <table> <alias>")
+    from_tbl, from_alias = parsed
     fn, la, tcol, ra = lm.group("fn"), lm.group("la"), lm.group("tcol"), lm.group("ra")
-    if fm.group("la") != la:
+    if from_alias != la:
         raise NotImplementedError(
             "LATERAL TABLE time argument must reference the single FROM "
             f"table's alias; got {la}.{tcol} with FROM alias "
-            f"{fm.group('la')} (multi-way temporal correlates are not "
+            f"{from_alias} (multi-way temporal correlates are not "
             "planned — reference rewrites exactly one correlate per join, "
             "LogicalCorrelateToJoinFromTemporalTableRule.scala)")
     if fn not in temporal_functions:
         raise ValueError(f"unknown temporal table function {fn!r}")
     ttf = temporal_functions[fn]
-    left = tables[fm.group("tbl")]
+    left = tables[from_tbl]
 
     wm = re.search(r"\bWHERE\b(?P<w>.*)$", sql, re.IGNORECASE | re.DOTALL)
     if wm is None:
@@ -280,7 +298,7 @@ def execute_temporal_function_sql(
         frag = re.sub(rf"\b{ra}\.(\w+)", rf"{ra}__\1", frag)
         return re.sub(rf"\b{la}\.(\w+)", r"\1", frag)
 
-    select_part = sql[:fm.start()]
+    select_part = sql[:re.search(r"\bFROM\b", sql, re.IGNORECASE).start()]
     new_sql = _rewrite(select_part) + f"FROM {view}"
     if residual:
         new_sql += " WHERE " + " AND ".join(_rewrite(c) for c in residual)

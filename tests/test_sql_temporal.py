@@ -125,3 +125,39 @@ def test_temporal_fn_requires_key_equality_in_where(spark):
         execute_temporal_function_sql(
             spark, ("SELECT o.k FROM probe AS o, LATERAL TABLE (rates(o.t)) AS r "
                     "WHERE o.amount > 0"), **base)
+
+
+def test_tenv_sql_query_routes_system_time(spark):
+    """TableEnvironment.sql_query accepts the docs' FOR SYSTEM_TIME form
+    end to end (joins.md:299-342 through one SQL entry point)."""
+    from flink_release_1_10_0_spark.environment import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.register_table("probe_st", _probe(spark))
+    tenv.register_lookup_source("dim_st", _dim(spark), primary_key="k",
+                                version_cols=("vt",))
+    tenv.register_proctime_attribute("probe_st", "proctime")
+    out = tenv.sql_query(
+        "SELECT o.k AS k, r.rate AS rate FROM probe_st AS o "
+        "JOIN dim_st FOR SYSTEM_TIME AS OF o.proctime AS r ON o.k = r.k")
+    assert {(r.k, r.rate) for r in out.df.collect()} == {(1, 2.0), (2, 5.0)}
+
+
+def test_tenv_sql_query_routes_lateral_temporal_fn(spark):
+    """tEnv.registerFunction('Rates', rates) + LATERAL TABLE through
+    sql_query (joins.md:139-171)."""
+    from flink_release_1_10_0_spark.environment import Table, TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    probe = spark.createDataFrame(
+        [(1, 15, 2.0), (1, 25, 3.0)], "k int, t int, amount double")
+    versions = spark.createDataFrame(
+        [(1, 10, 1.5), (1, 20, 2.5)], "k int, vt int, rate double")
+    tenv.register_table("orders_lt", probe)
+    rates = Table(versions).create_temporal_table_function("vt", "k")
+    tenv.register_temporal_table_function("rates_lt", rates)
+    out = tenv.sql_query(
+        "SELECT o.t AS t, r.rate AS rate "
+        "FROM orders_lt AS o, LATERAL TABLE (rates_lt(o.t)) AS r "
+        "WHERE o.k = r.k")
+    assert {(r.t, r.rate) for r in out.df.collect()} == {(15, 1.5), (25, 2.5)}
