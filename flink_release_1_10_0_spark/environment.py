@@ -284,6 +284,17 @@ class TableEnvironment:
         """``TableEnvironment.from`` — scan a registered table."""
         return Table(self.spark.table(name))
 
+    scan = from_path   # TableEnvironment.scan (pre-from alias in 1.10)
+
+    def list_tables(self) -> list[str]:
+        """``TableEnvironment.listTables`` (TableEnvironment.java:376):
+        every registered table/view name in the current catalog, plus
+        DDL-created tables."""
+        names = {t.name for t in self.spark.catalog.listTables()}
+        if hasattr(self, "_ddl"):
+            names.update(self._ddl.tables)
+        return sorted(names)
+
     def from_elements(self, rows: list, schema) -> Table:
         """``StreamExecutionEnvironment.fromElements`` / SQL VALUES
         (reference ``StreamExecValues.scala``)."""

@@ -137,3 +137,15 @@ def read_sequence_file(spark: SparkSession, path: str, key_field: str,
         key_field,
         F.from_json("__v", value_schema).alias("__s")).select(
         key_field, "__s.*")
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite",
+               compression: str | None = None) -> None:
+    """Text sink, optionally compressed (``flink-formats/flink-compress/
+    .../CompressWriterFactory.java`` — the reference wraps bulk writers
+    in a Hadoop CompressionCodec; Spark's text writer takes the codec
+    directly).  ``compression``: gzip | bzip2 | lz4 | snappy | none."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)

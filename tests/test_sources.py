@@ -561,3 +561,22 @@ def test_sequence_file_roundtrip_types_and_nulls(spark):
     assert dict(back.dtypes) == {"k": "bigint", "s": "string", "v": "double"}
     rows = {(r.k, r.s, r.v) for r in back.collect()}
     assert rows == {(1, "a", 1.5), (2, None, 2.5), (3, "c", None)}
+
+
+def test_compressed_text_roundtrip(spark):
+    """CompressWriterFactory analog: gzip text write + transparent read
+    (sources/formats.py write_text)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.sources import formats as FMT
+
+    df = spark.range(100).select(F.concat(F.lit("line-"), "id").alias("value"))
+    path = tempfile.mkdtemp(prefix="gz_t_") + "/txt"
+    FMT.write_text(df, path, compression="gzip")
+    assert any(f.endswith(".gz") for f in os.listdir(path))
+    back = FMT.read_text(spark, path)
+    assert back.count() == 100
+    assert back.filter("value = 'line-42'").count() == 1

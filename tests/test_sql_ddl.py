@@ -105,3 +105,14 @@ def test_ddl_create_drop_view(spark):
     assert got == [(1, 10.0), (2, 14.0)]
     env.sql_update("DROP VIEW v_doubled")
     assert "v_doubled" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_list_tables_and_scan(spark):
+    """TableEnvironment.listTables (TableEnvironment.java:376) + scan."""
+    from flink_release_1_10_0_spark.environment import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    df = spark.range(3).withColumnRenamed("id", "k")
+    tenv.register_table("lt_demo_table", df)
+    assert "lt_demo_table" in tenv.list_tables()
+    assert tenv.scan("lt_demo_table").df.count() == 3
