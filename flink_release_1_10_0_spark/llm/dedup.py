@@ -560,15 +560,18 @@ def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
     for p in parts[1:]:
         cand = cand.unionByName(p)
 
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    dotsum = (f"aggregate(sequence(1, {dim}), 0D, (s, i) -> s + "
-              "CAST(element_at(__va, i) AS DOUBLE) "
-              "* CAST(element_at(__vb, i) AS DOUBLE))")
+    # norms precomputed ONCE per vector (not per candidate pair — at k
+    # candidates per doc that's a k-fold saving on the verify stage);
+    # the per-pair work is a single zip_with dot product
     nrm = ("sqrt(aggregate({v}, 0D, (s, x) -> s + "
            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    cos = (f"round(({dotsum}) / ({nrm.format(v='__va')} "
-           f"* {nrm.format(v='__vb')}), 6)")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                   F.expr(nrm.format(v=vec_col)).alias("__na"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                   F.expr(nrm.format(v=vec_col)).alias("__nb"))
+    dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
+              "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
+    cos = f"round(({dotsum}) / (__na * __nb), 6)"
     return (cand.join(va, "id_a").join(vb, "id_b")
             .withColumn("cosine", F.expr(cos))
             .filter(F.col("cosine") >= threshold)
@@ -584,15 +587,15 @@ def embedding_cosine_pairs_exact(df: DataFrame, id_col: str = "vec_id",
     REQUIRED at scale, same contract as ngram_jaccard_pairs."""
     if id_limit is not None:
         df = df.filter(F.col(id_col) < id_limit)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    dotsum = (f"aggregate(sequence(1, {dim}), 0D, (s, i) -> s + "
-              "CAST(element_at(__va, i) AS DOUBLE) "
-              "* CAST(element_at(__vb, i) AS DOUBLE))")
     nrm = ("sqrt(aggregate({v}, 0D, (s, x) -> s + "
            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    cos = (f"round(({dotsum}) / ({nrm.format(v='__va')} "
-           f"* {nrm.format(v='__vb')}), 6)")
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                  F.expr(nrm.format(v=vec_col)).alias("__na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                  F.expr(nrm.format(v=vec_col)).alias("__nb"))
+    dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
+              "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
+    cos = f"round(({dotsum}) / (__na * __nb), 6)"
     return (a.join(b, F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", F.expr(cos))
             .filter(F.col("cosine") >= threshold)
