@@ -600,3 +600,68 @@ def embedding_cosine_pairs_exact(df: DataFrame, id_col: str = "vec_id",
             .withColumn("cosine", F.expr(cos))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def srp_index(df: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", dim: int = 64,
+              planes_per_band: int = 4, n_bands: int = 4) -> DataFrame:
+    """Persisted SRP index artifact: (id, band keys, norm, vector).
+
+    The embedding-side mirror of :func:`minhash_index` — a few hundred
+    bytes per document (band keys + norm + the original vector, which the
+    exact-cosine verify stage needs, exactly as the MinHash index carries
+    word-hashes for its Jaccard verify).  Write it partitioned/bucketed by
+    a band key so incremental ingests prune at the file level."""
+    nrm = (f"sqrt(aggregate({vec_col}, 0D, (s, x) -> s + "
+           "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    sig = srp_signatures(df, id_col, vec_col, dim, planes_per_band, n_bands)
+    keep = df.select(F.col(id_col), F.col(vec_col).alias("__vec"),
+                     F.expr(nrm).alias("__norm"))
+    return sig.join(keep, id_col)
+
+
+def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding", dim: int = 64,
+                          planes_per_band: int = 4, n_bands: int = 4,
+                          threshold: float = 0.35) -> DataFrame:
+    """Near-duplicate pairs between a persisted corpus index and an
+    incoming batch: per-band equi-joins (batch side broadcastable — the
+    corpus is NEVER rescanned beyond the band-key joins),
+    first-matching-band single emission, exact cosine against the
+    index-carried vectors.  Returns (old_id, new_id, cosine).
+
+    The embedding mirror of :func:`lsh_incremental_pairs`: at 100 TB the
+    index is the only large side, its band-key bucketing keeps each join
+    shuffle-free on the corpus, and the batch recomputes only its own
+    signatures.  Intra-batch near-dups are NOT emitted here — compose
+    :func:`embedding_srp_pairs` over the (small) batch first, the same
+    ingest decision as the MinHash path."""
+    new_idx = srp_index(new_df, id_col, vec_col, dim,
+                        planes_per_band, n_bands).localCheckpoint()
+    old = index_df.select(
+        F.col(id_col).alias("old_id"),
+        *[f"sk{b}" for b in range(n_bands)],
+        F.col("__vec").alias("__va"), F.col("__norm").alias("__na"))
+    new = new_idx.select(
+        F.col(id_col).alias("new_id"),
+        *[f"sk{b}" for b in range(n_bands)],
+        F.col("__vec").alias("__vb"), F.col("__norm").alias("__nb"))
+    parts = []
+    for b in range(n_bands):
+        o = old.alias("o")
+        nn = new.alias("n")
+        cond = F.col(f"o.sk{b}") == F.col(f"n.sk{b}")
+        for j in range(b):
+            cond = cond & (F.col(f"o.sk{j}") != F.col(f"n.sk{j}"))
+        parts.append(o.join(nn, cond).select(
+            "old_id", "new_id", "__va", "__na", "__vb", "__nb"))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
+              "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
+    cos = f"round(({dotsum}) / (__na * __nb), 6)"
+    return (cand.withColumn("cosine", F.expr(cos))
+            .filter(F.col("cosine") >= threshold)
+            .select("old_id", "new_id", "cosine"))

@@ -100,11 +100,9 @@ _PIN = [
     "dedup_embedding_srp", "dedup_embedding_cosine_exact",
     "ml_pipeline_scaler_kmeans", "ml_pipeline_assembler_scaler",
     "source_sequence_file_roundtrip",
-    # ---- regression fill: oldest-evidence families first; this round
-    #      weights CEP/MR names because the NFA emission path changed
-    #      (held start-order skip-strategy emission) ----
-    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
-    "stream_tumble_agg", "stream_topn_per_key",
+    "dedup_embedding_srp_index", "dedup_embedding_incremental",
+    # ---- regression fill: oldest-evidence families first ----
+    "tpch_q1_pricing_summary", "stream_tumble_agg",
     "cep_nfa_four_stage",
     "graph_connected_components", "similarity_ivf_topk_pruned",
     "tpch_q3_shipping_priority", "tpch_q18_large_volume_customer",

@@ -1372,3 +1372,70 @@ def dedup_embedding_cosine_exact(spark, sf_dir):
     fences the pair space exactly like ngram_jaccard_pairs."""
     return D.embedding_cosine_pairs_exact(t(spark, sf_dir, "embeddings"),
                                           threshold=0.35, id_limit=150)
+
+
+_SRP_INDEX_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+         round(sqrt(list_sum(list_transform(embedding, x ->
+           CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_r
+  FROM embeddings)
+SELECT vec_id, CAST({_duck_srp_sig(0)} AS BIGINT) AS sk0,
+       CAST({_duck_srp_sig(4)} AS BIGINT) AS sk1,
+       CAST({_duck_srp_sig(8)} AS BIGINT) AS sk2,
+       CAST({_duck_srp_sig(12)} AS BIGINT) AS sk3, norm_r
+FROM base
+"""
+
+
+@register("dedup_embedding_srp_index", _SRP_INDEX_ORACLE)
+def dedup_embedding_srp_index(spark, sf_dir):
+    """The persisted SRP index artifact itself, oracle-gated (band keys +
+    norm; the carried vector is the verify payload, not an output)."""
+    idx = D.srp_index(t(spark, sf_dir, "embeddings"))
+    return idx.select("vec_id", "sk0", "sk1", "sk2", "sk3",
+                      F.round(F.col("__norm"), 6).alias("norm_r"))
+
+
+_SRP_INCR_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+sig AS (
+  SELECT vec_id, embedding, {_duck_srp_sig(0)} AS sk0,
+         {_duck_srp_sig(4)} AS sk1, {_duck_srp_sig(8)} AS sk2,
+         {_duck_srp_sig(12)} AS sk3
+  FROM base),
+old AS (SELECT * FROM sig WHERE vec_id < 250),
+new AS (SELECT * FROM sig WHERE vec_id >= 250),
+cands AS (
+  SELECT a.vec_id AS old_id, c.vec_id AS new_id
+  FROM old a JOIN new c ON (
+       a.sk0 = c.sk0
+    OR (a.sk1 = c.sk1 AND a.sk0 <> c.sk0)
+    OR (a.sk2 = c.sk2 AND a.sk0 <> c.sk0 AND a.sk1 <> c.sk1)
+    OR (a.sk3 = c.sk3 AND a.sk0 <> c.sk0 AND a.sk1 <> c.sk1
+        AND a.sk2 <> c.sk2)))
+SELECT old_id, new_id, cosine FROM (
+  SELECT old_id, new_id, {_DUCK_COS} AS cosine
+  FROM cands
+  JOIN embeddings ea ON ea.vec_id = old_id
+  JOIN embeddings eb ON eb.vec_id = new_id) q
+WHERE cosine >= 0.35
+"""
+
+
+@register("dedup_embedding_incremental", _SRP_INCR_ORACLE)
+def dedup_embedding_incremental(spark, sf_dir):
+    """Per-ingest embedding dedup: old corpus (vec_id < 250) as the
+    persisted index, the rest as the incoming batch — index-only joins,
+    the corpus text is never rescanned (llm/dedup.py
+    srp_incremental_pairs)."""
+    emb = t(spark, sf_dir, "embeddings")
+    idx = D.srp_index(emb.filter(F.col("vec_id") < 250))
+    return D.srp_incremental_pairs(idx, emb.filter(F.col("vec_id") >= 250),
+                                   threshold=0.35)

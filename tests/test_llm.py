@@ -409,3 +409,22 @@ def test_srp_signature_determinism_and_range(spark):
     for r in s1:
         for b in range(4):
             assert 0 <= r[f"sk{b}"] < 16
+
+
+def test_srp_incremental_matches_full_restricted(spark):
+    """Incremental old-vs-new pairs == the full pair set restricted to
+    (old, new) — the same invariant the MinHash incremental path holds."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        embedding_srp_pairs, srp_incremental_pairs, srp_index)
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    idx = srp_index(emb.filter("vec_id < 60"))
+    inc = {(r.old_id, r.new_id, r.cosine)
+           for r in srp_incremental_pairs(
+               idx, emb.filter("vec_id >= 60"), threshold=0.3).collect()}
+    full = {(r.id_a, r.id_b, r.cosine)
+            for r in embedding_srp_pairs(emb, threshold=0.3).collect()
+            if r.id_a < 60 <= r.id_b}
+    assert inc == full
