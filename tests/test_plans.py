@@ -386,3 +386,41 @@ def test_intra_batch_ingest_decision_plan(spark):
     plan = plan_of(spark, "dedup_incremental_intra_batch")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_srp_embedding_incremental_plan(spark):
+    """SRP incremental embedding dedup: per-band equi-joins against the
+    index (broadcastable batch side), no cartesian, cosine verify stays
+    JVM-side (no Python in the plan)."""
+    plan = plan_of(spark, "dedup_embedding_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_system_time_lookup_plan_broadcasts_snapshot(spark):
+    """FOR SYSTEM_TIME AS OF: the dimension snapshot is broadcast (the
+    lookup-join batch equivalent) and the probe filter reaches its scan."""
+    plan = plan_of(spark, "flink_sql_system_time_lookup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_state_processor_savepoint_scan_is_pruned(spark):
+    """State Processor range reads prune key-group partitions at the
+    scan (KeyGroupRangeInputSplit analog)."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.streaming.state_processor import (
+        create_savepoint, load_savepoint)
+
+    df = spark.createDataFrame([(i, i) for i in range(64)],
+                               "k bigint, v bigint")
+    path = tempfile.mkdtemp(prefix="sp_plan_")
+    (create_savepoint(spark, max_parallelism=16)
+     .with_keyed_operator("agg", df, ["k"]).write(path))
+    lo = load_savepoint(spark, path).read_keyed_state("agg",
+                                                      key_groups=(0, 3))
+    plan = lo._jdf.queryExecution().executedPlan().toString()
+    # partition filters on the key-group column, no post-scan Filter node
+    assert "__key_group" in plan and "PartitionFilters" in plan
