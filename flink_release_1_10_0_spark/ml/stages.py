@@ -151,3 +151,89 @@ class KMeans(Estimator):
                              vec_col=self.params.get("vec_col"))
         return KMeansModel(cents, vec_col=self.params.get("vec_col"),
                            id_col=self.params.get("id_col"))
+
+
+class MultivariateGaussianModel(Model):
+    """Fitted (mean, covariance) distribution; transform appends the
+    Mahalanobis distance (the quadratic form of ``logpdf`` in
+    ``flink-ml-lib/.../basicstatistic/MultivariateGaussian.java:84`` —
+    the data-dependent term, sans the log-det constant).
+
+    The precision (inverse covariance) matrix is computed once on the
+    driver from the k x k fitted constants: closed form for k <= 2 (so
+    a SQL oracle can replay the exact arithmetic), numpy otherwise
+    (reference uses LAPACK the same way).  Scoring is a pure map-side
+    expression built from the constants — no join, no shuffle.
+    """
+
+    def __init__(self, mean: list | None = None, prec: list | None = None,
+                 vec_col: str = "features", output_col: str = "maha",
+                 params: Params | None = None):
+        super().__init__(params=params, vec_col=vec_col,
+                         output_col=output_col, mean=mean, prec=prec)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        mean = self.params.get("mean")
+        prec = self.params.get("prec")
+        if mean is None or prec is None:
+            raise RuntimeError("MultivariateGaussianModel has no fitted "
+                               "mean/precision")
+        vec = self.params.get("vec_col")
+        k = len(mean)
+        dx = [f"(CAST(element_at({vec}, {i + 1}) AS DOUBLE) - {mean[i]!r})"
+              for i in range(k)]
+        # maha = sum_i dx_i * (sum_j prec_ij * dx_j), left-to-right —
+        # the exact association a SQL oracle replays
+        inner = ["(" + " + ".join(f"({prec[i][j]!r} * {dx[j]})"
+                                  for j in range(k)) + ")"
+                 for i in range(k)]
+        maha = " + ".join(f"({dx[i]} * {inner[i]})" for i in range(k))
+        return df.withColumn(self.params.get("output_col"), F.expr(maha))
+
+
+class MultivariateGaussian(Estimator):
+    """Fit a multivariate Gaussian over an ``array`` column
+    (``MultivariateGaussian.java:36`` — there the distribution is
+    constructed from given (mean, cov); here the estimator also FITS
+    them, population moments via exact DECIMAL sums so oracles replay
+    the fit bit-for-bit)."""
+
+    def __init__(self, vec_col: str = "features",
+                 output_col: str = "maha", params: Params | None = None):
+        super().__init__(params=params, vec_col=vec_col,
+                         output_col=output_col)
+
+    def fit(self, df: DataFrame) -> MultivariateGaussianModel:
+        vec = self.params.get("vec_col")
+        k = df.select(F.size(vec).alias("k")).first()["k"]
+        x = [f"CAST(element_at({vec}, {i + 1}) AS DOUBLE)" for i in range(k)]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i in range(k):
+            aggs.append(F.expr(f"sum(CAST({x[i]} AS {_DEC}))")
+                        .cast("double").alias(f"s{i}"))
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.expr(
+                    f"sum(CAST({x[i]} * {x[j]} AS {_DEC2}))")
+                    .cast("double").alias(f"p{i}_{j}"))
+        row = df.agg(*aggs).first()
+        n = float(row["n"])
+        mean = [row[f"s{i}"] / n for i in range(k)]
+        cov = [[0.0] * k for _ in range(k)]
+        for i in range(k):
+            for j in range(i, k):
+                c = row[f"p{i}_{j}"] / n - mean[i] * mean[j]
+                cov[i][j] = cov[j][i] = c
+        if k == 1:
+            prec = [[1.0 / cov[0][0]]]
+        elif k == 2:
+            # closed form, same arithmetic shape as the SQL oracle
+            det = cov[0][0] * cov[1][1] - cov[0][1] * cov[0][1]
+            prec = [[cov[1][1] / det, -cov[0][1] / det],
+                    [-cov[0][1] / det, cov[0][0] / det]]
+        else:
+            import numpy as np
+            prec = np.linalg.inv(np.array(cov)).tolist()
+        return MultivariateGaussianModel(
+            mean=mean, prec=prec, vec_col=vec,
+            output_col=self.params.get("output_col"))

@@ -136,3 +136,60 @@ def ml_pipeline_assembler_scaler(spark, sf_dir):
         "event_id",
         F.round(F.element_at("z", 1), 6).alias("z_value"),
         F.round(F.element_at("z", 2), 6).alias("z_user"))
+
+
+# --------------------------------------------------------------------------
+# MultivariateGaussian (flink-ml-lib basicstatistic/MultivariateGaussian
+# .java:36): fit (mean, cov) over assembled 2-d features, score the
+# Mahalanobis quadratic form.  The oracle replays the DECIMAL-summed
+# moments, the closed-form 2x2 precision, and the exact left-to-right
+# quadratic-form association the model emits.
+# --------------------------------------------------------------------------
+_GAUSSIAN_ORACLE = """
+WITH src AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS v1,
+         CAST(user_id AS DOUBLE) AS v2
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(v1 AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(v2 AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(v1 * v1 AS DECIMAL(38,12))) AS DOUBLE) AS p11,
+    CAST(SUM(CAST(v1 * v2 AS DECIMAL(38,12))) AS DOUBLE) AS p12,
+    CAST(SUM(CAST(v2 * v2 AS DECIMAL(38,12))) AS DOUBLE) AS p22
+  FROM src),
+c AS (
+  SELECT s1 / n AS mu1, s2 / n AS mu2,
+         (p11 / n) - ((s1 / n) * (s1 / n)) AS c11,
+         (p12 / n) - ((s1 / n) * (s2 / n)) AS c12,
+         (p22 / n) - ((s2 / n) * (s2 / n)) AS c22
+  FROM m),
+e AS (
+  SELECT mu1, mu2,
+         c22 / ((c11 * c22) - (c12 * c12)) AS e11,
+         -c12 / ((c11 * c22) - (c12 * c12)) AS e12,
+         c11 / ((c11 * c22) - (c12 * c12)) AS e22
+  FROM c)
+SELECT event_id,
+       round(((v1 - mu1) * ((e11 * (v1 - mu1)) + (e12 * (v2 - mu2))))
+             + ((v2 - mu2) * ((e12 * (v1 - mu1)) + (e22 * (v2 - mu2)))),
+             6) AS maha_r
+FROM src CROSS JOIN e
+"""
+
+
+@register("ml_gaussian_mahalanobis", _GAUSSIAN_ORACLE)
+def ml_gaussian_mahalanobis(spark, sf_dir):
+    from flink_release_1_10_0_spark.ml.pipeline import Pipeline
+    from flink_release_1_10_0_spark.ml.stages import (
+        MultivariateGaussian, VectorAssembler)
+
+    ev = (t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "value", "user_id"))
+    pipe = Pipeline([
+        VectorAssembler(input_cols=["value", "user_id"], output_col="fv"),
+        MultivariateGaussian(vec_col="fv", output_col="maha"),
+    ])
+    out = pipe.fit(ev).transform(ev)
+    return out.select("event_id", F.round("maha", 6).alias("maha_r"))

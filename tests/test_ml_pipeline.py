@@ -110,3 +110,30 @@ def test_kmeans_model_assigns_new_data(spark):
     out = {r.id: r.cid for r in model.transform(new).collect()}
     assert out[100] != out[101]        # opposite corners, opposite clusters
     assert model.centroids().count() == 2
+
+
+def test_gaussian_oracle(spark, duck):
+    compare_query(spark, duck, "ml_gaussian_mahalanobis")
+
+
+def test_gaussian_dim3_numpy_path_and_json_persistence(spark):
+    """k>2 uses the numpy precision path (LAPACK analog); the fitted
+    model's state lives entirely in params, so to_json round-trips the
+    FITTED model (unlike frame-backed models)."""
+    import math
+
+    from flink_release_1_10_0_spark.ml.stages import MultivariateGaussian
+
+    df = spark.createDataFrame(
+        [(float(i % 7), float(i % 3), float(i % 5)) for i in range(60)],
+        "a double, b double, c double").selectExpr(
+        "array(a, b, c) AS fv")
+    model = MultivariateGaussian(vec_col="fv").fit(df)
+    back = PipelineStage.from_json(model.to_json())
+    a = [r.maha for r in model.transform(df).collect()]
+    b = [r.maha for r in back.transform(df).collect()]
+    assert a == b
+    # mean Mahalanobis distance of the fitted sample == dimension
+    # (a standard multivariate-normal identity, exact for the
+    # population-covariance fit)
+    assert math.isclose(sum(a) / len(a), 3.0, rel_tol=1e-9)
