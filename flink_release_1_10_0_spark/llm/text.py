@@ -239,3 +239,43 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                         f"transform(sequence(1, size(__g) - {w - 1}), "
                         f"i -> array_min(slice(__g, i, {w})))")))
                     .alias("fp")))
+
+
+def dsir_log_ratio(docs, id_col: str = "doc_id", text_col: str = "text",
+                   target_col: str = "is_target"):
+    """DSIR-style importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023): per-document average log-ratio of
+    Laplace-smoothed unigram probabilities under the TARGET distribution
+    (rows where ``target_col`` is true) vs the full SOURCE corpus.
+
+    Plan shape: one tokenize+explode, two token-keyed frequency
+    aggregates (target counts ride the same shuffle key as source
+    counts), one join back, one per-doc aggregate — the
+    text_unigram_logprob plan plus one frequency branch; scales exactly
+    like it.  Determinism: every ln() argument is an integer ratio
+    ((c+1)/(total+V)) so per-token terms agree across engines to the
+    ulp; the per-doc sum's reorder noise (~1e-13) sits far inside the
+    6dp rounding the caller applies (the verified text_unigram_logprob
+    argument).
+
+    Returns (id, n_tokens, log_ratio) — log_ratio UNROUNDED; round at
+    the output/acceptance boundary.
+    """
+    from pyspark.sql import functions as F
+
+    tok = (docs.select(F.col(id_col), F.col(target_col),
+                       F.expr(words_expr(text_col)).alias("words"))
+           .select(id_col, target_col, F.explode("words").alias("w")))
+    vocab = (tok.groupBy("w")
+             .agg(F.count(F.lit(1)).alias("c_s"),
+                  F.sum(F.when(F.col(target_col), 1).otherwise(0))
+                  .cast("bigint").alias("c_t")))
+    consts = vocab.agg(
+        F.sum("c_s").alias("total_s"), F.sum("c_t").alias("total_t"),
+        F.count(F.lit(1)).alias("v"))
+    term = ((F.log(F.col("c_t") + 1) - F.log(F.col("total_t") + F.col("v")))
+            - (F.log(F.col("c_s") + 1) - F.log(F.col("total_s") + F.col("v"))))
+    return (tok.join(vocab, "w").crossJoin(F.broadcast(consts))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(term).alias("log_ratio")))

@@ -101,9 +101,9 @@ _PIN = [
     "ml_pipeline_scaler_kmeans", "ml_pipeline_assembler_scaler",
     "source_sequence_file_roundtrip",
     "dedup_embedding_srp_index", "dedup_embedding_incremental",
-    "ml_gaussian_mahalanobis",
+    "ml_gaussian_mahalanobis", "sample_dsir_importance",
     # ---- regression fill: oldest-evidence families first ----
-    "tpch_q1_pricing_summary", "stream_tumble_agg",
+    "tpch_q1_pricing_summary",
     "graph_connected_components", "similarity_ivf_topk_pruned",
     "tpch_q3_shipping_priority", "tpch_q18_large_volume_customer",
     "stream_dedup_keep_last",

@@ -489,3 +489,65 @@ def text_unigram_logprob(spark, sf_dir):
                  F.round(F.avg(F.log(F.col("total").cast("double"))
                                - F.log(F.col("c").cast("double"))), 6)
                  .alias("avg_neg_logprob")))
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): weight every document by
+# the likelihood ratio of Laplace-smoothed unigram models — TARGET
+# (German docs — the 14% minority class, so the ratio has real selectivity) over SOURCE (full corpus) — and keep it with
+# probability min(exp(doc log-likelihood ratio), 1), DETERMINISTICALLY via the
+# hash-acceptance test (same reproducible-mix construction as
+# sample_quality_weighted).  Both the weight and the acceptance operate
+# on 6dp-rounded values so the engine and the oracle compare identical
+# grid points, never raw accumulator noise.
+# --------------------------------------------------------------------------
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang = 'de' AS is_t,
+         unnest(list_filter(string_split_regex(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+           x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS c_s,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM tok GROUP BY w
+), consts AS (
+  SELECT SUM(c_s) AS total_s, SUM(c_t) AS total_t, COUNT(*) AS v
+  FROM vocab
+), lr AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         round(SUM((ln(CAST(v.c_t + 1 AS DOUBLE))
+                    - ln(CAST(c.total_t + c.v AS DOUBLE)))
+                 - (ln(CAST(v.c_s + 1 AS DOUBLE))
+                    - ln(CAST(c.total_s + c.v AS DOUBLE)))), 6)
+           AS log_ratio_r
+  FROM tok t JOIN vocab v ON t.w = v.w CROSS JOIN consts c
+  GROUP BY t.doc_id
+), wtd AS (
+  SELECT doc_id, n_tokens, log_ratio_r,
+         round(least(exp(log_ratio_r), 1.0), 6) AS weight_r
+  FROM lr)
+SELECT doc_id, n_tokens, log_ratio_r, weight_r
+FROM wtd
+WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           AS UBIGINT) % 1000000 AS DOUBLE) < weight_r * 1000000.0
+"""
+
+
+@register("sample_dsir_importance", _DSIR_ORACLE)
+def sample_dsir_importance(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import dsir_log_ratio
+
+    docs = (t(spark, sf_dir, "documents")
+            .withColumn("is_target", F.col("lang") == "de"))
+    lr = dsir_log_ratio(docs, target_col="is_target")
+    wtd = (lr.withColumn("log_ratio_r", F.round("log_ratio", 6))
+           .withColumn("weight_r",
+                       F.round(F.least(F.exp(F.col("log_ratio_r")),
+                                       F.lit(1.0)), 6)))
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("bigint") % 1000000).cast("double")
+    return (wtd.filter(h < F.col("weight_r") * 1000000.0)
+            .select("doc_id", "n_tokens", "log_ratio_r", "weight_r"))

@@ -428,3 +428,29 @@ def test_srp_incremental_matches_full_restricted(spark):
             for r in embedding_srp_pairs(emb, threshold=0.3).collect()
             if r.id_a < 60 <= r.id_b}
     assert inc == full
+
+
+def test_dsir_importance_enriches_target_class(spark, duck):
+    """DSIR resampling keeps the target class at a higher rate than the
+    rest, deterministically (llm/text.py dsir_log_ratio)."""
+    from tests.conftest import SF_DIR, compare_query
+    compare_query(spark, duck, "sample_dsir_importance")
+
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.queries import all_queries
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    kept = all_queries()["sample_dsir_importance"](spark, SF_DIR) \
+        .join(docs, "doc_id")
+    rates = {r.lang: r.rate for r in
+             kept.groupBy("lang").count()
+             .join(docs.groupBy("lang").count()
+                   .withColumnRenamed("count", "total"), "lang")
+             .selectExpr("lang", "count / total AS rate").collect()}
+    assert rates.get("de", 0) >= max(
+        v for k, v in rates.items() if k != "de")
+    # deterministic: second run keeps the identical set
+    a = {r.doc_id for r in
+         all_queries()["sample_dsir_importance"](spark, SF_DIR).collect()}
+    b = {r.doc_id for r in
+         all_queries()["sample_dsir_importance"](spark, SF_DIR).collect()}
+    assert a == b
