@@ -639,29 +639,34 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
     ingest decision as the MinHash path."""
     new_idx = srp_index(new_df, id_col, vec_col, dim,
                         planes_per_band, n_bands).localCheckpoint()
-    old = index_df.select(
-        F.col(id_col).alias("old_id"),
-        *[f"sk{b}" for b in range(n_bands)],
-        F.col("__vec").alias("__va"), F.col("__norm").alias("__na"))
-    new = new_idx.select(
-        F.col(id_col).alias("new_id"),
-        *[f"sk{b}" for b in range(n_bands)],
-        F.col("__vec").alias("__vb"), F.col("__norm").alias("__nb"))
+    # candidates over SLIM (id, band keys) projections only; the vectors
+    # attach ONCE after the union — same order-of-operations as the
+    # MinHash path, so the 4-band joins never shuffle the payload
+    slim_o = index_df.select(F.col(id_col).alias("old_id"),
+                             *[f"sk{b}" for b in range(n_bands)])
+    slim_n = new_idx.select(F.col(id_col).alias("new_id"),
+                            *[f"sk{b}" for b in range(n_bands)])
     parts = []
     for b in range(n_bands):
-        o = old.alias("o")
-        nn = new.alias("n")
+        o = slim_o.alias("o")
+        nn = slim_n.alias("n")
         cond = F.col(f"o.sk{b}") == F.col(f"n.sk{b}")
         for j in range(b):
             cond = cond & (F.col(f"o.sk{j}") != F.col(f"n.sk{j}"))
-        parts.append(o.join(nn, cond).select(
-            "old_id", "new_id", "__va", "__na", "__vb", "__nb"))
+        parts.append(o.join(nn, cond).select("old_id", "new_id"))
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
+    va = index_df.select(F.col(id_col).alias("old_id"),
+                         F.col("__vec").alias("__va"),
+                         F.col("__norm").alias("__na"))
+    vb = new_idx.select(F.col(id_col).alias("new_id"),
+                        F.col("__vec").alias("__vb"),
+                        F.col("__norm").alias("__nb"))
     dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
               "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
     cos = f"round(({dotsum}) / (__na * __nb), 6)"
-    return (cand.withColumn("cosine", F.expr(cos))
+    return (cand.join(va, "old_id").join(vb, "new_id")
+            .withColumn("cosine", F.expr(cos))
             .filter(F.col("cosine") >= threshold)
             .select("old_id", "new_id", "cosine"))
