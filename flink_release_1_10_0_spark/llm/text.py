@@ -279,3 +279,65 @@ def dsir_log_ratio(docs, id_col: str = "doc_id", text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum(term).alias("log_ratio")))
+
+
+def ngram_contamination_bloom(train, eval_df, id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 5,
+                              m_bits: int = 1 << 17, k_hashes: int = 3):
+    """Bloom-prefiltered benchmark-contamination: identical OUTPUT to
+    :func:`ngram_contamination` (the Bloom filter only PREFILTERS; the
+    exact gram equi-join verifies every survivor, so false positives
+    never reach the result), but the corpus side is pruned MAP-SIDE
+    against a broadcast bitmap before any shuffle.
+
+    This is the shape that survives 100 TB: the eval set's distinct
+    n-grams collapse into an m-bit bitmap (array<bigint>, a few KB for
+    typical eval suites) carried to every task as one broadcast row;
+    the overwhelmingly-clean corpus grams die in the scan stage and
+    only bloom-positive grams pay the verify join.  All hashing is
+    JVM-native xxhash64 — the bitmap is internal, so engine
+    portability is not required (the oracle checks the exact OUTPUT).
+    """
+    from pyspark.sql import functions as F
+    w = words_expr(text_col)
+    n_words = (m_bits + 63) // 64
+
+    def grams(df, id_alias):
+        g = (f"array_distinct(transform(sequence(0, size(words) - {n}), "
+             f"i -> concat_ws(' ', slice(words, i + 1, {n}))))")
+        return (df.select(F.col(id_col).alias(id_alias),
+                          F.expr(w).alias("words"))
+                .filter(F.expr(f"size(words) >= {n}"))
+                .select(id_alias, F.explode(F.expr(g)).alias("gram")))
+
+    eg = grams(eval_df, "eval_doc_id")
+    # build the bitmap: k bit positions per distinct eval gram, OR-folded
+    # into 64-bit words, gaps zero-filled — a single broadcastable row
+    pos = (eg.select("gram").distinct()
+           .select(F.explode(F.expr(
+               f"transform(sequence(0, {k_hashes - 1}), "
+               f"j -> pmod(xxhash64(j, gram), {m_bits}L))")).alias("pos"))
+           .distinct())
+    words = (pos.groupBy((F.col("pos") / 64).cast("int").alias("wi"))
+             .agg(F.expr(
+                 "aggregate(collect_set(cast(pmod(pos, 64) as int)), 0L, "
+                 "(acc, b) -> acc | shiftleft(1L, b))").alias("bits")))
+    bloom = (words.agg(F.map_from_entries(
+                 F.collect_list(F.struct("wi", "bits"))).alias("m"))
+             .select(F.expr(
+                 f"transform(sequence(0, {n_words - 1}), "
+                 "wi -> coalesce(element_at(m, wi), 0L))").alias("bloom")))
+
+    might = (f"aggregate(sequence(0, {k_hashes - 1}), true, (acc, j) -> "
+             f"acc AND (element_at(bloom, cast(pmod(xxhash64(j, gram), "
+             f"{m_bits}L) div 64 as int) + 1) "
+             f"& shiftleft(1L, cast(pmod(pmod(xxhash64(j, gram), "
+             f"{m_bits}L), 64) as int))) != 0)")
+    tg = (grams(train, "doc_id")
+          .crossJoin(F.broadcast(bloom))
+          .filter(F.expr(might))
+          .drop("bloom"))
+    hits = tg.join(eg, "gram")
+    return (hits.groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_shared_grams"),
+                 F.countDistinct("eval_doc_id").alias("n_eval_docs")))

@@ -102,8 +102,7 @@ _PIN = [
     "source_sequence_file_roundtrip",
     "dedup_embedding_srp_index", "dedup_embedding_incremental",
     "ml_gaussian_mahalanobis", "sample_dsir_importance",
-    # ---- regression fill: oldest-evidence families first ----
-    "tpch_q1_pricing_summary",
+    "contamination_bloom_prefilter",
     "graph_connected_components", "similarity_ivf_topk_pruned",
     "tpch_q3_shipping_priority", "tpch_q18_large_volume_customer",
     "stream_dedup_keep_last",

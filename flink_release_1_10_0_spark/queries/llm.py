@@ -1439,3 +1439,16 @@ def dedup_embedding_incremental(spark, sf_dir):
     idx = D.srp_index(emb.filter(F.col("vec_id") < 250))
     return D.srp_incremental_pairs(idx, emb.filter(F.col("vec_id") >= 250),
                                    threshold=0.35)
+
+
+@register("contamination_bloom_prefilter", _CONTAMINATION_ORACLE)
+def contamination_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefiltered decontamination: IDENTICAL output to
+    contamination_5gram_vs_eval (the bitmap only prunes; exact verify
+    follows), so it shares that query's oracle — the scale path for
+    100 TB corpora (broadcast bitmap, map-side gram kill)."""
+    from flink_release_1_10_0_spark.llm.text import ngram_contamination_bloom
+    docs = t(spark, sf_dir, "documents")
+    return ngram_contamination_bloom(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"), n=5)

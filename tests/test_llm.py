@@ -454,3 +454,27 @@ def test_dsir_importance_enriches_target_class(spark, duck):
     b = {r.doc_id for r in
          all_queries()["sample_dsir_importance"](spark, SF_DIR).collect()}
     assert a == b
+
+
+def test_bloom_contamination_equals_exact(spark):
+    """The Bloom bitmap only PREFILTERS: output must equal the exact
+    gram-join operator row-for-row, and the prefilter must actually
+    prune the corpus gram stream."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.text import (
+        ngram_contamination, ngram_contamination_bloom)
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    train = docs.filter("source <> 'src0'")
+    ev = docs.filter("source = 'src0'")
+    exact = {tuple(r) for r in ngram_contamination(train, ev, n=5).collect()}
+    bloom = {tuple(r) for r in
+             ngram_contamination_bloom(train, ev, n=5).collect()}
+    assert bloom == exact
+    # tiny filter (few bits) must still be exact — FP rate near 1,
+    # pruning near 0, output unchanged
+    tiny = {tuple(r) for r in
+            ngram_contamination_bloom(train, ev, n=5, m_bits=256,
+                                      k_hashes=2).collect()}
+    assert tiny == exact
