@@ -760,3 +760,91 @@ def test_mr_define_aggregate_matches_fold(spark, vals, thr):
             expect.append((start, i, cnt))
             cnt, sm, start = 0, 0.0, None
     assert got == sorted(expect)
+
+
+# --------------------------------------------------------------------------
+# As-of join (operators/joins.py asof_join — the union-and-carry-forward
+# plan the round-10 temporal SQL surface rides): randomized probes and
+# versions vs an independent brute-force per-row scan.
+# --------------------------------------------------------------------------
+_ASOF_PROBES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),     # key
+              st.integers(min_value=0, max_value=50)),   # probe time
+    min_size=1, max_size=15)
+_ASOF_VERSIONS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),     # key
+              st.integers(min_value=0, max_value=50),    # version time
+              st.integers(min_value=-99, max_value=99)), # payload
+    min_size=0, max_size=15, unique_by=lambda t: (t[0], t[1]))
+
+
+@given(probes=_ASOF_PROBES, versions=_ASOF_VERSIONS)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, probes, versions):
+    from flink_release_1_10_0_spark.operators.joins import asof_join
+
+    probe_rows = [(k, t, i) for i, (k, t) in enumerate(probes)]
+    p = spark.createDataFrame(probe_rows, "k int, pt int, pid int")
+    b = spark.createDataFrame(
+        versions or [(99, 0, 0)], "k int, vt int, payload int")
+    out = {r.pid: r.payload
+           for r in asof_join(p, b, keys=[("k", "k")], probe_ts="pt",
+                              build_ts="vt",
+                              build_cols=["payload"]).collect()}
+
+    def brute(k, t):
+        cand = [(vt, pl) for (vk, vt, pl) in (versions or [(99, 0, 0)])
+                if vk == k and vt <= t]
+        return max(cand)[1] if cand else None
+
+    expect = {i: brute(k, t) for (k, t, i) in probe_rows}
+    assert out == expect
+
+
+# --------------------------------------------------------------------------
+# SRP signatures (llm/dedup.py srp_signatures): the Spark SQL expression
+# vs an independent pure-Python reimplementation of the integer contract
+# (floor-quantize, Knuth-hash hyperplane signs, bit packing).
+# --------------------------------------------------------------------------
+_VECS = st.lists(
+    st.lists(st.floats(min_value=-2.0, max_value=2.0,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=8, max_size=8),
+    min_size=1, max_size=10)
+
+
+@given(vecs=_VECS)
+@settings(**_SETTINGS)
+def test_srp_signatures_match_python_reference(spark, vecs):
+    from flink_release_1_10_0_spark.llm.dedup import srp_signatures
+
+    dim, ppb, nb = 8, 4, 2
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: (r.sk0, r.sk1)
+           for r in srp_signatures(df, dim=dim, planes_per_band=ppb,
+                                   n_bands=nb).collect()}
+
+    import math
+    import struct
+
+    def py_sig(vec):
+        # float32 round-trip first: Spark stores array<float>
+        q = [math.floor(struct.unpack("f", struct.pack("f", x))[0] * 1000)
+             for x in vec]
+        sigs = []
+        for b in range(nb):
+            word = 0
+            for j in range(b * ppb, (b + 1) * ppb):
+                dot = 0
+                for i in range(dim):
+                    h = ((j * dim + i + 1) * 2654435761) % 4294967296
+                    dot += q[i] if h < 2147483648 else -q[i]
+                if dot >= 0:
+                    word |= 1 << (j - b * ppb)
+            sigs.append(word)
+        return tuple(sigs)
+
+    expect = {i: py_sig(v) for i, v in rows}
+    assert got == expect
