@@ -489,15 +489,43 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
 # Embedding-cosine near-duplicates: sign-random-projection (SRP) LSH
 # ---------------------------------------------------------------------------
 
+def srp_center_stats(df: DataFrame, vec_col: str = "embedding",
+                     dim: int = 64, scale: int = 1000) -> DataFrame:
+    """Per-dimension BIGINT sums + row count of the quantized corpus —
+    the SRP centroid statistics (one broadcastable row: __qs, __n).
+    Part of the persisted index's metadata contract: incremental
+    ingests project new batches against the INDEX's centroid."""
+    qv = (f"transform(slice({vec_col}, 1, {dim}), "
+          f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+    return (df.select(F.posexplode(F.expr(qv)).alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(pos, s))), x -> x.s)").alias("__qs"),
+                 F.max("n").alias("__n")))
+
 def srp_signatures(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", dim: int = 64,
                    planes_per_band: int = 4, n_bands: int = 4,
-                   scale: int = 1000) -> DataFrame:
+                   scale: int = 1000, center: bool = True,
+                   stats: DataFrame | None = None) -> DataFrame:
     """Sign-random-projection band keys for cosine LSH (Charikar's SimHash
     for real vectors).  Plane ``j``'s hyperplane is the deterministic
     ±1 vector ``sign(Knuth_hash(j*dim + i))``; bit ``j`` of a signature is
-    set when the projection of the (integer-quantized) vector onto that
-    plane is non-negative.
+    set when the projection of the (integer-quantized, MEAN-CENTERED)
+    vector onto that plane is non-negative.
+
+    Centering (``center=True``, the default): hyperplanes through the
+    ORIGIN split real embedding corpora badly — measured on the synthetic
+    embeddings, every plane split ~20/80, so a 14-bit key had ~10 bits of
+    entropy and the 100x tier's hot buckets exploded the candidate join
+    (filled the disk).  Projecting ``x - mean(corpus)`` restores ~50/50
+    per plane.  Implementation keeps the INTEGER-exact contract by
+    multiplying through by the corpus count: ``sign(dot(s, q*N - S))``
+    where ``q = floor(x*scale)``, ``S`` = per-dimension BIGINT sum of q,
+    ``N`` = corpus count — pure BIGINT, safe to ~1e12 rows at |q|<=2000
+    (max |q*N| * dim ~ 1.3e17 < 2^63).  Cosine verification downstream is
+    unaffected (it uses the RAW vectors).
 
     Determinism contract: components are quantized with
     ``floor(x * scale)`` (exact in any engine) and the projection is pure
@@ -505,17 +533,29 @@ def srp_signatures(df: DataFrame, id_col: str = "vec_id",
     whose summation order varies per engine — are bit-identical between
     Spark and any oracle that replays the same integers.
 
-    Scale shape: one map-only projection pass (no shuffle); the band key
-    is the join/shuffle key downstream, so candidate generation is a
-    per-band equi-join exactly like the MinHash LSH path above.
+    Scale shape: one (pos)-keyed aggregation for the centroid sums (a
+    64-row broadcast) + one map-only projection pass; the band key is the
+    join/shuffle key downstream, so candidate generation is a per-band
+    equi-join exactly like the MinHash LSH path above.
     """
     qv = (f"transform(slice({vec_col}, 1, {dim}), "
           f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
     d = df.withColumn("__qv", F.expr(qv))
+    if center:
+        # stats may be precomputed (srp_center_stats) — the incremental
+        # ingest path MUST center new batches on the INDEX's centroid,
+        # never the batch's own, or band keys stop aligning
+        if stats is None:
+            stats = srp_center_stats(df, vec_col, dim, scale)
+        d = d.crossJoin(F.broadcast(stats))
+        comp = ("(element_at(__qv, i + 1) * __n "
+                "- element_at(__qs, i + 1))")
+    else:
+        comp = "element_at(__qv, i + 1)"
     dot = (f"aggregate(sequence(0, {dim - 1}), 0L, (a, i) -> a + "
            f"CASE WHEN pmod((j * {dim} + i + 1) * 2654435761L, 4294967296L) "
-           f"< 2147483648L THEN element_at(__qv, i + 1) "
-           f"ELSE -element_at(__qv, i + 1) END)")
+           f"< 2147483648L THEN {comp} "
+           f"ELSE -{comp} END)")
     cols = [F.col(id_col)]
     for b in range(n_bands):
         lo = b * planes_per_band
@@ -529,7 +569,8 @@ def srp_signatures(df: DataFrame, id_col: str = "vec_id",
 def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
                         planes_per_band: int = 4, n_bands: int = 4,
-                        threshold: float = 0.35) -> DataFrame:
+                        threshold: float = 0.35,
+                        stats: DataFrame | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: SRP band buckets propose candidate
     pairs (per-band equi-self-join, first-matching-band rule so a pair
     sharing several bands is emitted once), exact cosine over the original
@@ -544,7 +585,8 @@ def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
     planes_per_band / raise n_bands — cost scales linearly in bands.
     """
     sig = srp_signatures(df, id_col, vec_col, dim,
-                         planes_per_band, n_bands).localCheckpoint()
+                         planes_per_band, n_bands,
+                         stats=stats).localCheckpoint()
     parts = []
     for b in range(n_bands):
         a = sig.alias("a")
@@ -562,7 +604,14 @@ def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
 
     # norms precomputed ONCE per vector (not per candidate pair — at k
     # candidates per doc that's a k-fold saving on the verify stage);
-    # the per-pair work is a single zip_with dot product
+    # the per-pair work is a single zip_with dot product.  The vector
+    # table is BROADCAST: the candidate stream can be orders of
+    # magnitude larger than the corpus (clustered corpora put whole
+    # clusters in one bucket), and sort-merge-joining 10^8 slim pairs
+    # against a few-hundred-MB vector side spills catastrophically —
+    # measured on the 100x tier (the run filled the disk).  Beyond
+    # executor memory, persist the index bucketed by band key and the
+    # co-located join replaces the broadcast (MinHash-path shape).
     nrm = ("sqrt(aggregate({v}, 0D, (s, x) -> s + "
            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
@@ -572,7 +621,8 @@ def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
     dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
               "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
     cos = f"round(({dotsum}) / (__na * __nb), 6)"
-    return (cand.join(va, "id_a").join(vb, "id_b")
+    return (cand.join(F.broadcast(va), "id_a")
+            .join(F.broadcast(vb), "id_b")
             .withColumn("cosine", F.expr(cos))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
@@ -604,17 +654,23 @@ def embedding_cosine_pairs_exact(df: DataFrame, id_col: str = "vec_id",
 
 def srp_index(df: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", dim: int = 64,
-              planes_per_band: int = 4, n_bands: int = 4) -> DataFrame:
+              planes_per_band: int = 4, n_bands: int = 4,
+              stats: DataFrame | None = None) -> DataFrame:
     """Persisted SRP index artifact: (id, band keys, norm, vector).
 
     The embedding-side mirror of :func:`minhash_index` — a few hundred
     bytes per document (band keys + norm + the original vector, which the
     exact-cosine verify stage needs, exactly as the MinHash index carries
     word-hashes for its Jaccard verify).  Write it partitioned/bucketed by
-    a band key so incremental ingests prune at the file level."""
+    a band key so incremental ingests prune at the file level.  The
+    corpus centroid statistics (``srp_center_stats``) are index METADATA:
+    persist them alongside the rows and pass them as ``stats`` when
+    signing incoming batches — signatures centered on a different
+    centroid do not share band keys."""
     nrm = (f"sqrt(aggregate({vec_col}, 0D, (s, x) -> s + "
            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    sig = srp_signatures(df, id_col, vec_col, dim, planes_per_band, n_bands)
+    sig = srp_signatures(df, id_col, vec_col, dim, planes_per_band,
+                         n_bands, stats=stats)
     keep = df.select(F.col(id_col), F.col(vec_col).alias("__vec"),
                      F.expr(nrm).alias("__norm"))
     return sig.join(keep, id_col)
@@ -637,8 +693,14 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
     signatures.  Intra-batch near-dups are NOT emitted here — compose
     :func:`embedding_srp_pairs` over the (small) batch first, the same
     ingest decision as the MinHash path."""
+    # sign the batch against the INDEX's centroid (srp_index docstring:
+    # the centroid stats are index metadata; re-derived here from the
+    # index-carried vectors — pass a persisted stats frame in production)
+    idx_stats = srp_center_stats(
+        index_df.select(F.col("__vec").alias(vec_col)), vec_col, dim)
     new_idx = srp_index(new_df, id_col, vec_col, dim,
-                        planes_per_band, n_bands).localCheckpoint()
+                        planes_per_band, n_bands,
+                        stats=idx_stats).localCheckpoint()
     # candidates over SLIM (id, band keys) projections only; the vectors
     # attach ONCE after the union — same order-of-operations as the
     # MinHash path, so the 4-band joins never shuffle the payload
@@ -666,7 +728,10 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
     dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
               "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
     cos = f"round(({dotsum}) / (__na * __nb), 6)"
-    return (cand.join(va, "old_id").join(vb, "new_id")
+    # broadcast the vector attaches for the same candidate-explosion
+    # reason as embedding_srp_pairs (see its verify-stage note)
+    return (cand.join(F.broadcast(va), "old_id")
+            .join(F.broadcast(vb), "new_id")
             .withColumn("cosine", F.expr(cos))
             .filter(F.col("cosine") >= threshold)
             .select("old_id", "new_id", "cosine"))

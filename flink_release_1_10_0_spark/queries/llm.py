@@ -1306,11 +1306,13 @@ def dedup_winnow_overlap_pairs(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def _duck_srp_sig(lo: int) -> str:
+    # centered component: qv[i]*n - sv[i] (mean-centered SRP, exact
+    # integers — srp_signatures docstring)
     return (
         "list_sum(list_transform(range(0, 4), j -> CASE WHEN "
         "list_sum(list_transform(range(1, 65), i -> CASE WHEN "
         f"(((j + {lo}) * 64 + i) * 2654435761) % 4294967296 < 2147483648 "
-        "THEN qv[i] ELSE -qv[i] END)) >= 0 "
+        "THEN (qv[i] * n - sv[i]) ELSE -(qv[i] * n - sv[i]) END)) >= 0 "
         "THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))")
 
 
@@ -1328,10 +1330,16 @@ WITH base AS (
          list_transform(embedding, x ->
            CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings),
+qstat AS (
+  SELECT pos, CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+        FROM base) x
+  GROUP BY pos),
+qs AS (SELECT list(s ORDER BY pos) AS sv, MAX(cnt) AS n FROM qstat),
 sig AS (
   SELECT vec_id, {_duck_srp_sig(0)} AS sk0, {_duck_srp_sig(4)} AS sk1,
          {_duck_srp_sig(8)} AS sk2, {_duck_srp_sig(12)} AS sk3
-  FROM base),
+  FROM base CROSS JOIN qs),
 cands AS (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b
   FROM sig a JOIN sig c ON a.vec_id < c.vec_id AND (
@@ -1381,12 +1389,18 @@ WITH base AS (
            CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
          round(sqrt(list_sum(list_transform(embedding, x ->
            CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_r
-  FROM embeddings)
+  FROM embeddings),
+qstat AS (
+  SELECT pos, CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+        FROM base) x
+  GROUP BY pos),
+qs AS (SELECT list(s ORDER BY pos) AS sv, MAX(cnt) AS n FROM qstat)
 SELECT vec_id, CAST({_duck_srp_sig(0)} AS BIGINT) AS sk0,
        CAST({_duck_srp_sig(4)} AS BIGINT) AS sk1,
        CAST({_duck_srp_sig(8)} AS BIGINT) AS sk2,
        CAST({_duck_srp_sig(12)} AS BIGINT) AS sk3, norm_r
-FROM base
+FROM base CROSS JOIN qs
 """
 
 
@@ -1405,11 +1419,17 @@ WITH base AS (
          list_transform(embedding, x ->
            CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings),
+qstat AS (
+  SELECT pos, CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+        FROM base WHERE vec_id < 250) x
+  GROUP BY pos),
+qs AS (SELECT list(s ORDER BY pos) AS sv, MAX(cnt) AS n FROM qstat),
 sig AS (
   SELECT vec_id, embedding, {_duck_srp_sig(0)} AS sk0,
          {_duck_srp_sig(4)} AS sk1, {_duck_srp_sig(8)} AS sk2,
          {_duck_srp_sig(12)} AS sk3
-  FROM base),
+  FROM base CROSS JOIN qs),
 old AS (SELECT * FROM sig WHERE vec_id < 250),
 new AS (SELECT * FROM sig WHERE vec_id >= 250),
 cands AS (

@@ -413,21 +413,31 @@ def test_srp_signature_determinism_and_range(spark):
 
 def test_srp_incremental_matches_full_restricted(spark):
     """Incremental old-vs-new pairs == the full pair set restricted to
-    (old, new) — the same invariant the MinHash incremental path holds."""
+    (old, new) when both sign against the SAME centroid (the index's —
+    srp_index docstring); and always a subset of the exact quadratic
+    pairs (precision is never approximate)."""
     from flink_release_1_10_0_spark.catalog import load
     from flink_release_1_10_0_spark.llm.dedup import (
-        embedding_srp_pairs, srp_incremental_pairs, srp_index)
+        embedding_cosine_pairs_exact, embedding_srp_pairs,
+        srp_center_stats, srp_incremental_pairs, srp_index)
     from tests.conftest import SF_DIR
 
     emb = load(spark, SF_DIR, "embeddings")
+    old_stats = srp_center_stats(emb.filter("vec_id < 60"))
     idx = srp_index(emb.filter("vec_id < 60"))
     inc = {(r.old_id, r.new_id, r.cosine)
            for r in srp_incremental_pairs(
                idx, emb.filter("vec_id >= 60"), threshold=0.3).collect()}
     full = {(r.id_a, r.id_b, r.cosine)
-            for r in embedding_srp_pairs(emb, threshold=0.3).collect()
+            for r in embedding_srp_pairs(emb, threshold=0.3,
+                                         stats=old_stats).collect()
             if r.id_a < 60 <= r.id_b}
     assert inc == full
+    exact = {(r.id_a, r.id_b, r.cosine)
+             for r in embedding_cosine_pairs_exact(
+                 emb, threshold=0.3).collect()
+             if r.id_a < 60 <= r.id_b}
+    assert inc <= exact
 
 
 def test_dsir_importance_enriches_target_class(spark, duck):

@@ -829,10 +829,17 @@ def test_srp_signatures_match_python_reference(spark, vecs):
     import math
     import struct
 
-    def py_sig(vec):
+    def quant(vec):
         # float32 round-trip first: Spark stores array<float>
-        q = [math.floor(struct.unpack("f", struct.pack("f", x))[0] * 1000)
-             for x in vec]
+        return [math.floor(struct.unpack("f", struct.pack("f", x))[0] * 1000)
+                for x in vec]
+
+    qs = [quant(v) for _, v in rows]
+    n = len(qs)
+    sv = [sum(q[i] for q in qs) for i in range(dim)]
+
+    def py_sig(q):
+        # mean-centered: sign(dot(s, q*N - S)) — srp_signatures contract
         sigs = []
         for b in range(nb):
             word = 0
@@ -840,11 +847,12 @@ def test_srp_signatures_match_python_reference(spark, vecs):
                 dot = 0
                 for i in range(dim):
                     h = ((j * dim + i + 1) * 2654435761) % 4294967296
-                    dot += q[i] if h < 2147483648 else -q[i]
+                    c = q[i] * n - sv[i]
+                    dot += c if h < 2147483648 else -c
                 if dot >= 0:
                     word |= 1 << (j - b * ppb)
             sigs.append(word)
         return tuple(sigs)
 
-    expect = {i: py_sig(v) for i, v in rows}
+    expect = {rid: py_sig(quant(v)) for rid, v in rows}
     assert got == expect
