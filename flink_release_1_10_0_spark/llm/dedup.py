@@ -735,3 +735,46 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
             .withColumn("cosine", F.expr(cos))
             .filter(F.col("cosine") >= threshold)
             .select("old_id", "new_id", "cosine"))
+
+
+def write_srp_index(index_df: DataFrame, stats: DataFrame, path: str,
+                    table: str | None = None, buckets: int = 32) -> str:
+    """Persist a :func:`srp_index` frame + its centroid statistics the
+    way the index docstring prescribes: rows BUCKETED BY the first band
+    key (each per-band candidate equi-join in
+    :func:`srp_incremental_pairs` then co-locates with a bucket-pruned
+    scan), centroid stats as a JSON sidecar — signatures for future
+    ingests MUST come from this centroid, never the batch's own.
+
+    Same catalog mechanics as :func:`write_minhash_index` (bucketed
+    writes go through ``saveAsTable``).  Returns the table name; read
+    back with :func:`read_srp_index`."""
+    import json
+    import os
+
+    name = table or ("srpidx_" + "".join(
+        ch if ch.isalnum() else "_" for ch in path.strip("/").rsplit("/", 1)[-1]))
+    (index_df.write.mode("overwrite")
+     .option("path", path)
+     .bucketBy(buckets, "sk0")
+     .sortBy("sk0")
+     .format("parquet")
+     .saveAsTable(name))
+    row = stats.first()
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_srp_centroid.json"), "w") as f:
+        json.dump({"qs": list(row["__qs"]), "n": row["__n"]}, f)
+    return name
+
+
+def read_srp_index(spark, path: str, table: str):
+    """Load a persisted SRP index: (rows frame with live bucket
+    metadata, centroid stats frame for signing new batches)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_srp_centroid.json")) as f:
+        meta = json.load(f)
+    stats = spark.createDataFrame(
+        [(meta["qs"], meta["n"])], "__qs array<bigint>, __n bigint")
+    return spark.table(table), stats

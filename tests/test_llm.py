@@ -488,3 +488,29 @@ def test_bloom_contamination_equals_exact(spark):
             ngram_contamination_bloom(train, ev, n=5, m_bits=256,
                                       k_hashes=2).collect()}
     assert tiny == exact
+
+
+def test_srp_index_writer_roundtrip(spark):
+    """write_srp_index persists rows bucketed by sk0 + the centroid
+    sidecar; incremental pairs off the read-back artifact equal the
+    in-memory path exactly."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        read_srp_index, srp_center_stats, srp_incremental_pairs,
+        srp_index, write_srp_index)
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    old, new = emb.filter("vec_id < 60"), emb.filter("vec_id >= 60")
+    stats = srp_center_stats(old)
+    idx = srp_index(old, stats=stats)
+    path = tempfile.mkdtemp(prefix="srp_idx_") + "/idx"
+    name = write_srp_index(idx, stats, path)
+    back, back_stats = read_srp_index(spark, path, name)
+    mem = {(r.old_id, r.new_id, r.cosine)
+           for r in srp_incremental_pairs(idx, new, threshold=0.3).collect()}
+    disk = {(r.old_id, r.new_id, r.cosine)
+            for r in srp_incremental_pairs(back, new, threshold=0.3).collect()}
+    assert mem == disk and len(back_stats.first()["__qs"]) == 64
