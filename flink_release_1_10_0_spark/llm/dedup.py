@@ -1,5 +1,7 @@
 """Document deduplication: exact, word-set, MinHash+LSH, SimHash,
-n-gram Jaccard.
+n-gram Jaccard, and mean-centered SRP embedding-cosine (full,
+persisted-index, and incremental per-ingest paths for both the MinHash
+and SRP families).
 
 Scale design (100 TB): every stage is per-row array math (codegen'd
 higher-order functions) until the final shuffle, which is always on a
