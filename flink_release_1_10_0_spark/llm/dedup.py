@@ -568,11 +568,29 @@ def srp_signatures(df: DataFrame, id_col: str = "vec_id",
     return d.select(*cols)
 
 
+def _verify_side_broadcastable(df: DataFrame,
+                               limit_bytes: int) -> bool:
+    """Catalyst's optimized-plan size estimate for the verify-side vector
+    table vs a byte threshold.  No job runs — this reads the same
+    statistics Catalyst itself uses for autoBroadcastJoinThreshold, so a
+    parquet-backed corpus is judged by its file footprint.  Unknown /
+    unreachable stats (e.g. non-classic sessions) fall back to
+    broadcastable=True, matching Spark's own optimistic local default."""
+    try:
+        sz = int(str(df._jdf.queryExecution().optimizedPlan()
+                     .stats().sizeInBytes()))
+        return 0 <= sz <= limit_bytes
+    except Exception:
+        return True
+
+
 def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
                         planes_per_band: int = 4, n_bands: int = 4,
                         threshold: float = 0.35,
-                        stats: DataFrame | None = None) -> DataFrame:
+                        stats: DataFrame | None = None,
+                        broadcast_verify: bool | None = None,
+                        broadcast_limit_bytes: int = 1 << 30) -> DataFrame:
     """Embedding near-duplicate pairs: SRP band buckets propose candidate
     pairs (per-band equi-self-join, first-matching-band rule so a pair
     sharing several bands is emitted once), exact cosine over the original
@@ -607,13 +625,22 @@ def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
     # norms precomputed ONCE per vector (not per candidate pair — at k
     # candidates per doc that's a k-fold saving on the verify stage);
     # the per-pair work is a single zip_with dot product.  The vector
-    # table is BROADCAST: the candidate stream can be orders of
-    # magnitude larger than the corpus (clustered corpora put whole
-    # clusters in one bucket), and sort-merge-joining 10^8 slim pairs
-    # against a few-hundred-MB vector side spills catastrophically —
-    # measured on the 100x tier (the run filled the disk).  Beyond
-    # executor memory, persist the index bucketed by band key and the
-    # co-located join replaces the broadcast (MinHash-path shape).
+    # table is BROADCAST when it fits: the candidate stream can be
+    # orders of magnitude larger than the corpus (clustered corpora put
+    # whole clusters in one bucket), and sort-merge-joining 10^8 slim
+    # pairs against a few-hundred-MB vector side spills catastrophically
+    # — measured on the 100x tier (the run filled the disk).  But the
+    # broadcast is ITSELF the OOM once the corpus outgrows executor
+    # memory, so it is size-gated: above ``broadcast_limit_bytes``
+    # (Catalyst's plan-size estimate; override with
+    # ``broadcast_verify=True/False``) the verify falls back to plain
+    # shuffle joins — AQE picks shuffled-hash / skew-splits them, and a
+    # corpus persisted via :func:`write_srp_index` co-locates on its
+    # bucketing.  Both branches are plan-gated in tests/test_plans.py.
+    if broadcast_verify is None:
+        broadcast_verify = _verify_side_broadcastable(
+            df.select(id_col, vec_col), broadcast_limit_bytes)
+    hint = F.broadcast if broadcast_verify else (lambda d: d)
     nrm = ("sqrt(aggregate({v}, 0D, (s, x) -> s + "
            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
@@ -623,8 +650,8 @@ def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
     dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
               "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
     cos = f"round(({dotsum}) / (__na * __nb), 6)"
-    return (cand.join(F.broadcast(va), "id_a")
-            .join(F.broadcast(vb), "id_b")
+    return (cand.join(hint(va), "id_a")
+            .join(hint(vb), "id_b")
             .withColumn("cosine", F.expr(cos))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
@@ -682,7 +709,10 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding", dim: int = 64,
                           planes_per_band: int = 4, n_bands: int = 4,
-                          threshold: float = 0.35) -> DataFrame:
+                          threshold: float = 0.35,
+                          stats: DataFrame | None = None,
+                          broadcast_verify: bool | None = None,
+                          broadcast_limit_bytes: int = 1 << 30) -> DataFrame:
     """Near-duplicate pairs between a persisted corpus index and an
     incoming batch: per-band equi-joins (batch side broadcastable — the
     corpus is NEVER rescanned beyond the band-key joins),
@@ -695,14 +725,19 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
     signatures.  Intra-batch near-dups are NOT emitted here — compose
     :func:`embedding_srp_pairs` over the (small) batch first, the same
     ingest decision as the MinHash path."""
-    # sign the batch against the INDEX's centroid (srp_index docstring:
-    # the centroid stats are index metadata; re-derived here from the
-    # index-carried vectors — pass a persisted stats frame in production)
-    idx_stats = srp_center_stats(
-        index_df.select(F.col("__vec").alias(vec_col)), vec_col, dim)
+    # sign the batch against the INDEX's centroid: ``stats`` is the
+    # persisted centroid frame from :func:`read_srp_index` — the
+    # production path, no corpus scan.  Only when no stats frame is
+    # supplied (ad-hoc in-memory index) is the centroid re-derived from
+    # the index-carried vectors; an index grown by appended batches MUST
+    # pass the ORIGINAL persisted stats, or the re-derived centroid
+    # drifts and new-batch band keys stop aligning with stored keys.
+    if stats is None:
+        stats = srp_center_stats(
+            index_df.select(F.col("__vec").alias(vec_col)), vec_col, dim)
     new_idx = srp_index(new_df, id_col, vec_col, dim,
                         planes_per_band, n_bands,
-                        stats=idx_stats).localCheckpoint()
+                        stats=stats).localCheckpoint()
     # candidates over SLIM (id, band keys) projections only; the vectors
     # attach ONCE after the union — same order-of-operations as the
     # MinHash path, so the 4-band joins never shuffle the payload
@@ -730,9 +765,18 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
     dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
               "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
     cos = f"round(({dotsum}) / (__na * __nb), 6)"
-    # broadcast the vector attaches for the same candidate-explosion
-    # reason as embedding_srp_pairs (see its verify-stage note)
-    return (cand.join(F.broadcast(va), "old_id")
+    # vector attaches follow the same size-gated broadcast policy as
+    # embedding_srp_pairs (see its verify-stage note): the INDEX side is
+    # the unbounded one, so only its estimate drives the auto decision —
+    # the new batch stays broadcast (per-ingest batches are small by the
+    # incremental contract).  A bucketed write_srp_index corpus
+    # co-locates the fallback join on sk0.
+    if broadcast_verify is None:
+        broadcast_verify = _verify_side_broadcastable(
+            index_df.select(id_col, "__vec", "__norm"),
+            broadcast_limit_bytes)
+    hint = F.broadcast if broadcast_verify else (lambda d: d)
+    return (cand.join(hint(va), "old_id")
             .join(F.broadcast(vb), "new_id")
             .withColumn("cosine", F.expr(cos))
             .filter(F.col("cosine") >= threshold)

@@ -55,6 +55,12 @@ class StandardScalerModel(Model):
     """Fitted per-position (mean, std); transform is a map-only
     ``zip_with`` — positions with zero variance are centered only."""
 
+    # class-level default: PipelineStage.from_json reconstructs via
+    # __new__ + PipelineStage.__init__ (params only), so a reloaded
+    # model must land on the documented "refit or rebind" RuntimeError
+    # in transform(), not an AttributeError
+    _stats: DataFrame | None = None
+
     def __init__(self, stats: DataFrame | None = None,
                  vec_col: str = "features", output_col: str = "scaled",
                  params: Params | None = None):
@@ -115,6 +121,10 @@ class KMeansModel(Model):
     """Codebook model: transform appends (cid, sqdist) via one broadcast
     map-side assignment (llm/similarity.kmeans_assign)."""
 
+    # see StandardScalerModel._stats: from_json-reconstructed models
+    # must hit the graceful RuntimeError, not an AttributeError
+    _cents: DataFrame | None = None
+
     def __init__(self, cents: DataFrame | None = None,
                  vec_col: str = "features", id_col: str = "vec_id",
                  params: Params | None = None):
@@ -127,7 +137,9 @@ class KMeansModel(Model):
     def transform(self, df: DataFrame) -> DataFrame:
         from flink_release_1_10_0_spark.llm.similarity import kmeans_assign
         if self._cents is None:
-            raise RuntimeError("KMeansModel has no fitted centroids")
+            raise RuntimeError("KMeansModel has no fitted centroids "
+                               "(models persist params only; refit or "
+                               "rebind the centroid frame)")
         return kmeans_assign(df, self._cents,
                              id_col=self.params.get("id_col"),
                              vec_col=self.params.get("vec_col"))

@@ -178,6 +178,40 @@ FROM src CROSS JOIN e
 """
 
 
+@register("ml_pipeline_json_roundtrip", _GAUSSIAN_ORACLE)
+def ml_pipeline_json_roundtrip(spark, sf_dir):
+    """Pipeline JSON persistence round-trip (Pipeline.java:212-241
+    toJson/loadJson), oracle-gated end to end: the UNFITTED pipeline is
+    serialized and reloaded (stage-registry reconstruction,
+    Pipeline.java:263 restoreInnerStage), fit runs through the RELOADED
+    estimator chain, the FITTED pipeline is serialized and reloaded
+    again, and the final transform runs through that second reload —
+    honest persistence, because MultivariateGaussianModel carries its
+    entire fitted state (mean, precision) in params.  Frame-backed
+    models (scaler stats, k-means centroids) persist params only by
+    contract and refuse transform after reload — pytest covers that
+    refusal path."""
+    from flink_release_1_10_0_spark.ml.pipeline import (
+        Pipeline, PipelineStage)
+    from flink_release_1_10_0_spark.ml.stages import (
+        MultivariateGaussian, VectorAssembler)
+
+    ev = (t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "value", "user_id"))
+    pipe = Pipeline([
+        VectorAssembler(input_cols=["value", "user_id"], output_col="fv"),
+        MultivariateGaussian(vec_col="fv", output_col="maha"),
+    ])
+    reloaded = PipelineStage.from_json(pipe.to_json())
+    assert reloaded.need_fit()
+    fitted = reloaded.fit(ev)
+    refitted = PipelineStage.from_json(fitted.to_json())
+    assert not refitted.need_fit()
+    out = refitted.transform(ev)
+    return out.select("event_id", F.round("maha", 6).alias("maha_r"))
+
+
 @register("ml_gaussian_mahalanobis", _GAUSSIAN_ORACLE)
 def ml_gaussian_mahalanobis(spark, sf_dir):
     from flink_release_1_10_0_spark.ml.pipeline import Pipeline

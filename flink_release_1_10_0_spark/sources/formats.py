@@ -125,14 +125,19 @@ def write_sequence_file(df: DataFrame, path: str, key_col: str,
 
 
 def read_sequence_file(spark: SparkSession, path: str, key_field: str,
-                       value_schema: str) -> DataFrame:
+                       value_schema: str,
+                       key_type: str = "bigint") -> DataFrame:
     """SequenceFile source (``SequenceFileWriterFactory.java`` round-trip
     counterpart): keys + JSON Text values back to typed columns via
-    ``from_json`` with an EXPLICIT schema (never inference)."""
+    ``from_json`` with an EXPLICIT schema (never inference).  The key is
+    explicit-schema too: ``key_type`` (default bigint) must match the
+    Writable the writer produced — write_sequence_file accepts any key
+    column, so a string- or int-keyed file reads back with
+    ``key_type='string'`` / ``'int'`` instead of a mis-cast."""
     from pyspark.sql import functions as F
 
     rdd = spark.sparkContext.sequenceFile(path)
-    df = spark.createDataFrame(rdd, f"{key_field} bigint, __v string")
+    df = spark.createDataFrame(rdd, f"{key_field} {key_type}, __v string")
     return df.select(
         key_field,
         F.from_json("__v", value_schema).alias("__s")).select(

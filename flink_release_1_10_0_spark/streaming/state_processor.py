@@ -215,6 +215,15 @@ def rescale_savepoint(spark: SparkSession, src: str, dest: str,
     the batch analog of restoring a savepoint at a different
     maxParallelism, which the reference forbids at runtime but the State
     Processor API enables offline."""
+    if os.path.abspath(src) == os.path.abspath(dest):
+        # the staged frames read LAZILY from src; overwrite would delete
+        # each op_<uid> directory mid-job.  write()'s own copy-on-write
+        # guard can't see this (the staging NewSavepoint has path=None),
+        # so refuse here — same contract as write(new_path).
+        raise ValueError(
+            "rescale_savepoint requires dest != src: the rescaled state "
+            "is read lazily from the source artifact, so an in-place "
+            "overwrite destroys it mid-write; rescale to a new path")
     sp = load_savepoint(spark, src)
     out = create_savepoint(spark, new_max_parallelism)
     for uid, spec in sp.meta["operators"].items():

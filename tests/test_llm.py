@@ -511,6 +511,17 @@ def test_srp_index_writer_roundtrip(spark):
     back, back_stats = read_srp_index(spark, path, name)
     mem = {(r.old_id, r.new_id, r.cosine)
            for r in srp_incremental_pairs(idx, new, threshold=0.3).collect()}
+    # production path: sign the batch against the PERSISTED centroid
+    # (stats=back_stats) — no index rescan, keys align with stored ones
     disk = {(r.old_id, r.new_id, r.cosine)
-            for r in srp_incremental_pairs(back, new, threshold=0.3).collect()}
+            for r in srp_incremental_pairs(back, new, threshold=0.3,
+                                           stats=back_stats).collect()}
     assert mem == disk and len(back_stats.first()["__qs"]) == 64
+    # an index grown by an appended batch still matches when signed with
+    # the ORIGINAL stats (the contract the stats parameter exists for)
+    grown = back.unionByName(srp_index(new, stats=back_stats))
+    more = {(r.old_id, r.new_id)
+            for r in srp_incremental_pairs(
+                grown, new.limit(0).unionByName(new), threshold=0.3,
+                stats=back_stats).collect()}
+    assert {(a, b) for a, b, _ in disk} <= more

@@ -17,6 +17,7 @@ from tests.conftest import compare_query
 @pytest.mark.parametrize("name", [
     "ml_pipeline_scaler_kmeans",
     "ml_pipeline_assembler_scaler",
+    "ml_pipeline_json_roundtrip",
 ])
 def test_ml_pipeline_oracle(spark, duck, name):
     compare_query(spark, duck, name)
@@ -81,6 +82,23 @@ def test_pipeline_json_roundtrip_refit_equal(spark):
     a = {(r.id, r.cid) for r in pipe.fit(df).transform(df).collect()}
     b = {(r.id, r.cid) for r in back.fit(df).transform(df).collect()}
     assert a == b                      # restored pipeline refits identically
+
+
+def test_reloaded_frame_backed_models_refuse_gracefully(spark):
+    """Frame-backed models persist params only: after from_json,
+    transform must raise the documented RuntimeError ('refit or
+    rebind'), never an AttributeError (_stats/_cents default to None
+    at class level for exactly this reconstruction path)."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(20)],
+        "id bigint, fv array<double>")
+    scaler = StandardScaler(vec_col="fv", output_col="z").fit(df)
+    km = KMeans(k=2, iterations=1, vec_col="fv", id_col="id").fit(df)
+    for model, msg in ((scaler, "refit or rebind"),
+                       (km, "refit or rebind")):
+        back = PipelineStage.from_json(model.to_json())
+        with pytest.raises(RuntimeError, match=msg):
+            back.transform(df)
 
 
 def test_params_json_roundtrip():

@@ -563,6 +563,33 @@ def test_sequence_file_roundtrip_types_and_nulls(spark):
     assert rows == {(1, "a", 1.5), (2, None, 2.5), (3, "c", None)}
 
 
+def test_sequence_file_string_and_int_keys(spark):
+    """write_sequence_file accepts any key column; key_type on the read
+    side makes non-bigint keys round-trip instead of mis-casting."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.sources import formats as FMT
+
+    sdf = spark.createDataFrame([("x", 1.0), ("y", None)],
+                                "k string, v double")
+    spath = tempfile.mkdtemp(prefix="seq_s_") + "/seq"
+    FMT.write_sequence_file(sdf, spath, key_col="k", value_cols=["v"])
+    sback = FMT.read_sequence_file(spark, spath, key_field="k",
+                                   value_schema="v double",
+                                   key_type="string")
+    assert dict(sback.dtypes) == {"k": "string", "v": "double"}
+    assert {(r.k, r.v) for r in sback.collect()} == {("x", 1.0), ("y", None)}
+
+    idf = spark.createDataFrame([(7, "a")], "k int, v string")
+    ipath = tempfile.mkdtemp(prefix="seq_i_") + "/seq"
+    FMT.write_sequence_file(idf, ipath, key_col="k", value_cols=["v"])
+    iback = FMT.read_sequence_file(spark, ipath, key_field="k",
+                                   value_schema="v string",
+                                   key_type="int")
+    assert dict(iback.dtypes) == {"k": "int", "v": "string"}
+    assert [(r.k, r.v) for r in iback.collect()] == [(7, "a")]
+
+
 def test_compressed_text_roundtrip(spark):
     """CompressWriterFactory analog: gzip text write + transparent read
     (sources/formats.py write_text)."""

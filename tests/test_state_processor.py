@@ -124,6 +124,20 @@ def test_rescale_preserves_state_and_reassigns_groups(spark):
         == {(i, i * 10) for i in range(40)}
 
 
+def test_rescale_in_place_refuses(spark):
+    """rescale_savepoint(src, src) would let the lazily-read staged
+    frames race the overwrite delete (write()'s copy-on-write guard
+    can't see it: the staging NewSavepoint has path=None) — refuse, and
+    leave the source artifact intact."""
+    src = tempfile.mkdtemp(prefix="sp_test_rsip_")
+    (create_savepoint(spark, max_parallelism=128)
+     .with_keyed_operator("agg", _keyed(spark), ["k"]).write(src))
+    with pytest.raises(ValueError, match="dest != src"):
+        rescale_savepoint(spark, src, src, new_max_parallelism=4)
+    # source untouched and still readable
+    assert load_savepoint(spark, src).read_keyed_state("agg").count() == 40
+
+
 def test_merge_keyed_partials_is_exact(spark):
     a = spark.createDataFrame([(1, 2, 10), (2, 1, 5)],
                               "k bigint, n bigint, s bigint")
