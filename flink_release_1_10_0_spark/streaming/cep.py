@@ -446,7 +446,8 @@ class Pattern:
 
     def match_stream(self, events: DataFrame, key: str = "user_id",
                      after_match: str = "no_skip",
-                     emit_timeouts: bool = False) -> DataFrame:
+                     emit_timeouts: bool = False,
+                     watermark_timers: str | None = None) -> DataFrame:
         """Compile to a stateful NFA operator; returns the match stream.
 
         Shapes that exactly match one of the dedicated operators in
@@ -465,12 +466,30 @@ class Pattern:
         with it set (``TimedOutPartialMatchHandler.java``).  Requires
         ``within(...)``; always routes to the generic NFA (the
         dedicated operators have no timeout output).
+
+        ``watermark_timers`` (a watermark delay string) arms cross-key
+        event-time timers so a key that goes silent still flushes when
+        the GLOBAL watermark passes its window — the reference's
+        ``CepOperator.onEventTime``.  Requires ``within(...)``; always
+        routes to the generic NFA (see ``nfa.match_nfa``).
         """
         from flink_release_1_10_0_spark.streaming import stateful
 
         st = self.stages
         flags = [s.flags() for s in st]
         w = self.within_minutes
+        if watermark_timers is not None:
+            if any(s.negated for s in st):
+                raise NotImplementedError(
+                    "watermark_timers with negation stages: route "
+                    "absence patterns to stateful.cep_not_followed_by "
+                    "(its timeout IS the match)")
+            from flink_release_1_10_0_spark.streaming.nfa import match_nfa
+            return match_nfa(events, self._compile_nfa_stages(),
+                             within_minutes=w, key=key,
+                             after_match=after_match,
+                             emit_timeouts=emit_timeouts,
+                             watermark_timers=watermark_timers)
         if self.groups and not emit_timeouts:
             # quantified group patterns always run on the generic NFA
             # (the dedicated operators have no group-iteration state)

@@ -115,11 +115,15 @@ Scope notes (documented narrowings vs the reference):
   will come"), which an unbounded stream cannot decide without a
   closing condition; the non-greedy forms above are the
   reference-faithful alternative.
-- window expiry and EOS flush are driven by same-key arrivals (the
-  sentinel for bounded replays): on a TRUE unbounded stream a key that
-  goes silent forever holds its pending maximal match open — the
-  reference emits those via cross-key watermark timers, which this
-  event-driven engine does not model.
+- window expiry has two drivers: same-key event-time advance (always
+  on; plus the EOS sentinel for bounded replays), and — with
+  ``match_nfa(..., watermark_timers=...)`` — real cross-key event-time
+  timers (``GroupStateTimeout.EventTimeTimeout``), so a key that goes
+  silent forever still flushes its satisfied trailing-greedy maximal
+  match when the GLOBAL watermark passes its window, the reference's
+  ``CepOperator.java:82`` onEventTime semantics.  Timers require a
+  ``within`` window and a streaming source; bounded replays keep the
+  sentinel (batch has no watermark clock).
 - at end-of-stream, a HELD skip-strategy match still blocked by an
   older UNSATISFIED partial run is discarded, exactly like the
   reference's bounded-job close (the completedMatches queue is never
@@ -364,7 +368,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
               after_match: str = NO_SKIP,
               ts_col: str = "ts", id_col: str = "event_id",
               order_tiebreakers: list[str] | None = None,
-              emit_timeouts: bool = False) -> DataFrame:
+              emit_timeouts: bool = False,
+              watermark_timers: str | None = None) -> DataFrame:
     """Run the NFA over a keyed event stream.
 
     Returns an append stream: one row per completed match with the
@@ -395,11 +400,22 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     same key arrives with event time past ``run_start + within`` — the
     run's consumed prefix is emitted with ``timed_out = true`` instead of
     being dropped silently; completed matches carry ``timed_out =
-    false``.  Requires ``within_minutes``.  Scope note: expiry is driven
-    by event-time advance per key (the reference's watermark); a partial
-    run still pending when a bounded replay ends is NOT flushed (a
-    continuous query has no end-of-stream — the reference flushes those
-    only via the final +inf watermark of a bounded job).
+    false``.  Requires ``within_minutes``.
+
+    ``watermark_timers`` (a watermark delay string, e.g. ``"0 seconds"``)
+    arms CROSS-KEY event-time timers (``GroupStateTimeout.
+    EventTimeTimeout`` + ``setTimeoutTimestamp`` — the reference's
+    ``CepOperator.java:82`` onEventTime): when the GLOBAL watermark
+    passes ``run_start + within`` for a key that has gone silent, the
+    key's expired runs flush without any same-key arrival — a satisfied
+    trailing-greedy run emits its maximal match as a NORMAL match,
+    other partials go to the timeout output (with ``emit_timeouts``) or
+    are dropped, and held skip-strategy matches unblock.  Requires
+    ``within_minutes`` (only a window makes a silent run decidable) and
+    a streaming source; ``withWatermark(ts_col, watermark_timers)`` is
+    applied here.  Without it, expiry is driven by same-key event-time
+    advance only (plus the EOS sentinel on bounded replays) — the
+    right mode for batch replays, where there is no cross-key clock.
 
     ``after_match`` is ``no_skip``, ``skip_to_next``,
     ``skip_past_last``, or a tuple
@@ -441,6 +457,11 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     if emit_timeouts and within_us is None:
         raise ValueError("emit_timeouts needs within_minutes: only a "
                          "window can time a partial match out")
+    if watermark_timers is not None and within_us is None:
+        raise ValueError("watermark_timers needs within_minutes: without "
+                         "a window a silent key's pending runs are "
+                         "undecidable (no event can be ruled out)")
+    timer_mode = watermark_timers is not None
 
     # navigation bookkeeping (MatchCodeGenerator.scala's IterativeCondition
     # analog): which per-run closures refine which stages, which (var, col)
@@ -803,6 +824,31 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                                if (q[0], q[2][0]) > cut]
             return live_runs
 
+        if timer_mode and state.hasTimedOut:
+            # cross-key event-time timer fired for a SILENT key
+            # (CepOperator.java:82 onEventTime → NFA advanceTime): the
+            # global watermark passed run_start + within for at least
+            # one run, with no same-key arrival to drive the per-event
+            # expiry arm.  Same disposition as that arm: a satisfied
+            # trailing-greedy run's maximal match is decided (nothing
+            # inside the window can extend it) and emits as a NORMAL
+            # match; other partials time out; held skip-strategy
+            # matches behind the expired runs unblock.
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            live = []
+            for run in runs:
+                if after_match != NO_SKIP and (run[A], run[EV][0]) <= cut:
+                    continue
+                if wm_us - run[A] > within_us:
+                    s_x = run[S]
+                    if (spec[s_x][GREEDY] and run[T] >= spec[s_x][MIN]
+                            and tail_opt[s_x] and run[G] < 0):
+                        emit(run[A], run[L], run[EV], run[ST], run[EU])
+                    elif emit_timeouts:
+                        timeouts.append((run[A], run[L], run[EV], run[ST]))
+                else:
+                    live.append(run)
+            runs = resolve(live)
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -1292,6 +1338,14 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                       [e for p in pending for e in p[2]],
                       [s2 for p in pending for s2 in p[3]],
                       [u for p in pending for u in p[4]]))
+        if timer_mode and runs:
+            # re-arm for the earliest live run's window close: fires
+            # strictly after run_start + within (ms granularity), and
+            # always strictly after the current watermark (Spark's
+            # setTimeoutTimestamp contract)
+            deadline_ms = (min(r[A] for r in runs) + within_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1))
         if matches or timeouts:
             rows = matches + timeouts
             out = {
@@ -1309,6 +1363,12 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                                     + [True] * len(timeouts))
             yield pd.DataFrame(out)
 
+    if timer_mode:
+        return (tagged.withWatermark(ts_col, watermark_timers)
+                .groupBy(*keys)
+                .applyInPandasWithState(
+                    fn, out_schema, state_schema, "append",
+                    GroupStateTimeout.EventTimeTimeout))
     return (tagged.groupBy(*keys)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))

@@ -219,6 +219,123 @@ def test_nfa_state_carries_across_batches(spark):
         q.stop()
 
 
+def test_silent_key_flushes_on_cross_key_watermark(spark):
+    """watermark_timers: a key that goes SILENT forever still emits its
+    satisfied trailing-greedy maximal match when the GLOBAL watermark —
+    advanced only by OTHER keys' events — passes its within-window
+    (CepOperator.java:82 onEventTime).  Without timers this match would
+    be held open until a same-key arrival that never comes."""
+    import time
+
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1,
+                       max_times=None, greedy=True)]
+    src = tempfile.mkdtemp(prefix="nfa_wm_")
+    ckpt = tempfile.mkdtemp(prefix="nfa_wm_ckpt_")
+    # batch 1: user 1 completes a b b inside its 10-minute window, then
+    # goes silent; batch 2: user 2's unrelated event at 10:30 advances
+    # the global watermark past 10:00 + 10 min
+    batches = [[_ev(1, 0, "a"), _ev(2, 1, "b"), _ev(3, 2, "b")],
+               [_ev(9, 30, "x", user=2)]]
+    df0 = (spark.createDataFrame(batches[0], _SCHEMA)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    df0.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df0.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (match_nfa(sdf, stages, within_minutes=10,
+                   watermark_timers="0 seconds")
+         .writeStream.format("memory").queryName("_nfa_wm")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # silent so far: the maximal match is still extendable
+        assert spark.table("_nfa_wm").count() == 0
+        (spark.createDataFrame(batches[1], _SCHEMA)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+        time.sleep(0.1)
+        q.processAllAvailable()
+        # the no-data batch after the watermark advance fires the timer
+        deadline = time.monotonic() + 30
+        while (spark.table("_nfa_wm").count() == 0
+               and time.monotonic() < deadline):
+            time.sleep(0.3)
+            q.processAllAvailable()
+        rows = spark.table("_nfa_wm").collect()
+        assert [(r.user_id, tuple(r.ev_ids)) for r in rows] == [(1, (1, 2, 3))]
+    finally:
+        q.stop()
+
+
+def test_silent_key_partial_times_out_via_timer(spark):
+    """watermark_timers + emit_timeouts: a silent key's UNSATISFIED
+    partial reaches the timeout output when the global watermark passes
+    its window (TimedOutPartialMatchHandler via onEventTime), without a
+    same-key arrival."""
+    import time
+
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'")]
+    src = tempfile.mkdtemp(prefix="nfa_wmto_")
+    ckpt = tempfile.mkdtemp(prefix="nfa_wmto_ckpt_")
+    df0 = (spark.createDataFrame([_ev(1, 0, "a")], _SCHEMA)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    df0.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df0.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (match_nfa(sdf, stages, within_minutes=10, emit_timeouts=True,
+                   watermark_timers="0 seconds")
+         .writeStream.format("memory").queryName("_nfa_wmto")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        (spark.createDataFrame([_ev(9, 30, "x", user=2)], _SCHEMA)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+        time.sleep(0.1)
+        q.processAllAvailable()
+        deadline = time.monotonic() + 30
+        while (spark.table("_nfa_wmto").count() == 0
+               and time.monotonic() < deadline):
+            time.sleep(0.3)
+            q.processAllAvailable()
+        rows = spark.table("_nfa_wmto").collect()
+        assert [(r.user_id, tuple(r.ev_ids), r.timed_out)
+                for r in rows] == [(1, (1,), True)]
+    finally:
+        q.stop()
+
+
+def test_watermark_timers_require_window(spark):
+    """Timers without a within-window are refused loudly: a silent key's
+    pending runs are undecidable without one."""
+    stages = [NfaStage(pred="event_type = 'a'")]
+    with pytest.raises(ValueError, match="watermark_timers"):
+        match_nfa(_stream(spark, [_ev(1, 0, "a")]), stages,
+                  watermark_timers="0 seconds")
+
+
+def test_pattern_facade_routes_watermark_timers(spark):
+    """Pattern.match_stream(watermark_timers=...) routes to the generic
+    NFA with timers armed; refusals stay loud (no window / negation)."""
+    from flink_release_1_10_0_spark.streaming.cep import Pattern
+
+    ev = _stream(spark, [_ev(1, 0, "a")])
+    # routed: plan builds (EventTimeTimeout is a run-time property; the
+    # returned frame is a streaming stateful apply)
+    out = (Pattern.begin("a").followed_by("b").within(10)
+           .match_stream(ev, watermark_timers="0 seconds"))
+    assert out.isStreaming
+    with pytest.raises(ValueError, match="watermark_timers"):
+        (Pattern.begin("a").followed_by("b")
+         .match_stream(ev, watermark_timers="0 seconds"))
+    with pytest.raises(NotImplementedError, match="cep_not_followed_by"):
+        (Pattern.begin("a").not_followed_by("b").within(10)
+         .match_stream(ev, watermark_timers="0 seconds"))
+
+
 def test_skip_cut_is_event_position_not_timestamp(spark):
     """Two events in the SAME microsecond: after-match skip prunes by
     event position (ts, event_id), not bare timestamp.  start@T0, then
