@@ -783,6 +783,61 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
             .select("old_id", "new_id", "cosine"))
 
 
+def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", k: int = 8,
+                         iterations: int = 2,
+                         threshold: float = 0.35,
+                         broadcast_verify: bool | None = None,
+                         broadcast_limit_bytes: int = 1 << 30) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters prune the pair space, exact
+    cosine runs only WITHIN each cluster.  Returns (id_a, id_b, cosine),
+    cosine >= threshold, id_a < id_b, both in the same cluster.
+
+    The deterministic k-means contract is llm/similarity's (smallest-k
+    init, lexicographic tie-break, DECIMAL mean updates), so a SQL
+    oracle replays the clustering bit-for-bit.
+
+    100 TB design: Lloyd's is one broadcast-codebook map pass + one
+    shuffle per iteration; candidate pairs are a cid-keyed equi-self-
+    join, never all-pairs — the pair space is sum(|c|^2)/2 over
+    clusters, controlled by k (size k ~ n/target_cluster_size; SemDeDup
+    ran 50k clusters over LAION at this exact shape).  The vector
+    attach reuses the size-gated broadcast policy of
+    :func:`embedding_srp_pairs` (broadcast under the limit, shuffle
+    join above it)."""
+    from flink_release_1_10_0_spark.llm.similarity import (
+        kmeans_assign, kmeans_train)
+
+    cents = kmeans_train(df, k=k, iterations=iterations,
+                         id_col=id_col, vec_col=vec_col)
+    asg = (kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+           .select(id_col, "cid").localCheckpoint())
+    a = asg.select(F.col(id_col).alias("id_a"), "cid")
+    b = asg.select(F.col(id_col).alias("id_b"), "cid")
+    cand = (a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"))
+    if broadcast_verify is None:
+        broadcast_verify = _verify_side_broadcastable(
+            df.select(id_col, vec_col), broadcast_limit_bytes)
+    hint = F.broadcast if broadcast_verify else (lambda d: d)
+    nrm = ("sqrt(aggregate({v}, 0D, (s, x) -> s + "
+           "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                   F.expr(nrm.format(v=vec_col)).alias("__na"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                   F.expr(nrm.format(v=vec_col)).alias("__nb"))
+    dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
+              "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
+    cos = f"round(({dotsum}) / (__na * __nb), 6)"
+    return (cand.join(hint(va), "id_a")
+            .join(hint(vb), "id_b")
+            .withColumn("cosine", F.expr(cos))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def write_srp_index(index_df: DataFrame, stats: DataFrame, path: str,
                     table: str | None = None, buckets: int = 32) -> str:
     """Persist a :func:`srp_index` frame + its centroid statistics the

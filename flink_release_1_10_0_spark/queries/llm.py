@@ -1382,6 +1382,70 @@ def dedup_embedding_cosine_exact(spark, sf_dir):
                                           threshold=0.35, id_limit=150)
 
 
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means clusters prune
+# the pair space, exact cosine runs within clusters only.  The oracle
+# replays the deterministic k-means contract (smallest-k init,
+# lexicographic ties, DECIMAL mean updates — the same chain shape as
+# _KMEANS_ORACLE) and then the same within-cluster cosine join.
+# --------------------------------------------------------------------------
+def _duck_kmeans_chain(k: int, iterations: int) -> str:
+    """CTE chain replaying kmeans_train(k, iterations) + final assign:
+    cents_init -> (asg_i, upd_i, cents_i) x iterations -> asg_final."""
+    sq = ("list_sum(list_transform(range(1, 65), i -> "
+          "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * "
+          "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))")
+
+    def asg(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, embedding, cid, sqdist FROM (
+    SELECT e.vec_id, e.embedding, c.cid, {sq} AS sqdist,
+           min(struct_pack(s := {sq}, c := c.cid))
+             OVER (PARTITION BY e.vec_id) AS b
+    FROM embeddings e CROSS JOIN {cents} c)
+  WHERE sqdist = b.s AND cid = b.c)"""
+
+    parts = [f"""cents_init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {k}) q)"""]
+    prev = "cents_init"
+    for i in range(iterations):
+        parts.append(asg(f"asg{i}", prev))
+        parts.append(f"""upd{i} AS (
+  SELECT cid, pos,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT cid, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v FROM asg{i}) x
+  GROUP BY cid, pos),
+cents{i} AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM upd{i}
+             GROUP BY cid)""")
+        prev = f"cents{i}"
+    parts.append(asg("asg_final", prev))
+    return "WITH " + ",\n".join(parts)
+
+
+_SEMANTIC_PAIRS_ORACLE = f"""
+{_duck_kmeans_chain(k=8, iterations=2)}
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cosine
+  FROM asg_final a JOIN asg_final b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id) q
+WHERE cosine >= 0.35
+"""
+
+
+@register("dedup_semantic_pairs", _SEMANTIC_PAIRS_ORACLE)
+def dedup_semantic_pairs(spark, sf_dir):
+    """Cluster-pruned exact-cosine near-dup pairs — the SemDeDup shape:
+    pair space sum(|c|^2)/2 instead of n^2/2, controlled by k."""
+    return D.semantic_dedup_pairs(t(spark, sf_dir, "embeddings"),
+                                  k=8, iterations=2, threshold=0.35)
+
+
 _SRP_INDEX_ORACLE = f"""
 WITH base AS (
   SELECT vec_id,

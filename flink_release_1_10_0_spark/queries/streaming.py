@@ -123,6 +123,58 @@ def stream_cep_error_then_purchase(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# CEP with cross-key event-time timers (CepOperator.java:82 onEventTime):
+# error then click+ GREEDY within 240 min.  A greedy trailing loop's
+# maximal match is decidable only when its window CLOSES; with
+# watermark_timers the close is driven by the GLOBAL watermark — keys
+# that go silent still flush when ANY key's later events advance it.
+# Bounded-replay equivalence (exact): with delay 0 the final watermark
+# is max(ts) over the whole table, so a run emits iff
+# start_ts + 240 min < max(ts) — runs too close to the end of input stay
+# pending, exactly like a still-open window on an unbounded stream.
+# Emission is purely timer-driven here: no until, no bounded max, no EOS
+# sentinel — this is the silent-key path the timers exist for.
+# --------------------------------------------------------------------------
+_STREAM_CEP_TIMER_ORACLE = """
+WITH mx AS (SELECT max(ts) AS wm FROM events),
+a AS (SELECT user_id, event_id AS start_id, ts AS start_ts
+      FROM events WHERE event_type = 'error'),
+b AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+joined AS (
+  SELECT a.user_id, a.start_id, a.start_ts,
+         b.event_id AS bid, b.ts AS bts
+  FROM a JOIN b ON a.user_id = b.user_id
+   AND (b.ts > a.start_ts OR (b.ts = a.start_ts AND b.event_id > a.start_id))
+   AND b.ts <= a.start_ts + INTERVAL 240 MINUTE),
+ranked AS (
+  SELECT user_id, start_id, start_ts, bid, bts,
+         row_number() OVER (PARTITION BY user_id, start_id
+                            ORDER BY bts DESC, bid DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, start_id) AS cnt
+  FROM joined)
+SELECT user_id, start_id, bid AS end_id, start_ts, bts AS end_ts,
+       CAST(cnt + 1 AS INT) AS n_events
+FROM ranked, mx
+WHERE rn = 1 AND start_ts + INTERVAL 240 MINUTE < mx.wm
+"""
+
+
+@register("stream_cep_timer_flush_silent_keys", _STREAM_CEP_TIMER_ORACLE)
+def stream_cep_timer_flush_silent_keys(spark, sf_dir):
+    from flink_release_1_10_0_spark.streaming.nfa import NfaStage, match_nfa
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    stages = [NfaStage(pred="event_type = 'error'"),
+              NfaStage(pred="event_type = 'click'", min_times=1,
+                       max_times=None, greedy=True)]
+    out = run_to_completion(
+        match_nfa(ev, stages, within_minutes=240,
+                  watermark_timers="0 seconds"), "append")
+    return out.select("user_id", "start_id", "end_id",
+                      "start_ts", "end_ts", "n_events")
+
+
+# --------------------------------------------------------------------------
 # Stream-stream interval join (StreamExecWindowJoin.scala:53,
 # TimeBoundedStreamJoin.java:52, KeyedStream.intervalJoin) — native
 # Structured Streaming join with a time-range condition; inner matches

@@ -490,6 +490,28 @@ def test_bloom_contamination_equals_exact(spark):
     assert tiny == exact
 
 
+def test_semantic_dedup_subset_of_exact(spark):
+    """SemDeDup pairs are cluster-pruned exact-cosine pairs: every
+    emitted pair appears in the quadratic exact set with the identical
+    cosine (pruning loses pairs, never invents or perturbs them), and
+    the plan never goes cartesian or Python-side."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        embedding_cosine_pairs_exact, semantic_dedup_pairs)
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    sem = semantic_dedup_pairs(emb, k=8, iterations=2, threshold=0.3)
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_cosine_pairs_exact(
+                 emb, threshold=0.3).collect()}
+    got = {(r.id_a, r.id_b): r.cosine for r in sem.collect()}
+    assert got and all(exact.get(p) == c for p, c in got.items())
+    plan = sem._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_srp_index_writer_roundtrip(spark):
     """write_srp_index persists rows bucketed by sk0 + the centroid
     sidecar; incremental pairs off the read-back artifact equal the

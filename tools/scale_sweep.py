@@ -89,6 +89,11 @@ HEADS = [
      "linear (key-group savepoint + keyed partial merge)"),
     ("ml_pipeline_scaler_kmeans",
      "linear (fixed k/iterations, broadcast codebook)"),
+    # round-11 addition: the incremental embedding path (the production
+    # per-ingest shape) — batch fixed, index 10x, per-band equi-joins
+    # linear in the index exactly like dedup_incremental_lsh
+    ("dedup_embedding_incremental",
+     "linear (batch fixed, index 10x, per-band equi-joins)"),
 ]
 
 
@@ -131,6 +136,17 @@ HEADS_100X = {
     # pruned at every emission
     "flink_sql_mr_define_agg_avg":
         "linear: keyed NFA, 100x keys, O(1) accumulator per run",
+    # round-11 additions (round-8 verdict ask #6): the two newest
+    # stateful families.  Bootstrap-resume is a key-group-partitioned
+    # savepoint write + keyed merge over 100x keys (state rows scale
+    # with keys, per-key state O(1)); the temporal table function is
+    # the union + per-key-sort as-of join — currency stays 7 keys, so
+    # the bound is n log n per currency partition (skew-bound by
+    # construction, stated so the ratio is judged against that slope)
+    "state_processor_bootstrap_resume":
+        "linear: key-group savepoint + keyed merge, 100x keys",
+    "flink_sql_temporal_table_function":
+        "n log n per currency partition (7 keys, skew-bound as-of sort)",
 }
 
 
