@@ -1517,12 +1517,16 @@ WHERE cosine >= 0.35
 def dedup_embedding_incremental(spark, sf_dir):
     """Per-ingest embedding dedup: old corpus (vec_id < 250) as the
     persisted index, the rest as the incoming batch — index-only joins,
-    the corpus text is never rescanned (llm/dedup.py
-    srp_incremental_pairs)."""
+    the corpus is never rescanned (llm/dedup.py srp_incremental_pairs).
+    The centroid stats are computed ONCE at index-build time and passed
+    through (the persisted-metadata production shape): the ingest never
+    re-derives them from the index rows."""
     emb = t(spark, sf_dir, "embeddings")
-    idx = D.srp_index(emb.filter(F.col("vec_id") < 250))
+    old = emb.filter(F.col("vec_id") < 250)
+    stats = D.srp_center_stats(old).localCheckpoint()
+    idx = D.srp_index(old, stats=stats)
     return D.srp_incremental_pairs(idx, emb.filter(F.col("vec_id") >= 250),
-                                   threshold=0.35)
+                                   threshold=0.35, stats=stats)
 
 
 @register("contamination_bloom_prefilter", _CONTAMINATION_ORACLE)

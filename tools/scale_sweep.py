@@ -94,6 +94,13 @@ HEADS = [
     # linear in the index exactly like dedup_incremental_lsh
     ("dedup_embedding_incremental",
      "linear (batch fixed, index 10x, per-band equi-joins)"),
+    # SemDeDup: broadcast-codebook k-means (fixed k/iterations) + a
+    # cid-keyed equi-self-join; the sf1 embeddings tier is 10 disjoint
+    # copies of the same similarity structure, so cluster sizes grow
+    # ~10x and the within-cluster pair space is the quadratic term —
+    # the stated bound makes that explicit (k is the production lever)
+    ("dedup_semantic_pairs",
+     "sum(|c|^2) pair space; fixed k, clusters 10x -> up to ~100x"),
 ]
 
 
