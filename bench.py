@@ -59,6 +59,9 @@ HEADLINE = [
     # per-ingest shape (batch signed against a persisted index, corpus
     # never rescanned) — bench it like minhash's incremental equivalent
     "dedup_embedding_incremental",
+    # round-11 addition: SemDeDup (cluster-pruned semantic dedup) — the
+    # k-means fit + cid-keyed pair join; k is the pair-space lever
+    "dedup_semantic_pairs",
 ]
 
 

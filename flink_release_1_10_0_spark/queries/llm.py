@@ -1446,6 +1446,48 @@ def dedup_semantic_pairs(spark, sf_dir):
                                   k=8, iterations=2, threshold=0.35)
 
 
+# The end-product: semantic pairs -> connected components -> keep each
+# cluster's minimum vec_id -> anti-join the corpus (the same
+# pairs/clusters/survivors chain as the MinHash path, over embeddings).
+_SEMANTIC_SURVIVORS_ORACLE = f"""
+{_duck_kmeans_chain(k=8, iterations=2).replace("WITH ", "WITH RECURSIVE ", 1)},
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cosine
+    FROM asg_final a JOIN asg_final b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id) q
+  WHERE cosine >= 0.35
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT e.vec_id FROM embeddings e
+LEFT JOIN comp ON e.vec_id = comp.vec_id
+WHERE comp.cluster_id IS NULL OR e.vec_id = comp.cluster_id
+"""
+
+
+@register("dedup_semantic_survivors", _SEMANTIC_SURVIVORS_ORACLE)
+def dedup_semantic_survivors(spark, sf_dir):
+    """The surviving corpus after semantic dedup: every near-dup cluster
+    keeps its minimum vec_id, losers are anti-joined away — one extra
+    uniform-key shuffle on top of the cluster-pruned pair plan, losers
+    O(duplicates), never driver-collected."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = D.semantic_dedup_pairs(emb, k=8, iterations=2, threshold=0.35)
+    clusters = D.dedup_clusters(pairs)
+    losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias("vec_id")))
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id")
+
+
 _SRP_INDEX_ORACLE = f"""
 WITH base AS (
   SELECT vec_id,
