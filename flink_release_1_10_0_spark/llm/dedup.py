@@ -574,14 +574,53 @@ def _verify_side_broadcastable(df: DataFrame,
     table vs a byte threshold.  No job runs — this reads the same
     statistics Catalyst itself uses for autoBroadcastJoinThreshold, so a
     parquet-backed corpus is judged by its file footprint.  Unknown /
-    unreachable stats (e.g. non-classic sessions) fall back to
-    broadcastable=True, matching Spark's own optimistic local default."""
+    unreachable stats fall back to broadcastable=True — and "unknown"
+    includes Catalyst's MISSING-stats sentinel: leaf nodes with no
+    estimate (LogicalRDD, post-Python-UDF plans) report
+    spark.sql.defaultSizeInBytes = Long.MaxValue, which must read as
+    "no information" rather than "too big", or a small in-memory corpus
+    would silently lose the broadcast and spill (the measured 100x-tier
+    failure the broadcast exists to prevent).  Callers with a genuinely
+    huge statless frame pass broadcast_verify=False explicitly."""
     try:
         sz = int(str(df._jdf.queryExecution().optimizedPlan()
                      .stats().sizeInBytes()))
+        if sz >= (1 << 62):        # defaultSizeInBytes sentinel: unknown
+            return True
         return 0 <= sz <= limit_bytes
     except Exception:
         return True
+
+
+def _vec_side(df: DataFrame, id_col: str, vec_col: str,
+              out_id: str, suffix: str) -> DataFrame:
+    """(id, vector, L2 norm) projection for one side of a cosine verify —
+    norms computed ONCE per vector, never per candidate pair."""
+    nrm = (f"sqrt(aggregate({vec_col}, 0D, (s, x) -> s + "
+           "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    return df.select(F.col(id_col).alias(out_id),
+                     F.col(vec_col).alias(f"__v{suffix}"),
+                     F.expr(nrm).alias(f"__n{suffix}"))
+
+
+def _attach_cosine(cand: DataFrame, va: DataFrame, vb: DataFrame,
+                   a_col: str, b_col: str, threshold: float,
+                   hint_a, hint_b) -> DataFrame:
+    """Shared exact-cosine verify stage: attach both vector sides to the
+    candidate pairs (each through its caller-chosen broadcast hint),
+    one zip_with dot product per pair, threshold filter.  va/vb carry
+    (a_col|b_col, __va|__vb, __na|__nb) — from :func:`_vec_side` or an
+    index's precomputed columns.  Every pair-emitting dedup op
+    (SRP full/incremental, SemDeDup) verifies through this one block so
+    the cosine expression and broadcast policy can never diverge."""
+    dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
+              "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
+    cos = f"round(({dotsum}) / (__na * __nb), 6)"
+    return (cand.join(hint_a(va), a_col)
+            .join(hint_b(vb), b_col)
+            .withColumn("cosine", F.expr(cos))
+            .filter(F.col("cosine") >= threshold)
+            .select(a_col, b_col, "cosine"))
 
 
 def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -641,20 +680,10 @@ def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
         broadcast_verify = _verify_side_broadcastable(
             df.select(id_col, vec_col), broadcast_limit_bytes)
     hint = F.broadcast if broadcast_verify else (lambda d: d)
-    nrm = ("sqrt(aggregate({v}, 0D, (s, x) -> s + "
-           "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-                   F.expr(nrm.format(v=vec_col)).alias("__na"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-                   F.expr(nrm.format(v=vec_col)).alias("__nb"))
-    dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
-              "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
-    cos = f"round(({dotsum}) / (__na * __nb), 6)"
-    return (cand.join(hint(va), "id_a")
-            .join(hint(vb), "id_b")
-            .withColumn("cosine", F.expr(cos))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+    return _attach_cosine(cand,
+                          _vec_side(df, id_col, vec_col, "id_a", "a"),
+                          _vec_side(df, id_col, vec_col, "id_b", "b"),
+                          "id_a", "id_b", threshold, hint, hint)
 
 
 def embedding_cosine_pairs_exact(df: DataFrame, id_col: str = "vec_id",
@@ -756,31 +785,26 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
+    # index-carried vectors + norms (no recompute): both sides already
+    # hold (__vec, __norm).  Vector attaches follow the same size-gated
+    # broadcast policy as embedding_srp_pairs (see its verify-stage
+    # note): the INDEX side is the unbounded one, so only its estimate
+    # drives the auto decision — the new batch stays broadcast
+    # (per-ingest batches are small by the incremental contract).  A
+    # bucketed write_srp_index corpus co-locates the fallback join on sk0.
     va = index_df.select(F.col(id_col).alias("old_id"),
                          F.col("__vec").alias("__va"),
                          F.col("__norm").alias("__na"))
     vb = new_idx.select(F.col(id_col).alias("new_id"),
                         F.col("__vec").alias("__vb"),
                         F.col("__norm").alias("__nb"))
-    dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
-              "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
-    cos = f"round(({dotsum}) / (__na * __nb), 6)"
-    # vector attaches follow the same size-gated broadcast policy as
-    # embedding_srp_pairs (see its verify-stage note): the INDEX side is
-    # the unbounded one, so only its estimate drives the auto decision —
-    # the new batch stays broadcast (per-ingest batches are small by the
-    # incremental contract).  A bucketed write_srp_index corpus
-    # co-locates the fallback join on sk0.
     if broadcast_verify is None:
         broadcast_verify = _verify_side_broadcastable(
             index_df.select(id_col, "__vec", "__norm"),
             broadcast_limit_bytes)
     hint = F.broadcast if broadcast_verify else (lambda d: d)
-    return (cand.join(hint(va), "old_id")
-            .join(F.broadcast(vb), "new_id")
-            .withColumn("cosine", F.expr(cos))
-            .filter(F.col("cosine") >= threshold)
-            .select("old_id", "new_id", "cosine"))
+    return _attach_cosine(cand, va, vb, "old_id", "new_id", threshold,
+                          hint, F.broadcast)
 
 
 def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -822,20 +846,10 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         broadcast_verify = _verify_side_broadcastable(
             df.select(id_col, vec_col), broadcast_limit_bytes)
     hint = F.broadcast if broadcast_verify else (lambda d: d)
-    nrm = ("sqrt(aggregate({v}, 0D, (s, x) -> s + "
-           "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-                   F.expr(nrm.format(v=vec_col)).alias("__na"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-                   F.expr(nrm.format(v=vec_col)).alias("__nb"))
-    dotsum = ("aggregate(zip_with(__va, __vb, (x, y) -> "
-              "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)")
-    cos = f"round(({dotsum}) / (__na * __nb), 6)"
-    return (cand.join(hint(va), "id_a")
-            .join(hint(vb), "id_b")
-            .withColumn("cosine", F.expr(cos))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+    return _attach_cosine(cand,
+                          _vec_side(df, id_col, vec_col, "id_a", "a"),
+                          _vec_side(df, id_col, vec_col, "id_b", "b"),
+                          "id_a", "id_b", threshold, hint, hint)
 
 
 def write_srp_index(index_df: DataFrame, stats: DataFrame, path: str,

@@ -53,12 +53,15 @@ _LOADED = False
 # (CORRECTNESS_r01.json stopped at exactly 50).  After round 8 the
 # cumulative ledger stands at 348/349 driver-verified names with zero
 # stale fails, so the window's job flips from "new names" to
-# STALENESS REGRESSION: lead with the one name that has no driver
-# evidence yet (ml_pipeline_json_roundtrip, new this round), then the
-# 49 names whose evidence is OLDEST (last verified in round 1 — the
-# relational/TPC-H core the whole engine sits on), so this round
-# re-confirms no drift on today's tree.  The next tier is the r3-era
-# block (streaming/CEP/graph/LLM), then everything newer.
+# STALENESS REGRESSION: lead with the 4 names that have no driver
+# evidence yet (new this round), then the names whose evidence is
+# OLDEST (last verified in round 1 — the relational/TPC-H core the
+# whole engine sits on).  4 + 49 overflows the 50-window by 3: the
+# last 3 r1-era names (tpch_q9, unnest, values_literal) sit at
+# positions 51-53 and carry over to the NEXT rotation — recorded here
+# so the ledger never claims the full r1 core was refreshed this
+# round.  The next tier is the r3-era block (streaming/CEP/graph/LLM),
+# then everything newer.
 _PIN = [
     # ---- no driver evidence yet (new this round) ----
     "ml_pipeline_json_roundtrip", "stream_cep_timer_flush_silent_keys",
@@ -82,10 +85,13 @@ _PIN = [
     "tpch_q3_shipping_priority", "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    # ---- 50-window boundary is 4 entries above this line (4 new +
+    #      46 r1-era fit); these 3 r1-era names overflow to 51-53 and
+    #      lead the NEXT rotation ----
     "tpch_q9_product_profit", "unnest_explode_words", "values_literal",
-    # ---- 50-window boundary; r3-era evidence next (streaming / CEP /
-    #      graph / LLM foundations) so a wider driver window, or next
-    #      round's rotation, reaches them first ----
+    # ---- r3-era evidence next (streaming / CEP / graph / LLM
+    #      foundations) so a wider driver window, or next round's
+    #      rotation, reaches them first ----
     "cep_nfa_four_stage", "cep_nfa_or_condition", "graph_adamic_adar",
     "graph_clustering_coefficient", "graph_connected_components",
     "graph_degrees", "graph_hits", "graph_jaccard_index",

@@ -1426,15 +1426,20 @@ cents{i} AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM upd{i}
     return "WITH " + ",\n".join(parts)
 
 
-_SEMANTIC_PAIRS_ORACLE = f"""
-{_duck_kmeans_chain(k=8, iterations=2)}
-SELECT id_a, id_b, cosine FROM (
+# the one definition of a SemDeDup pair (within-cluster, exact cosine,
+# threshold) — interpolated into BOTH oracles below so they can never
+# disagree about what a pair is
+_SEMANTIC_PAIR_SQL = f"""SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cosine
   FROM asg_final a JOIN asg_final b
     ON a.cid = b.cid AND a.vec_id < b.vec_id
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id) q
-WHERE cosine >= 0.35
+WHERE cosine >= 0.35"""
+
+_SEMANTIC_PAIRS_ORACLE = f"""
+{_duck_kmeans_chain(k=8, iterations=2)}
+{_SEMANTIC_PAIR_SQL}
 """
 
 
@@ -1452,13 +1457,7 @@ def dedup_semantic_pairs(spark, sf_dir):
 _SEMANTIC_SURVIVORS_ORACLE = f"""
 {_duck_kmeans_chain(k=8, iterations=2).replace("WITH ", "WITH RECURSIVE ", 1)},
 pairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cosine
-    FROM asg_final a JOIN asg_final b
-      ON a.cid = b.cid AND a.vec_id < b.vec_id
-    JOIN embeddings ea ON ea.vec_id = a.vec_id
-    JOIN embeddings eb ON eb.vec_id = b.vec_id) q
-  WHERE cosine >= 0.35
+{_SEMANTIC_PAIR_SQL}
 ), edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
 ), reach AS (

@@ -1320,32 +1320,45 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     pending.sort(key=lambda p: (p[0], p[2][0]))
                     del pending[MAX_RUNS_PER_KEY:]
 
-        nav_ser = ["" if not (r[NV][0] or r[NV][1])
-                   else _json.dumps({"v": r[NV][0], "n": r[NV][1]})
-                   for r in runs]
-        state.update(([r[S] for r in runs], [r[T] for r in runs],
-                      [r[G] for r in runs], [bool(r[GS]) for r in runs],
-                      [r[A] for r in runs], [r[L] for r in runs],
-                      [len(r[EV]) for r in runs],
-                      [e for r in runs for e in r[EV]],
-                      [s2 for r in runs for s2 in r[ST]],
-                      [u for r in runs for u in r[EU]],
-                      cut[0], cut[1], nav_ser,
-                      _json.dumps(prev_rows) if prev_rows else "",
-                      [r[GR] for r in runs],
-                      [p[0] for p in pending], [p[1] for p in pending],
-                      [len(p[2]) for p in pending],
-                      [e for p in pending for e in p[2]],
-                      [s2 for p in pending for s2 in p[3]],
-                      [u for p in pending for u in p[4]]))
-        if timer_mode and runs:
-            # re-arm for the earliest live run's window close: fires
-            # strictly after run_start + within (ms granularity), and
-            # always strictly after the current watermark (Spark's
-            # setTimeoutTimestamp contract)
-            deadline_ms = (min(r[A] for r in runs) + within_us) // 1000 + 1
-            state.setTimeoutTimestamp(
-                max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+        if not runs and not pending and not prev_rows and cut == (-1, -1):
+            # nothing to persist: drop the state row entirely instead of
+            # storing empty arrays.  Matters most in timer mode: a key
+            # whose runs all flushed via the watermark timer and then
+            # goes silent would otherwise hold an empty entry with no
+            # timer armed FOREVER — unbounded state growth on exactly
+            # the unbounded-stream workload the timers target.  The
+            # reconstruction path treats a missing row identically to
+            # an empty one, so this is a pure state-size win.
+            if state.exists:
+                state.remove()
+        else:
+            nav_ser = ["" if not (r[NV][0] or r[NV][1])
+                       else _json.dumps({"v": r[NV][0], "n": r[NV][1]})
+                       for r in runs]
+            state.update(([r[S] for r in runs], [r[T] for r in runs],
+                          [r[G] for r in runs], [bool(r[GS]) for r in runs],
+                          [r[A] for r in runs], [r[L] for r in runs],
+                          [len(r[EV]) for r in runs],
+                          [e for r in runs for e in r[EV]],
+                          [s2 for r in runs for s2 in r[ST]],
+                          [u for r in runs for u in r[EU]],
+                          cut[0], cut[1], nav_ser,
+                          _json.dumps(prev_rows) if prev_rows else "",
+                          [r[GR] for r in runs],
+                          [p[0] for p in pending], [p[1] for p in pending],
+                          [len(p[2]) for p in pending],
+                          [e for p in pending for e in p[2]],
+                          [s2 for p in pending for s2 in p[3]],
+                          [u for p in pending for u in p[4]]))
+            if timer_mode and runs:
+                # re-arm for the earliest live run's window close: fires
+                # strictly after run_start + within (ms granularity), and
+                # always strictly after the current watermark (Spark's
+                # setTimeoutTimestamp contract)
+                deadline_ms = (min(r[A] for r in runs)
+                               + within_us) // 1000 + 1
+                state.setTimeoutTimestamp(
+                    max(deadline_ms, state.getCurrentWatermarkMs() + 1))
         if matches or timeouts:
             rows = matches + timeouts
             out = {

@@ -215,11 +215,13 @@ def rescale_savepoint(spark: SparkSession, src: str, dest: str,
     the batch analog of restoring a savepoint at a different
     maxParallelism, which the reference forbids at runtime but the State
     Processor API enables offline."""
-    if os.path.abspath(src) == os.path.abspath(dest):
+    if os.path.realpath(src) == os.path.realpath(dest):
         # the staged frames read LAZILY from src; overwrite would delete
         # each op_<uid> directory mid-job.  write()'s own copy-on-write
         # guard can't see this (the staging NewSavepoint has path=None),
-        # so refuse here — same contract as write(new_path).
+        # so refuse here — same contract as write(new_path).  realpath,
+        # not abspath: a symlink alias of src is the same physical
+        # artifact and must refuse too.
         raise ValueError(
             "rescale_savepoint requires dest != src: the rescaled state "
             "is read lazily from the source artifact, so an in-place "

@@ -264,6 +264,14 @@ def test_silent_key_flushes_on_cross_key_watermark(spark):
             q.processAllAvailable()
         rows = spark.table("_nfa_wm").collect()
         assert [(r.user_id, tuple(r.ev_ids)) for r in rows] == [(1, (1, 2, 3))]
+        # state hygiene: after the flush, neither key has anything to
+        # persist (user 1 emitted and emptied; user 2 never matched) —
+        # the state store must drop both rows, not hold empty entries
+        # forever (the unbounded-growth hazard on silent keys)
+        q.processAllAvailable()
+        prog = q.lastProgress
+        if prog and prog.get("stateOperators"):
+            assert prog["stateOperators"][0]["numRowsTotal"] == 0
     finally:
         q.stop()
 
