@@ -856,3 +856,55 @@ def test_srp_signatures_match_python_reference(spark, vecs):
 
     expect = {rid: py_sig(quant(v)) for rid, v in rows}
     assert got == expect
+
+
+@given(evs=st.lists(st.tuples(st.sampled_from([1, 2]),
+                              st.sampled_from("abx")),
+                    min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_nfa_watermark_timer_flush_matches_model(spark, evs):
+    """Cross-key event-time timer flush vs a brute-force model: pattern
+    ``a b+ GREEDY within W`` over two interleaved keys with
+    watermark_timers.  A run (one per same-key ``a``) emits its maximal
+    consumed-b match iff the run is satisfied (>= 1 b inside the
+    window) AND its window closed under the GLOBAL clock — i.e. the
+    corpus max event time exceeds a_ts + W (per-event same-key expiry
+    is subsumed: any same-key closer also advances the global max).
+    Runs whose window is still open at end of input stay pending,
+    exactly like an open window on an unbounded stream."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.nfa import NfaStage, match_nfa
+
+    W = 3  # minutes
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", u, s, 0.0)
+            for i, (u, s) in enumerate(evs, 1)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tempfile.mkdtemp(prefix="nfa_prop_wm_")
+    df.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    stages = [NfaStage(pred="event_type = 'a'"),
+              NfaStage(pred="event_type = 'b'", min_times=1,
+                       max_times=None, greedy=True)]
+    out = run_to_completion(
+        match_nfa(sdf, stages, within_minutes=W,
+                  watermark_timers="0 seconds"), "append")
+    got = sorted((r.user_id, tuple(r.ev_ids)) for r in out.collect())
+
+    max_min = len(evs)  # event i is at minute i (1-based)
+    expect = []
+    for i, (u, s) in enumerate(evs, 1):
+        if s != "a":
+            continue
+        bs = [j for j in range(i + 1, len(evs) + 1)
+              if evs[j - 1][0] == u and evs[j - 1][1] == "b"
+              and j <= i + W]
+        if bs and max_min > i + W:    # satisfied AND globally closed
+            expect.append((u, (i, *bs)))
+    assert got == sorted(expect)
