@@ -808,9 +808,10 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
 
 
 def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
-                         vec_col: str = "embedding", k: int = 8,
+                         vec_col: str = "embedding", k: int | None = 8,
                          iterations: int = 2,
                          threshold: float = 0.35,
+                         target_cluster_size: int | None = None,
                          broadcast_verify: bool | None = None,
                          broadcast_limit_bytes: int = 1 << 30) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
@@ -825,14 +826,27 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
     100 TB design: Lloyd's is one broadcast-codebook map pass + one
     shuffle per iteration; candidate pairs are a cid-keyed equi-self-
     join, never all-pairs — the pair space is sum(|c|^2)/2 over
-    clusters, controlled by k (size k ~ n/target_cluster_size; SemDeDup
-    ran 50k clusters over LAION at this exact shape).  The vector
-    attach reuses the size-gated broadcast policy of
-    :func:`embedding_srp_pairs` (broadcast under the limit, shuffle
-    join above it)."""
+    clusters, controlled by k.  A FIXED k lets clusters (and the
+    quadratic within-cluster term) grow with the corpus; the production
+    lever is ``target_cluster_size``: pass it (with ``k=None``) and k is
+    derived as ceil(n / target) from one count — the pair space then
+    stays ~n * target/2 at any corpus size (SemDeDup ran 50k clusters
+    over LAION at this exact shape).  The vector attach reuses the
+    size-gated broadcast policy of :func:`embedding_srp_pairs`
+    (broadcast under the limit, shuffle join above it)."""
     from flink_release_1_10_0_spark.llm.similarity import (
         kmeans_assign, kmeans_train)
 
+    if (k is None) == (target_cluster_size is None):
+        raise ValueError("pass exactly one of k / target_cluster_size "
+                         "(fixed cluster count vs the scale-invariant "
+                         "per-cluster size)")
+    if k is None:
+        # one scalar action at plan-build time (the same pattern as the
+        # CC convergence probe) — the codebook size must be a literal
+        # before Lloyd's runs
+        n = df.count()
+        k = max(1, -(-n // target_cluster_size))
     cents = kmeans_train(df, k=k, iterations=iterations,
                          id_col=id_col, vec_col=vec_col)
     asg = (kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)

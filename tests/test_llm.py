@@ -512,6 +512,32 @@ def test_semantic_dedup_subset_of_exact(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_semantic_dedup_target_cluster_size(spark):
+    """The scale-invariant lever: k derived as ceil(n / target) from one
+    count; fixed-k and derived-k agree when they resolve to the same k,
+    and passing both (or neither) refuses loudly."""
+    import pytest
+
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import semantic_dedup_pairs
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    target = -(-n // 8)           # ceil(n/8) -> derived k == 8
+    fixed = {(r.id_a, r.id_b, r.cosine)
+             for r in semantic_dedup_pairs(emb, k=8, threshold=0.3).collect()}
+    derived = {(r.id_a, r.id_b, r.cosine)
+               for r in semantic_dedup_pairs(
+                   emb, k=None, target_cluster_size=target,
+                   threshold=0.3).collect()}
+    assert fixed == derived
+    with pytest.raises(ValueError, match="exactly one"):
+        semantic_dedup_pairs(emb, k=8, target_cluster_size=100)
+    with pytest.raises(ValueError, match="exactly one"):
+        semantic_dedup_pairs(emb, k=None)
+
+
 def test_srp_index_writer_roundtrip(spark):
     """write_srp_index persists rows bucketed by sk0 + the centroid
     sidecar; incremental pairs off the read-back artifact equal the
