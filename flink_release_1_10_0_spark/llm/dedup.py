@@ -807,6 +807,71 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
                           hint, F.broadcast)
 
 
+def scrub_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8) -> DataFrame:
+    """Exact duplicate-span scrub (Lee et al. 2022, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    ExactSubstr variant, token-window granularity): every n-token span
+    occurring in MORE THAN ONE document is removed from every document
+    except the span's single global first occurrence (minimum
+    (doc_id, position)); surviving tokens reassemble in order.  Spans
+    repeated only WITHIN one document are kept (that is the repetition
+    signal text_repetition_stats measures, not cross-corpus leakage).
+    Returns (id, total_tokens, kept_tokens, scrubbed_text); documents
+    shorter than n tokens pass through untouched.
+
+    100 TB design: rolling spans are a map-side transform per document;
+    the duplicate-span table is one groupBy on the span (at real scale
+    key by xxhash64(span) — the string key here keeps the SQL oracle
+    exact), keepers are a min(struct) aggregate (no window), coverage
+    is a bounded n-row explode per scrubbed occurrence, and the kill is
+    a (doc, token-index) anti-join — equi-joins and aggregations only,
+    output linear in corpus size.  Same reassembly contract as the
+    segment-boilerplate scrub (array_sort(collect_list) per document).
+    """
+    from flink_release_1_10_0_spark.llm.text import words_expr
+
+    d = df.select(id_col, F.expr(words_expr(text_col)).alias("__ws"))
+    # sequence(1, size-n+1) counts DOWN for size < n (the winnowing
+    # lesson) — span generation is gated on size >= n; short docs still
+    # flow through tokens/reassembly below and survive whole
+    grams = (d.filter(F.size("__ws") >= n)
+             .select(id_col, F.posexplode(F.expr(
+                 f"transform(sequence(1, size(__ws) - {n - 1}), "
+                 f"i -> array_join(slice(__ws, i, {n}), ' '))"))
+                 .alias("__p0", "gram"))
+             .select(id_col, (F.col("__p0") + 1).alias("pos"), "gram"))
+    dup = (grams.groupBy("gram")
+           .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                               F.col("pos").alias("p"))).alias("keeper"),
+                F.countDistinct(id_col).alias("__nd"))
+           .filter(F.col("__nd") >= 2)
+           .select("gram", "keeper"))
+    scrub = (grams.join(dup, "gram")
+             .filter(~((F.col(id_col) == F.col("keeper.d"))
+                       & (F.col("pos") == F.col("keeper.p"))))
+             .select(id_col, "pos"))
+    covered = (scrub.select(
+        id_col, F.explode(F.expr(f"sequence(pos, pos + {n - 1})"))
+        .alias("i")).distinct())
+    toks = (d.select(id_col, F.posexplode("__ws").alias("__i0", "w"))
+            .select(id_col, (F.col("__i0") + 1).alias("i"), "w"))
+    surv = toks.join(covered, [id_col, "i"], "left_anti")
+    kept = (surv.groupBy(id_col)
+            .agg(F.count("*").alias("kept_tokens"),
+                 F.expr("array_join(transform(array_sort("
+                        "collect_list(struct(i, w))), x -> x.w), ' ')")
+                 .alias("scrubbed_text")))
+    return (d.select(id_col, F.size("__ws").cast("bigint")
+                     .alias("total_tokens"))
+            .join(kept, id_col, "left")
+            .select(id_col, "total_tokens",
+                    F.coalesce(F.col("kept_tokens"), F.lit(0))
+                    .cast("bigint").alias("kept_tokens"),
+                    F.coalesce(F.col("scrubbed_text"), F.lit(""))
+                    .alias("scrubbed_text")))
+
+
 def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", k: int | None = 8,
                          iterations: int = 2,

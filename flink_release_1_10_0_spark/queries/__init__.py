@@ -66,6 +66,7 @@ _PIN = [
     # ---- no driver evidence yet (new this round) ----
     "ml_pipeline_json_roundtrip", "stream_cep_timer_flush_silent_keys",
     "dedup_semantic_pairs", "dedup_semantic_survivors",
+    "dedup_scrub_duplicate_spans",
     # ---- r1-era evidence: the relational + TPC-H core (49) ----
     "agg_count_distinct", "agg_cube", "agg_first_last_value",
     "agg_grouping_sets", "agg_listagg_sorted", "agg_min_max_sumsq",

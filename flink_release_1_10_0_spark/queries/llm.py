@@ -1426,6 +1426,47 @@ cents{i} AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM upd{i}
     return "WITH " + ",\n".join(parts)
 
 
+# --------------------------------------------------------------------------
+# Exact duplicate-span scrub (Lee et al. 2022, ExactSubstr at
+# token-window granularity): cross-document n-token spans are removed
+# everywhere but their global first occurrence; the oracle replays the
+# identical keeper rule (min (doc, pos) struct), coverage explode, and
+# ordered reassembly.
+# --------------------------------------------------------------------------
+_SCRUB_SPANS_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_DWORDS} AS ws FROM documents),
+g0 AS (SELECT doc_id,
+              list_transform(range(1, len(ws) - 8 + 2),
+                             i -> array_to_string(ws[i:i+7], ' ')) AS gs
+       FROM d WHERE len(ws) >= 8),
+g AS (SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS gram
+      FROM g0),
+dup AS (SELECT gram, min(struct_pack(d := doc_id, p := pos)) AS keeper
+        FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+scrub AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+          WHERE NOT (g.doc_id = dup.keeper.d AND g.pos = dup.keeper.p)),
+covered AS (SELECT DISTINCT doc_id, pos + o AS i
+            FROM scrub CROSS JOIN (SELECT unnest(range(0, 8)) AS o)),
+toks AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+         FROM d),
+surv AS (SELECT t.doc_id, t.i, t.w FROM toks t
+         WHERE NOT EXISTS (SELECT 1 FROM covered c
+                           WHERE c.doc_id = t.doc_id AND c.i = t.i)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+               array_to_string(list(w ORDER BY i), ' ') AS scrubbed_text
+        FROM surv GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS total_tokens,
+       COALESCE(a.kept_tokens, 0) AS kept_tokens,
+       COALESCE(a.scrubbed_text, '') AS scrubbed_text
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_scrub_duplicate_spans", _SCRUB_SPANS_ORACLE)
+def dedup_scrub_duplicate_spans(spark, sf_dir):
+    return D.scrub_duplicate_spans(t(spark, sf_dir, "documents"), n=8)
+
+
 # the one definition of a SemDeDup pair (within-cluster, exact cosine,
 # threshold) — interpolated into BOTH oracles below so they can never
 # disagree about what a pair is

@@ -512,6 +512,35 @@ def test_semantic_dedup_subset_of_exact(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_scrub_duplicate_spans_keeper_and_short_docs(spark):
+    """ExactSubstr scrub invariants on a crafted corpus: the global
+    first occurrence of a shared span survives, later occurrences are
+    removed, a span repeated only WITHIN one doc is kept, and docs
+    shorter than n tokens pass through whole."""
+    from flink_release_1_10_0_spark.llm.dedup import scrub_duplicate_spans
+
+    span = "one two three four"
+    docs = spark.createDataFrame(
+        [(1, f"intro {span} outro"),
+         (2, f"start {span} end"),          # later occurrence -> scrubbed
+         (3, f"{span} mid {span}"),         # also shares the span -> scrubbed
+         (4, "tiny doc")],                  # < n tokens -> untouched
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           scrub_duplicate_spans(docs, n=4).collect()}
+    assert out[1].scrubbed_text == f"intro {span} outro"
+    assert out[1].kept_tokens == 6 and out[1].total_tokens == 6
+    # doc 2: the 4 span tokens scrubbed, neighbors kept
+    assert out[2].scrubbed_text == "start end"
+    assert out[2].kept_tokens == 2
+    # doc 3: BOTH its occurrences are non-keepers (doc 1 owns the
+    # keeper), and the rolling windows bridging 'mid' are unique to
+    # doc 3 — only tokens covered by the shared span's occurrences go
+    assert out[3].scrubbed_text == "mid"
+    assert out[4].scrubbed_text == "tiny doc"
+    assert out[4].kept_tokens == 2 and out[4].total_tokens == 2
+
+
 def test_semantic_dedup_target_cluster_size(spark):
     """The scale-invariant lever: k derived as ceil(n / target) from one
     count; fixed-k and derived-k agree when they resolve to the same k,
