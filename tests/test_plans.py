@@ -434,6 +434,17 @@ def test_srp_verify_broadcast_size_gate(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_scrub_duplicate_spans_plan(spark):
+    """ExactSubstr scrub: span table, keeper rule, coverage explode and
+    the (doc, index) anti-join all stay JVM-side equi-joins — no
+    cartesian, no Python, and the dup-span aggregation is partial
+    (map-side combine) before its shuffle."""
+    plan = plan_of(spark, "dedup_scrub_duplicate_spans")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
+
+
 def test_system_time_lookup_plan_broadcasts_snapshot(spark):
     """FOR SYSTEM_TIME AS OF: the dimension snapshot is broadcast (the
     lookup-join batch equivalent) and the probe filter reaches its scan."""

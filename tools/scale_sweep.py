@@ -101,6 +101,11 @@ HEADS = [
     # the stated bound makes that explicit (k is the production lever)
     ("dedup_semantic_pairs",
      "sum(|c|^2) pair space; fixed k, clusters 10x -> up to ~100x"),
+    # ExactSubstr scrub: span table via one groupBy on the gram, keeper
+    # min(struct) aggregate, bounded n-row coverage explode, (doc, idx)
+    # anti-join — everything linear in corpus size
+    ("dedup_scrub_duplicate_spans",
+     "linear (gram groupBy + bounded coverage explode + anti-join)"),
 ]
 
 
