@@ -355,6 +355,30 @@ def main():
         print(f"{tier_name:12s} {srp_name:34s} "
               f"{results[srp_name][tier_name]:8.3f}s", flush=True)
 
+    # SemDeDup with the production lever: k derived from a fixed target
+    # cluster size, so the within-cluster pair space stays ~n*target/2
+    # (the fixed-k HEADS row shows the quadratic alternative —
+    # 10x clusters -> up to 100x pairs).  Assignment itself is O(n*k)
+    # under the broadcast codebook, hence "~linear", not exactly 10x.
+    sem_name = "dedup_semantic_pairs (geometry-scaled)"
+    bounds[sem_name] = ("k = ceil(n/250): pair space ~n*target/2, "
+                        "assign O(n*k) -> ~linear")
+    results[sem_name] = {}
+    from flink_release_1_10_0_spark.llm.dedup import semantic_dedup_pairs
+    for tier_name, tier_dir in [("sf0.1", SRC), ("sf1 (synth)", sf1)]:
+        emb2 = spark.read.parquet(f"{tier_dir}/embeddings.parquet")
+
+        def run_sem():
+            semantic_dedup_pairs(emb2, k=None, target_cluster_size=250,
+                                 threshold=0.35) \
+                .write.format("noop").mode("overwrite").save()
+        run_sem()  # warm
+        t0 = time.perf_counter()
+        run_sem()
+        results[sem_name][tier_name] = round(time.perf_counter() - t0, 3)
+        print(f"{tier_name:12s} {sem_name:34s} "
+              f"{results[sem_name][tier_name]:8.3f}s", flush=True)
+
     lines = [
         "# Scale sweep",
         "",
