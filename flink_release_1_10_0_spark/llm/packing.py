@@ -1,0 +1,107 @@
+"""Training-sequence packing: lay documents out into fixed token-budget
+sequences WITHOUT splitting a document (GPT-style sample packing with
+document boundaries respected).
+
+This is the planning step every pretraining data pipeline runs after
+curation: given N tokenized documents and a context length B, decide
+which documents share a training sequence.  The existing
+``pack_token_budget_shards`` query is the *block* layout (a running sum
+chunked at exact budget multiples — documents may straddle a boundary);
+this module is the *next-fit* layout: a document that does not fit in
+the current sequence's remaining budget starts a new sequence.  Next-fit
+is the standard streaming packer (one pass, no reordering beyond the
+deterministic shuffle order) and its fill ratio is the usual packing
+metric reported for pretraining runs.
+
+Scale design (100 TB): next-fit is inherently sequential *within* a
+pack group, so the parallel unit is the group — ``(group_col, bucket)``
+where ``bucket = hash(id) % n_buckets``.  Each group is packed
+independently by one task via Arrow-batched ``applyInPandas`` (a single
+O(n) numpy pass over the group's rows — no Python per-row overhead
+beyond the loop, no shuffle beyond the one groupBy).  Choosing
+``n_buckets`` so a group is a few hundred MB keeps every task bounded
+regardless of corpus size; sequences never cross buckets by design
+(equivalent to sharding the corpus before packing, which is exactly
+what production packers do).
+
+The sequential-vs-parallel trade is honest: bin packing across an
+entire 100 TB corpus in one ordered stream is not a thing anyone does —
+real packers shard first, pack within shards.  The bucketing here IS
+that sharding, made explicit and deterministic.
+
+Reference: the reference engine (Flink 1.10) has no packing operator —
+this extends it per the brief's LLM-pipeline mandate, same tier as
+llm/dedup.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", budget: int = 512,
+                            group_col: str = "source",
+                            n_buckets: int = 1) -> DataFrame:
+    """Per-document packing plan: ``(group, bucket, id, n_tok, seq_id,
+    offset)`` where ``seq_id`` counts sequences within the
+    (group, bucket) shard and ``offset`` is the token position of the
+    document inside its sequence.
+
+    Deterministic layout order inside a shard: ``(md5(id), id)`` — the
+    same order both engines (and any rerun) produce.  A document longer
+    than ``budget`` gets a sequence of its own (next-fit overflows it
+    into a fresh sequence; the following document overflows again), so
+    oversized docs are isolated, never silently truncated.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        (F.xxhash64(F.col(id_col).cast("string")) % n_buckets
+         if n_buckets > 1 else F.lit(0)).cast("bigint").alias("bucket"),
+        F.col(id_col).alias("id"),
+        F.size(F.split(text_col, " ")).cast("bigint").alias("n_tok"),
+        F.md5(F.col(id_col).cast("string")).alias("h"))
+
+    schema = ("grp string, bucket bigint, id bigint, n_tok bigint, "
+              "seq_id bigint, offset bigint")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["h", "id"], kind="mergesort")
+        seq_ids, offsets = [], []
+        seq, fill = 0, 0
+        first = True
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if not first and fill + n > budget:
+                seq += 1
+                fill = 0
+            first = False
+            seq_ids.append(seq)
+            offsets.append(fill)
+            fill += n
+        out = pdf[["grp", "bucket", "id", "n_tok"]].copy()
+        out["seq_id"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
+        out["offset"] = pd.Series(offsets, index=pdf.index, dtype="int64")
+        return out
+
+    return toks.groupBy("grp", "bucket").applyInPandas(pack, schema)
+
+
+def packing_stats(plan: DataFrame, budget: int = 512) -> DataFrame:
+    """Fill-ratio report per (group, bucket): sequences, docs, tokens,
+    mean fill ratio (sequence tokens / budget, oversize clipped to the
+    real token count so the ratio can exceed 1 for isolated long docs).
+    Tiny output — one row per shard."""
+    per_seq = (plan.groupBy("grp", "bucket", "seq_id")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tok").alias("seq_tokens")))
+    return (per_seq.groupBy("grp", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_sequences"),
+                 F.sum("n_docs").cast("bigint").alias("n_docs"),
+                 F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+                 F.round(F.avg(F.col("seq_tokens").cast("double")
+                               / F.lit(float(budget))), 6)
+                 .alias("mean_fill_ratio")))

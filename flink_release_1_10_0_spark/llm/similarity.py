@@ -279,3 +279,118 @@ def _kmeans_loop(embeddings: DataFrame, k: int, iterations: int,
                              "s -> s.c)").alias("cvec")))
         cents = cents.localCheckpoint(eager=True)  # cut the iterative lineage
     return assigned, cents
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): split the d-dim space into m
+# orthogonal sub-spaces, train an independent k-entry codebook per
+# sub-space, store each vector as m small codes.  With m=8, k=256 a
+# 64-dim float32 vector (256 B) becomes 8 bytes — the compression layer
+# that turns a 100 TB embedding corpus into an in-memory-scannable one,
+# and the distance path (ADC: one LUT lookup + add per sub-space) that
+# makes exhaustive scans of the compressed corpus feasible.  Composes
+# with IVF (route to a cell, ADC-scan the cell) = classic IVFPQ.
+# --------------------------------------------------------------------------
+
+def pq_train(embeddings: DataFrame, m: int = 4, k: int = 8,
+             iterations: int = 2, dim: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Train the m per-sub-space codebooks: returns (sub, cid, cvec)
+    with ``cvec`` a dim/m-dim centroid.  Each sub-space runs the same
+    deterministic Lloyd loop as :func:`kmeans_fit_predict` (smallest-k
+    ids init, struct-min tie-break, DECIMAL-exact updates) over the
+    vector SLICE, so an unrolled SQL oracle can replay training
+    bit-for-bit.  m broadcast-join Lloyd loops over slim (id, slice)
+    frames — the corpus is scanned once per iteration per sub-space,
+    every pass map-side + one (cid, pos) aggregation."""
+    assert dim % m == 0, "dim must divide evenly into m sub-spaces"
+    sd = dim // m
+    out = None
+    for s in range(m):
+        sub = embeddings.select(
+            id_col, F.expr(f"slice({vec_col}, {s * sd + 1}, {sd})")
+            .alias(vec_col))
+        _, cents = _kmeans_loop(sub, k, iterations, id_col, vec_col)
+        cents = cents.select(F.lit(s).cast("int").alias("sub"), "cid", "cvec")
+        out = cents if out is None else out.unionByName(cents)
+    return out
+
+
+def _pq_cbook_row(codebooks: DataFrame):
+    """Collapse (sub, cid, cvec) to ONE broadcastable row: ``cb`` =
+    sub-indexed array of cid-sorted arrays of struct(cid, cvec)."""
+    return (codebooks.groupBy("sub")
+            .agg(F.expr("array_sort(collect_list(struct(cid, cvec)))")
+                 .alias("cents"))
+            .agg(F.expr("transform(array_sort(collect_list(struct(sub, cents))), "
+                        "s -> s.cents)").alias("cb")))
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame, m: int = 4,
+              dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to its m nearest-sub-centroid codes:
+    (id, codes array<bigint>).  One broadcast of the collapsed codebook
+    row (m*k*dim/m doubles — KBs), then a pure map-side argmin per
+    sub-space; no shuffle, no Python.  Ties break on the smaller cid
+    (array_min over struct(sqdist, cid) — the shared contract)."""
+    sd = dim // m
+    sq = (f"aggregate(zip_with(slice({vec_col}, s * {sd} + 1, {sd}), c.cvec, "
+          "(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
+          "cast(0.0 as double), (acc, v) -> acc + v)")
+    codes = (f"transform(sequence(0, {m - 1}), s -> "
+             f"array_min(transform(element_at(cb, s + 1), c -> "
+             f"named_struct('sqdist', {sq}, 'cid', c.cid))).cid)")
+    return (embeddings.crossJoin(F.broadcast(_pq_cbook_row(codebooks)))
+            .select(id_col, F.expr(codes).alias("codes")))
+
+
+def pq_topk_adc(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+                k: int = 10, m: int = 4, dim: int = 64,
+                id_col: str = "vec_id", query_id_col: str = "q_id",
+                query_vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k: per query, distance to a compressed
+    vector is the sum over sub-spaces of LUT[sub][code] where LUT holds
+    the exact sqdists from the query slice to every sub-centroid —
+    computed ONCE per query (m*k doubles), then each corpus row costs m
+    array lookups + adds.  Plan: broadcast (query × LUT) rows, crossJoin
+    against the codes frame (map-side — no corpus shuffle), then a
+    SALTED two-stage top-k: stage 1 keeps k per (q_id, hash-salt) group
+    (partial, bounded groups), stage 2 merges the n_salts*k survivors
+    per query — never a row_number window that would funnel the whole
+    scored corpus into #queries partitions.  Returns
+    (q_id, vec_id, adc_r, rank).  Ties break on vec_id."""
+    sd = dim // m
+    lutq = (f"aggregate(zip_with(slice(qv, s * {sd} + 1, {sd}), c.cvec, "
+            "(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)")
+    lut = (f"transform(sequence(0, {m - 1}), s -> "
+           f"transform(element_at(cb, s + 1), c -> {lutq}))")
+    qlut = (queries
+            .select(F.col(query_id_col).alias("q_id"),
+                    F.expr(f"transform({query_vec_col}, x -> cast(x as double))")
+                    .alias("qv"))
+            .crossJoin(F.broadcast(_pq_cbook_row(codebooks)))
+            .select("q_id", F.expr(lut).alias("lut")))
+    adc = (f"aggregate(zip_with(lut, codes, (l, cd) -> "
+           f"element_at(l, cast(cd as int) + 1)), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+    scored = (codes.crossJoin(F.broadcast(qlut))
+              .select("q_id", F.col(id_col),
+                      F.expr(adc).alias("adc_dist")))
+    n_salts = 32
+    local = (scored
+             .groupBy("q_id", F.pmod(F.xxhash64(id_col), F.lit(n_salts))
+                      .alias("__salt"))
+             .agg(F.expr(
+                 f"slice(array_sort(collect_list(named_struct("
+                 f"'d', adc_dist, 'i', {id_col}))), 1, {k})").alias("top")))
+    merged = (local.groupBy("q_id")
+              .agg(F.expr(
+                  f"slice(array_sort(flatten(collect_list(top))), 1, {k})")
+                  .alias("top")))
+    return (merged
+            .select("q_id", F.posexplode("top").alias("__p", "__t"))
+            .select("q_id", F.col(f"__t.i").alias(id_col),
+                    F.round("__t.d", 6).alias("adc_r"),
+                    (F.col("__p") + 1).cast("int").alias("rank")))

@@ -341,3 +341,109 @@ def ngram_contamination_bloom(train, eval_df, id_col: str = "doc_id",
     return (hits.groupBy("doc_id")
             .agg(F.countDistinct("gram").alias("n_shared_grams"),
                  F.countDistinct("eval_doc_id").alias("n_eval_docs")))
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+# Models", appendix A1.1) — the canonical pre-training quality filter:
+# per-document boolean rule flags plus the combined keep decision.
+# All pure SQL expressions (codegen'd, map-only, no shuffle): the
+# filter every web-scale pipeline runs BEFORE the expensive dedup
+# stages, so it must be scan-speed.
+# --------------------------------------------------------------------------
+_GOPHER_STOPWORDS = "('the','be','to','of','and','that','have','with','a','in')"
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_len: float = 3.0,
+                         max_mean_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_alpha_ratio: float = 0.8,
+                         min_stopwords: int = 2) -> DataFrame:
+    """Append one boolean column per Gopher rule and ``gopher_keep``
+    (AND of all rules).  Thresholds are parameters — the paper's
+    defaults here; tune per corpus.
+
+    Rules: word count in [min,max]; mean word length in [3,10];
+    symbol-to-word ratio ('#' or ellipsis) <= 0.1; >= 80% of words
+    contain an alphabetic char; >= 2 distinct stopwords present.  The
+    paper's bullet/ellipsis LINE rules are included but degenerate to a
+    single line on corpora without newlines (this one) — kept so the
+    battery is complete on real multi-line text.
+    """
+    w = words_expr(text_col)
+    lines = f"split({text_col}, '\\n')"
+    return (df
+        .withColumn("__w", F.expr(w))
+        .withColumn("rule_word_count", F.expr(
+            f"size(__w) BETWEEN {min_words} AND {max_words}"))
+        .withColumn("rule_mean_word_len", F.expr(
+            "aggregate(__w, 0L, (a, x) -> a + length(x)) "
+            f"/ cast(size(__w) as double) BETWEEN {min_mean_len} AND {max_mean_len}"))
+        .withColumn("rule_symbol_ratio", F.expr(
+            f"(regexp_count({text_col}, '#') "
+            f" + regexp_count({text_col}, '\\\\.\\\\.\\\\.')) "
+            f"/ cast(size(__w) as double) <= {max_symbol_ratio}"))
+        .withColumn("rule_bullet_lines", F.expr(
+            f"size(filter({lines}, l -> l rlike '^\\\\s*[-*\\u2022]')) "
+            f"/ cast(size({lines}) as double) <= 0.9"))
+        .withColumn("rule_ellipsis_lines", F.expr(
+            f"size(filter({lines}, l -> l rlike '\\\\.\\\\.\\\\.$')) "
+            f"/ cast(size({lines}) as double) <= 0.3"))
+        .withColumn("rule_alpha_words", F.expr(
+            "size(filter(__w, x -> x rlike '[a-z]')) "
+            f"/ cast(size(__w) as double) >= {min_alpha_ratio}"))
+        .withColumn("rule_stopwords", F.expr(
+            f"size(array_intersect(array_distinct(__w), "
+            f"array{_GOPHER_STOPWORDS})) >= {min_stopwords}"))
+        .withColumn("gopher_keep", F.expr(
+            "rule_word_count AND rule_mean_word_len AND rule_symbol_ratio "
+            "AND rule_bullet_lines AND rule_ellipsis_lines "
+            "AND rule_alpha_words AND rule_stopwords"))
+        .drop("__w"))
+
+
+def sample_temperature(df: DataFrame, id_col: str, strata_col: str,
+                       alpha: float = 0.5,
+                       target_total: int | None = None) -> DataFrame:
+    """Temperature-flattened mixture resampling (the multilingual /
+    multi-domain rebalance from GPT-3 / XLM-R: sample domain s with
+    probability proportional to count(s)**alpha).  alpha=1 keeps the
+    natural mixture, alpha=0 makes it uniform; 0.3-0.7 is the usual
+    flattening band.
+
+    Deterministic: per-stratum keep rates become integer
+    parts-per-million thresholds against the md5 hash of the id (same
+    modulus family as :func:`sample_by_hash`), so the sample is
+    reproducible across engines and runs.  Rates are derived with
+    order-independent arithmetic (sqrt/pow rounded to 6 dp, then
+    DECIMAL-summed) so the plan is stable under shuffle order.
+
+    Scale: one count aggregate, one broadcast join of the tiny rate
+    table, one map-side filter — no other shuffle.  Downsampling only
+    (rate caps at 1.0): upsampling duplicates belong in the data
+    loader, not the corpus.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("__s")) \
+               .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    # w_s = round(c^alpha, 6) summed exactly -> total weight T; the
+    # rounding makes every later double op bit-identical cross-engine
+    wts = counts.withColumn("__wt", F.round(F.pow(F.col("__c").cast("double"),
+                                                  F.lit(float(alpha))), 6))
+    tot = wts.agg(
+        F.sum(F.col("__wt").cast("decimal(28,12)")).cast("double").alias("__T"),
+        F.sum("__c").cast("bigint").alias("__N"))
+    n_target = (F.lit(int(target_total)).cast("bigint") if target_total
+                else F.col("__N"))
+    rates = (wts.crossJoin(F.broadcast(tot))
+             .withColumn("rate_ppm", F.least(
+                 F.lit(1_000_000).cast("bigint"),
+                 F.floor(F.lit(1e6) * F.col("__wt") * n_target
+                         / (F.col("__T") * F.col("__c"))).cast("bigint")))
+             .select("__s", "rate_ppm"))
+    h = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16, 10).cast("bigint") % 1_000_000)
+    return (df.join(F.broadcast(rates), df[strata_col] == F.col("__s"))
+            .filter(h < F.col("rate_ppm"))
+            .drop("__s"))

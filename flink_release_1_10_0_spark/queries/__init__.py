@@ -130,7 +130,7 @@ def _load() -> None:
     # import for registration side effects
     from flink_release_1_10_0_spark.queries import (  # noqa: F401
         tpch, tpch_full, relational, windows, temporal, llm, streaming,  # noqa
-        extended, cep_nfa, tpcds, tpcds2, llm2, stateproc, mlpipe,  # noqa
+        extended, cep_nfa, tpcds, tpcds2, llm2, stateproc, mlpipe, llm3,  # noqa
     )
     order = {m: i for i, m in enumerate(_FAMILY_ORDER)}
     pin = {n: i for i, n in enumerate(_PIN)}
