@@ -394,3 +394,39 @@ def pq_topk_adc(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
             .select("q_id", F.col(f"__t.i").alias(id_col),
                     F.round("__t.d", 6).alias("adc_r"),
                     (F.col("__p") + 1).cast("int").alias("rank")))
+
+
+def exact_l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_id_col: str = "q_id",
+                  query_vec_col: str = "embedding") -> DataFrame:
+    """Exact squared-L2 top-k per query — the recall yardstick for the
+    compressed paths (PQ/int8/IVF).  Same plan shape as
+    :func:`pq_topk_adc`: broadcast the query rows, map-side distance,
+    salted two-stage top-k (no global window).  Returns
+    (q_id, vec_id, dist_r, rank); ties break on vec_id."""
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.expr(f"transform({query_vec_col}, x -> cast(x as double))")
+        .alias("qv"))
+    sq = (f"aggregate(zip_with({vec_col}, qv, (x, y) -> "
+          "(cast(x as double) - y) * (cast(x as double) - y)), "
+          "cast(0.0 as double), (acc, v) -> acc + v)")
+    scored = (embeddings.crossJoin(F.broadcast(q))
+              .select("q_id", F.col(id_col), F.expr(sq).alias("dist")))
+    n_salts = 32
+    local = (scored
+             .groupBy("q_id", F.pmod(F.xxhash64(id_col), F.lit(n_salts))
+                      .alias("__salt"))
+             .agg(F.expr(
+                 f"slice(array_sort(collect_list(named_struct("
+                 f"'d', dist, 'i', {id_col}))), 1, {k})").alias("top")))
+    merged = (local.groupBy("q_id")
+              .agg(F.expr(
+                  f"slice(array_sort(flatten(collect_list(top))), 1, {k})")
+                  .alias("top")))
+    return (merged
+            .select("q_id", F.posexplode("top").alias("__p", "__t"))
+            .select("q_id", F.col("__t.i").alias(id_col),
+                    F.round("__t.d", 6).alias("dist_r"),
+                    (F.col("__p") + 1).cast("int").alias("rank")))

@@ -224,3 +224,161 @@ def sample_temperature_mixture(spark, sf_dir):
             .select("source", "n_orig", "rate_ppm",
                     F.coalesce("n_sampled", F.lit(0)).cast("bigint")
                     .alias("n_sampled")))
+
+
+# --------------------------------------------------------------------------
+# Product quantization: m=4 sub-spaces of 16 dims, k=8 codes, 2 Lloyd
+# iterations per sub-space.  The oracle unrolls each sub-space's
+# training exactly like the ``similarity_kmeans_fit`` oracle (same
+# init / tie-break / DECIMAL-update conventions), generated
+# programmatically below; an extra assignment pass against the final
+# codebook is the encode step.
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_SD, _PQ_ITERS = 4, 8, 16, 2
+
+
+def _pq_sub_ctes(s: int) -> tuple[str, str, str]:
+    """CTE block for sub-space ``s``: training unroll + the encode
+    assignment.  Returns (cte_sql, final_cents_name, encode_asg_name)."""
+    a, b = s * _PQ_SD + 1, s * _PQ_SD + _PQ_SD
+    rng = f"range(1, {_PQ_SD + 1})"
+    ctes = f"""sub{s} AS (
+  SELECT vec_id, list_transform(embedding[{a}:{b}], x -> CAST(x AS DOUBLE)) AS sv
+  FROM embeddings
+), init{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+         sv AS cvec
+  FROM (SELECT vec_id, sv FROM sub{s} ORDER BY vec_id LIMIT {_PQ_K}) q
+)"""
+    prev = f"init{s}"
+    for i in range(_PQ_ITERS + 1):  # last pass = encode (no update after)
+        sq = (f"list_sum(list_transform({rng}, i -> "
+              f"(e.sv[i] - c.cvec[i]) * (e.sv[i] - c.cvec[i])))")
+        ctes += f""", asg{s}_{i} AS (
+  SELECT vec_id, sv, cid, sqdist FROM (
+    SELECT e.vec_id, e.sv, c.cid, {sq} AS sqdist,
+           min(struct_pack(s := {sq}, c := c.cid))
+             OVER (PARTITION BY e.vec_id) AS b
+    FROM sub{s} e CROSS JOIN {prev} c)
+  WHERE sqdist = b.s AND cid = b.c
+)"""
+        if i < _PQ_ITERS:
+            ctes += f""", upd{s}_{i} AS (
+  SELECT cid, pos, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS c
+  FROM (SELECT cid, generate_subscripts(sv, 1) AS pos,
+               unnest(sv) AS v FROM asg{s}_{i}) x
+  GROUP BY cid, pos
+), cents{s}_{i} AS (
+  SELECT cid, list(c ORDER BY pos) AS cvec FROM upd{s}_{i} GROUP BY cid
+)"""
+            prev = f"cents{s}_{i}"
+    return ctes, prev, f"asg{s}_{_PQ_ITERS}"
+
+
+_PQ_BLOCKS = [_pq_sub_ctes(s) for s in range(_PQ_M)]
+_PQ_ALL_CTES = ",\n".join(b[0] for b in _PQ_BLOCKS)
+
+_PQ_CODEBOOK_ORACLE = "WITH " + _PQ_ALL_CTES + "\n" + "\nUNION ALL\n".join(
+    f"""SELECT CAST({s} AS INTEGER) AS sub, cid,
+       CAST(pos - 1 AS INTEGER) AS pos, round(c, 6) AS c_r
+FROM upd{s}_{_PQ_ITERS - 1}"""
+    for s in range(_PQ_M))
+
+
+@register("similarity_pq_codebook", _PQ_CODEBOOK_ORACLE)
+def similarity_pq_codebook(spark, sf_dir):
+    cb = S.pq_train(t(spark, sf_dir, "embeddings"),
+                    m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
+    return cb.select("sub", "cid",
+                     F.posexplode("cvec").alias("pos", "c")) \
+             .select("sub", "cid", F.col("pos").cast("int").alias("pos"),
+                     F.round("c", 6).alias("c_r"))
+
+
+_PQ_ENCODE_ORACLE = "WITH " + _PQ_ALL_CTES + """
+, enc AS (
+""" + "\nUNION ALL\n".join(
+    f"  SELECT CAST({s} AS INTEGER) AS sub, cid AS code FROM {_PQ_BLOCKS[s][2]}"
+    for s in range(_PQ_M)) + """
+)
+SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM enc GROUP BY sub, code
+"""
+
+
+@register("similarity_pq_encode_hist", _PQ_ENCODE_ORACLE)
+def similarity_pq_encode_hist(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(emb, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
+    codes = S.pq_encode(emb, cb, m=_PQ_M)
+    return (codes.select(F.posexplode("codes").alias("sub", "code"))
+            .groupBy(F.col("sub").cast("int").alias("sub"), "code")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs")))
+
+
+# ADC top-10 vs exact L2 top-10 recall for the 3 smallest query ids.
+# The per-(query, vector) ADC distance is the explicit 4-term sum
+# d0+d1+d2+d3 (left-to-right, same fold order as the Spark aggregate).
+_PQ_SUBDISTS = ",\n".join(
+    f"""d{s} AS (
+  SELECT q.vec_id AS q_id, a.vec_id,
+         list_sum(list_transform(range(1, {_PQ_SD + 1}), i ->
+           (q.sv[i] - c.cvec[i]) * (q.sv[i] - c.cvec[i]))) AS d
+  FROM {_PQ_BLOCKS[s][2]} a
+  JOIN {_PQ_BLOCKS[s][1]} c ON a.cid = c.cid
+  CROSS JOIN (SELECT vec_id, sv FROM sub{s} WHERE vec_id < 3) q
+)""" for s in range(_PQ_M))
+
+_PQ_RECALL_ORACLE = ("WITH " + _PQ_ALL_CTES + ",\n" + _PQ_SUBDISTS + """
+, adc AS (
+  SELECT d0.q_id, d0.vec_id, d0.d + d1.d + d2.d + d3.d AS dist
+  FROM d0 JOIN d1 ON d0.q_id = d1.q_id AND d0.vec_id = d1.vec_id
+          JOIN d2 ON d0.q_id = d2.q_id AND d0.vec_id = d2.vec_id
+          JOIN d3 ON d0.q_id = d3.q_id AND d0.vec_id = d3.vec_id
+), adc_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+    FROM adc) WHERE rn <= 10
+), exact AS (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         list_sum(list_transform(range(1, 65), i ->
+           (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+           * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)))) AS dist
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+), exact_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+    FROM exact) WHERE rn <= 10
+)
+SELECT a.q_id, CAST(COUNT(x.vec_id) AS BIGINT) AS n_overlap,
+       round(COUNT(x.vec_id) / 10.0, 6) AS recall_r
+FROM adc_top a LEFT JOIN exact_top x
+  ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+GROUP BY a.q_id
+""")
+
+
+@register("similarity_pq_topk_recall", _PQ_RECALL_ORACLE)
+def similarity_pq_topk_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(emb, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
+    codes = S.pq_encode(emb, cb, m=_PQ_M)
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("q_id"),
+                                        "embedding")
+    adc = S.pq_topk_adc(codes, cb, q, k=10, m=_PQ_M)
+    exact = S.exact_l2_topk(emb, q, k=10)
+    overlap = (adc.select("q_id", "vec_id")
+               .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"]))
+    hits = overlap.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    return (adc.select("q_id").distinct()
+            .join(hits, "q_id", "left")
+            .select("q_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                    .alias("n_overlap"))
+            .withColumn("recall_r",
+                        F.round(F.col("n_overlap") / F.lit(10.0), 6)))
