@@ -63,11 +63,17 @@ _LOADED = False
 # round.  The next tier is the r3-era block (streaming/CEP/graph/LLM),
 # then everything newer.
 _PIN = [
-    # ---- no driver evidence yet (new this round) ----
+    # ---- no driver evidence yet: 5 from the r8 closing work + 7 new
+    #      wave-3 ops (packing / gopher / temperature / PQ) ----
     "ml_pipeline_json_roundtrip", "stream_cep_timer_flush_silent_keys",
     "dedup_semantic_pairs", "dedup_semantic_survivors",
     "dedup_scrub_duplicate_spans",
-    # ---- r1-era evidence: the relational + TPC-H core (49) ----
+    "pack_sequences_next_fit", "pack_sequences_fill_stats",
+    "text_gopher_quality", "sample_temperature_mixture",
+    "similarity_pq_codebook", "similarity_pq_encode_hist",
+    "similarity_pq_topk_recall",
+    # ---- r1-era evidence: the relational + TPC-H core (38 fit in the
+    #      50-window after the 12 unevidenced names) ----
     "agg_count_distinct", "agg_cube", "agg_first_last_value",
     "agg_grouping_sets", "agg_listagg_sorted", "agg_min_max_sumsq",
     "agg_rollup", "calc_project_filter", "join_anti_not_exists", "join_cross",
@@ -82,13 +88,12 @@ _PIN = [
     "tpch_q17_small_quantity", "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue", "tpch_q1_pricing_summary",
     "tpch_q20_part_promotion", "tpch_q21_waiting_orders",
+    # ---- 50-window boundary: these 11 r1-era names overflow to
+    #      positions 51-61 and lead the NEXT rotation ----
     "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    # ---- 50-window boundary is 4 entries above this line (4 new +
-    #      46 r1-era fit); these 3 r1-era names overflow to 51-53 and
-    #      lead the NEXT rotation ----
     "tpch_q9_product_profit", "unnest_explode_words", "values_literal",
     # ---- r3-era evidence next (streaming / CEP / graph / LLM
     #      foundations) so a wider driver window, or next round's
