@@ -62,6 +62,11 @@ HEADLINE = [
     # round-11 addition: SemDeDup (cluster-pruned semantic dedup) — the
     # k-means fit + cid-keyed pair join; k is the pair-space lever
     "dedup_semantic_pairs",
+    # round-12 additions: next-fit sequence packing (the Arrow-stateful
+    # per-shard pass) and PQ ADC search (4x sub-space Lloyd + encode +
+    # salted two-stage top-k) — the two new wave-3 hot paths
+    "pack_sequences_next_fit",
+    "similarity_pq_topk_recall",
 ]
 
 

@@ -430,3 +430,44 @@ def exact_l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .select("q_id", F.col("__t.i").alias(id_col),
                     F.round("__t.d", 6).alias("dist_r"),
                     (F.col("__p") + 1).cast("int").alias("rank")))
+
+
+def ivfpq_topk(embeddings: DataFrame, codes: DataFrame,
+               codebooks: DataFrame, query: DataFrame, k: int = 5,
+               m: int = 4, dim: int = 64, id_col: str = "vec_id",
+               label_col: str = "label", vec_col: str = "embedding",
+               query_id_col: str = "q_id") -> DataFrame:
+    """IVF routing + PQ-ADC scan inside the routed cell — the classic
+    IVFPQ layout (non-residual variant: the PQ codebooks are trained on
+    the raw vectors, so the same codes serve both full-corpus and
+    per-cell search).  At 100 TB: the cell filter reaches a
+    cell-partitioned index as partition pruning (see ivf_build_index),
+    the ADC scan touches only the routed cell's codes (8-byte rows, not
+    raw vectors), and the codebook broadcast is KBs.  Returns
+    (q_id, vec_id, adc_r, rank) within the cell."""
+    cents = label_centroids(embeddings, label_col, vec_col)
+    cent_vecs = (cents.groupBy(label_col)
+                 .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+                      .alias("cvec"))
+                 .withColumnRenamed(label_col, "c_label"))
+    q = query.select(F.col(query_id_col).alias("q_id"),
+                     F.expr(f"transform({vec_col}, x -> cast(x as double))")
+                     .alias("qv"))
+    qdist = F.expr(
+        "round(sqrt(aggregate(zip_with(qv, cvec, "
+        "(x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)), 6)")
+    routed = (q.crossJoin(F.broadcast(cent_vecs))
+              .select("q_id", "qv", "c_label", qdist.alias("qd"))
+              .orderBy(F.asc("qd"), F.asc("c_label"))
+              .limit(1)
+              .select("q_id", "qv", F.col("c_label").alias("cell")))
+    cell_codes = (codes
+                  .join(embeddings.select(id_col, label_col), id_col)
+                  .join(F.broadcast(routed.select("cell")),
+                        F.col(label_col) == F.col("cell"))
+                  .select(id_col, "codes"))
+    return pq_topk_adc(cell_codes, codebooks,
+                       routed.select("q_id", F.col("qv").alias("embedding")),
+                       k=k, m=m, dim=dim, id_col=id_col,
+                       query_vec_col="embedding")

@@ -382,3 +382,68 @@ def similarity_pq_topk_recall(spark, sf_dir):
                     .alias("n_overlap"))
             .withColumn("recall_r",
                         F.round(F.col("n_overlap") / F.lit(10.0), 6)))
+
+
+# --------------------------------------------------------------------------
+# IVFPQ: route the query to its nearest label-centroid cell, ADC-scan
+# only that cell's codes.  Non-residual variant (codebooks trained on
+# raw vectors) so the training CTEs are shared with the PQ queries.
+# --------------------------------------------------------------------------
+_IVFPQ_ROUTE = """
+, ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                unnest(embedding) AS v
+         FROM embeddings),
+cent AS (SELECT label, pos,
+                CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+         FROM ex GROUP BY label, pos),
+cvec AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv
+         FROM cent GROUP BY label),
+qv AS (SELECT vec_id AS q_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       FROM embeddings WHERE vec_id = 1),
+routed AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, CAST(c_label AS BIGINT) AS cell,
+           round(sqrt(list_sum(list_transform(range(1, 65), i ->
+             (q.qv[i] - cv[i]) * (q.qv[i] - cv[i])))), 6) AS qd
+    FROM cvec CROSS JOIN qv q) s
+  ORDER BY qd, cell LIMIT 1),
+cell_ids AS (
+  SELECT e.vec_id FROM embeddings e JOIN routed r ON e.label = r.cell)
+"""
+
+_IVFPQ_SUBDISTS = ",\n".join(
+    f"""pd{s} AS (
+  SELECT q.vec_id AS q_id, a.vec_id,
+         list_sum(list_transform(range(1, {_PQ_SD + 1}), i ->
+           (q.sv[i] - c.cvec[i]) * (q.sv[i] - c.cvec[i]))) AS d
+  FROM {_PQ_BLOCKS[s][2]} a
+  JOIN cell_ids ci ON a.vec_id = ci.vec_id
+  JOIN {_PQ_BLOCKS[s][1]} c ON a.cid = c.cid
+  CROSS JOIN (SELECT vec_id, sv FROM sub{s} WHERE vec_id = 1) q
+)""" for s in range(_PQ_M))
+
+_IVFPQ_ORACLE = ("WITH " + _PQ_ALL_CTES + _IVFPQ_ROUTE + ",\n"
+                 + _IVFPQ_SUBDISTS + """
+, adc AS (
+  SELECT pd0.q_id, pd0.vec_id, pd0.d + pd1.d + pd2.d + pd3.d AS dist
+  FROM pd0 JOIN pd1 ON pd0.q_id = pd1.q_id AND pd0.vec_id = pd1.vec_id
+           JOIN pd2 ON pd0.q_id = pd2.q_id AND pd0.vec_id = pd2.vec_id
+           JOIN pd3 ON pd0.q_id = pd3.q_id AND pd0.vec_id = pd3.vec_id
+)
+SELECT q_id, vec_id, round(dist, 6) AS adc_r, CAST(rn AS INTEGER) AS rank
+FROM (SELECT q_id, vec_id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+      FROM adc)
+WHERE rn <= 5
+""")
+
+
+@register("similarity_ivfpq_topk", _IVFPQ_ORACLE)
+def similarity_ivfpq_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(emb, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
+    codes = S.pq_encode(emb, cb, m=_PQ_M)
+    q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"),
+                                        "embedding")
+    return S.ivfpq_topk(emb, codes, cb, q, k=5, m=_PQ_M)

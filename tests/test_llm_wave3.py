@@ -13,7 +13,7 @@ WAVE3 = [
     "pack_sequences_next_fit", "pack_sequences_fill_stats",
     "text_gopher_quality", "sample_temperature_mixture",
     "similarity_pq_codebook", "similarity_pq_encode_hist",
-    "similarity_pq_topk_recall",
+    "similarity_pq_topk_recall", "similarity_ivfpq_topk",
 ]
 
 
