@@ -447,3 +447,72 @@ def similarity_ivfpq_topk(spark, sf_dir):
     q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"),
                                         "embedding")
     return S.ivfpq_topk(emb, codes, cb, q, k=5, m=_PQ_M)
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity proxy (the KenLM-style quality lever): train
+# add-1-smoothed bigram conditionals on the corpus itself, score every
+# document by avg -ln p(w2|w1) and its exp (perplexity).  High-ppl docs
+# are the incoherent tail every pretraining pipeline trims; the unigram
+# variant exists as text_unigram_logprob — the bigram model adds local
+# word-order sensitivity.  Plan: two token shuffles (bigram + context
+# counts, both uniform keys), one broadcast of the scalar (V), pure SQL.
+# --------------------------------------------------------------------------
+_BIGRAM_PPL_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+           x -> x <> '') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS b
+  FROM w WHERE len(ws) >= 2
+), bge AS (
+  SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bge GROUP BY w1, w2
+), tok AS (
+  SELECT unnest(ws) AS w FROM w
+), c1 AS (
+  SELECT w AS w1, COUNT(*) AS c1 FROM tok GROUP BY w
+), v AS (
+  SELECT COUNT(*) AS v FROM c1
+)
+SELECT bge.doc_id,
+       COUNT(*) AS n_bigrams,
+       round(AVG(ln(CAST(c1.c1 + v.v AS DOUBLE))
+                 - ln(CAST(c2.c2 + 1 AS DOUBLE))), 6) AS avg_neg_logprob,
+       round(exp(AVG(ln(CAST(c1.c1 + v.v AS DOUBLE))
+                     - ln(CAST(c2.c2 + 1 AS DOUBLE)))), 6) AS perplexity
+FROM bge
+JOIN c2 ON bge.w1 = c2.w1 AND bge.w2 = c2.w2
+JOIN c1 ON bge.w1 = c1.w1
+CROSS JOIN v
+GROUP BY bge.doc_id
+"""
+
+
+@register("text_bigram_perplexity", _BIGRAM_PPL_ORACLE)
+def text_bigram_perplexity(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import words_expr
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.expr(words_expr("text")).alias("ws"))
+    bge = (w.filter("size(ws) >= 2")
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(0, size(ws) - 2), i -> "
+               "named_struct('w1', element_at(ws, i + 1), "
+               "'w2', element_at(ws, i + 2)))")).alias("b"))
+           .select("doc_id", F.col("b.w1").alias("w1"),
+                   F.col("b.w2").alias("w2")))
+    c2 = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    tok = w.select(F.explode("ws").alias("w1"))
+    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.groupBy().agg(F.count(F.lit(1)).alias("v"))
+    nlp = (F.log((F.col("c1") + F.col("v")).cast("double"))
+           - F.log((F.col("c2") + 1).cast("double")))
+    return (bge.join(c2, ["w1", "w2"]).join(c1, "w1")
+            .crossJoin(F.broadcast(v))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(nlp), 6).alias("avg_neg_logprob"),
+                 F.round(F.exp(F.avg(nlp)), 6).alias("perplexity")))
