@@ -471,3 +471,63 @@ def test_state_processor_savepoint_scan_is_pruned(spark):
     plan = lo._jdf.queryExecution().executedPlan().toString()
     # partition filters on the key-group column, no post-scan Filter node
     assert "__key_group" in plan and "PartitionFilters" in plan
+
+
+def test_pack_next_fit_single_shuffle_arrow(spark):
+    """The packer is ONE groupBy shuffle into an Arrow-batched pandas
+    stage: no extra exchange, no row-at-a-time Python, and the text
+    column never reaches the shuffle (token counts are computed
+    map-side before the exchange)."""
+    plan = plan_of(spark, "pack_sequences_next_fit")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one exchange feeds the pandas stage (AQE may add a final
+    # read, so count the shuffle writes)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # projection pruning: the shuffled row is (grp,bucket,id,n_tok,h) —
+    # the raw text column exists only BELOW the exchange (map side); the
+    # post-shuffle operators (printed above it) never carry it
+    assert "text#" not in plan.split("Exchange hashpartitioning")[0]
+
+
+def test_pq_encode_is_map_only_broadcast(spark):
+    """PQ encode = broadcast codebook + per-row argmin: no Python, and
+    the corpus is never shuffled (the only exchanges build the tiny
+    codebook aggregate)."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm import similarity as S
+
+    emb = load(spark, SF, "embeddings")
+    cb = S.pq_train(emb, m=4, k=8, iterations=2)
+    codes = S.pq_encode(emb, cb, m=4)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_topk_no_global_window(spark):
+    """The ADC top-k must use the salted two-stage aggregation — never a
+    row_number window that funnels the scored corpus into #queries
+    partitions, and never a cartesian product."""
+    plan = plan_of(spark, "similarity_pq_topk_recall")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_sampling_broadcasts_rates(spark):
+    """The per-stratum rate table joins in as a broadcast (it is
+    #strata rows); the corpus is filtered map-side, not shuffled."""
+    plan = plan_of(spark, "sample_temperature_mixture")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_battery_is_pure_scan(spark):
+    """The rule battery is a map-only projection over the scan: no
+    exchange before the flags are computed, no Python anywhere."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.text import gopher_quality_flags
+
+    flagged = gopher_quality_flags(load(spark, SF, "documents"))
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
