@@ -105,3 +105,27 @@ def packing_stats(plan: DataFrame, budget: int = 512) -> DataFrame:
                  F.round(F.avg(F.col("seq_tokens").cast("double")
                                / F.lit(float(budget))), 6)
                  .alias("mean_fill_ratio")))
+
+
+def materialize_sequences(plan: DataFrame, docs: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          sep: str = "<|eos|>") -> DataFrame:
+    """Assemble the physical training sequences from a packing plan:
+    one row per (grp, bucket, seq_id) with the member documents'
+    texts concatenated in offset order, separated by ``sep`` (the EOS
+    marker a tokenizer would insert at document boundaries).
+
+    Plan: join the plan to the docs on id (both sides hash-shuffled on
+    the uniform id key), then ONE aggregation keyed on the sequence —
+    sort_array over collect_list(struct(offset, text)) reassembles
+    order without a window.  Output is one row per sequence, the shard
+    a writer would emit."""
+    joined = (plan.join(docs.select(F.col(id_col).alias("id"), text_col),
+                        "id")
+              .select("grp", "bucket", "seq_id", "offset", text_col))
+    return (joined.groupBy("grp", "bucket", "seq_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.expr(
+                     f"concat_ws('{sep}', transform(array_sort("
+                     f"collect_list(struct(offset, {text_col}))), "
+                     "s -> s.text))").alias("seq_text")))

@@ -516,3 +516,49 @@ def text_bigram_perplexity(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(F.avg(nlp), 6).alias("avg_neg_logprob"),
                  F.round(F.exp(F.avg(nlp)), 6).alias("perplexity")))
+
+
+# Materialized sequences: the writer-side of the packing plan.  Output
+# hashes the concatenated text (md5) so the oracle compares full
+# sequence CONTENT without shipping megabyte strings through the
+# comparator.
+_PACK_MATERIALIZE_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT source AS grp, CAST(0 AS BIGINT) AS bucket, doc_id AS id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), ord AS (
+  SELECT grp, bucket, id, n_tok,
+         row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn
+  FROM tok
+), pack AS (
+  SELECT grp, bucket, id, n_tok, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+         n_tok AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.bucket, o.id, o.n_tok, o.rn,
+         CASE WHEN p.fill + o.n_tok > {_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + o.n_tok > {_BUDGET}
+              THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         CASE WHEN p.fill + o.n_tok > {_BUDGET}
+              THEN o.n_tok ELSE p.fill + o.n_tok END
+  FROM pack p JOIN ord o ON o.grp = p.grp AND o.rn = p.rn + 1
+)
+SELECT p.grp, p.bucket, p.seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       md5(string_agg(d.text, '<|eos|>' ORDER BY p.seq_offset)) AS seq_md5
+FROM pack p JOIN documents d ON p.id = d.doc_id
+GROUP BY p.grp, p.bucket, p.seq_id
+"""
+
+
+@register("pack_sequences_materialize", _PACK_MATERIALIZE_ORACLE)
+def pack_sequences_materialize(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    plan = P.pack_sequences_next_fit(docs, budget=_BUDGET)
+    seqs = P.materialize_sequences(plan, docs)
+    return seqs.select("grp", "bucket", "seq_id", "n_docs",
+                       F.md5("seq_text").alias("seq_md5"))

@@ -14,7 +14,7 @@ WAVE3 = [
     "text_gopher_quality", "sample_temperature_mixture",
     "similarity_pq_codebook", "similarity_pq_encode_hist",
     "similarity_pq_topk_recall", "similarity_ivfpq_topk",
-    "text_bigram_perplexity",
+    "text_bigram_perplexity", "pack_sequences_materialize",
 ]
 
 

@@ -106,6 +106,22 @@ HEADS = [
     # anti-join — everything linear in corpus size
     ("dedup_scrub_duplicate_spans",
      "linear (gram groupBy + bounded coverage explode + anti-join)"),
+    # round-12 additions (wave-3 LLM ops): the packer is one shuffle +
+    # an O(n) per-shard Arrow pass (sequential within a shard —
+    # n_buckets is the parallelism lever at real scale); gopher is a
+    # pure scan; temperature sampling is a count agg + broadcast
+    # map-side filter; PQ is fixed k/m/iterations so train+encode+ADC
+    # are all linear corpus scans; bigram ppl is two uniform-key
+    # token shuffles
+    ("pack_sequences_next_fit",
+     "linear (one shuffle + O(n) per-shard Arrow pass)"),
+    ("text_gopher_quality", "linear (map-only scan)"),
+    ("sample_temperature_mixture",
+     "linear (count agg + broadcast ppm filter)"),
+    ("similarity_pq_topk_recall",
+     "linear (fixed k/m/iters; train/encode/ADC all single-pass scans)"),
+    ("text_bigram_perplexity",
+     "linear (two uniform-key token shuffles + broadcast V)"),
 ]
 
 
@@ -159,6 +175,15 @@ HEADS_100X = {
         "linear: key-group savepoint + keyed merge, 100x keys",
     "flink_sql_temporal_table_function":
         "n log n per currency partition (7 keys, skew-bound as-of sort)",
+    # round-12 additions: the packer's sequential-within-shard risk at
+    # 100x corpus (5 sources x ~50k docs/shard at n_buckets=1 — the
+    # single-task O(n) pandas pass must stay linear, and n_buckets is
+    # the documented lever beyond that); PQ's Lloyd loops + ADC scan
+    # over 100x embeddings (fixed k/m/iterations -> linear scans)
+    "pack_sequences_next_fit":
+        "linear: O(n) per-shard pass; n_buckets is the parallel lever",
+    "similarity_pq_topk_recall":
+        "linear: fixed k/m/iters scans over 100x vectors",
 }
 
 
@@ -187,6 +212,20 @@ def build_sf10(spark, base: str) -> str:
        .drop("copy")
        .repartition(32)
        .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+
+    # embeddings 100x: per-(copy, position) deterministic sign flips —
+    # same construction (and same linear-regime argument) as the sf1
+    # build above
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    flip = ("zip_with(embedding, sequence(0, size(embedding) - 1), "
+            "(x, i) -> CASE WHEN pmod((copy * 64 + i) * 40503L, 65536) "
+            "< 32768 THEN x ELSE -x END)")
+    (emb.crossJoin(copies)
+       .withColumn("vec_id", F.col("vec_id") + F.col("copy") * OFF)
+       .withColumn("embedding", F.expr(flip))
+       .drop("copy")
+       .repartition(32)
+       .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
     return out
 
 
