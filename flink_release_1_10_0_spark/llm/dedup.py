@@ -63,11 +63,42 @@ def _salted_hash(i: int, method: str) -> str:
 # and the PERSISTED index (minhash_index): the index outlives the code
 # that wrote it, so a formula change here is a declared index-format
 # change, never a silent drift between writer and reader.
+#
+# md5-path format v2 (round 12): ONE md5 digest per word, split into
+# (h1 = 60-bit, h2 = 56-bit), permutations derived as the universal
+# hash h_i(w) = (h1 + i*h2) mod (2^61-1) — the datasketch construction
+# (one strong base hash, k affine permutations; Kirsch-Mitzenmacher
+# shows two-hash derivation preserves the collision bounds LSH needs).
+# v1 computed k independent salted digests: 8x the md5 work for no
+# recall difference after the exact-Jaccard verify stage.  Indexes
+# written under v1 must be rebuilt (declared format change).  No
+# overflow anywhere: h1 + 7*h2 < 2^60 + 2^59 << 2^63 on both engines.
+_MERSENNE61 = (1 << 61) - 1
+
+#: per-word base-hash array over ``ws`` (md5 path): array<struct<h1,h2>>
+_HWS_EXPR = ("transform(ws, w -> named_struct("
+             "'h1', cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint), "
+             "'h2', cast(conv(substr(md5(w), 17, 14), 16, 10) as bigint)))")
+
 
 def _sig_exprs(k: int, method: str) -> list[str]:
-    """k MinHash signature expressions over a distinct-word array ``ws``."""
-    return [f"array_min(transform(ws, w -> {_salted_hash(i, method)}))"
+    """k MinHash signature expressions; the xxhash64 path reads the
+    distinct-word array ``ws``, the md5 path reads the precomputed
+    base-hash array ``hws`` (= ``_HWS_EXPR`` over ws, materialized once
+    so the digest runs once per word, not once per permutation)."""
+    if method == "xxhash64":
+        return [f"array_min(transform(ws, w -> {_salted_hash(i, method)}))"
+                for i in range(k)]
+    return [f"array_min(transform(hws, h -> "
+            f"(h.h1 + {i}L * h.h2) % {_MERSENNE61}L))"
             for i in range(k)]
+
+
+def _with_hws(df: DataFrame, method: str) -> DataFrame:
+    """Attach the md5-path base-hash column (no-op for xxhash64)."""
+    if method == "xxhash64":
+        return df
+    return df.withColumn("hws", F.expr(_HWS_EXPR))
 
 
 def _band_key_exprs(k: int, band_rows: int, method: str) -> list[str]:
@@ -90,8 +121,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
     ``h_i(w) = hash64(i, w)``.  ``method='md5'`` is engine-portable
     (oracle-checkable); ``method='xxhash64'`` is the JVM-native
     production path (~2× on the signature stage — k hashes per word).
-    Returns id + m0..m{k-1} BIGINT columns."""
+    Returns id + m0..m{k-1} BIGINT columns.  The md5 path digests each
+    word ONCE and derives the k permutations arithmetically (format v2
+    — see _MERSENNE61)."""
     d = with_words(df, text_col).withColumn("ws", F.expr("array_distinct(words)"))
+    d = _with_hws(d, method)
     sig_cols = [F.expr(e).alias(f"m{i}")
                 for i, e in enumerate(_sig_exprs(k, method))]
     return d.select(F.col(id_col), *sig_cols)
@@ -161,7 +195,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
     sig_cols = [F.expr(e).alias(f"m{i}")
                 for i, e in enumerate(_sig_exprs(k, method))]
-    sigs = uniq.select("fp", *sig_cols)
+    sigs = _with_hws(uniq, method).select("fp", *sig_cols)
 
     keyed = sigs.select(
         "fp", *[F.expr(kx).alias(f"bk{b}")
@@ -295,6 +329,7 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
     """
     d = (with_words(df, text_col)
          .select(F.col(id_col), F.expr("array_distinct(words)").alias("ws")))
+    d = _with_hws(d, method)
     sig_cols = [F.expr(e).alias(f"m{i}")
                 for i, e in enumerate(_sig_exprs(k, method))]
     d = d.select(

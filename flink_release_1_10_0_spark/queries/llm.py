@@ -158,8 +158,14 @@ def dedup_wordset_groups(spark, sf_dir):
 _K = 8
 _BAND_ROWS = 4  # LSH s-curve midpoint t ~ (1/bands)^(1/rows) ~ 0.84 for t=0.8
 
+# md5-path signature format v2 (matches llm/dedup._sig_exprs): one
+# digest per word split into (h1 60-bit, h2 56-bit), permutation i is
+# (h1 + i*h2) mod (2^61-1)
+_M61 = (1 << 61) - 1
+_H1 = "CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS BIGINT)"
+_H2 = "CAST(CAST(('0x' || substr(md5(w), 17, 14)) AS UBIGINT) AS BIGINT)"
 _sig_cols_duck = ",\n       ".join(
-    f"list_min(list_transform(ws, w -> {_dhash64(chr(39) + str(i) + ':' + chr(39) + ' || w')})) AS m{i}"
+    f"list_min(list_transform(ws, w -> ({_H1} + {i} * {_H2}) % {_M61})) AS m{i}"
     for i in range(_K))
 
 _MINHASH_ORACLE = f"""
