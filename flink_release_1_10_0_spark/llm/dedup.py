@@ -101,6 +101,17 @@ def _with_hws(df: DataFrame, method: str) -> DataFrame:
     return df.withColumn("hws", F.expr(_HWS_EXPR))
 
 
+
+def _wh_expr(method: str) -> str:
+    """Compact word-hash-set expression: for md5, h1 of the shared
+    per-word base hash (hws) — the SAME value hash64_expr('w') yields,
+    without a second digest pass; for xxhash64, the direct per-word
+    native hash."""
+    if method == "xxhash64":
+        return f"array_distinct(transform(ws, w -> {hash64_expr('w', 'xxhash64')}))"
+    return "array_distinct(transform(hws, h -> h.h1))"
+
+
 def _band_key_exprs(k: int, band_rows: int, method: str) -> list[str]:
     """One 60-bit band-key expression per band over columns m0..m{k-1}."""
     out = []
@@ -189,13 +200,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                 .agg(F.first("ws").alias("ws"),
                      F.collect_list(id_col).alias("ids")))
     members = clusters.select("fp", F.explode("ids").alias(id_col))
-    uniq = (clusters.drop("ids")
-            .withColumn("wh", F.expr(
-                f"array_distinct(transform(ws, w -> {hash64_expr('w', method)}))")))
+    uniq = (_with_hws(clusters.drop("ids"), method)
+            .withColumn("wh", F.expr(_wh_expr(method))))
 
     sig_cols = [F.expr(e).alias(f"m{i}")
                 for i, e in enumerate(_sig_exprs(k, method))]
-    sigs = _with_hws(uniq, method).select("fp", *sig_cols)
+    sigs = uniq.select("fp", *sig_cols)
 
     keyed = sigs.select(
         "fp", *[F.expr(kx).alias(f"bk{b}")
@@ -333,9 +343,7 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
     sig_cols = [F.expr(e).alias(f"m{i}")
                 for i, e in enumerate(_sig_exprs(k, method))]
     d = d.select(
-        id_col,
-        F.expr(f"array_distinct(transform(ws, w -> {hash64_expr('w', method)}))")
-        .alias("wh"), *sig_cols)
+        id_col, F.expr(_wh_expr(method)).alias("wh"), *sig_cols)
     band_cols = [F.expr(kx).alias(f"bk{b}")
                  for b, kx in enumerate(_band_key_exprs(k, band_rows,
                                                         method))]
