@@ -305,15 +305,52 @@ def pq_train(embeddings: DataFrame, m: int = 4, k: int = 8,
     every pass map-side + one (cid, pos) aggregation."""
     assert dim % m == 0, "dim must divide evenly into m sub-spaces"
     sd = dim // m
-    out = None
-    for s in range(m):
-        sub = embeddings.select(
-            id_col, F.expr(f"slice({vec_col}, {s * sd + 1}, {sd})")
-            .alias(vec_col))
-        _, cents = _kmeans_loop(sub, k, iterations, id_col, vec_col)
-        cents = cents.select(F.lit(s).cast("int").alias("sub"), "cid", "cvec")
-        out = cents if out is None else out.unionByName(cents)
-    return out
+    # STACKED training: all m sub-spaces ride ONE Lloyd loop with `sub`
+    # as an extra key — each iteration is a single corpus scan + one
+    # (sub, cid, pos) aggregation instead of m sequential loops (m x
+    # fewer jobs, m x fewer corpus scans; the per-sub math is identical
+    # to _kmeans_loop, so the unrolled per-sub oracle still replays it).
+    slices = ", ".join(
+        f"named_struct('sub', {s}, 'sv', slice({vec_col}, {s * sd + 1}, {sd}))"
+        for s in range(m))
+    subs = embeddings.select(
+        id_col, F.explode(F.expr(f"array({slices})")).alias("e")
+    ).select(id_col, F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+
+    # init from the k smallest ids: TakeOrderedAndProject over the raw
+    # frame (k rows), THEN explode to sub-slices — never a corpus-wide
+    # window just to pick k seed rows
+    from pyspark.sql import Window
+    w = Window.orderBy(id_col)
+    seeds = (embeddings.orderBy(id_col).limit(k)
+             .withColumn("cid",
+                         F.row_number().over(w).cast("bigint") - 1))
+    init = (seeds.select("cid", F.explode(F.expr(f"array({slices})"))
+                         .alias("e"))
+            .select(F.col("e.sub").alias("sub"), "cid",
+                    F.expr("transform(e.sv, x -> cast(x as double))")
+                    .alias("cvec")))
+    cents = init
+    sq = ("aggregate(zip_with(sv, c.cvec, (x, cc) -> "
+          "(cast(x as double) - cc) * (cast(x as double) - cc)), "
+          "cast(0.0 as double), (acc, v) -> acc + v)")
+    best = (f"array_min(transform(element_at(cb, sub + 1), c -> "
+            f"named_struct('sqdist', {sq}, 'cid', c.cid)))")
+    for _ in range(iterations):
+        assigned = (subs.crossJoin(F.broadcast(_pq_cbook_row(cents)))
+                    .withColumn("b", F.expr(best))
+                    .select("sub", F.col("b.cid").alias("cid"), "sv"))
+        upd = (assigned.select("sub", "cid",
+                               F.posexplode("sv").alias("pos", "v"))
+               .groupBy("sub", "cid", "pos")
+               .agg((F.sum(F.col("v").cast(_DEC)).cast("double")
+                     / F.count("*")).alias("c")))
+        cents = (upd.groupBy("sub", "cid")
+                 .agg(F.expr(
+                     "transform(array_sort(collect_list(struct(pos, c))), "
+                     "s -> s.c)").alias("cvec")))
+        cents = cents.localCheckpoint(eager=True)
+    return cents.select(F.col("sub").cast("int").alias("sub"), "cid", "cvec")
 
 
 def _pq_cbook_row(codebooks: DataFrame):
