@@ -562,3 +562,90 @@ def pack_sequences_materialize(spark, sf_dir):
     seqs = P.materialize_sequences(plan, docs)
     return seqs.select("grp", "bucket", "seq_id", "n_docs",
                        F.md5("seq_text").alias("seq_md5"))
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation v2: Gopher rule battery -> temperature-flattened
+# mixture resample (alpha=0.5 over the SURVIVORS' source counts) ->
+# next-fit sequence packing of what remains.  The composition query for
+# the wave-3 ops — one pipeline a pretraining data job would actually
+# run, oracle-replayed end to end (rules as predicates, rates from the
+# filtered counts, recursive-CTE packing over the sampled survivors).
+# --------------------------------------------------------------------------
+_CURATION_V2_ORACLE = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, source, text, {_DW} AS w
+  FROM documents
+), kept AS (
+  SELECT doc_id, source, text FROM w
+  WHERE len(w) BETWEEN {_G_MIN_WORDS} AND 100000
+    AND list_sum(list_transform(w, x -> len(x)))
+          / CAST(len(w) AS DOUBLE) BETWEEN 3.0 AND 10.0
+    AND (len(regexp_extract_all(text, '#'))
+         + len(regexp_extract_all(text, '\\.\\.\\.')))
+          / CAST(len(w) AS DOUBLE) <= 0.1
+    AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          / CAST(len(w) AS DOUBLE) >= 0.8
+    AND len(list_intersect(list_distinct(w), {_G_STOP_DUCK})) >= 2
+), c AS (
+  SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY source
+), wt AS (
+  SELECT s, c, round(power(CAST(c AS DOUBLE), 0.5), 6) AS wt FROM c
+), tot AS (
+  SELECT CAST(SUM(CAST(wt AS DECIMAL(28,12))) AS DOUBLE) AS T,
+         CAST(SUM(c) AS BIGINT) AS N
+  FROM wt
+), r AS (
+  SELECT s, LEAST(CAST(1000000 AS BIGINT),
+                  CAST(FLOOR(1e6 * wt * N / (T * c)) AS BIGINT)) AS rate_ppm
+  FROM wt CROSS JOIN tot
+), sampled AS (
+  SELECT k.doc_id, k.source, k.text
+  FROM kept k JOIN r ON k.source = r.s
+  WHERE CAST(CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) % 1000000 AS BIGINT) < r.rate_ppm
+), tok AS (
+  SELECT source AS grp, CAST(0 AS BIGINT) AS bucket, doc_id AS id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+), ord AS (
+  SELECT grp, bucket, id, n_tok,
+         row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn
+  FROM tok
+), pack AS (
+  SELECT grp, bucket, id, n_tok, rn,
+         CAST(0 AS BIGINT) AS seq_id, n_tok AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.bucket, o.id, o.n_tok, o.rn,
+         CASE WHEN p.fill + o.n_tok > {_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + o.n_tok > {_BUDGET}
+              THEN o.n_tok ELSE p.fill + o.n_tok END
+  FROM pack p JOIN ord o ON o.grp = p.grp AND o.rn = p.rn + 1
+), per_seq AS (
+  SELECT grp, bucket, seq_id, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+  FROM pack GROUP BY grp, bucket, seq_id
+)
+SELECT grp, bucket, COUNT(*) AS n_sequences,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(seq_tokens) AS DOUBLE)
+             / (COUNT(*) * {_BUDGET}.0), 6) AS mean_fill_ratio
+FROM per_seq GROUP BY grp, bucket
+"""
+
+
+@register("pipeline_curation_pack_v2", _CURATION_V2_ORACLE)
+def pipeline_curation_pack_v2(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    kept = (T.gopher_quality_flags(docs, min_words=_G_MIN_WORDS)
+            .filter("rule_word_count AND rule_mean_word_len AND "
+                    "rule_symbol_ratio AND rule_alpha_words AND "
+                    "rule_stopwords")
+            .select("doc_id", "source", "text"))
+    sampled = T.sample_temperature(kept, "doc_id", "source", alpha=0.5)
+    plan = P.pack_sequences_next_fit(sampled, budget=_BUDGET)
+    return P.packing_stats(plan, budget=_BUDGET)
