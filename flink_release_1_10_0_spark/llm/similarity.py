@@ -480,8 +480,12 @@ def ivfpq_topk(embeddings: DataFrame, codes: DataFrame,
     per-cell search).  At 100 TB: the cell filter reaches a
     cell-partitioned index as partition pruning (see ivf_build_index),
     the ADC scan touches only the routed cell's codes (8-byte rows, not
-    raw vectors), and the codebook broadcast is KBs.  Returns
-    (q_id, vec_id, adc_r, rank) within the cell."""
+    raw vectors), and the codebook broadcast is KBs.  The codes->label
+    join below exists only because this in-memory shape keeps codes and
+    labels in separate frames; a production index persists
+    (id, cell, codes) together (ivf_build_index's partitioned layout
+    plus a codes column), so the join disappears at write time.
+    Returns (q_id, vec_id, adc_r, rank) within the cell."""
     cents = label_centroids(embeddings, label_col, vec_col)
     cent_vecs = (cents.groupBy(label_col)
                  .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
