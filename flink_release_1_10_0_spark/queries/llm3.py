@@ -649,3 +649,21 @@ def pipeline_curation_pack_v2(spark, sf_dir):
     sampled = T.sample_temperature(kept, "doc_id", "source", alpha=0.5)
     plan = P.pack_sequences_next_fit(sampled, budget=_BUDGET)
     return P.packing_stats(plan, budget=_BUDGET)
+
+
+# Persisted IVFPQ index round-trip: write the partitioned codes + the
+# two sidecars, search through the artifact — values identical to the
+# in-memory plan, so the SAME oracle gates it (storage transparency is
+# exactly the claim).
+@register("similarity_pq_index_topk", _IVFPQ_ORACLE)
+def similarity_pq_index_topk(spark, sf_dir):
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(emb, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
+    codes = S.pq_encode(emb, cb, m=_PQ_M)
+    path = tempfile.mkdtemp(prefix="pq_index_")
+    S.write_pq_index(emb, codes, cb, path)
+    q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"),
+                                        "embedding")
+    return S.ivfpq_topk_indexed(spark, path, q, k=5, m=_PQ_M)

@@ -15,7 +15,7 @@ WAVE3 = [
     "similarity_pq_codebook", "similarity_pq_encode_hist",
     "similarity_pq_topk_recall", "similarity_ivfpq_topk",
     "text_bigram_perplexity", "pack_sequences_materialize",
-    "pipeline_curation_pack_v2",
+    "pipeline_curation_pack_v2", "similarity_pq_index_topk",
 ]
 
 
