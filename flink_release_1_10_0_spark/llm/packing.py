@@ -59,7 +59,7 @@ def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
     """
     toks = df.select(
         F.col(group_col).alias("grp"),
-        (F.xxhash64(F.col(id_col).cast("string")) % n_buckets
+        (F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
          if n_buckets > 1 else F.lit(0)).cast("bigint").alias("bucket"),
         F.col(id_col).alias("id"),
         F.size(F.split(text_col, " ")).cast("bigint").alias("n_tok"),
