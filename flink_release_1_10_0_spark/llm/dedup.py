@@ -65,15 +65,43 @@ def _salted_hash(i: int, method: str) -> str:
 # change, never a silent drift between writer and reader.
 #
 # md5-path format v2 (round 12): ONE md5 digest per word, split into
-# (h1 = 60-bit, h2 = 56-bit), permutations derived as the universal
-# hash h_i(w) = (h1 + i*h2) mod (2^61-1) — the datasketch construction
-# (one strong base hash, k affine permutations; Kirsch-Mitzenmacher
-# shows two-hash derivation preserves the collision bounds LSH needs).
-# v1 computed k independent salted digests: 8x the md5 work for no
-# recall difference after the exact-Jaccard verify stage.  Indexes
-# written under v1 must be rebuilt (declared format change).  No
-# overflow anywhere: h1 + 7*h2 < 2^60 + 2^59 << 2^63 on both engines.
-_MERSENNE61 = (1 << 61) - 1
+# (h1 = 60-bit, h2 = 56-bit); permutation i is the universal hash
+# h_i(w) = (sum_j a_{i,j} * u_j(w)) mod p over p = 2^31-1, where
+# u_0..u_3 are four ~30-bit lanes split arithmetically from (h1, h2)
+# and a_{i,j} are fixed seeded constants (shared with the oracle by
+# import — lockstep by construction).  One strong base digest, k cheap
+# arithmetic permutations: the datasketch construction.  v1 computed k
+# independent salted digests (8x the md5 work; signature stage measured
+# 2.7x slower at sf0.1).
+#
+# Family quality, measured against exact ground truth at sf0.01
+# (16,420 unique-wordset pairs with J >= 0.8; ideal-family expected
+# recall for this J-distribution and the k=8/rows=4 s-curve = 0.758):
+#   v1 independent digests   0.814  (above ideal — favorable variance)
+#   affine (h1 + i*h2) % M   0.716  (REJECTED: argmin order preserved
+#                                    across i — one small-(h1,h2) word
+#                                    minimizes every permutation; 2.5x
+#                                    candidate volume, below-ideal
+#                                    recall)
+#   4-lane linear (this)     0.744  (at ideal within noise)
+# Precision is always 1.0 — the exact-Jaccard verify stage gates every
+# candidate.  Recall at the s-curve margin is the usual LSH trade; the
+# cheap-permutation form makes k the lever (raising k/bands costs
+# arithmetic, not digests).  31-bit operands keep every product under
+# 2^62: no BIGINT overflow on either engine.  Indexes written under v1
+# must be rebuilt (declared format change).
+_PERM_P = (1 << 31) - 1
+#: 32 seeded coefficients: permutation i uses _PERM_C[4*i .. 4*i+3]
+_PERM_C = [1864550318, 1254492529, 1007102569, 751060713, 2027691200,
+           1622456154, 1840951293, 1001143908, 616008998, 20460338,
+           1595354702, 804972048, 1542395096, 1972905681, 1725210604,
+           863803602, 316175860, 1410109831, 1775573246, 770482499,
+           1041917222, 1989053642, 704225832, 1923919257, 1701645196,
+           997927658, 857565296, 421551116, 133847858, 476697126,
+           277455873, 814075906]
+#: lane split: u0/u1 = low/high 30 bits of h1, u2/u3 = low/high 28 of h2
+_PERM_LANES = ["(h.h1 % 1073741824L)", "(h.h1 div 1073741824L)",
+               "(h.h2 % 268435456L)", "(h.h2 div 268435456L)"]
 
 #: per-word base-hash array over ``ws`` (md5 path): array<struct<h1,h2>>
 _HWS_EXPR = ("transform(ws, w -> named_struct("
@@ -89,9 +117,14 @@ def _sig_exprs(k: int, method: str) -> list[str]:
     if method == "xxhash64":
         return [f"array_min(transform(ws, w -> {_salted_hash(i, method)}))"
                 for i in range(k)]
-    return [f"array_min(transform(hws, h -> "
-            f"(h.h1 + {i}L * h.h2) % {_MERSENNE61}L))"
-            for i in range(k)]
+    assert 4 * k <= len(_PERM_C), "extend _PERM_C for larger k"
+    out = []
+    for i in range(k):
+        terms = " + ".join(
+            f"({_PERM_C[4 * i + j]}L * {_PERM_LANES[j]}) % {_PERM_P}L"
+            for j in range(4))
+        out.append(f"array_min(transform(hws, h -> ({terms}) % {_PERM_P}L))")
+    return out
 
 
 def _with_hws(df: DataFrame, method: str) -> DataFrame:

@@ -159,13 +159,21 @@ _K = 8
 _BAND_ROWS = 4  # LSH s-curve midpoint t ~ (1/bands)^(1/rows) ~ 0.84 for t=0.8
 
 # md5-path signature format v2 (matches llm/dedup._sig_exprs): one
-# digest per word split into (h1 60-bit, h2 56-bit), permutation i is
-# (h1 + i*h2) mod (2^61-1)
-_M61 = (1 << 61) - 1
+# digest per word split into (h1, h2) then four ~30-bit lanes;
+# permutation i is (sum_j c_{i,j} * u_j) mod p over p = 2^31-1 with
+# the SAME constants the engine uses (imported — lockstep by
+# construction)
+from flink_release_1_10_0_spark.llm.dedup import _PERM_C, _PERM_P
+
 _H1 = "CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS BIGINT)"
 _H2 = "CAST(CAST(('0x' || substr(md5(w), 17, 14)) AS UBIGINT) AS BIGINT)"
+_DUCK_LANES = [f"({_H1} % 1073741824)", f"({_H1} // 1073741824)",
+               f"({_H2} % 268435456)", f"({_H2} // 268435456)"]
 _sig_cols_duck = ",\n       ".join(
-    f"list_min(list_transform(ws, w -> ({_H1} + {i} * {_H2}) % {_M61})) AS m{i}"
+    "list_min(list_transform(ws, w -> ("
+    + " + ".join(f"({_PERM_C[4 * i + j]} * {_DUCK_LANES[j]}) % {_PERM_P}"
+                 for j in range(4))
+    + f") % {_PERM_P})) AS m{i}"
     for i in range(_K))
 
 _MINHASH_ORACLE = f"""

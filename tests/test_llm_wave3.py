@@ -164,25 +164,29 @@ def test_pq_codes_shape_and_recall_floor(spark):
 
 
 def test_minhash_v2_formula_matches_python_model(spark):
-    """Format-v2 signatures (one digest per word, affine permutations
-    mod 2^61-1) must match an independent Python evaluation — pins the
-    persisted-index format against silent drift."""
+    """Format-v2 signatures (one digest per word, 4-lane universal-hash
+    permutations mod 2^31-1) must match an independent Python
+    evaluation — pins the persisted-index format against silent
+    drift."""
     import hashlib
 
-    from flink_release_1_10_0_spark.llm.dedup import minhash_signatures
+    from flink_release_1_10_0_spark.llm.dedup import (_PERM_C, _PERM_P,
+                                                      minhash_signatures)
 
-    M = (1 << 61) - 1
     texts = [(0, "alpha beta gamma"), (1, "delta epsilon"), (2, "alpha")]
     docs = spark.createDataFrame(texts, "doc_id bigint, text string")
     got = {r["doc_id"]: [r[f"m{i}"] for i in range(8)]
            for r in minhash_signatures(docs, "doc_id", k=8).collect()}
 
-    def base(word):
+    def lanes(word):
         h = hashlib.md5(word.encode()).hexdigest()
-        return int(h[:15], 16), int(h[16:30], 16)
+        h1, h2 = int(h[:15], 16), int(h[16:30], 16)
+        return [h1 % (1 << 30), h1 >> 30, h2 % (1 << 28), h2 >> 28]
 
     for did, text in texts:
         words = list(dict.fromkeys(text.split(" ")))
-        hs = [base(w) for w in words]
-        expect = [min((h1 + i * h2) % M for h1, h2 in hs) for i in range(8)]
+        us = [lanes(w) for w in words]
+        expect = [min(sum((_PERM_C[4 * i + j] * u[j]) % _PERM_P
+                          for j in range(4)) % _PERM_P for u in us)
+                  for i in range(8)]
         assert got[did] == expect, did
