@@ -91,15 +91,34 @@ def _salted_hash(i: int, method: str) -> str:
 # 2^62: no BIGINT overflow on either engine.  Indexes written under v1
 # must be rebuilt (declared format change).
 _PERM_P = (1 << 31) - 1
-#: 32 seeded coefficients: permutation i uses _PERM_C[4*i .. 4*i+3]
-_PERM_C = [1864550318, 1254492529, 1007102569, 751060713, 2027691200,
+#: 128 seeded coefficients (k up to 32): permutation i uses _PERM_C[4*i .. 4*i+3]
+_PERM_C = [
+           1864550318, 1254492529, 1007102569, 751060713, 2027691200,
            1622456154, 1840951293, 1001143908, 616008998, 20460338,
            1595354702, 804972048, 1542395096, 1972905681, 1725210604,
            863803602, 316175860, 1410109831, 1775573246, 770482499,
            1041917222, 1989053642, 704225832, 1923919257, 1701645196,
            997927658, 857565296, 421551116, 133847858, 476697126,
-           277455873, 814075906]
-#: lane split: u0/u1 = low/high 30 bits of h1, u2/u3 = low/high 28 of h2
+           277455873, 814075906, 382193402, 1809204182, 1947188797,
+           1435748140, 1802248383, 1617874108, 1366004399, 741749417,
+           2049709813, 624682699, 1256990088, 2001929687, 882834612,
+           235210066, 310317784, 42998692, 596974558, 667906862,
+           1148057240, 74656420, 1673431874, 1397939260, 1439814816,
+           341212018, 672744904, 95550874, 1338207527, 451387743,
+           142627970, 2090109513, 78592799, 1235972375, 1278077768,
+           1601154631, 858237787, 703717360, 1132795216, 464310863,
+           900671225, 609106318, 1206703823, 1112266000, 776840463,
+           529014229, 62741789, 1283952509, 513886135, 1142818323,
+           1178227947, 126849758, 1271568178, 1559706730, 1407272352,
+           777795990, 184697174, 478805720, 1990458795, 1944690073,
+           190350761, 1715639092, 295392457, 1609910987, 1712986921,
+           1062666365, 327633474, 181878289, 132751349, 1225325373,
+           460793681, 1030700378, 1831239876, 834589807, 495659576,
+           1606188350, 1632508139, 1722711876, 1110615554, 518268935,
+           447749473, 1643376970, 1188785007, 1136176368, 85192540,
+           804751622, 1006643413, 1920781913, 2082246482, 66049228,
+           568796324, 1334768262, 514865796, 780863499, 1344308243,
+           1735490980, 310220659, 807546023]#: lane split: u0/u1 = low/high 30 bits of h1, u2/u3 = low/high 28 of h2
 _PERM_LANES = ["(h.h1 % 1073741824L)", "(h.h1 div 1073741824L)",
                "(h.h2 % 268435456L)", "(h.h2 div 268435456L)"]
 
