@@ -395,7 +395,11 @@ def pq_topk_adc(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
     SALTED two-stage top-k: stage 1 keeps k per (q_id, hash-salt) group
     (partial, bounded groups), stage 2 merges the n_salts*k survivors
     per query — never a row_number window that would funnel the whole
-    scored corpus into #queries partitions.  Returns
+    scored corpus into #queries partitions.  Sized for a QUERY BATCH
+    (the broadcast carries #queries * m * k doubles and the crossJoin
+    multiplies the corpus by #queries): thousands of queries are fine,
+    a query set at corpus scale is a different op (pair it with the
+    LSH/SRP dedup families instead).  Returns
     (q_id, vec_id, adc_r, rank).  Ties break on vec_id."""
     sd = dim // m
     lutq = (f"aggregate(zip_with(slice(qv, s * {sd} + 1, {sd}), c.cvec, "
