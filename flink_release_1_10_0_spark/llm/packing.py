@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", budget: int = 512,
                             group_col: str = "source",
-                            n_buckets: int = 1) -> DataFrame:
+                            n_buckets: int = 1,
+                            bucket_hash: str = "xxhash64") -> DataFrame:
     """Per-document packing plan: ``(group, bucket, id, n_tok, seq_id,
     offset)`` where ``seq_id`` counts sequences within the
     (group, bucket) shard and ``offset`` is the token position of the
@@ -57,10 +58,20 @@ def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
     into a fresh sequence; the following document overflows again), so
     oversized docs are isolated, never silently truncated.
     """
+    if n_buckets <= 1:
+        bucket = F.lit(0)
+    elif bucket_hash == "md5":
+        # engine-portable bucket assignment (a DuckDB oracle can replay
+        # it); xxhash64 is the JVM-native default for production shards
+        bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                     1, 15), 16, 10).cast("bigint")
+                  % n_buckets)
+    else:
+        bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                        F.lit(n_buckets))
     toks = df.select(
         F.col(group_col).alias("grp"),
-        (F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
-         if n_buckets > 1 else F.lit(0)).cast("bigint").alias("bucket"),
+        bucket.cast("bigint").alias("bucket"),
         F.col(id_col).alias("id"),
         F.size(F.split(text_col, " ")).cast("bigint").alias("n_tok"),
         F.md5(F.col(id_col).cast("string")).alias("h"))

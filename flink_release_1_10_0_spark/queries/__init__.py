@@ -53,16 +53,16 @@ _LOADED = False
 # (CORRECTNESS_r01.json stopped at exactly 50).  The cumulative ledger
 # stands at 348/349 pre-r9 names driver-verified with zero stale fails,
 # so the window leads with the names that have NO driver evidence yet
-# (5 from the r8 closing work + 12 wave-3 ops new this round), then the
+# (5 from the r8 closing work + 13 wave-3 ops new this round), then the
 # names whose evidence is OLDEST (last verified in round 1 — the
-# relational/TPC-H core the whole engine sits on).  17 + 49 r1-era
-# names overflow the 50-window by 16; the overflow block below sits at
-# positions 51-66 and leads the NEXT rotation — recorded here so the
+# relational/TPC-H core the whole engine sits on).  18 + 49 r1-era
+# names overflow the 50-window by 17; the overflow block below sits at
+# positions 51-67 and leads the NEXT rotation — recorded here so the
 # ledger never claims the full r1 core was refreshed this round.  The
 # next tier is the r3-era block (streaming/CEP/graph/LLM), then
 # everything newer.
 _PIN = [
-    # ---- no driver evidence yet: 5 from the r8 closing work + 12 new
+    # ---- no driver evidence yet: 5 from the r8 closing work + 13 new
     #      wave-3 ops (packing / gopher / temperature / PQ / IVFPQ /
     #      bigram perplexity) ----
     "ml_pipeline_json_roundtrip", "stream_cep_timer_flush_silent_keys",
@@ -74,8 +74,9 @@ _PIN = [
     "similarity_pq_topk_recall", "similarity_ivfpq_topk",
     "text_bigram_perplexity", "pack_sequences_materialize",
     "pipeline_curation_pack_v2", "similarity_pq_index_topk",
-    # ---- r1-era evidence: the relational + TPC-H core (33 fit in the
-    #      50-window after the 17 unevidenced names) ----
+    "pack_sequences_bucketed",
+    # ---- r1-era evidence: the relational + TPC-H core (32 fit in the
+    #      50-window after the 18 unevidenced names) ----
     "agg_count_distinct", "agg_cube", "agg_first_last_value",
     "agg_grouping_sets", "agg_listagg_sorted", "agg_min_max_sumsq",
     "agg_rollup", "calc_project_filter", "join_anti_not_exists", "join_cross",
@@ -87,9 +88,9 @@ _PIN = [
     "subquery_scalar", "tpch_q10_returned_items", "tpch_q11_important_stock",
     "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier", "tpch_q16_parts_suppliers",
+    # ---- 50-window boundary: these 17 r1-era names overflow to
+    #      positions 51-67 and lead the NEXT rotation ----
     "tpch_q17_small_quantity",
-    # ---- 50-window boundary: these 16 r1-era names overflow to
-    #      positions 51-66 and lead the NEXT rotation ----
     "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue",
     "tpch_q1_pricing_summary",

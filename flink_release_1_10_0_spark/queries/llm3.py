@@ -667,3 +667,50 @@ def similarity_pq_index_topk(spark, sf_dir):
     q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"),
                                         "embedding")
     return S.ivfpq_topk_indexed(spark, path, q, k=5, m=_PQ_M)
+
+
+# Bucketed packing: the 100 TB parallelism lever exercised end to end —
+# 4 shards per source via the engine-portable md5 bucket, sequences
+# never cross shards, the oracle replays each (grp, bucket) stream
+# independently.
+_PACK_BUCKETED_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT source AS grp,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS UBIGINT) % 4 AS BIGINT) AS bucket,
+         doc_id AS id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), ord AS (
+  SELECT grp, bucket, id, n_tok,
+         row_number() OVER (PARTITION BY grp, bucket ORDER BY h, id) AS rn
+  FROM tok
+), pack AS (
+  SELECT grp, bucket, id, n_tok, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+         n_tok AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.bucket, o.id, o.n_tok, o.rn,
+         CASE WHEN p.fill + o.n_tok > {_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + o.n_tok > {_BUDGET}
+              THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         CASE WHEN p.fill + o.n_tok > {_BUDGET}
+              THEN o.n_tok ELSE p.fill + o.n_tok END
+  FROM pack p JOIN ord o
+    ON o.grp = p.grp AND o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT grp, bucket, id AS doc_id, n_tok, seq_id, seq_offset FROM pack
+"""
+
+
+@register("pack_sequences_bucketed", _PACK_BUCKETED_ORACLE)
+def pack_sequences_bucketed(spark, sf_dir):
+    plan = P.pack_sequences_next_fit(t(spark, sf_dir, "documents"),
+                                     budget=_BUDGET, n_buckets=4,
+                                     bucket_hash="md5")
+    return plan.select("grp", "bucket", F.col("id").alias("doc_id"),
+                       "n_tok", "seq_id",
+                       F.col("offset").alias("seq_offset"))

@@ -16,6 +16,7 @@ WAVE3 = [
     "similarity_pq_topk_recall", "similarity_ivfpq_topk",
     "text_bigram_perplexity", "pack_sequences_materialize",
     "pipeline_curation_pack_v2", "similarity_pq_index_topk",
+    "pack_sequences_bucketed",
 ]
 
 
