@@ -67,6 +67,10 @@ HEADLINE = [
     # salted two-stage top-k) — the two new wave-3 hot paths
     "pack_sequences_next_fit",
     "similarity_pq_topk_recall",
+    # round-13 addition: SemDeDup's per-ingest shape (batch assigned
+    # against persisted centroids, cid-keyed join vs the index — the
+    # semantic mirror of the two incremental heads above)
+    "dedup_semantic_incremental",
 ]
 
 

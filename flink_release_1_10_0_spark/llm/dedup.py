@@ -91,6 +91,14 @@ def _salted_hash(i: int, method: str) -> str:
 # 2^62: no BIGINT overflow on either engine.  Indexes written under v1
 # must be rebuilt (declared format change).
 _PERM_P = (1 << 31) - 1
+#: index-format markers: minhash_index stamps every row with the
+#: (method, formula-version) it was written under, and
+#: lsh_incremental_pairs REFUSES an index whose marker does not match
+#: the formulas it is about to join against — a v1-written artifact
+#: joined by v2 band keys would otherwise produce ~zero candidates
+#: (silent recall collapse, no error).  Bump the version here whenever
+#: the signature/band-key formulas change for a method.
+_INDEX_FORMATS = {"md5": "md5.v2", "xxhash64": "xxhash64.v1"}
 #: 128 seeded coefficients (k up to 32): permutation i uses _PERM_C[4*i .. 4*i+3]
 _PERM_C = [
            1864550318, 1254492529, 1007102569, 751060713, 2027691200,
@@ -186,7 +194,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
     production path (~2× on the signature stage — k hashes per word).
     Returns id + m0..m{k-1} BIGINT columns.  The md5 path digests each
     word ONCE and derives the k permutations arithmetically (format v2
-    — see _MERSENNE61)."""
+    — see the _PERM_P / _PERM_C comment block)."""
     d = with_words(df, text_col).withColumn("ws", F.expr("array_distinct(words)"))
     d = _with_hws(d, method)
     sig_cols = [F.expr(e).alias(f"m{i}")
@@ -383,7 +391,9 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
     dedup joins new batches against.
 
     Columns: ``id, nw (distinct-word count), wh (compact word-hash set,
-    bigint), bk0..bk{n_bands-1} (band keys)``.  In production this frame
+    bigint), bk0..bk{n_bands-1} (band keys), fmt (format marker — the
+    (method, formula-version) the rows were written under; constant, so
+    parquet RLE stores it for free)``.  In production this frame
     is written ONCE per corpus snapshot — a few hundred bytes per
     document instead of the text — and each incoming batch is deduped
     against it without ever rescanning the corpus (write it partitioned/
@@ -399,7 +409,8 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
     band_cols = [F.expr(kx).alias(f"bk{b}")
                  for b, kx in enumerate(_band_key_exprs(k, band_rows,
                                                         method))]
-    return d.select(id_col, F.expr("size(wh)").alias("nw"), "wh", *band_cols)
+    return d.select(id_col, F.expr("size(wh)").alias("nw"), "wh", *band_cols,
+                    F.lit(_INDEX_FORMATS[method]).alias("fmt"))
 
 
 def write_minhash_index(index_df: DataFrame, path: str,
@@ -475,6 +486,28 @@ def lsh_incremental_pairs(index_df: DataFrame, new_df: DataFrame | None,
     n_bands = k // band_rows
     if (new_df is None) == (new_index_df is None):
         raise ValueError("pass exactly one of new_df / new_index_df")
+    # format gate: the persisted index outlives the code that wrote it;
+    # a marker mismatch means its band keys were produced by DIFFERENT
+    # formulas than the batch's — the join would "work" and return
+    # ~zero pairs (silent recall collapse), so refuse loudly instead.
+    # One first() per frame = one row-group read, per-ingest cost.
+    expect = _INDEX_FORMATS[method]
+    for label, frame in (("index_df", index_df),
+                         ("new_index_df", new_index_df)):
+        if frame is None:
+            continue
+        if "fmt" not in frame.columns:
+            raise ValueError(
+                f"{label} carries no 'fmt' format marker — a pre-v2 "
+                f"minhash_index artifact; rebuild it (the md5 "
+                f"signature/band-key formulas changed: declared index-"
+                f"format change, see _INDEX_FORMATS)")
+        row = frame.select("fmt").first()
+        if row is not None and row[0] != expect:
+            raise ValueError(
+                f"{label} was written under format {row[0]!r} but this "
+                f"join would use {expect!r} formulas (method={method!r})"
+                f" — rebuild the index or pass the matching method")
     new_idx = (new_index_df if new_index_df is not None
                else minhash_index(new_df, id_col, text_col, k, band_rows,
                                   method).localCheckpoint())
@@ -967,8 +1000,30 @@ def scrub_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                     .alias("scrubbed_text")))
 
 
+def _semantic_k(df: DataFrame, k: int | None,
+                target_cluster_size: int | None) -> int:
+    """Resolve the SemDeDup cluster count: exactly one of k /
+    target_cluster_size; neither given defaults to the scale-safe
+    derived-k geometry (target=250 — SemDeDup's own ~50k-over-LAION
+    shape; the 100x sweep measured fixed-k super-linear at 64.5x vs
+    ~linear 20.4x for this lever)."""
+    if k is not None and target_cluster_size is not None:
+        raise ValueError("pass exactly one of k / target_cluster_size "
+                         "(fixed cluster count vs the scale-invariant "
+                         "per-cluster size)")
+    if k is None and target_cluster_size is None:
+        target_cluster_size = 250  # scale-safe default geometry
+    if k is None:
+        # one scalar action at plan-build time (the same pattern as the
+        # CC convergence probe) — the codebook size must be a literal
+        # before Lloyd's runs
+        n = df.count()
+        k = max(1, -(-n // target_cluster_size))
+    return k
+
+
 def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
-                         vec_col: str = "embedding", k: int | None = 8,
+                         vec_col: str = "embedding", k: int | None = None,
                          iterations: int = 2,
                          threshold: float = 0.35,
                          target_cluster_size: int | None = None,
@@ -987,26 +1042,21 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
     shuffle per iteration; candidate pairs are a cid-keyed equi-self-
     join, never all-pairs — the pair space is sum(|c|^2)/2 over
     clusters, controlled by k.  A FIXED k lets clusters (and the
-    quadratic within-cluster term) grow with the corpus; the production
-    lever is ``target_cluster_size``: pass it (with ``k=None``) and k is
-    derived as ceil(n / target) from one count — the pair space then
-    stays ~n * target/2 at any corpus size (SemDeDup ran 50k clusters
-    over LAION at this exact shape).  The vector attach reuses the
-    size-gated broadcast policy of :func:`embedding_srp_pairs`
-    (broadcast under the limit, shuffle join above it)."""
+    quadratic within-cluster term) grow with the corpus — the 100x
+    sweep measured fixed-k at 64.5x vs ~linear (20.4x) for the
+    derived-k shape — so the DEFAULT is the scale-invariant lever:
+    ``target_cluster_size=250`` (SemDeDup's own ~50k-clusters-over-LAION
+    geometry), k derived as ceil(n / target) from one count, pair space
+    ~n * target/2 at any corpus size.  Pass a fixed ``k`` only when you
+    know the corpus is small and want the exact cluster count (the
+    sf0.01 oracles do this for bit-replayable codebooks); passing both
+    refuses loudly.  The vector attach reuses the size-gated broadcast
+    policy of :func:`embedding_srp_pairs` (broadcast under the limit,
+    shuffle join above it)."""
     from flink_release_1_10_0_spark.llm.similarity import (
         kmeans_assign, kmeans_train)
 
-    if (k is None) == (target_cluster_size is None):
-        raise ValueError("pass exactly one of k / target_cluster_size "
-                         "(fixed cluster count vs the scale-invariant "
-                         "per-cluster size)")
-    if k is None:
-        # one scalar action at plan-build time (the same pattern as the
-        # CC convergence probe) — the codebook size must be a literal
-        # before Lloyd's runs
-        n = df.count()
-        k = max(1, -(-n // target_cluster_size))
+    k = _semantic_k(df, k, target_cluster_size)
     cents = kmeans_train(df, k=k, iterations=iterations,
                          id_col=id_col, vec_col=vec_col)
     asg = (kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
@@ -1024,6 +1074,117 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                           _vec_side(df, id_col, vec_col, "id_a", "a"),
                           _vec_side(df, id_col, vec_col, "id_b", "b"),
                           "id_a", "id_b", threshold, hint, hint)
+
+
+def semantic_index(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int | None = None,
+                   iterations: int = 2,
+                   target_cluster_size: int | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
+    """The persistable SemDeDup artifact pair: (index rows, centroids).
+
+    Index rows are ``(id, cid, __vec, __norm)`` — cluster assignment plus
+    the raw vector and its L2 norm, everything the within-cluster exact-
+    cosine verify needs, so an incremental ingest NEVER rescans the
+    corpus (the semantic mirror of :func:`srp_index` / :func:`minhash_index`).
+    The centroid frame ``(cid, cvec)`` is index METADATA, exactly like
+    SRP's centering stats: new batches MUST be assigned against these
+    persisted centroids, never a re-trained codebook, or cluster ids
+    stop aligning with stored rows.  Same k / target_cluster_size
+    contract (and scale-safe default) as :func:`semantic_dedup_pairs`."""
+    from flink_release_1_10_0_spark.llm.similarity import (
+        kmeans_assign, kmeans_train)
+
+    k = _semantic_k(df, k, target_cluster_size)
+    cents = kmeans_train(df, k=k, iterations=iterations,
+                         id_col=id_col, vec_col=vec_col)
+    nrm = (f"sqrt(aggregate({vec_col}, 0D, (s, x) -> s + "
+           "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    rows = (kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+            .select(id_col, "cid", F.col(vec_col).alias("__vec"),
+                    F.expr(nrm).alias("__norm")))
+    return rows, cents
+
+
+def write_semantic_index(index_df: DataFrame, cents: DataFrame, path: str,
+                         table: str | None = None,
+                         buckets: int = 32) -> str:
+    """Persist a :func:`semantic_index`: rows BUCKETED BY ``cid`` (the
+    only join key the incremental path uses, so per-ingest candidate
+    joins co-locate with a bucket-pruned scan), centroids as a
+    ``_``-prefixed parquet sidecar (KBs — invisible to parquet
+    discovery, the same layout as ivf_build_index's ``_centroids``).
+
+    Same catalog mechanics as :func:`write_minhash_index` (bucketed
+    writes go through ``saveAsTable``).  Returns the table name; read
+    back with :func:`read_semantic_index`."""
+    name = table or ("semidx_" + "".join(
+        ch if ch.isalnum() else "_" for ch in path.strip("/").rsplit("/", 1)[-1]))
+    (index_df.write.mode("overwrite")
+     .option("path", path)
+     .bucketBy(buckets, "cid")
+     .sortBy("cid")
+     .format("parquet")
+     .saveAsTable(name))
+    (cents.coalesce(1)
+     .write.mode("overwrite").parquet(path + "/_centroids"))
+    return name
+
+
+def read_semantic_index(spark, path: str,
+                        table: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted semantic index: (rows frame with live bucket
+    metadata, persisted centroid frame for assigning new batches)."""
+    return spark.table(table), spark.read.parquet(path + "/_centroids")
+
+
+def semantic_incremental_pairs(index_df: DataFrame, cents: DataFrame,
+                               new_df: DataFrame,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               threshold: float = 0.35,
+                               broadcast_verify: bool | None = None,
+                               broadcast_limit_bytes: int = 1 << 30
+                               ) -> DataFrame:
+    """SemDeDup pairs between a persisted corpus index and an incoming
+    batch: assign the batch against the PERSISTED centroids (one
+    broadcast-codebook map pass — the corpus is never rescanned and the
+    codebook is never retrained), join index rows on ``cid``, verify
+    with exact cosine against the index-carried vectors.  Returns
+    (old_id, new_id, cosine), cosine >= threshold.
+
+    The semantic mirror of :func:`lsh_incremental_pairs` /
+    :func:`srp_incremental_pairs`, same contracts: intra-batch pairs
+    are NOT emitted here (compose :func:`semantic_dedup_pairs` over the
+    small batch for those); the candidate join is cid-keyed — a
+    :func:`write_semantic_index` corpus co-locates it bucket-pruned; the
+    verify-side broadcast follows the shared size-gate policy (the
+    index side is the unbounded one and drives the auto decision)."""
+    from flink_release_1_10_0_spark.llm.similarity import kmeans_assign
+
+    nrm = (f"sqrt(aggregate({vec_col}, 0D, (s, x) -> s + "
+           "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    new_idx = (kmeans_assign(new_df, cents, id_col=id_col, vec_col=vec_col)
+               .select(id_col, "cid", F.col(vec_col).alias("__vec"),
+                       F.expr(nrm).alias("__norm"))
+               .localCheckpoint())
+    cand = (index_df.select(F.col(id_col).alias("old_id"), "cid")
+            .join(new_idx.select(F.col(id_col).alias("new_id"), "cid"),
+                  "cid")
+            .select("old_id", "new_id"))
+    va = index_df.select(F.col(id_col).alias("old_id"),
+                         F.col("__vec").alias("__va"),
+                         F.col("__norm").alias("__na"))
+    vb = new_idx.select(F.col(id_col).alias("new_id"),
+                        F.col("__vec").alias("__vb"),
+                        F.col("__norm").alias("__nb"))
+    if broadcast_verify is None:
+        broadcast_verify = _verify_side_broadcastable(
+            va, broadcast_limit_bytes)
+    hint_a = F.broadcast if broadcast_verify else (lambda d: d)
+    return _attach_cosine(cand, va, F.broadcast(vb),
+                          "old_id", "new_id", threshold,
+                          hint_a, lambda d: d)
 
 
 def write_srp_index(index_df: DataFrame, stats: DataFrame, path: str,

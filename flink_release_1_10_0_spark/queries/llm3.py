@@ -30,7 +30,7 @@ _BUDGET = 512
 _PACK_NEXT_FIT_ORACLE = f"""
 WITH RECURSIVE tok AS (
   SELECT source AS grp, CAST(0 AS BIGINT) AS bucket, doc_id AS id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ), ord AS (
@@ -68,7 +68,7 @@ def pack_sequences_next_fit(spark, sf_dir):
 _PACK_FILL_ORACLE = f"""
 WITH RECURSIVE tok AS (
   SELECT source AS grp, CAST(0 AS BIGINT) AS bucket, doc_id AS id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ), ord AS (
@@ -525,7 +525,7 @@ def text_bigram_perplexity(spark, sf_dir):
 _PACK_MATERIALIZE_ORACLE = f"""
 WITH RECURSIVE tok AS (
   SELECT source AS grp, CAST(0 AS BIGINT) AS bucket, doc_id AS id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ), ord AS (
@@ -606,7 +606,7 @@ WITH RECURSIVE w AS (
                   AS UBIGINT) % 1000000 AS BIGINT) < r.rate_ppm
 ), tok AS (
   SELECT source AS grp, CAST(0 AS BIGINT) AS bucket, doc_id AS id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM sampled
 ), ord AS (
@@ -657,13 +657,22 @@ def pipeline_curation_pack_v2(spark, sf_dir):
 # exactly the claim).
 @register("similarity_pq_index_topk", _IVFPQ_ORACLE)
 def similarity_pq_index_topk(spark, sf_dir):
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     emb = t(spark, sf_dir, "embeddings")
     cb = S.pq_train(emb, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
     codes = S.pq_encode(emb, cb, m=_PQ_M)
-    path = tempfile.mkdtemp(prefix="pq_index_")
+    # stable per-process path + overwrite-mode write: repeated runs in
+    # one process reuse the directory instead of leaking one per run;
+    # the result frame scans it lazily (the caller collects AFTER we
+    # return), so removal must wait for process exit
+    path = os.path.join(tempfile.gettempdir(),
+                        f"pq_index_q_{os.getpid()}")
     S.write_pq_index(emb, codes, cb, path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"),
                                         "embedding")
     return S.ivfpq_topk_indexed(spark, path, q, k=5, m=_PQ_M)
@@ -679,7 +688,7 @@ WITH RECURSIVE tok AS (
          CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                    AS UBIGINT) % 4 AS BIGINT) AS bucket,
          doc_id AS id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ), ord AS (

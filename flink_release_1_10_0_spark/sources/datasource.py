@@ -74,7 +74,11 @@ class _SequenceStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = start["next"]
         hi = min(lo + self.per, self.end)
-        return ([(i,) for i in range(lo, hi)], {"next": hi})
+        # the contract is (iterator, offset) — the engine's prefetch
+        # wrapper calls next() on the first element; a list dies with
+        # TypeError inside the prefetch thread and forces every batch
+        # down the readBetweenOffsets replay path
+        return (iter([(i,) for i in range(lo, hi)]), {"next": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay for recovery: the range IS the data

@@ -339,6 +339,78 @@ def test_incremental_prebuilt_index_overload(spark):
         lsh_incremental_pairs(idx, None, "doc_id")
 
 
+def test_incremental_lsh_format_gate(spark):
+    """The persisted index carries a (method, formula-version) marker;
+    lsh_incremental_pairs refuses an index whose marker is missing (a
+    pre-v2 artifact) or written under a different method — the silent
+    recall collapse the module header forbids must be a loud error."""
+    import pytest as _pytest
+
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        lsh_incremental_pairs, minhash_index)
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter("doc_id % 17 <> 0")
+    new = docs.filter("doc_id % 17 = 0")
+    idx = minhash_index(old, "doc_id").localCheckpoint()
+    assert idx.select("fmt").first()[0] == "md5.v2"
+    # a v1-era artifact has no fmt column at all
+    with _pytest.raises(ValueError, match="format marker"):
+        lsh_incremental_pairs(idx.drop("fmt"), new, "doc_id")
+    # an xxhash64-written index must not join md5 batch signatures
+    idx_xx = minhash_index(old, "doc_id",
+                           method="xxhash64").localCheckpoint()
+    with _pytest.raises(ValueError, match="written under format"):
+        lsh_incremental_pairs(idx_xx, new, "doc_id", method="md5")
+    # matching marker still flows
+    assert lsh_incremental_pairs(idx_xx, new, "doc_id",
+                                 method="xxhash64").count() > 0
+
+
+def test_pq_adc_survives_cid_gaps(spark):
+    """pq_train drops empty clusters (duplicate seed vectors lose every
+    tie to the smaller cid), leaving non-contiguous cids; the ADC LUT is
+    keyed BY cid, so top-k distances stay exact — a positional LUT
+    would silently read the wrong slot.  Crafted corpus: the two
+    smallest ids share a vector, so one seed cluster starves."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.llm.similarity import (
+        pq_encode, pq_topk_adc, pq_train)
+
+    dim, m, k = 8, 2, 3
+    base = [float(i) for i in range(dim)]
+    rows = [(1, base), (2, base)]  # duplicate seeds -> cid gap
+    rows += [(i, [float((i * 7 + j * 3) % 11) for j in range(dim)])
+             for i in range(3, 40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = pq_train(emb, m=m, k=k, iterations=2, dim=dim)
+    cids = sorted(r.cid for r in
+                  cb.select("sub", "cid").filter("sub = 0").collect())
+    assert cids != list(range(len(cids))), \
+        "corpus must actually produce a cid gap for this test to bite"
+    codes = pq_encode(emb, cb, m=m, dim=dim)
+    q = emb.filter("vec_id = 5").select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    got = pq_topk_adc(codes, cb, q, k=5, m=m, dim=dim).collect()
+    assert len(got) == 5 and all(r.adc_r is not None for r in got)
+    # ADC distance for a row must equal the exact L2 from the query
+    # slice to that row's ASSIGNED sub-centroids (recompute in python)
+    cents = {(r.sub, r.cid): list(r.cvec) for r in cb.collect()}
+    code_map = {r.vec_id: list(r.codes) for r in codes.collect()}
+    qv = [float(x) for x in
+          emb.filter("vec_id = 5").first()["embedding"]]
+    sd = dim // m
+    for r in got:
+        want = 0.0
+        for s in range(m):
+            cv = cents[(s, code_map[r.vec_id][s])]
+            qs = qv[s * sd:(s + 1) * sd]
+            want += sum((a - b) ** 2 for a, b in zip(qs, cv))
+        assert abs(r.adc_r - round(want, 6)) < 1e-6
+
+
 def test_winnow_fingerprint_coverage_guarantee(spark):
     """Winnowing's coverage guarantee (Schleimer et al., SIGMOD'03):
     two documents sharing a substring of length >= k + w - 1 share at
@@ -542,9 +614,10 @@ def test_scrub_duplicate_spans_keeper_and_short_docs(spark):
 
 
 def test_semantic_dedup_target_cluster_size(spark):
-    """The scale-invariant lever: k derived as ceil(n / target) from one
-    count; fixed-k and derived-k agree when they resolve to the same k,
-    and passing both (or neither) refuses loudly."""
+    """The scale-invariant lever IS the default: with neither k nor
+    target_cluster_size given, k derives from target_cluster_size=250
+    (the scale-safe geometry) — fixed-k and derived-k agree when they
+    resolve to the same k, and passing both refuses loudly."""
     import pytest
 
     from flink_release_1_10_0_spark.catalog import load
@@ -561,10 +634,64 @@ def test_semantic_dedup_target_cluster_size(spark):
                    emb, k=None, target_cluster_size=target,
                    threshold=0.3).collect()}
     assert fixed == derived
+    # the bare default is the derived-k shape at target=250
+    k_default = max(1, -(-n // 250))
+    dflt = {(r.id_a, r.id_b, r.cosine)
+            for r in semantic_dedup_pairs(emb, threshold=0.3).collect()}
+    explicit = {(r.id_a, r.id_b, r.cosine)
+                for r in semantic_dedup_pairs(
+                    emb, k=k_default, threshold=0.3).collect()}
+    assert dflt == explicit
     with pytest.raises(ValueError, match="exactly one"):
         semantic_dedup_pairs(emb, k=8, target_cluster_size=100)
-    with pytest.raises(ValueError, match="exactly one"):
-        semantic_dedup_pairs(emb, k=None)
+
+
+def test_semantic_index_incremental_and_roundtrip(spark):
+    """semantic_incremental_pairs: (1) every emitted pair is an exact
+    old-x-new cosine pair (cluster pruning loses pairs, never invents
+    or perturbs them); (2) both ids share the persisted-centroid
+    cluster; (3) the write/read round-trip returns identical pairs and
+    the table is bucketed by cid."""
+    import tempfile
+
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        embedding_cosine_pairs_exact, read_semantic_index,
+        semantic_incremental_pairs, semantic_index, write_semantic_index)
+    from flink_release_1_10_0_spark.llm.similarity import kmeans_assign
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    old = emb.filter("vec_id % 17 <> 0")
+    new = emb.filter("vec_id % 17 = 0")
+    rows, cents = semantic_index(old, k=8, iterations=2)
+    got = {(r.old_id, r.new_id): r.cosine
+           for r in semantic_incremental_pairs(rows, cents, new,
+                                               threshold=0.3).collect()}
+    assert got, "synthetic corpus must produce cross pairs"
+    exact = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.cosine
+             for r in embedding_cosine_pairs_exact(
+                 emb, threshold=0.3).collect()}
+    for (o, n), c in got.items():
+        assert exact.get((min(o, n), max(o, n))) == c
+    # same-cluster invariant under the PERSISTED centroids
+    cid = {r.vec_id: r.cid
+           for r in kmeans_assign(emb, cents).select("vec_id",
+                                                     "cid").collect()}
+    assert all(cid[o] == cid[n] for o, n in got)
+    # persisted round-trip
+    path = tempfile.mkdtemp(prefix="sem_idx_test_")
+    name = write_semantic_index(rows, cents, path,
+                                table="sem_idx_test", buckets=8)
+    stored, pcents = read_semantic_index(spark, path, name)
+    disk = {(r.old_id, r.new_id): r.cosine
+            for r in semantic_incremental_pairs(stored, pcents, new,
+                                                threshold=0.3).collect()}
+    assert disk == got
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+    assert "cid" in txt and ("Num Buckets 8" in txt or "8 buckets" in txt)
+    spark.sql(f"DROP TABLE {name}")
 
 
 def test_srp_index_writer_roundtrip(spark):

@@ -531,3 +531,13 @@ def test_gopher_battery_is_pure_scan(spark):
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_incremental_plan(spark):
+    """SemDeDup per-ingest: cid-keyed equi-join against the index (no
+    cartesian), the batch's assignment + verify sides broadcast (the
+    batch is small by the incremental contract), everything JVM-side."""
+    plan = plan_of(spark, "dedup_semantic_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

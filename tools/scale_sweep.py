@@ -184,6 +184,12 @@ HEADS_100X = {
         "linear: O(n) per-shard pass; n_buckets is the parallel lever",
     "similarity_pq_topk_recall":
         "linear: fixed k/m/iters scans over 100x vectors",
+    # round-13 addition (round-9 verdict ask #5): the ExactSubstr scrub
+    # sat at 9.0x for 10x — the edge of linear — with the coverage
+    # explode the suspect; the 100x row settles whether the slope holds
+    "dedup_scrub_duplicate_spans":
+        "linear: gram groupBy + bounded coverage explode + anti-join, "
+        "disjoint copy vocabularies",
 }
 
 
@@ -417,6 +423,68 @@ def main():
         results[sem_name][tier_name] = round(time.perf_counter() - t0, 3)
         print(f"{tier_name:12s} {sem_name:34s} "
               f"{results[sem_name][tier_name]:8.3f}s", flush=True)
+
+    # SemDeDup SURVIVORS with the production lever (round-9 verdict ask
+    # #5: the survivors head had no sweep row): pairs + CC + keep-min +
+    # anti-join on top of the geometry-scaled pair plan.  The sf1 tier
+    # is 10 disjoint copies of the same similarity structure, so the
+    # CC edge set and the loser set both scale ~10x — linear on top of
+    # the ~linear pair stage.
+    surv_name = "dedup_semantic_survivors (geometry-scaled)"
+    bounds[surv_name] = ("pairs ~linear (k=ceil(n/250)) + CC on "
+                         "O(dup) edges + anti-join -> ~linear")
+    results[surv_name] = {}
+    from flink_release_1_10_0_spark.llm.dedup import dedup_clusters
+    for tier_name, tier_dir in [("sf0.1", SRC), ("sf1 (synth)", sf1)]:
+        emb3 = spark.read.parquet(f"{tier_dir}/embeddings.parquet")
+
+        def run_surv():
+            pairs = semantic_dedup_pairs(emb3, k=None,
+                                         target_cluster_size=250,
+                                         threshold=0.35)
+            clusters = dedup_clusters(pairs)
+            losers = (clusters
+                      .filter(F.col("doc_id") != F.col("cluster_id"))
+                      .select(F.col("doc_id").alias("vec_id")))
+            emb3.join(losers, "vec_id", "left_anti").select("vec_id") \
+                .write.format("noop").mode("overwrite").save()
+        run_surv()  # warm
+        t0 = time.perf_counter()
+        run_surv()
+        results[surv_name][tier_name] = round(time.perf_counter() - t0, 3)
+        print(f"{tier_name:12s} {surv_name:34s} "
+              f"{results[surv_name][tier_name]:8.3f}s", flush=True)
+
+    # SemDeDup INCREMENTAL (round-9 verdict ask #4's sweep row): corpus
+    # index 10x (geometry-scaled k), batch = the %17 slice of the same
+    # tier.  Assignment is one broadcast-codebook map pass over the
+    # batch; candidates are a cid-keyed equi-join against the index —
+    # the per-ingest linear regime (the semantic mirror of
+    # dedup_embedding_incremental).
+    inc_name = "semantic_incremental_pairs (geometry-scaled)"
+    bounds[inc_name] = ("index build ~linear; per-ingest assign+join "
+                        "linear in index")
+    results[inc_name] = {}
+    from flink_release_1_10_0_spark.llm.dedup import (
+        semantic_incremental_pairs, semantic_index)
+    for tier_name, tier_dir in [("sf0.1", SRC), ("sf1 (synth)", sf1)]:
+        emb4 = spark.read.parquet(f"{tier_dir}/embeddings.parquet")
+        old4 = emb4.filter("vec_id % 17 <> 0")
+        new4 = emb4.filter("vec_id % 17 = 0")
+        rows4, cents4 = semantic_index(old4, target_cluster_size=250)
+        rows4 = rows4.localCheckpoint()   # the persisted-index standin:
+        cents4 = cents4.localCheckpoint()  # time the INGEST, not the build
+
+        def run_inc():
+            semantic_incremental_pairs(rows4, cents4, new4,
+                                       threshold=0.35) \
+                .write.format("noop").mode("overwrite").save()
+        run_inc()  # warm
+        t0 = time.perf_counter()
+        run_inc()
+        results[inc_name][tier_name] = round(time.perf_counter() - t0, 3)
+        print(f"{tier_name:12s} {inc_name:34s} "
+              f"{results[inc_name][tier_name]:8.3f}s", flush=True)
 
     lines = [
         "# Scale sweep",
