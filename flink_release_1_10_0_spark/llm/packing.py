@@ -126,6 +126,79 @@ def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
     return toks.groupBy("grp", "bucket").applyInPandas(pack, schema)
 
 
+def pack_sequences_best_fit(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", budget: int = 512,
+                            group_col: str = "source",
+                            n_buckets: int | None = None,
+                            bucket_hash: str = "xxhash64",
+                            target_docs_per_bucket: int = 100_000
+                            ) -> DataFrame:
+    """Best-fit-decreasing packing plan — same output schema and shard
+    contract as :func:`pack_sequences_next_fit`, different layout rule:
+    documents are laid out LARGEST FIRST (order ``(n_tok DESC, md5(id),
+    id)``) and each goes into the TIGHTEST open sequence that still
+    fits (ties -> lowest sequence id); only when none fits does a new
+    sequence open.  BFD is the classic offline bin-packing heuristic
+    (≤ 11/9 OPT + 4): it trades next-fit's strict one-pass streaming
+    for measurably higher fill ratios — use it when the shard is
+    materialized anyway (the ``applyInPandas`` group already is), keep
+    next-fit for true streaming ingest.  Same token-count contract and
+    derived-``n_buckets`` rule as next-fit; within a shard the pass is
+    O(n * open_bins) over a numpy frame — bounded by the same
+    few-hundred-MB shard rule."""
+    if n_buckets is None:
+        biggest = (df.groupBy(group_col).count()
+                   .agg(F.max("count")).first()[0]) or 0
+        n_buckets = max(1, -(-int(biggest) // target_docs_per_bucket))
+    if n_buckets <= 1:
+        bucket = F.lit(0)
+    elif bucket_hash == "md5":
+        bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                     1, 15), 16, 10).cast("bigint")
+                  % n_buckets)
+    else:
+        bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                        F.lit(n_buckets))
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        bucket.cast("bigint").alias("bucket"),
+        F.col(id_col).alias("id"),
+        F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+        .cast("bigint").alias("n_tok"),
+        F.md5(F.col(id_col).cast("string")).alias("h"))
+
+    schema = ("grp string, bucket bigint, id bigint, n_tok bigint, "
+              "seq_id bigint, offset bigint")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tok", "h", "id"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+        fills: list[int] = []
+        seq_ids, offsets = [], []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            best = -1
+            for i, f in enumerate(fills):
+                # tightest fitting bin; ties keep the LOWEST index
+                # (python max would too, but the explicit scan makes
+                # the oracle's list_position tie-break readable)
+                if f + n <= budget and (best < 0 or f > fills[best]):
+                    best = i
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            seq_ids.append(best)
+            offsets.append(fills[best])
+            fills[best] += n
+        out = pdf[["grp", "bucket", "id", "n_tok"]].copy()
+        out["seq_id"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
+        out["offset"] = pd.Series(offsets, index=pdf.index, dtype="int64")
+        return out
+
+    return toks.groupBy("grp", "bucket").applyInPandas(pack, schema)
+
+
 def packing_stats(plan: DataFrame, budget: int = 512) -> DataFrame:
     """Fill-ratio report per (group, bucket): sequences, docs, tokens,
     mean fill ratio (sequence tokens / budget, oversize clipped to the

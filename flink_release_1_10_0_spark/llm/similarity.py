@@ -558,6 +558,45 @@ def write_pq_index(embeddings: DataFrame, codes: DataFrame,
      .write.mode("overwrite").parquet(path + "/_centroids"))
 
 
+def pq_append_to_index(spark, index_path: str, new_embeddings: DataFrame,
+                       m: int = 4, dim: int = 64, id_col: str = "vec_id",
+                       label_col: str = "label",
+                       vec_col: str = "embedding") -> None:
+    """Append an incoming batch to a :func:`write_pq_index` artifact —
+    the ANN mirror of the incremental-dedup contracts: the batch is
+    encoded with the PERSISTED ``_pq_codebooks`` (never retrained —
+    codes must stay ADC-comparable with the stored corpus) and routed
+    to its nearest PERSISTED ``_centroids`` cell (ties -> smallest
+    cell id, the shared routing tie-break), then appended as
+    cell-partitioned code rows.  Existing partitions and sidecars are
+    untouched; a probe through :func:`ivfpq_topk_indexed` sees old and
+    new rows identically (storage/assembly transparency).
+
+    At 100 TB: per-ingest cost is one broadcast of two KB-scale
+    sidecars + a map-only encode/route pass over the batch + an
+    append write of 8-byte rows into the routed cells — the corpus is
+    never read."""
+    cbooks = spark.read.parquet(index_path + "/_pq_codebooks")
+    cent_vecs = spark.read.parquet(index_path + "/_centroids")
+    codes = pq_encode(new_embeddings, cbooks, m=m, dim=dim,
+                      id_col=id_col, vec_col=vec_col)
+    q = new_embeddings.select(
+        id_col, F.expr(f"transform({vec_col}, x -> cast(x as double))")
+        .alias("qv"))
+    qdist = F.expr(
+        "round(sqrt(aggregate(zip_with(qv, cvec, "
+        "(x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)), 6)")
+    routed = (q.crossJoin(F.broadcast(cent_vecs))
+              .select(id_col, qdist.alias("qd"),
+                      F.col("c_label").cast("bigint").alias("cell"))
+              .groupBy(id_col)
+              .agg(F.min(F.struct(F.col("qd"), F.col("cell"))).alias("b"))
+              .select(id_col, F.col("b.cell").alias(label_col)))
+    (codes.join(routed, id_col)
+     .write.mode("append").partitionBy(label_col).parquet(index_path))
+
+
 def ivfpq_topk_indexed(spark, index_path: str, query: DataFrame,
                        k: int = 5, m: int = 4, dim: int = 64,
                        id_col: str = "vec_id", label_col: str = "label",

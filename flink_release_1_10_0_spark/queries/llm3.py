@@ -237,14 +237,15 @@ def sample_temperature_mixture(spark, sf_dir):
 _PQ_M, _PQ_K, _PQ_SD, _PQ_ITERS = 4, 8, 16, 2
 
 
-def _pq_sub_ctes(s: int) -> tuple[str, str, str]:
+def _pq_sub_ctes(s: int, src: str = "embeddings") -> tuple[str, str, str]:
     """CTE block for sub-space ``s``: training unroll + the encode
-    assignment.  Returns (cte_sql, final_cents_name, encode_asg_name)."""
+    assignment over relation ``src``.  Returns
+    (cte_sql, final_cents_name, encode_asg_name)."""
     a, b = s * _PQ_SD + 1, s * _PQ_SD + _PQ_SD
     rng = f"range(1, {_PQ_SD + 1})"
     ctes = f"""sub{s} AS (
   SELECT vec_id, list_transform(embedding[{a}:{b}], x -> CAST(x AS DOUBLE)) AS sv
-  FROM embeddings
+  FROM {src}
 ), init{s} AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
          sv AS cvec

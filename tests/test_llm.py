@@ -729,3 +729,106 @@ def test_srp_index_writer_roundtrip(spark):
                 grown, new.limit(0).unionByName(new), threshold=0.3,
                 stats=back_stats).collect()}
     assert {(a, b) for a, b, _ in disk} <= more
+
+
+def test_tfidf_cosine_identical_and_disjoint_docs(spark):
+    """TF-IDF cosine invariants on a crafted corpus: identical docs
+    cosine 1.0, docs sharing no term emit no pair, and a stop word
+    above max_df_ratio is dropped from the vectors (its exclusive pair
+    disappears)."""
+    from flink_release_1_10_0_spark.llm.ir import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta"),
+         (4, "common only here"), (5, "common other words"),
+         (6, "common third doc")],
+        "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert not any({a, b} == {1, 3} or {a, b} == {2, 3} for a, b in got)
+    # 'common' (df=3) links 4 and 5; a max_df of 2/6 drops it from the
+    # vectors while alpha/beta/gamma (df=2) survive
+    assert (4, 5) in got
+    pruned = {(r.id_a, r.id_b)
+              for r in tfidf_cosine_pairs(docs, threshold=0.0,
+                                          max_df_ratio=0.4).collect()}
+    assert (4, 5) not in pruned and (1, 2) in pruned
+
+
+def test_bm25_favors_tf_and_rare_terms(spark):
+    """BM25 sanity: a doc with more query-term occurrences outranks one
+    with fewer (same length), and a doc matching a RARE query term
+    outranks one matching only the common term."""
+    from flink_release_1_10_0_spark.llm.ir import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark pad pad pad pad pad"),
+         (2, "spark pad pad pad pad pad pad pad"),
+         (3, "rareword pad pad pad pad pad pad pad"),
+         (4, "common pad pad pad pad pad pad pad"),
+         (5, "common filler lines here pad pad pad pad"),
+         (6, "common more filler here pad pad pad pad")],
+        "doc_id bigint, text string")
+    r = {row.id: row.rank for row in
+         bm25_topk(docs, ["spark"], k=3).collect()}
+    assert r[1] < r[2]
+    r2 = {row.id: row.score_r for row in
+          bm25_topk(docs, ["rareword", "common"], k=6).collect()}
+    assert r2[3] > r2[4]  # rare term beats common term at equal tf/dl
+
+
+def test_best_fit_decreasing_beats_next_fit_fill(spark):
+    """BFD invariants: no sequence exceeds the budget (except isolated
+    oversize docs), every doc appears exactly once, and BFD needs no
+    more sequences than next-fit on the same corpus."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.packing import (
+        pack_sequences_best_fit, pack_sequences_next_fit)
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    bfd = pack_sequences_best_fit(docs, budget=512, n_buckets=1).collect()
+    nf = pack_sequences_next_fit(docs, budget=512, n_buckets=1).collect()
+    assert len(bfd) == len(nf) == docs.count()
+    fills = {}
+    for r in bfd:
+        key = (r.grp, r.bucket, r.seq_id)
+        fills[key] = fills.get(key, 0) + r.n_tok
+        assert r.offset + r.n_tok <= 512 or r.offset == 0  # oversize isolated
+    n_seq_bfd = len(fills)
+    n_seq_nf = len({(r.grp, r.bucket, r.seq_id) for r in nf})
+    assert n_seq_bfd <= n_seq_nf
+
+
+def test_pq_append_preserves_old_rows_and_codes(spark):
+    """pq_append_to_index: old partitions are untouched, appended rows
+    carry exactly the codes the persisted codebooks produce, and each
+    appended row lands in its nearest-centroid cell."""
+    import shutil
+    import tempfile
+
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.similarity import (
+        pq_append_to_index, pq_encode, pq_train, write_pq_index)
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.filter("vec_id % 17 <> 0")
+    new = emb.filter("vec_id % 17 = 0")
+    cb = pq_train(old, m=4, k=8, iterations=2)
+    codes = pq_encode(old, cb, m=4)
+    path = tempfile.mkdtemp(prefix="pq_append_test_")
+    shutil.rmtree(path)
+    write_pq_index(old, codes, cb, path)
+    before = {r.vec_id: (list(r.codes), r.label)
+              for r in spark.read.parquet(path).collect()}
+    pq_append_to_index(spark, path, new, m=4)
+    after = {r.vec_id: (list(r.codes), r.label)
+             for r in spark.read.parquet(path).collect()}
+    assert all(after[v] == before[v] for v in before)  # old untouched
+    appended = {v for v in after if v not in before}
+    assert appended == {r.vec_id for r in new.select("vec_id").collect()}
+    want = {r.vec_id: list(r.codes)
+            for r in pq_encode(new, cb, m=4).collect()}
+    assert all(after[v][0] == want[v] for v in appended)
+    shutil.rmtree(path, ignore_errors=True)

@@ -541,3 +541,32 @@ def test_semantic_incremental_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_postings_only_no_global_window(spark):
+    """BM25: the query-term IN filter prunes postings before any
+    aggregation, top-k is TakeOrderedAndProject (never a corpus-wide
+    window), the rank window runs over <= k rows."""
+    plan = plan_of(spark, "ir_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_pairs_inverted_index_join(spark):
+    """TF-IDF pairs: the per-term self-join is an equi-join on word (a
+    hash/sort-merge exchange), never a cartesian, and the whole plan
+    stays JVM-side."""
+    plan = plan_of(spark, "ir_tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_best_fit_single_shuffle_arrow(spark):
+    """BFD packing rides the same shape as next-fit: ONE exchange into
+    the (grp, bucket) shards, one Arrow-batched FlatMapGroupsInPandas,
+    no Python row-at-a-time evaluation."""
+    plan = plan_of(spark, "pack_sequences_best_fit")
+    assert plan.count("Exchange") <= 2  # shard shuffle (+AQE read)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
