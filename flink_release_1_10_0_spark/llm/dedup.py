@@ -99,6 +99,30 @@ _PERM_P = (1 << 31) - 1
 #: (silent recall collapse, no error).  Bump the version here whenever
 #: the signature/band-key formulas change for a method.
 _INDEX_FORMATS = {"md5": "md5.v2", "xxhash64": "xxhash64.v1"}
+#: same contract for the other two persisted-index families: the SRP
+#: index stamps its sign-projection formula version, the semantic index
+#: its k-means assignment contract version; the incremental readers
+#: refuse a mismatch (see _check_index_format)
+_SRP_FORMAT = "srp.v1"
+_SEMANTIC_FORMAT = "sem.v1"
+
+
+def _check_index_format(label: str, frame: DataFrame, expect: str) -> None:
+    """Refuse a persisted-index frame whose format marker is missing or
+    differs from the formulas the caller is about to join against —
+    writer/reader formula drift silently produces ~zero candidates
+    (recall collapse), so it must be a loud error.  One first() = one
+    row-group read, per-ingest cost."""
+    if "fmt" not in frame.columns:
+        raise ValueError(
+            f"{label} carries no 'fmt' format marker — a pre-versioned "
+            f"index artifact; rebuild it (declared index-format change)")
+    row = frame.select("fmt").first()
+    if row is not None and row[0] != expect:
+        raise ValueError(
+            f"{label} was written under format {row[0]!r} but this join "
+            f"expects {expect!r} — rebuild the index with the current "
+            f"formulas")
 #: 128 seeded coefficients (k up to 32): permutation i uses _PERM_C[4*i .. 4*i+3]
 _PERM_C = [
            1864550318, 1254492529, 1007102569, 751060713, 2027691200,
@@ -490,24 +514,10 @@ def lsh_incremental_pairs(index_df: DataFrame, new_df: DataFrame | None,
     # a marker mismatch means its band keys were produced by DIFFERENT
     # formulas than the batch's — the join would "work" and return
     # ~zero pairs (silent recall collapse), so refuse loudly instead.
-    # One first() per frame = one row-group read, per-ingest cost.
-    expect = _INDEX_FORMATS[method]
     for label, frame in (("index_df", index_df),
                          ("new_index_df", new_index_df)):
-        if frame is None:
-            continue
-        if "fmt" not in frame.columns:
-            raise ValueError(
-                f"{label} carries no 'fmt' format marker — a pre-v2 "
-                f"minhash_index artifact; rebuild it (the md5 "
-                f"signature/band-key formulas changed: declared index-"
-                f"format change, see _INDEX_FORMATS)")
-        row = frame.select("fmt").first()
-        if row is not None and row[0] != expect:
-            raise ValueError(
-                f"{label} was written under format {row[0]!r} but this "
-                f"join would use {expect!r} formulas (method={method!r})"
-                f" — rebuild the index or pass the matching method")
+        if frame is not None:
+            _check_index_format(label, frame, _INDEX_FORMATS[method])
     new_idx = (new_index_df if new_index_df is not None
                else minhash_index(new_df, id_col, text_col, k, band_rows,
                                   method).localCheckpoint())
@@ -859,7 +869,7 @@ def srp_index(df: DataFrame, id_col: str = "vec_id",
                          n_bands, stats=stats)
     keep = df.select(F.col(id_col), F.col(vec_col).alias("__vec"),
                      F.expr(nrm).alias("__norm"))
-    return sig.join(keep, id_col)
+    return sig.join(keep, id_col).withColumn("fmt", F.lit(_SRP_FORMAT))
 
 
 def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
@@ -889,6 +899,7 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
     # the index-carried vectors; an index grown by appended batches MUST
     # pass the ORIGINAL persisted stats, or the re-derived centroid
     # drifts and new-batch band keys stop aligning with stored keys.
+    _check_index_format("index_df", index_df, _SRP_FORMAT)
     if stats is None:
         stats = srp_center_stats(
             index_df.select(F.col("__vec").alias(vec_col)), vec_col, dim)
@@ -1102,7 +1113,8 @@ def semantic_index(df: DataFrame, id_col: str = "vec_id",
            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
     rows = (kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
             .select(id_col, "cid", F.col(vec_col).alias("__vec"),
-                    F.expr(nrm).alias("__norm")))
+                    F.expr(nrm).alias("__norm"),
+                    F.lit(_SEMANTIC_FORMAT).alias("fmt")))
     return rows, cents
 
 
@@ -1162,6 +1174,7 @@ def semantic_incremental_pairs(index_df: DataFrame, cents: DataFrame,
     index side is the unbounded one and drives the auto decision)."""
     from flink_release_1_10_0_spark.llm.similarity import kmeans_assign
 
+    _check_index_format("index_df", index_df, _SEMANTIC_FORMAT)
     nrm = (f"sqrt(aggregate({vec_col}, 0D, (s, x) -> s + "
            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
     new_idx = (kmeans_assign(new_df, cents, id_col=id_col, vec_col=vec_col)

@@ -366,6 +366,24 @@ def test_incremental_lsh_format_gate(spark):
     # matching marker still flows
     assert lsh_incremental_pairs(idx_xx, new, "doc_id",
                                  method="xxhash64").count() > 0
+    # same contract on the SRP and semantic index families
+    from flink_release_1_10_0_spark.catalog import load as _load
+    from flink_release_1_10_0_spark.llm.dedup import (
+        semantic_incremental_pairs, semantic_index, srp_center_stats,
+        srp_incremental_pairs, srp_index)
+
+    emb = _load(spark, "/root/testdata/sf0.001", "embeddings")
+    e_old = emb.filter("vec_id % 17 <> 0")
+    e_new = emb.filter("vec_id % 17 = 0")
+    stats = srp_center_stats(e_old).localCheckpoint()
+    sidx = srp_index(e_old, stats=stats)
+    assert sidx.select("fmt").first()[0] == "srp.v1"
+    with _pytest.raises(ValueError, match="format marker"):
+        srp_incremental_pairs(sidx.drop("fmt"), e_new, stats=stats)
+    rows, cents = semantic_index(e_old, k=8)
+    assert rows.select("fmt").first()[0] == "sem.v1"
+    with _pytest.raises(ValueError, match="format marker"):
+        semantic_incremental_pairs(rows.drop("fmt"), cents, e_new)
 
 
 def test_pq_adc_survives_cid_gaps(spark):
