@@ -601,12 +601,16 @@ def ivfpq_topk_indexed(spark, index_path: str, query: DataFrame,
                        k: int = 5, m: int = 4, dim: int = 64,
                        id_col: str = "vec_id", label_col: str = "label",
                        query_id_col: str = "q_id",
-                       query_vec_col: str = "embedding") -> DataFrame:
+                       query_vec_col: str = "embedding",
+                       nprobe: int = 1) -> DataFrame:
     """IVFPQ search against a :func:`write_pq_index` artifact: route via
     the materialized ``_centroids`` (KBs, no corpus scan), dynamic-
-    partition-prune to the routed cell's code rows, ADC top-k via the
+    partition-prune to the routed cells' code rows, ADC top-k via the
     materialized ``_pq_codebooks``.  Same math as :func:`ivfpq_topk` —
-    storage is transparent to the oracle."""
+    storage is transparent to the oracle.  ``nprobe`` is the standard
+    IVF recall knob, identical to :func:`ivf_topk_indexed`'s: scan the
+    nprobe nearest cells instead of one; cost grows as
+    nprobe/n_cells of the compressed corpus."""
     index = spark.read.parquet(index_path)
     cbooks = spark.read.parquet(index_path + "/_pq_codebooks")
     cent_vecs = spark.read.parquet(index_path + "/_centroids")
@@ -620,13 +624,16 @@ def ivfpq_topk_indexed(spark, index_path: str, query: DataFrame,
     routed = (q.crossJoin(F.broadcast(cent_vecs))
               .select("q_id", "qv", "c_label", qdist.alias("qd"))
               .orderBy(F.asc("qd"), F.asc("c_label"))
-              .limit(1)
+              .limit(nprobe)
               .select("q_id", "qv",
                       F.col("c_label").cast("bigint").alias("cell")))
     cell_codes = (index.join(F.broadcast(routed.select("cell")),
                              F.col(label_col).cast("bigint") == F.col("cell"))
                   .select(id_col, "codes"))
-    return pq_topk_adc(cell_codes, cbooks,
-                       routed.select("q_id", F.col("qv").alias("embedding")),
+    # nprobe > 1 emits one routed row per cell for the SAME query —
+    # dedupe before the LUT broadcast or every corpus row scores twice
+    qrow = (routed.select("q_id", F.col("qv").alias("embedding"))
+            .dropDuplicates(["q_id"]))
+    return pq_topk_adc(cell_codes, cbooks, qrow,
                        k=k, m=m, dim=dim, id_col=id_col,
                        query_vec_col="embedding")

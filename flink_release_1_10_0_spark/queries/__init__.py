@@ -55,18 +55,19 @@ _LOADED = False
 # 366/367 names with zero stale fails — the only name without hash
 # evidence is the rows-only-by-design xxhash64 LSH head.  The round-10
 # window therefore leads with the names that have NO driver evidence
-# yet (7 new this round: the SemDeDup incremental/persisted pair, the
-# sparse-IR pair, BFD packing x2, the PQ index append), then the
-# documented r9 overflow block (17 r1-era TPC-H/relational names at
-# positions 51-67 last round), then the r3-era streaming/CEP/graph
-# block fills to 50 (26 of its 50 names fit; the remaining 24 sit at
-# positions 51-74 and lead the NEXT rotation).
+# yet (8 new this round: the SemDeDup incremental/persisted pair, the
+# sparse-IR pair, BFD packing x2, the PQ index append, indexed
+# nprobe=2), then the documented r9 overflow block (17 r1-era
+# TPC-H/relational names at positions 51-67 last round), then the
+# r3-era streaming/CEP/graph block fills to 50 (25 of its 50 names
+# fit; the remaining 25 sit at positions 51-75 and lead the NEXT
+# rotation).
 _PIN = [
     # ---- no driver evidence yet: round-10 new ops ----
     "dedup_semantic_incremental", "dedup_semantic_index_roundtrip",
     "ir_tfidf_cosine_pairs", "ir_bm25_topk",
     "pack_sequences_best_fit", "pack_fill_next_vs_best_fit",
-    "similarity_pq_index_append",
+    "similarity_pq_index_append", "similarity_pq_index_nprobe2",
     # ---- r9 overflow block: r1-era evidence, deferred last round ----
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume_customer",
@@ -79,7 +80,7 @@ _PIN = [
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "unnest_explode_words", "values_literal",
     # ---- r3-era evidence: streaming / CEP / graph / LLM foundations
-    #      (first 26 fit in the 50-window) ----
+    #      (first 25 fit in the 50-window) ----
     "cep_nfa_four_stage", "cep_nfa_or_condition", "graph_adamic_adar",
     "graph_clustering_coefficient", "graph_connected_components",
     "graph_degrees", "graph_hits", "graph_jaccard_index",
@@ -90,9 +91,9 @@ _PIN = [
     "stream_cep_followed_by_any", "stream_cep_next_strict",
     "stream_cep_not_followed_by", "stream_cep_one_or_more",
     "stream_cep_optional_middle", "stream_cep_times_consecutive",
+    # ---- 50-window boundary: the remaining 25 r3-era names overflow
+    #      to positions 51-75 and lead the NEXT rotation ----
     "stream_changelog_agg",
-    # ---- 50-window boundary: the remaining 24 r3-era names overflow
-    #      to positions 51-74 and lead the NEXT rotation ----
     "stream_changelog_sum",
     "stream_count_sliding_window", "stream_count_window_10",
     "stream_dedup_keep_last", "stream_group_agg_update",

@@ -382,3 +382,49 @@ def similarity_pq_index_append(spark, sf_dir):
     q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"),
                                         "embedding")
     return S.ivfpq_topk_indexed(spark, path, q, k=5, m=_PQ_M)
+
+
+# --------------------------------------------------------------------------
+# nprobe>1 on the persisted IVFPQ index: the recall knob — scan the TWO
+# nearest cells.  The oracle is llm3's indexed-search replay with the
+# routing LIMIT raised; everything else (training CTEs, per-sub ADC
+# joins, top-5 rank) is shared verbatim, so the two plans can never
+# drift apart semantically.
+# --------------------------------------------------------------------------
+from flink_release_1_10_0_spark.queries.llm3 import (  # noqa: E402
+    _IVFPQ_ROUTE, _IVFPQ_SUBDISTS, _PQ_ALL_CTES)
+
+_IVFPQ_NPROBE2_ORACLE = ("WITH " + _PQ_ALL_CTES
+                         + _IVFPQ_ROUTE.replace("LIMIT 1", "LIMIT 2")
+                         + ",\n" + _IVFPQ_SUBDISTS + """
+, adc AS (
+  SELECT pd0.q_id, pd0.vec_id, pd0.d + pd1.d + pd2.d + pd3.d AS dist
+  FROM pd0 JOIN pd1 ON pd0.q_id = pd1.q_id AND pd0.vec_id = pd1.vec_id
+           JOIN pd2 ON pd0.q_id = pd2.q_id AND pd0.vec_id = pd2.vec_id
+           JOIN pd3 ON pd0.q_id = pd3.q_id AND pd0.vec_id = pd3.vec_id
+)
+SELECT q_id, vec_id, round(dist, 6) AS adc_r, CAST(rn AS INTEGER) AS rank
+FROM (SELECT q_id, vec_id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+      FROM adc)
+WHERE rn <= 5
+""")
+
+
+@register("similarity_pq_index_nprobe2", _IVFPQ_NPROBE2_ORACLE)
+def similarity_pq_index_nprobe2(spark, sf_dir):
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(emb, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS)
+    codes = S.pq_encode(emb, cb, m=_PQ_M)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"pq_index_np2_q_{os.getpid()}")
+    S.write_pq_index(emb, codes, cb, path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"),
+                                        "embedding")
+    return S.ivfpq_topk_indexed(spark, path, q, k=5, m=_PQ_M, nprobe=2)
