@@ -67,10 +67,14 @@ HEADLINE = [
     # salted two-stage top-k) — the two new wave-3 hot paths
     "pack_sequences_next_fit",
     "similarity_pq_topk_recall",
-    # round-13 addition: SemDeDup's per-ingest shape (batch assigned
+    # round-13 additions: SemDeDup's per-ingest shape (batch assigned
     # against persisted centroids, cid-keyed join vs the index — the
-    # semantic mirror of the two incremental heads above)
+    # semantic mirror of the two incremental heads above), BM25 ranked
+    # retrieval (postings-pruned lexical search), and BFD packing (the
+    # offline fill-ratio packer)
     "dedup_semantic_incremental",
+    "ir_bm25_topk",
+    "pack_sequences_best_fit",
 ]
 
 
