@@ -1200,6 +1200,31 @@ def semantic_incremental_pairs(index_df: DataFrame, cents: DataFrame,
                           hint_a, lambda d: d)
 
 
+def semantic_batch_pairs(cents: DataFrame, new_df: DataFrame,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.35) -> DataFrame:
+    """Within-batch SemDeDup pairs under PERSISTED centroids: the batch
+    is assigned to the index's codebook (never its own retrain — the
+    ingest-decision contract), pairs are same-cid + exact cosine,
+    id_a < id_b.  The intra-batch half of the full ingest decision;
+    compose with :func:`semantic_incremental_pairs` for the cross
+    half (see queries/llm.py:dedup_semantic_ingest_survivors)."""
+    from flink_release_1_10_0_spark.llm.similarity import kmeans_assign
+
+    asg = (kmeans_assign(new_df, cents, id_col=id_col, vec_col=vec_col)
+           .select(id_col, "cid").localCheckpoint())
+    cand = (asg.select(F.col(id_col).alias("id_a"), "cid")
+            .join(asg.select(F.col(id_col).alias("id_b"), "cid"), "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"))
+    return _attach_cosine(
+        cand,
+        _vec_side(new_df, id_col, vec_col, "id_a", "a"),
+        _vec_side(new_df, id_col, vec_col, "id_b", "b"),
+        "id_a", "id_b", threshold, F.broadcast, F.broadcast)
+
+
 def write_srp_index(index_df: DataFrame, stats: DataFrame, path: str,
                     table: str | None = None, buckets: int = 32) -> str:
     """Persist a :func:`srp_index` frame + its centroid statistics the

@@ -171,26 +171,36 @@ def pack_sequences_best_fit(df: DataFrame, id_col: str = "doc_id",
               "seq_id bigint, offset bigint")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
         pdf = pdf.sort_values(["n_tok", "h", "id"],
                               ascending=[False, True, True],
                               kind="mergesort")
+        # open bins as a SORTED list of (remaining, bin_index): the
+        # tightest fitting bin = first entry with remaining >= n
+        # (smallest remaining, ties -> lowest index — exactly the
+        # oracle's list_max + list_position rule).  bisect makes the
+        # choice O(log b) per doc instead of an O(b) scan, so a
+        # 100k-doc shard at the derived-bucket bound stays cheap
+        # (the naive scan is O(n*b) ~ 1e9 ops there).
+        open_bins: list[tuple[int, int]] = []  # (remaining, idx), sorted
         fills: list[int] = []
         seq_ids, offsets = [], []
         for n in pdf["n_tok"]:
             n = int(n)
-            best = -1
-            for i, f in enumerate(fills):
-                # tightest fitting bin; ties keep the LOWEST index
-                # (python max would too, but the explicit scan makes
-                # the oracle's list_position tie-break readable)
-                if f + n <= budget and (best < 0 or f > fills[best]):
-                    best = i
-            if best < 0:
+            pos = bisect.bisect_left(open_bins, (n, -1))
+            if pos < len(open_bins):
+                rem, best = open_bins.pop(pos)
+                offsets.append(budget - rem)
+                open_bins_insert = (rem - n, best)
+            else:
                 best = len(fills)
                 fills.append(0)
+                offsets.append(0)
+                open_bins_insert = (budget - n, best)
             seq_ids.append(best)
-            offsets.append(fills[best])
             fills[best] += n
+            bisect.insort(open_bins, open_bins_insert)
         out = pdf[["grp", "bucket", "id", "n_tok"]].copy()
         out["seq_id"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
         out["offset"] = pd.Series(offsets, index=pdf.index, dtype="int64")

@@ -1608,6 +1608,58 @@ def dedup_semantic_index_roundtrip(spark, sf_dir):
                                         threshold=0.35)
 
 
+# The FULL semantic ingest decision (the SemDeDup mirror of
+# dedup_incremental_intra_batch): a new vector survives iff it has no
+# corpus near-dup (cross pairs vs the index) AND no same-cluster batch
+# sibling with a smaller id — both halves under the PERSISTED
+# centroids, never a batch-side retrain.
+_SEMANTIC_INGEST_ORACLE = (
+    _duck_kmeans_chain(k=8, iterations=2, src="old_emb",
+                       extra_assign=("asg_new", "new_emb"))
+    .replace(
+        "WITH ",
+        "WITH old_emb AS (SELECT * FROM embeddings WHERE vec_id % 17 <> 0),\n"
+        "new_emb AS (SELECT * FROM embeddings WHERE vec_id % 17 = 0),\n", 1)
+    + f""",
+dup AS (
+  SELECT DISTINCT new_id FROM (
+    SELECT a.vec_id AS old_id, n.vec_id AS new_id, {_DUCK_COS} AS cosine
+    FROM asg_final a JOIN asg_new n ON a.cid = n.cid
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = n.vec_id) q
+  WHERE cosine >= 0.35),
+idup AS (
+  SELECT DISTINCT id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cosine
+    FROM asg_new a JOIN asg_new b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id) q
+  WHERE cosine >= 0.35)
+SELECT vec_id FROM new_emb
+WHERE vec_id NOT IN (SELECT new_id FROM dup)
+  AND vec_id NOT IN (SELECT id_b FROM idup)
+""")
+
+
+@register("dedup_semantic_ingest_survivors", _SEMANTIC_INGEST_ORACLE)
+def dedup_semantic_ingest_survivors(spark, sf_dir):
+    """Full per-ingest semantic dedup decision: drop new vectors
+    near-dup to the corpus (cid-keyed join vs the persisted index) AND
+    near-dup to a smaller-id batch sibling in the same persisted
+    cluster (the batch-local keep-first rule) — what remains is
+    exactly the set appended to the corpus and the index."""
+    emb = t(spark, sf_dir, "embeddings")
+    old = emb.filter("vec_id % 17 <> 0")
+    new = emb.filter("vec_id % 17 = 0")
+    rows, cents = D.semantic_index(old, k=8, iterations=2)
+    cross = D.semantic_incremental_pairs(rows, cents, new, threshold=0.35)
+    intra = D.semantic_batch_pairs(cents, new, threshold=0.35)
+    drop = (cross.select(F.col("new_id").alias("vec_id"))
+            .unionByName(intra.select(F.col("id_b").alias("vec_id"))))
+    return new.join(drop, "vec_id", "left_anti").select("vec_id")
+
+
 _SRP_INDEX_ORACLE = f"""
 WITH base AS (
   SELECT vec_id,
