@@ -116,6 +116,71 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("cosine") >= threshold))
 
 
+def bm25_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    query_id_col: str = "q_id",
+                    query_terms_col: str = "terms",
+                    k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 for a BATCH of queries — the decontamination-audit shape
+    (every eval question retrieves its best-matching training docs in
+    one job).  ``queries`` is (q_id, terms array<string>); returns
+    (q_id, id, score_r, rank), top-k per query, ties on id.
+
+    Plan: the query table explodes to (q_id, word) and BROADCASTS into
+    the postings join, so corpus-wide work stays one explode + one
+    (id, word) count regardless of how many queries ride along; df/idf
+    is computed per term ONCE over the union of query vocabularies.
+    Top-k per query is a SALTED two-stage aggregate (k per (q_id,
+    hash-salt) group, then merge n_salts*k survivors) — never a global
+    row_number window that would funnel the scored corpus into
+    #queries partitions.  Same determinism contract as
+    :func:`bm25_topk` (DECIMAL-cast components, rounded scores); the
+    two paths must rank identically for a single query."""
+    stats = (df.select(F.expr(f"size({words_expr(text_col)})")
+                       .cast("bigint").alias("dl"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.avg("dl").alias("avgdl")).first())
+    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+    qterms = (queries.select(F.col(query_id_col).alias("q_id"),
+                             F.explode(query_terms_col).alias("word"))
+              .distinct())
+    vocab = qterms.select("word").distinct()
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.expr(words_expr(text_col)).alias("__ws"))
+            .select("id", F.expr("size(__ws)").cast("bigint").alias("dl"),
+                    F.explode("__ws").alias("word"))
+            .join(F.broadcast(vocab), "word"))
+    tf = (toks.groupBy("id", "word")
+          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = f"ln(1 + ({n} - df_t + 0.5) / (df_t + 0.5))"
+    comp = (f"({idf}) * tf * ({k1} + 1) / "
+            f"(tf + {k1} * (1 - {b} + {b} * dl / {avgdl!r}))")
+    scored = (tf.join(dfreq, "word")
+              .join(F.broadcast(qterms), "word")
+              .select("q_id", "id", F.expr(comp).cast("decimal(28,12)")
+                      .alias("c"))
+              .groupBy("q_id", "id")
+              .agg(F.expr("round(CAST(SUM(c) AS DOUBLE), 6)")
+                   .alias("score_r")))
+    n_salts = 32
+    local = (scored
+             .groupBy("q_id", F.pmod(F.xxhash64("id"), F.lit(n_salts))
+                      .alias("__salt"))
+             .agg(F.expr(
+                 f"slice(array_sort(collect_list(named_struct("
+                 f"'ns', -score_r, 'i', id))), 1, {k})").alias("top")))
+    merged = (local.groupBy("q_id")
+              .agg(F.expr(
+                  f"slice(array_sort(flatten(collect_list(top))), 1, {k})")
+                  .alias("top")))
+    return (merged
+            .select("q_id", F.posexplode("top").alias("__p", "__t"))
+            .select("q_id", F.col("__t.i").alias("id"),
+                    (-F.col("__t.ns")).alias("score_r"),
+                    (F.col("__p") + 1).cast("int").alias("rank")))
+
+
 def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
               id_col: str = "doc_id", text_col: str = "text",
               k1: float = 1.2, b: float = 0.75) -> DataFrame:

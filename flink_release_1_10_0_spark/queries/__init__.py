@@ -55,13 +55,14 @@ _LOADED = False
 # 366/367 names with zero stale fails — the only name without hash
 # evidence is the rows-only-by-design xxhash64 LSH head.  The round-10
 # window therefore leads with the names that have NO driver evidence
-# yet (9 new this round: the SemDeDup incremental/persisted pair +
-# the full ingest decision, the sparse-IR pair, BFD packing x2, the
-# PQ index append, indexed nprobe=2), then the documented r9 overflow
-# block (17 r1-era TPC-H/relational names at positions 51-67 last
-# round), then the r3-era streaming/CEP/graph block fills to 50 (24
-# of its 50 names fit; the remaining 26 sit at positions 51-76 and
-# lead the NEXT rotation).
+# yet (11 new this round: the SemDeDup incremental/persisted pair +
+# the full ingest decision, the sparse-IR quartet incl. batched BM25
+# and the weight-table artifact, BFD packing x2, the PQ index append,
+# indexed nprobe=2), then the documented r9 overflow block (17 r1-era
+# TPC-H/relational names at positions 51-67 last round), then the
+# r3-era streaming/CEP/graph block fills to 50 (22 of its 50 names
+# fit; the remaining 28 sit at positions 51-78 and lead the NEXT
+# rotation).
 _PIN = [
     # ---- no driver evidence yet: round-10 new ops ----
     "dedup_semantic_incremental", "dedup_semantic_index_roundtrip",
@@ -69,6 +70,7 @@ _PIN = [
     "pack_sequences_best_fit", "pack_fill_next_vs_best_fit",
     "similarity_pq_index_append", "similarity_pq_index_nprobe2",
     "dedup_semantic_ingest_survivors",
+    "ir_tfidf_weights", "ir_bm25_topk_batch",
     # ---- r9 overflow block: r1-era evidence, deferred last round ----
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume_customer",
@@ -81,7 +83,7 @@ _PIN = [
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "unnest_explode_words", "values_literal",
     # ---- r3-era evidence: streaming / CEP / graph / LLM foundations
-    #      (first 24 fit in the 50-window) ----
+    #      (first 22 fit in the 50-window) ----
     "cep_nfa_four_stage", "cep_nfa_or_condition", "graph_adamic_adar",
     "graph_clustering_coefficient", "graph_connected_components",
     "graph_degrees", "graph_hits", "graph_jaccard_index",
@@ -90,10 +92,11 @@ _PIN = [
     "similarity_cosine_topk", "similarity_ivf_topk", "stream_async_io_enrich",
     "stream_broadcast_rules_join", "stream_cep_error_then_purchase",
     "stream_cep_followed_by_any", "stream_cep_next_strict",
-    "stream_cep_not_followed_by", "stream_cep_one_or_more",
+    "stream_cep_not_followed_by",
+    # ---- 50-window boundary: the remaining 28 r3-era names overflow
+    #      to positions 51-78 and lead the NEXT rotation ----
+    "stream_cep_one_or_more",
     "stream_cep_optional_middle",
-    # ---- 50-window boundary: the remaining 26 r3-era names overflow
-    #      to positions 51-76 and lead the NEXT rotation ----
     "stream_cep_times_consecutive",
     "stream_changelog_agg",
     "stream_changelog_sum",

@@ -428,3 +428,76 @@ def similarity_pq_index_nprobe2(spark, sf_dir):
     q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"),
                                         "embedding")
     return S.ivfpq_topk_indexed(spark, path, q, k=5, m=_PQ_M, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# The TF-IDF weight table ARTIFACT itself (the reader/writer contract
+# the cosine path builds on): quantized weights re-derived independently
+# in DuckDB — the same artifact-gating convention as dedup_minhash_index.
+# --------------------------------------------------------------------------
+_TFIDF_WEIGHTS_ORACLE = f"""
+WITH d AS (SELECT doc_id AS id, {_DWORDS} AS ws FROM documents
+           WHERE doc_id < 200),
+nn AS (SELECT count(*) AS n FROM d),
+tf AS (SELECT id, word, count(*) AS tf
+       FROM (SELECT id, unnest(ws) AS word FROM d) x GROUP BY id, word),
+dfq AS (SELECT word, count(*) AS df_t FROM tf GROUP BY word)
+SELECT id, tf.word, tf, df_t,
+       CAST(FLOOR(tf * (ln((nn.n + 1) / (df_t + 1)) + 1) * 1000000)
+            AS BIGINT) AS wq
+FROM tf JOIN dfq USING (word) CROSS JOIN nn
+"""
+
+
+@register("ir_tfidf_weights", _TFIDF_WEIGHTS_ORACLE)
+def ir_tfidf_weights(spark, sf_dir):
+    return IR.tfidf_weights(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+
+# --------------------------------------------------------------------------
+# Batched BM25 (the production decontamination audit): three "eval
+# question" queries derived deterministically from the corpus (the
+# three smallest doc_ids' first three words), every query retrieving
+# its top-5 in ONE job.  The oracle replays the same per-query idf/tf
+# components and ranks with a per-query window.
+# --------------------------------------------------------------------------
+_BM25_BATCH_ORACLE = f"""
+WITH d AS (SELECT doc_id AS id, {_DWORDS} AS ws FROM documents),
+q AS (SELECT id AS q_id, ws[1:3] AS terms FROM d WHERE id < 3),
+qt AS (SELECT DISTINCT q_id, unnest(terms) AS word FROM q),
+vocab AS (SELECT DISTINCT word FROM qt),
+st AS (SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM d),
+tok AS (SELECT id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS word
+        FROM d),
+tf AS (SELECT id, word, count(*) AS tf, min(dl) AS dl
+       FROM tok JOIN vocab USING (word) GROUP BY id, word),
+dfq AS (SELECT word, count(*) AS df_t FROM tf GROUP BY word),
+comp AS (SELECT qt.q_id, tf.id,
+                CAST(ln(1 + (st.n - df_t + 0.5) / (df_t + 0.5))
+                     * tf * ({_BM25_K1} + 1)
+                     / (tf + {_BM25_K1} * (1 - {_BM25_B}
+                                           + {_BM25_B} * dl / st.avgdl))
+                     AS DECIMAL(28,12)) AS c
+         FROM tf JOIN dfq USING (word) JOIN qt USING (word)
+         CROSS JOIN st),
+scored AS (SELECT q_id, id, round(CAST(SUM(c) AS DOUBLE), 6) AS score_r
+           FROM comp GROUP BY q_id, id)
+SELECT q_id, id, score_r, CAST(rn AS INTEGER) AS rank
+FROM (SELECT q_id, id, score_r,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score_r DESC, id) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+@register("ir_bm25_topk_batch", _BM25_BATCH_ORACLE)
+def ir_bm25_topk_batch(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import words_expr
+    docs = t(spark, sf_dir, "documents")
+    q = (docs.filter(F.col("doc_id") < 3)
+         .select(F.col("doc_id").alias("q_id"),
+                 F.expr(f"slice({words_expr('text')}, 1, 3)")
+                 .alias("terms")))
+    return IR.bm25_topk_batch(docs, q, k=5, k1=_BM25_K1, b=_BM25_B)

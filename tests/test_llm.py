@@ -850,3 +850,23 @@ def test_pq_append_preserves_old_rows_and_codes(spark):
             for r in pq_encode(new, cb, m=4).collect()}
     assert all(after[v][0] == want[v] for v in appended)
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bm25_batch_matches_single_query(spark):
+    """bm25_topk_batch must rank exactly like the single-query path for
+    the same query — the two surfaces share the determinism contract."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.ir import bm25_topk, bm25_topk_batch
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    terms = ["spark", "window", "merge"]
+    single = [(r.id, r.score_r, r.rank)
+              for r in bm25_topk(docs, terms, k=10).collect()]
+    q = spark.createDataFrame([(0, terms)],
+                              "q_id bigint, terms array<string>")
+    batch = [(r.id, r.score_r, r.rank)
+             for r in sorted(bm25_topk_batch(docs, q, k=10).collect(),
+                             key=lambda r: r.rank)]
+    assert batch == sorted(single, key=lambda x: x[2])

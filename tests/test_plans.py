@@ -570,3 +570,13 @@ def test_pack_best_fit_single_shuffle_arrow(spark):
     assert plan.count("Exchange") <= 2  # shard shuffle (+AQE read)
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_batch_salted_topk_no_global_window(spark):
+    """Batched BM25: postings pruned by a broadcast vocabulary join,
+    per-query top-k is the salted two-stage aggregate — no window
+    function in the plan at all, no Python."""
+    plan = plan_of(spark, "ir_bm25_topk_batch")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
