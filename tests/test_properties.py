@@ -908,3 +908,77 @@ def test_nfa_watermark_timer_flush_matches_model(spark, evs):
         if bs and max_min > i + W:    # satisfied AND globally closed
             expect.append((u, (i, *bs)))
     assert got == sorted(expect)
+
+
+@given(toks=st.lists(st.integers(min_value=1, max_value=40),
+                     min_size=1, max_size=25),
+       budget=st.integers(min_value=8, max_value=64))
+@settings(**_SETTINGS)
+def test_best_fit_decreasing_matches_brute_reference(spark, toks, budget):
+    """The bisect-based BFD bin choice must equal a brute-force scan
+    reference (tightest fitting bin, ties -> lowest index, largest
+    docs first) on random corpora — guards the O(n log b) rewrite and
+    shrinks to a minimal counterexample if the tie-break ever drifts
+    from the oracle's list_max + list_position rule."""
+    import hashlib
+
+    from flink_release_1_10_0_spark.llm.packing import pack_sequences_best_fit
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * t), "s") for i, t in enumerate(toks)],
+        "doc_id bigint, text string, source string")
+    got = {r.id: (r.seq_id, r.offset)
+           for r in pack_sequences_best_fit(docs, budget=budget,
+                                            n_buckets=1).collect()}
+    order = sorted(range(len(toks)),
+                   key=lambda i: (-toks[i],
+                                  hashlib.md5(str(i).encode()).hexdigest(),
+                                  i))
+    fills: list[int] = []
+    want = {}
+    for i in order:
+        n = toks[i]
+        best = -1
+        for j, f in enumerate(fills):
+            if f + n <= budget and (best < 0 or f > fills[best]):
+                best = j
+        if best < 0:
+            best = len(fills)
+            fills.append(0)
+        want[i] = (best, fills[best])
+        fills[best] += n
+    assert got == want
+
+
+@given(toks=st.lists(st.integers(min_value=1, max_value=40),
+                     min_size=1, max_size=25),
+       budget=st.integers(min_value=8, max_value=64))
+@settings(**_SETTINGS)
+def test_next_fit_matches_brute_reference(spark, toks, budget):
+    """Next-fit's single-stream layout equals the brute reference in
+    the deterministic (md5(id), id) order."""
+    import hashlib
+
+    from flink_release_1_10_0_spark.llm.packing import pack_sequences_next_fit
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * t), "s") for i, t in enumerate(toks)],
+        "doc_id bigint, text string, source string")
+    got = {r.id: (r.seq_id, r.offset)
+           for r in pack_sequences_next_fit(docs, budget=budget,
+                                            n_buckets=1).collect()}
+    order = sorted(range(len(toks)),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                  i))
+    seq, fill = 0, 0
+    first = True
+    want = {}
+    for i in order:
+        n = toks[i]
+        if not first and fill + n > budget:
+            seq += 1
+            fill = 0
+        first = False
+        want[i] = (seq, fill)
+        fill += n
+    assert got == want
