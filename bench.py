@@ -75,6 +75,11 @@ HEADLINE = [
     "dedup_semantic_incremental",
     "ir_bm25_topk",
     "pack_sequences_best_fit",
+    # round-14 additions: BPE tokenizer training (the 10-iteration
+    # merge loop over the cached word dict — bench-visible loop cost)
+    # and the SQ8 rerank cascade (int8 asymmetric scan + exact rescore)
+    "text_bpe_train_merges",
+    "similarity_sq8_rerank",
 ]
 
 

@@ -637,3 +637,136 @@ def ivfpq_topk_indexed(spark, index_path: str, query: DataFrame,
     return pq_topk_adc(cell_codes, cbooks, qrow,
                        k=k, m=m, dim=dim, id_col=id_col,
                        query_vec_col="embedding")
+
+
+# ---------------------------------------------------------------------------
+# Wave-5 compressed-search family: SQ8 asymmetric search, exact re-rank
+# cascades, Matryoshka prefix-dim routing.  All three share the salted
+# two-stage top-k and the candidate-rerank join below.
+# ---------------------------------------------------------------------------
+
+
+def _salted_topk(scored: DataFrame, k: int, id_col: str,
+                 dist_col: str, n_salts: int = 32) -> DataFrame:
+    """Two-stage top-k per ``q_id`` over a (q_id, id, dist) frame: stage 1
+    keeps k per (q_id, hash-salt) group (bounded partial groups), stage 2
+    merges the n_salts*k survivors — never a global row_number window
+    that would funnel the whole scored corpus into #queries partitions
+    (the plan shape pq_topk_adc/exact_l2_topk established).  Returns
+    (q_id, top) with top = sorted array<struct<d,i>>; ties break on id."""
+    local = (scored
+             .groupBy("q_id", F.pmod(F.xxhash64(id_col), F.lit(n_salts))
+                      .alias("__salt"))
+             .agg(F.expr(
+                 f"slice(array_sort(collect_list(named_struct("
+                 f"'d', {dist_col}, 'i', {id_col}))), 1, {k})").alias("top")))
+    return (local.groupBy("q_id")
+            .agg(F.expr(
+                f"slice(array_sort(flatten(collect_list(top))), 1, {k})")
+                .alias("top")))
+
+
+def _explode_topk(merged: DataFrame, id_col: str,
+                  dist_alias: str) -> DataFrame:
+    """(q_id, top) -> (q_id, id, <dist_alias>, rank) rows."""
+    return (merged
+            .select("q_id", F.posexplode("top").alias("__p", "__t"))
+            .select("q_id", F.col("__t.i").alias(id_col),
+                    F.round("__t.d", 6).alias(dist_alias),
+                    (F.col("__p") + 1).cast("int").alias("rank")))
+
+
+def _query_frame(queries: DataFrame, query_id_col: str,
+                 query_vec_col: str) -> DataFrame:
+    return queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.expr(f"transform({query_vec_col}, x -> cast(x as double))")
+        .alias("qv"))
+
+
+def sq8_topk_adc(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "q_id",
+                 query_vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric scalar-quantization search (the FAISS ``SQ8`` layout):
+    score float queries directly against :func:`quantize_int8` codes —
+    ``sum_d (q_d - code_d * scale)^2`` — so the search scan reads the 4×
+    smaller int8 corpus and never reconstructs float vectors up front.
+    Plan: map-side quantize (no shuffle), broadcast the query batch,
+    map-side distance, salted two-stage top-k.  Same query-batch sizing
+    bound as pq_topk_adc.  Returns (q_id, vec_id, adc_r, rank); ties
+    break on vec_id."""
+    codes = (quantize_int8(embeddings, id_col, vec_col)
+             .select(id_col, "q", "scale"))
+    qf = _query_frame(queries, query_id_col, query_vec_col)
+    dist = ("aggregate(zip_with(q, qv, (qi, x) -> "
+            "(x - qi * scale) * (x - qi * scale)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)")
+    scored = (codes.crossJoin(F.broadcast(qf))
+              .select("q_id", F.col(id_col), F.expr(dist).alias("adc")))
+    return _explode_topk(_salted_topk(scored, k, id_col, "adc"),
+                         id_col, "adc_r")
+
+
+def _exact_rerank(cand: DataFrame, embeddings: DataFrame, qf: DataFrame,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Re-rank a small (q_id, id) candidate frame by exact full-dim
+    squared L2.  The candidate side is #queries * r rows — broadcast it
+    against the corpus so the true-vector attach is a map-side join; the
+    final per-query sort runs over at most r rows per query (a bounded
+    collect_list, not a corpus window).  Returns
+    (q_id, vec_id, dist_r, rank)."""
+    withvec = (embeddings
+               .select(F.col(id_col), F.col(vec_col).alias("__v"))
+               .join(F.broadcast(cand.select("q_id", id_col)), id_col))
+    sq = ("aggregate(zip_with(__v, qv, (x, y) -> "
+          "(cast(x as double) - y) * (cast(x as double) - y)), "
+          "cast(0.0 as double), (acc, v) -> acc + v)")
+    scored = (withvec.join(F.broadcast(qf), "q_id")
+              .select("q_id", F.col(id_col), F.expr(sq).alias("dist")))
+    merged = (scored.groupBy("q_id")
+              .agg(F.expr(
+                  f"slice(array_sort(collect_list(named_struct("
+                  f"'d', dist, 'i', {id_col}))), 1, {k})").alias("top")))
+    return _explode_topk(merged, id_col, "dist_r")
+
+
+def sq8_topk_rerank(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                    r: int = 32, id_col: str = "vec_id",
+                    vec_col: str = "embedding", query_id_col: str = "q_id",
+                    query_vec_col: str = "embedding") -> DataFrame:
+    """Two-stage cascade: SQ8 asymmetric scan keeps the top ``r``
+    candidates per query, then exact full-precision L2 re-ranks them to
+    the final ``k`` — the standard compressed-scan + rescore layout (at
+    100 TB the int8 scan reads a quarter of the bytes and the rescore
+    touches only #queries * r true vectors).  Returns
+    (q_id, vec_id, dist_r, rank); ties break on vec_id."""
+    cand = sq8_topk_adc(embeddings, queries, k=r, id_col=id_col,
+                        vec_col=vec_col, query_id_col=query_id_col,
+                        query_vec_col=query_vec_col)
+    qf = _query_frame(queries, query_id_col, query_vec_col)
+    return _exact_rerank(cand, embeddings, qf, k, id_col, vec_col)
+
+
+def matryoshka_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                    r: int = 32, prefix_dim: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "q_id",
+                    query_vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka cascade (Kusupati et al. 2022 representations): coarse
+    top-``r`` on the FIRST ``prefix_dim`` dimensions (MRL-trained
+    embeddings front-load information, so a d/4 prefix scan preserves
+    recall), exact full-dim re-rank to top-``k``.  The coarse scan reads
+    prefix_dim/dim of the float bytes when the corpus is stored with the
+    prefix as a separate column family / parquet column.  Returns
+    (q_id, vec_id, dist_r, rank); ties break on vec_id."""
+    qf = _query_frame(queries, query_id_col, query_vec_col)
+    coarse_sq = (f"aggregate(zip_with(slice({vec_col}, 1, {prefix_dim}), "
+                 f"slice(qv, 1, {prefix_dim}), (x, y) -> "
+                 "(cast(x as double) - y) * (cast(x as double) - y)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    scored = (embeddings.crossJoin(F.broadcast(qf))
+              .select("q_id", F.col(id_col), F.expr(coarse_sq).alias("cd")))
+    cand = _explode_topk(_salted_topk(scored, r, id_col, "cd"),
+                         id_col, "cd_r")
+    return _exact_rerank(cand, embeddings, qf, k, id_col, vec_col)

@@ -447,3 +447,130 @@ def sample_temperature(df: DataFrame, id_col: str, strata_col: str,
     return (df.join(F.broadcast(rates), df[strata_col] == F.col("__s"))
             .filter(h < F.col("rate_ppm"))
             .drop("__s"))
+
+
+def ccnet_ppl_buckets(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      lang_col: str = "lang") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    document with a PER-LANGUAGE add-1-smoothed bigram LM trained on the
+    corpus itself, then split each language into head / middle / tail
+    terciles by perplexity (CCNet keeps "head" as the high-quality cut).
+
+    Determinism contract: per-doc perplexity is rounded to 6 dp BEFORE
+    bucketing (the raw AVG is float-summation-order dependent; the
+    rounding pins it), and the tercile cuts are VALUE-based — the
+    thresholds t1/t2 are the smallest rounded-ppl values whose cumulative
+    doc count reaches n/3 and 2n/3 (integer inequalities ``3*cum >= n``,
+    ``3*cum >= 2*n``), so an entire tie-group lands in one bucket and no
+    engine-specific tie order can leak.
+
+    Scale: the LM is two (lang, gram)-keyed aggregations; scoring is a
+    broadcast-joined map pass.  The cumulative window that finds the
+    thresholds runs over the DISTINCT (lang, ppl_r) VALUES ONLY — a
+    frame bounded by the number of distinct rounded perplexities, not by
+    corpus rows — and the per-lang threshold table (3 values per
+    language) broadcast-joins back.  No corpus-sized window anywhere.
+    Docs with <2 words have no bigrams and are excluded (CCNet drops
+    them before scoring too).  Returns (id, lang, ppl_r, bucket)."""
+    from pyspark.sql.window import Window
+
+    w = df.select(F.col(id_col).alias("__id"),
+                  F.col(lang_col).alias("__lang"),
+                  F.expr(words_expr(text_col)).alias("__ws"))
+    bge = (w.filter("size(__ws) >= 2")
+           .select("__id", "__lang", F.explode(F.expr(
+               "transform(sequence(0, size(__ws) - 2), i -> "
+               "named_struct('w1', element_at(__ws, i + 1), "
+               "'w2', element_at(__ws, i + 2)))")).alias("b"))
+           .select("__id", "__lang", F.col("b.w1").alias("w1"),
+                   F.col("b.w2").alias("w2")))
+    c2 = bge.groupBy("__lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (w.select("__lang", F.explode("__ws").alias("w1"))
+          .groupBy("__lang", "w1").agg(F.count(F.lit(1)).alias("c1")))
+    v = c1.groupBy("__lang").agg(F.count(F.lit(1)).alias("v"))
+    nlp = (F.log((F.col("c1") + F.col("v")).cast("double"))
+           - F.log((F.col("c2") + 1).cast("double")))
+    ppl = (bge.join(c2, ["__lang", "w1", "w2"])
+           .join(c1, ["__lang", "w1"])
+           .join(F.broadcast(v), "__lang")
+           .groupBy("__id", "__lang")
+           .agg(F.round(F.exp(F.avg(nlp)), 6).alias("ppl_r")))
+    # distinct-value cumulative histogram -> per-lang tercile thresholds
+    vals = ppl.groupBy("__lang", "ppl_r").agg(F.count(F.lit(1)).alias("cnt"))
+    win = (Window.partitionBy("__lang").orderBy("ppl_r")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (vals.withColumn("cum", F.sum("cnt").over(win))
+           .withColumn("n", F.sum("cnt").over(Window.partitionBy("__lang"))))
+    thr = (cum.groupBy("__lang")
+           .agg(F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("ppl_r")))
+                .alias("t1"),
+                F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"),
+                             F.col("ppl_r"))).alias("t2")))
+    return (ppl.join(F.broadcast(thr), "__lang")
+            .select(F.col("__id").alias(id_col),
+                    F.col("__lang").alias(lang_col), "ppl_r",
+                    F.when(F.col("ppl_r") <= F.col("t1"), F.lit("head"))
+                    .when(F.col("ppl_r") <= F.col("t2"), F.lit("middle"))
+                    .otherwise(F.lit("tail")).alias("bucket")))
+
+
+def unimax_allocation(df: DataFrame, lang_col: str = "lang",
+                      text_col: str = "text", budget: int = 10_000,
+                      epoch_cap: int = 2) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): split a
+    total token ``budget`` across languages as uniformly as possible,
+    but never take more than ``epoch_cap`` epochs of any language's
+    data.  Exact water-filling: sort languages by capacity
+    ``cap_l = epoch_cap * tokens_l`` ascending; a language is CAPPED iff
+    ``cap_l * (L - i + 1) <= B - S_{i-1}`` (all-integer inequality —
+    cap_l can't absorb an equal share of what's left), the capped set is
+    a prefix under that order, and every uncapped language gets the
+    equal share ``(B - S_K) / (L - K)``.
+
+    Scale: one corpus-wide token-count aggregation; everything after
+    runs on the L-row language table (windows over L rows, partitioned
+    by a constant non-foldable key to keep plans window-warning-free).
+    Returns (lang, n_tokens, cap_tokens, alloc_tokens, epochs)."""
+    from pyspark.sql.window import Window
+
+    toks = (df.groupBy(F.col(lang_col).alias("__lang"))
+            .agg(F.sum(F.expr(f"size({words_expr(text_col)})"))
+                 .cast("bigint").alias("n_tokens")))
+    capd = toks.withColumn(
+        "cap_tokens", (F.lit(int(epoch_cap)).cast("bigint")
+                       * F.col("n_tokens")).cast("bigint"))
+    # constant-valued but non-foldable partition key (a literal-only
+    # expression folds back to an empty spec and WARNs; hashing a
+    # COLUMN does not fold) — the frame is L rows
+    pkey = F.pmod(F.xxhash64(F.col("__lang")), F.lit(1))
+    owin = Window.partitionBy(pkey).orderBy("cap_tokens", "__lang")
+    swin = owin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (capd
+              .withColumn("i", F.row_number().over(owin).cast("bigint"))
+              .withColumn("s_i", F.sum("cap_tokens").over(swin))
+              .withColumn("L", F.count(F.lit(1)).over(
+                  Window.partitionBy(pkey)).cast("bigint")))
+    b = F.lit(int(budget)).cast("bigint")
+    ranked = ranked.withColumn(
+        "capped",
+        F.col("cap_tokens") * (F.col("L") - F.col("i") + 1)
+        <= b - (F.col("s_i") - F.col("cap_tokens")))
+    kk = ranked.groupBy(pkey.alias("__g")).agg(
+        F.max(F.when(F.col("capped"), F.col("i"))).alias("__K"),
+        F.max(F.when(F.col("capped"), F.col("s_i"))).alias("__SK"),
+        F.max("L").alias("__L"))
+    kk = kk.select(F.coalesce("__K", F.lit(0)).cast("bigint").alias("__K"),
+                   F.coalesce("__SK", F.lit(0)).cast("bigint").alias("__SK"),
+                   "__L")
+    alloc = (ranked.crossJoin(F.broadcast(kk))
+             .withColumn(
+                 "alloc_tokens",
+                 F.round(F.when(F.col("i") <= F.col("__K"),
+                                F.col("cap_tokens").cast("double"))
+                         .otherwise((b - F.col("__SK")).cast("double")
+                                    / (F.col("__L") - F.col("__K"))), 6)))
+    return alloc.select(
+        F.col("__lang").alias(lang_col), "n_tokens", "cap_tokens",
+        "alloc_tokens",
+        F.round(F.col("alloc_tokens") / F.col("n_tokens"), 6).alias("epochs"))

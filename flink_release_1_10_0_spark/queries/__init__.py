@@ -55,16 +55,22 @@ _LOADED = False
 # 366/367 names with zero stale fails — the only name without hash
 # evidence is the rows-only-by-design xxhash64 LSH head.  The round-10
 # window therefore leads with the names that have NO driver evidence
-# yet (11 new this round: the SemDeDup incremental/persisted pair +
-# the full ingest decision, the sparse-IR quartet incl. batched BM25
-# and the weight-table artifact, BFD packing x2, the PQ index append,
-# indexed nprobe=2), then the documented r9 overflow block (17 r1-era
-# TPC-H/relational names at positions 51-67 last round), then the
-# r3-era streaming/CEP/graph block fills to 50 (22 of its 50 names
-# fit; the remaining 28 sit at positions 51-78 and lead the NEXT
-# rotation).
+# yet (19 new this round: 8 wave-5 — BPE train/encode, CCNet buckets,
+# UniMax, SQ8 scan/rerank, Matryoshka cascade, quality-keeper clusters
+# — plus 11 from the earlier session: the SemDeDup incremental/
+# persisted pair + the full ingest decision, the sparse-IR quartet
+# incl. batched BM25 and the weight-table artifact, BFD packing x2,
+# the PQ index append, indexed nprobe=2), then the documented r9
+# overflow block (17 r1-era TPC-H/relational names), then the r3-era
+# streaming/CEP/graph block fills to 50 (14 of its 50 names fit; the
+# remaining 36 overflow to positions 51+ and lead the NEXT rotation).
 _PIN = [
-    # ---- no driver evidence yet: round-10 new ops ----
+    # ---- no driver evidence yet: wave-5 ops (this session) ----
+    "text_bpe_train_merges", "text_bpe_encode_stats",
+    "text_ccnet_ppl_buckets", "sample_unimax_allocation",
+    "similarity_sq8_topk", "similarity_sq8_rerank",
+    "similarity_matryoshka_topk", "dedup_cluster_quality_survivors",
+    # ---- no driver evidence yet: round-10 earlier new ops ----
     "dedup_semantic_incremental", "dedup_semantic_index_roundtrip",
     "ir_tfidf_cosine_pairs", "ir_bm25_topk",
     "pack_sequences_best_fit", "pack_fill_next_vs_best_fit",
@@ -151,7 +157,7 @@ def _load() -> None:
     from flink_release_1_10_0_spark.queries import (  # noqa: F401
         tpch, tpch_full, relational, windows, temporal, llm, streaming,  # noqa
         extended, cep_nfa, tpcds, tpcds2, llm2, stateproc, mlpipe, llm3,  # noqa
-        llm4,  # noqa
+        llm4, llm5,  # noqa
     )
     order = {m: i for i, m in enumerate(_FAMILY_ORDER)}
     pin = {n: i for i, n in enumerate(_PIN)}

@@ -1,0 +1,408 @@
+"""LLM training-data curation queries, wave 5 — CCNet perplexity
+bucketing, UniMax language budgets, compressed-search cascades (SQ8
+asymmetric scan, exact re-rank, Matryoshka prefix-dim routing),
+quality-aware duplicate-cluster survivors, and distributed BPE
+tokenizer training/encoding.
+
+Like waves 1-4 these extend the reference beyond its own operator set
+per the brief's LLM-pipeline mandate; every query carries a full DuckDB
+oracle.  The BPE oracles unroll the merge loop as a CTE chain (the same
+technique as the unrolled-Lloyd k-means replays) — each iteration is a
+pair-count aggregation, a 1-row argmax, and a string replace both
+engines execute with identical left-to-right semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_release_1_10_0_spark.llm import bpe as B
+from flink_release_1_10_0_spark.llm import dedup as D
+from flink_release_1_10_0_spark.llm import similarity as S
+from flink_release_1_10_0_spark.llm import text as T
+from flink_release_1_10_0_spark.queries import register
+from flink_release_1_10_0_spark.queries.helpers import t
+from flink_release_1_10_0_spark.queries.llm import (_DWORDS, _band_selects,
+                                                    _sig_cols_duck)
+
+# --------------------------------------------------------------------------
+# CCNet perplexity bucketing: per-language bigram LM, head/middle/tail
+# terciles by rounded perplexity with VALUE-based cuts (integer
+# inequality 3*cum >= n over the distinct-ppl histogram) — no tie order
+# can leak between engines.
+# --------------------------------------------------------------------------
+_CCNET_ORACLE = f"""
+WITH w AS (SELECT doc_id, lang, {_DWORDS} AS ws FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]])) AS b
+  FROM w WHERE len(ws) >= 2
+), bge AS (
+  SELECT doc_id, lang, b[1] AS w1, b[2] AS w2 FROM bg
+), c2 AS (
+  SELECT lang, w1, w2, COUNT(*) AS c2 FROM bge GROUP BY lang, w1, w2
+), c1 AS (
+  SELECT lang, w AS w1, COUNT(*) AS c1
+  FROM (SELECT lang, unnest(ws) AS w FROM w) x GROUP BY lang, w
+), v AS (
+  SELECT lang, COUNT(*) AS v FROM c1 GROUP BY lang
+), ppl AS (
+  SELECT bge.doc_id, bge.lang,
+         round(exp(AVG(ln(CAST(c1.c1 + v.v AS DOUBLE))
+                       - ln(CAST(c2.c2 + 1 AS DOUBLE)))), 6) AS ppl_r
+  FROM bge
+  JOIN c2 ON bge.lang = c2.lang AND bge.w1 = c2.w1 AND bge.w2 = c2.w2
+  JOIN c1 ON bge.lang = c1.lang AND bge.w1 = c1.w1
+  JOIN v ON bge.lang = v.lang
+  GROUP BY bge.doc_id, bge.lang
+), vals AS (
+  SELECT lang, ppl_r, COUNT(*) AS cnt FROM ppl GROUP BY lang, ppl_r
+), cum AS (
+  SELECT lang, ppl_r,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY ppl_r
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM vals
+), thr AS (
+  SELECT lang,
+         MIN(CASE WHEN 3 * cum >= n THEN ppl_r END) AS t1,
+         MIN(CASE WHEN 3 * cum >= 2 * n THEN ppl_r END) AS t2
+  FROM cum GROUP BY lang
+)
+SELECT p.doc_id, p.lang, p.ppl_r,
+       CASE WHEN p.ppl_r <= thr.t1 THEN 'head'
+            WHEN p.ppl_r <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ppl p JOIN thr ON p.lang = thr.lang
+"""
+
+
+@register("text_ccnet_ppl_buckets", _CCNET_ORACLE)
+def text_ccnet_ppl_buckets(spark, sf_dir):
+    return T.ccnet_ppl_buckets(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# UniMax budgets: exact integer water-filling over per-language token
+# counts; budget/cap chosen so sf0.01 exercises BOTH branches (small
+# languages capped, the largest takes the equal share).
+# --------------------------------------------------------------------------
+_UNI_B, _UNI_E = 8000, 1
+
+_UNIMAX_ORACLE = f"""
+WITH c AS (
+  SELECT lang, CAST(SUM(len({_DWORDS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), capd AS (
+  SELECT lang, n_tokens,
+         CAST({_UNI_E} AS BIGINT) * n_tokens AS cap_tokens
+  FROM c
+), r AS (
+  SELECT lang, n_tokens, cap_tokens,
+         CAST(row_number() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS i,
+         SUM(cap_tokens) OVER (ORDER BY cap_tokens, lang
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS s_i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS L
+  FROM capd
+), f AS (
+  SELECT *, cap_tokens * (L - i + 1) <= {_UNI_B} - (s_i - cap_tokens)
+           AS capped
+  FROM r
+), kk AS (
+  SELECT COALESCE(MAX(CASE WHEN capped THEN i END), 0) AS K,
+         COALESCE(MAX(CASE WHEN capped THEN s_i END), 0) AS SK
+  FROM f
+), alloc AS (
+  SELECT lang, n_tokens, cap_tokens,
+         round(CASE WHEN i <= kk.K THEN CAST(cap_tokens AS DOUBLE)
+               ELSE CAST({_UNI_B} - kk.SK AS DOUBLE) / (L - kk.K)
+               END, 6) AS alloc_tokens
+  FROM f CROSS JOIN kk
+)
+SELECT lang, n_tokens, cap_tokens, alloc_tokens,
+       round(alloc_tokens / n_tokens, 6) AS epochs
+FROM alloc
+"""
+
+
+@register("sample_unimax_allocation", _UNIMAX_ORACLE)
+def sample_unimax_allocation(spark, sf_dir):
+    return T.unimax_allocation(t(spark, sf_dir, "documents"),
+                               budget=_UNI_B, epoch_cap=_UNI_E)
+
+
+# --------------------------------------------------------------------------
+# Compressed-search cascades over the embeddings table (dim 64).  Query
+# batch = vec_id IN (0, 1, 2).  All ranks tie-break on vec_id.
+# --------------------------------------------------------------------------
+_SQ_K, _SQ_R = 5, 16
+
+_DUCK_Q = ("q AS (SELECT vec_id AS q_id, "
+           "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+           "FROM embeddings WHERE vec_id IN (0, 1, 2))")
+
+_DUCK_CODES = """mx AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS mx
+  FROM embeddings
+), codes AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx.mx + 0.5) AS INT))
+           AS cd,
+         mx.mx / 127.0 AS scale
+  FROM embeddings e JOIN mx USING (vec_id)
+  WHERE mx.mx > 0
+), sc AS (
+  SELECT q.q_id, codes.vec_id,
+         list_sum(list_transform(range(1, 65), i ->
+           (q.qv[i] - codes.cd[i] * codes.scale)
+           * (q.qv[i] - codes.cd[i] * codes.scale))) AS adc
+  FROM codes CROSS JOIN q
+), rk AS (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+  FROM sc
+)"""
+
+_SQ8_ORACLE = f"""
+WITH {_DUCK_Q},
+{_DUCK_CODES}
+SELECT q_id, vec_id, round(adc, 6) AS adc_r, CAST(rnk AS INT) AS rank
+FROM rk WHERE rnk <= {_SQ_K}
+"""
+
+
+@register("similarity_sq8_topk", _SQ8_ORACLE)
+def similarity_sq8_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
+            .select(F.col("vec_id").alias("q_id"), "embedding")
+    return S.sq8_topk_adc(emb, qs, k=_SQ_K)
+
+
+_DUCK_RERANK = f"""cand AS (
+  SELECT q_id, vec_id FROM rk WHERE rnk <= {_SQ_R}
+), ex AS (
+  SELECT c.q_id, c.vec_id,
+         list_sum(list_transform(range(1, 65), i ->
+           (CAST(e.embedding[i] AS DOUBLE) - q.qv[i])
+           * (CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))) AS dist
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.q_id = c.q_id
+), rk2 AS (
+  SELECT q_id, vec_id, dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk
+  FROM ex
+)
+SELECT q_id, vec_id, round(dist, 6) AS dist_r, CAST(rnk AS INT) AS rank
+FROM rk2 WHERE rnk <= {_SQ_K}"""
+
+_SQ8_RERANK_ORACLE = f"""
+WITH {_DUCK_Q},
+{_DUCK_CODES},
+{_DUCK_RERANK}
+"""
+
+
+@register("similarity_sq8_rerank", _SQ8_RERANK_ORACLE)
+def similarity_sq8_rerank(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
+            .select(F.col("vec_id").alias("q_id"), "embedding")
+    return S.sq8_topk_rerank(emb, qs, k=_SQ_K, r=_SQ_R)
+
+
+_MATRYOSHKA_P = 16
+
+_MAT_ORACLE = f"""
+WITH {_DUCK_Q},
+sc AS (
+  SELECT q.q_id, e.vec_id,
+         list_sum(list_transform(range(1, {_MATRYOSHKA_P + 1}), i ->
+           (CAST(e.embedding[i] AS DOUBLE) - q.qv[i])
+           * (CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))) AS adc
+  FROM embeddings e CROSS JOIN q
+), rk AS (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+  FROM sc
+),
+{_DUCK_RERANK}
+"""
+
+
+@register("similarity_matryoshka_topk", _MAT_ORACLE)
+def similarity_matryoshka_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
+            .select(F.col("vec_id").alias("q_id"), "embedding")
+    return S.matryoshka_topk(emb, qs, k=_SQ_K, r=_SQ_R,
+                             prefix_dim=_MATRYOSHKA_P)
+
+
+# --------------------------------------------------------------------------
+# Quality-aware duplicate-cluster survivors: MinHash LSH pairs ->
+# connected components -> keep the HIGHEST-word-count doc per cluster
+# (ties: smallest doc_id) — the "keep the best copy" decision a real
+# dedup pipeline makes, not just keep-min-id.  Oracle replays the v2
+# signature/banding chain (imported from the wave-1 oracle — lockstep
+# by construction) plus the recursive-CTE components.
+# --------------------------------------------------------------------------
+_CLUSTER_Q_ORACLE = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_distinct({_DWORDS}) AS ws, len({_DWORDS}) AS nw
+  FROM documents
+),
+sig AS (SELECT doc_id, {_sig_cols_duck} FROM w),
+bands AS ({_band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN w wa ON wa.doc_id = id_a
+  JOIN w wb ON wb.doc_id = id_b
+  WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6)
+        >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+), sized AS (
+  SELECT comp.doc_id, comp.cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size,
+         CAST(w.nw AS BIGINT) AS n_words
+  FROM comp JOIN w ON w.doc_id = comp.doc_id
+), kp AS (
+  SELECT cluster_id,
+         MIN(struct_pack(a := -n_words, b := doc_id)) AS kpr
+  FROM sized GROUP BY cluster_id
+)
+SELECT s.doc_id, s.cluster_id, s.cluster_size, s.n_words,
+       CAST(s.doc_id = kp.kpr.b AS BIGINT) AS is_keeper
+FROM sized s JOIN kp ON s.cluster_id = kp.cluster_id
+"""
+
+
+@register("dedup_cluster_quality_survivors", _CLUSTER_Q_ORACLE)
+def dedup_cluster_quality_survivors(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm.text import words_expr
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", k=8, band_rows=4,
+                                threshold=0.8)
+    clusters = D.dedup_clusters(pairs)
+    nw = docs.select("doc_id", F.expr(f"size({words_expr('text')})")
+                     .cast("bigint").alias("n_words"))
+    j = clusters.join(nw, "doc_id")
+    kp = (j.groupBy("cluster_id")
+          .agg(F.min(F.struct((-F.col("n_words")).alias("a"),
+                              F.col("doc_id").alias("b"))).alias("kp")))
+    return (j.join(kp, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    F.col("cluster_size").cast("bigint").alias("cluster_size"),
+                    "n_words",
+                    (F.col("doc_id") == F.col("kp.b")).cast("bigint")
+                    .alias("is_keeper")))
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training: the merge loop unrolled as a CTE chain.  Each
+# iteration: pair counts over the word dict, argmax (count DESC, left,
+# right), string-replace application.
+# --------------------------------------------------------------------------
+_BPE_MERGES = 10
+
+_BPE_W0 = f"""w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS toks
+  FROM (SELECT unnest({_DWORDS}) AS word FROM documents) x
+  GROUP BY word
+)"""
+
+
+def _bpe_iter_ctes(i: int) -> str:
+    """CTEs for merge iteration ``i`` (1-based): pair counts p{i} over
+    w{i-1}, argmax m{i}, merged word dict w{i}."""
+    return f""", p{i} AS (
+  SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt,
+               unnest(list_transform(range(1, len(a)), j ->
+                 struct_pack(l := a[j], r := a[j + 1]))) AS p
+        FROM (SELECT cnt, string_split(trim(toks), ' ') AS a
+              FROM w{i - 1}) t
+        WHERE len(a) >= 2) u
+  GROUP BY p.l, p.r
+), m{i} AS (
+  SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+), w{i} AS (
+  SELECT word, cnt,
+         replace(toks, ' ' || m.l || ' ' || m.r || ' ',
+                 ' ' || m.l || m.r || ' ') AS toks
+  FROM w{i - 1} CROSS JOIN m{i} m
+)"""
+
+
+_BPE_CHAIN = "WITH " + _BPE_W0 + "".join(
+    _bpe_iter_ctes(i) for i in range(1, _BPE_MERGES + 1))
+
+_BPE_TRAIN_ORACLE = _BPE_CHAIN + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS INT) AS rank, l AS merge_left, r AS merge_right, "
+    f"c AS pair_count FROM m{i}"
+    for i in range(1, _BPE_MERGES + 1))
+
+
+@register("text_bpe_train_merges", _BPE_TRAIN_ORACLE)
+def text_bpe_train_merges(spark, sf_dir):
+    return B.bpe_train(t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+
+
+# Encode with the trained merges: per-doc token stats.  The oracle
+# re-derives the merges with the same chain (never reads Spark's
+# output), then folds the replace chain over every word via the
+# cross-joined 1-row m{i} CTEs.
+_BPE_ENC_EXPR = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> '"
+for _i in range(1, _BPE_MERGES + 1):
+    _BPE_ENC_EXPR = (f"replace({_BPE_ENC_EXPR}, "
+                     f"' ' || mm{_i}.l || ' ' || mm{_i}.r || ' ', "
+                     f"' ' || mm{_i}.l || mm{_i}.r || ' ')")
+
+_BPE_ENCODE_ORACLE = _BPE_CHAIN + f""", dw AS (
+  SELECT doc_id, {_DWORDS} AS ws FROM documents
+), docw AS (
+  SELECT doc_id, unnest(ws) AS w FROM dw WHERE len(ws) > 0
+), enc AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim({_BPE_ENC_EXPR}), ' ')) AS BIGINT)
+           AS nt,
+         CAST(len(w) + 1 AS BIGINT) AS nc
+  FROM docw {' '.join(f'CROSS JOIN m{i} mm{i}'
+                      for i in range(1, _BPE_MERGES + 1))}
+), agg AS (
+  SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n_char_tokens,
+         CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens
+  FROM enc GROUP BY doc_id
+)
+SELECT dw.doc_id, CAST(len(dw.ws) AS BIGINT) AS n_words,
+       agg.n_char_tokens, agg.n_bpe_tokens,
+       round(agg.n_char_tokens / agg.n_bpe_tokens, 6) AS compression
+FROM dw JOIN agg ON dw.doc_id = agg.doc_id
+"""
+
+
+@register("text_bpe_encode_stats", _BPE_ENCODE_ORACLE)
+def text_bpe_encode_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, n_merges=_BPE_MERGES)
+    return B.bpe_encode_stats(docs, merges)

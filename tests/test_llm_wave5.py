@@ -1,0 +1,221 @@
+"""Wave-5 LLM operator tests: oracle comparisons at sf0.001 plus
+semantic invariants (UniMax water-filling vs a brute-force reference,
+BPE vs a pure-Python reference, cascade recall vs the exact scan)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import compare_query
+
+WAVE5 = [
+    "text_ccnet_ppl_buckets", "sample_unimax_allocation",
+    "similarity_sq8_topk", "similarity_sq8_rerank",
+    "similarity_matryoshka_topk", "dedup_cluster_quality_survivors",
+    "text_bpe_train_merges", "text_bpe_encode_stats",
+]
+
+
+@pytest.mark.parametrize("name", WAVE5)
+def test_wave5_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+# ---------------------------------------------------------------------------
+# UniMax: the window-function water-filling must equal the iterative
+# reference (repeatedly give every live language an equal share of the
+# remaining budget; languages whose cap is below the share get capped).
+# ---------------------------------------------------------------------------
+
+
+def _unimax_reference(caps: dict[str, int], budget: int) -> dict[str, float]:
+    live = dict(caps)
+    alloc = {}
+    b = float(budget)
+    while live:
+        share = b / len(live)
+        capped = {l: c for l, c in live.items() if c <= share}
+        if not capped:
+            for l in live:
+                alloc[l] = share
+            return alloc
+        for l, c in capped.items():
+            alloc[l] = float(c)
+            b -= c
+            del live[l]
+    return alloc
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.lists(st.integers(min_value=1, max_value=5000),
+                       min_size=1, max_size=8),
+       budget=st.integers(min_value=1, max_value=30000),
+       cap=st.integers(min_value=1, max_value=3))
+def test_unimax_matches_reference(spark, counts, budget, cap):
+    from flink_release_1_10_0_spark.llm.text import unimax_allocation
+    rows = [(f"l{i}", " ".join(["w"] * c)) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r["alloc_tokens"]
+           for r in unimax_allocation(df, budget=budget,
+                                      epoch_cap=cap).collect()}
+    want = _unimax_reference({f"l{i}": cap * c
+                              for i, c in enumerate(counts)}, budget)
+    assert set(got) == set(want)
+    for l in want:
+        assert got[l] == pytest.approx(want[l], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# BPE: the distributed merge loop must learn the same merge table as a
+# pure-Python reference implementing the documented contract (word-dict
+# pair counts, (count DESC, left, right) argmax, greedy left-to-right
+# replace).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(words: list[str], n_merges: int):
+    from collections import Counter
+    freq = Counter(words)
+    toks = {w: " ".join(list(w)) + " </w>" for w in freq}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, c in freq.items():
+            a = toks[w].split(" ")
+            for i in range(len(a) - 1):
+                pc[(a[i], a[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((rank, l, r, c))
+        for w in toks:
+            s = " " + toks[w] + " "
+            toks[w] = s.replace(f" {l} {r} ", f" {l}{r} ").strip()
+    return merges
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1, max_size=40))
+def test_bpe_train_matches_reference(spark, words):
+    from flink_release_1_10_0_spark.llm.bpe import bpe_train
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [(r["rank"], r["merge_left"], r["merge_right"], r["pair_count"])
+           for r in bpe_train(df, n_merges=5).orderBy("rank").collect()]
+    assert got == _bpe_reference(words, 5)
+
+
+def test_bpe_encode_compression_bounds(spark):
+    """Token counts: merged never exceeds char-level, at least n_words."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.bpe import bpe_encode_stats, bpe_train
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    merges = bpe_train(docs, n_merges=6)
+    stats = bpe_encode_stats(docs, merges)
+    assert stats.filter("n_bpe_tokens > n_char_tokens").count() == 0
+    assert stats.filter("n_bpe_tokens < n_words").count() == 0
+    assert stats.filter("compression < 1.0").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Cascade recall: with r = corpus size both cascades ARE the exact scan.
+# ---------------------------------------------------------------------------
+
+
+def test_cascades_exact_when_r_covers_corpus(spark):
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.similarity import (
+        exact_l2_topk, matryoshka_topk, sq8_topk_rerank)
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    qs = emb.filter("vec_id in (0, 7)") \
+            .selectExpr("vec_id as q_id", "embedding")
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in exact_l2_topk(emb, qs, k=3).collect()}
+    srr = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in sq8_topk_rerank(emb, qs, k=3, r=n).collect()}
+    mat = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in matryoshka_topk(emb, qs, k=3, r=n).collect()}
+    assert srr == exact
+    assert mat == exact
+
+
+def test_matryoshka_full_prefix_is_exact_coarse(spark):
+    """prefix_dim = full dim -> stage-1 ordering already exact, so even
+    r = k must reproduce the exact top-k."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.similarity import (exact_l2_topk,
+                                                           matryoshka_topk)
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter("vec_id = 3").selectExpr("vec_id as q_id", "embedding")
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in exact_l2_topk(emb, qs, k=4).collect()}
+    mat = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in matryoshka_topk(emb, qs, k=4, r=4,
+                                    prefix_dim=64).collect()}
+    assert mat == exact
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets / quality survivors invariants
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_bucket_ordering(spark):
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.text import ccnet_ppl_buckets
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    b = ccnet_ppl_buckets(docs).cache()
+    try:
+        # value-based cuts: max(head) <= min(middle) <= ... per lang
+        agg = (b.groupBy("lang").pivot(
+            "bucket", ["head", "middle", "tail"]).count().collect())
+        stats = {}
+        for r in b.groupBy("lang", "bucket").agg(
+                {"ppl_r": "min"}).collect():
+            stats[(r["lang"], r["bucket"])] = r["min(ppl_r)"]
+        for r in b.groupBy("lang", "bucket").agg(
+                {"ppl_r": "max"}).collect():
+            stats[(r["lang"], r["bucket"], "max")] = r["max(ppl_r)"]
+        for (lang,) in b.select("lang").distinct().collect():
+            if (lang, "middle") in stats:
+                assert stats[(lang, "head", "max")] \
+                    <= stats[(lang, "middle")]
+            if (lang, "tail") in stats and (lang, "middle") in stats:
+                assert stats[(lang, "middle", "max")] \
+                    <= stats[(lang, "tail")]
+        # every scoreable doc is bucketed
+        n_scoreable = docs.selectExpr(
+            "size(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]',"
+            " ' '), ' +'), x -> x != '')) AS n").filter("n >= 2").count()
+        assert b.count() == n_scoreable
+    finally:
+        b.unpersist()
+
+
+def test_cluster_quality_keeper_is_argmax(spark, duck):
+    from flink_release_1_10_0_spark.queries import all_queries
+    out = all_queries()["dedup_cluster_quality_survivors"](
+        spark, "/root/testdata/sf0.001").cache()
+    try:
+        rows = out.collect()
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for cid, members in by_cluster.items():
+            keepers = [m for m in members if m["is_keeper"] == 1]
+            assert len(keepers) == 1
+            k = keepers[0]
+            best = min(members,
+                       key=lambda m: (-m["n_words"], m["doc_id"]))
+            assert (k["doc_id"], k["n_words"]) == \
+                (best["doc_id"], best["n_words"])
+            assert all(m["cluster_size"] == len(members) for m in members)
+    finally:
+        out.unpersist()
