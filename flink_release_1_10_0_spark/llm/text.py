@@ -556,20 +556,23 @@ def unimax_allocation(df: DataFrame, lang_col: str = "lang",
         "capped",
         F.col("cap_tokens") * (F.col("L") - F.col("i") + 1)
         <= b - (F.col("s_i") - F.col("cap_tokens")))
-    kk = ranked.groupBy(pkey.alias("__g")).agg(
-        F.max(F.when(F.col("capped"), F.col("i"))).alias("__K"),
-        F.max(F.when(F.col("capped"), F.col("s_i"))).alias("__SK"),
-        F.max("L").alias("__L"))
-    kk = kk.select(F.coalesce("__K", F.lit(0)).cast("bigint").alias("__K"),
-                   F.coalesce("__SK", F.lit(0)).cast("bigint").alias("__SK"),
-                   "__L")
-    alloc = (ranked.crossJoin(F.broadcast(kk))
+    # K (last capped index) and S_K as window maxes over the SAME L-row
+    # partition — not a separate aggregate cross-joined back, which
+    # would duplicate the whole corpus-scan subtree into both sides
+    fwin = Window.partitionBy(pkey)
+    alloc = (ranked
+             .withColumn("__K", F.coalesce(
+                 F.max(F.when(F.col("capped"), F.col("i"))).over(fwin),
+                 F.lit(0)).cast("bigint"))
+             .withColumn("__SK", F.coalesce(
+                 F.max(F.when(F.col("capped"), F.col("s_i"))).over(fwin),
+                 F.lit(0)).cast("bigint"))
              .withColumn(
                  "alloc_tokens",
                  F.round(F.when(F.col("i") <= F.col("__K"),
                                 F.col("cap_tokens").cast("double"))
                          .otherwise((b - F.col("__SK")).cast("double")
-                                    / (F.col("__L") - F.col("__K"))), 6)))
+                                    / (F.col("L") - F.col("__K"))), 6)))
     return alloc.select(
         F.col("__lang").alias(lang_col), "n_tokens", "cap_tokens",
         "alloc_tokens",
