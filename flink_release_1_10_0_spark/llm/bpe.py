@@ -73,15 +73,16 @@ def _apply_merge(wf: DataFrame, left: str, right: str) -> DataFrame:
         F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))))
 
 
-def bpe_train(df: DataFrame, text_col: str = "text",
-              n_merges: int = 10) -> DataFrame:
-    """Learn ``n_merges`` BPE merge rules from the corpus.  Returns the
-    merge table (rank, left, right, pair_count) — the tokenizer model.
+def _train_loop(df: DataFrame, text_col: str,
+                n_merges: int) -> tuple[list[tuple], DataFrame]:
+    """Run the merge loop; returns (merge rows, final merged word dict).
 
     The word-frequency base is persisted once so the per-iteration
     aggregation replays the merge chain over the cached word dict, not
-    the corpus (without it every iteration would re-scan the corpus)."""
-    spark = df.sparkSession
+    the corpus (without it every iteration would re-scan the corpus).
+    The returned dict frame is locally checkpointed (executor-side,
+    never driver-collected) before the base is unpersisted, so later
+    consumers don't replay the merge chain against the corpus."""
     wf = bpe_word_freqs(df, text_col).persist()
     try:
         merges: list[tuple] = []
@@ -96,9 +97,33 @@ def bpe_train(df: DataFrame, text_col: str = "text",
             merges.append((rank, row["left"], row["right"],
                            row["pair_count"]))
             cur = _apply_merge(cur, row["left"], row["right"])
-        return spark.createDataFrame(merges, _MERGE_SCHEMA)
+        return merges, cur.localCheckpoint(eager=True)
     finally:
         wf.unpersist()
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              n_merges: int = 10) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from the corpus.  Returns the
+    merge table (rank, merge_left, merge_right, pair_count) — the
+    tokenizer model."""
+    merges, _ = _train_loop(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def bpe_vocab(df: DataFrame, text_col: str = "text",
+              n_merges: int = 10) -> DataFrame:
+    """The vocabulary artifact: every distinct TOKEN the trained
+    tokenizer produces on this corpus, with its corpus frequency —
+    what a tokenizer release ships next to the merge table.  Computed
+    from the final merged word dict (token frequency = sum over words
+    of per-word occurrences × word count).  Returns (token, freq)."""
+    _, final = _train_loop(df, text_col, n_merges)
+    return (final
+            .select("cnt", F.explode(F.expr("split(toks, ' ')"))
+                    .alias("token"))
+            .groupBy("token")
+            .agg(F.sum("cnt").cast("bigint").alias("freq")))
 
 
 def _encode_word_sql(merges: list[tuple[str, str]], dialect: str) -> str:
@@ -140,3 +165,27 @@ def bpe_encode_stats(df: DataFrame, merges: DataFrame,
         .filter(F.col("n_words") > 0)
         .withColumn("compression", F.round(
             F.col("n_char_tokens") / F.col("n_bpe_tokens"), 6)))
+
+
+#: persisted tokenizer-model format marker (same loud-refusal contract
+#: as the MinHash/SRP/semantic index families: a model written under a
+#: different tokenization/merge formula must not silently encode)
+_BPE_FORMAT = "bpe.v1"
+
+
+def write_bpe_model(merges: DataFrame, path: str) -> None:
+    """Persist the merge table as the tokenizer-model artifact, stamped
+    with the format-version marker the reader refuses on mismatch."""
+    (merges.withColumn("fmt", F.lit(_BPE_FORMAT))
+     .coalesce(1)
+     .write.mode("overwrite").parquet(f"{path}/merges"))
+
+
+def read_bpe_model(spark: SparkSession, path: str) -> DataFrame:
+    """Load a persisted merge table; refuses a missing/mismatched
+    format marker (writer/reader tokenization drift would silently
+    produce a DIFFERENT segmentation — loud error instead)."""
+    from flink_release_1_10_0_spark.llm.dedup import _check_index_format
+    merges = spark.read.parquet(f"{path}/merges")
+    _check_index_format("bpe model", merges, _BPE_FORMAT)
+    return merges.drop("fmt")

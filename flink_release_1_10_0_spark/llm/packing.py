@@ -47,8 +47,8 @@ def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
                             group_col: str = "source",
                             n_buckets: int | None = None,
                             bucket_hash: str = "xxhash64",
-                            target_docs_per_bucket: int = 100_000
-                            ) -> DataFrame:
+                            target_docs_per_bucket: int = 100_000,
+                            n_tok_expr: str | None = None) -> DataFrame:
     """Per-document packing plan: ``(group, bucket, id, n_tok, seq_id,
     offset)`` where ``seq_id`` counts sequences within the
     (group, bucket) shard and ``offset`` is the token position of the
@@ -77,6 +77,12 @@ def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
     per-shard rule at ~kB documents); small corpora derive 1 bucket and
     keep the single-stream layout.  Pass an explicit ``n_buckets`` to
     pin the shard geometry (the oracle-gated queries do).
+
+    ``n_tok_expr`` overrides the whitespace token count with any SQL
+    expression over the input columns — e.g. a precomputed
+    ``n_bpe_tokens`` column when packing by REAL tokenizer cost (the
+    ``pipeline_bpe_pack`` composition) instead of the whitespace
+    approximation.
     """
     if n_buckets is None:
         biggest = (df.groupBy(group_col).count()
@@ -97,7 +103,8 @@ def pack_sequences_next_fit(df: DataFrame, id_col: str = "doc_id",
         F.col(group_col).alias("grp"),
         bucket.cast("bigint").alias("bucket"),
         F.col(id_col).alias("id"),
-        F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+        F.expr(n_tok_expr
+               or f"size(filter(split({text_col}, ' '), t -> t <> ''))")
         .cast("bigint").alias("n_tok"),
         F.md5(F.col(id_col).cast("string")).alias("h"))
 
@@ -131,8 +138,8 @@ def pack_sequences_best_fit(df: DataFrame, id_col: str = "doc_id",
                             group_col: str = "source",
                             n_buckets: int | None = None,
                             bucket_hash: str = "xxhash64",
-                            target_docs_per_bucket: int = 100_000
-                            ) -> DataFrame:
+                            target_docs_per_bucket: int = 100_000,
+                            n_tok_expr: str | None = None) -> DataFrame:
     """Best-fit-decreasing packing plan — same output schema and shard
     contract as :func:`pack_sequences_next_fit`, different layout rule:
     documents are laid out LARGEST FIRST (order ``(n_tok DESC, md5(id),
@@ -163,7 +170,8 @@ def pack_sequences_best_fit(df: DataFrame, id_col: str = "doc_id",
         F.col(group_col).alias("grp"),
         bucket.cast("bigint").alias("bucket"),
         F.col(id_col).alias("id"),
-        F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+        F.expr(n_tok_expr
+               or f"size(filter(split({text_col}, ' '), t -> t <> ''))")
         .cast("bigint").alias("n_tok"),
         F.md5(F.col(id_col).cast("string")).alias("h"))
 

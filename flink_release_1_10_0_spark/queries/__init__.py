@@ -55,17 +55,20 @@ _LOADED = False
 # 366/367 names with zero stale fails — the only name without hash
 # evidence is the rows-only-by-design xxhash64 LSH head.  The round-10
 # window therefore leads with the names that have NO driver evidence
-# yet (19 new this round: 8 wave-5 — BPE train/encode, CCNet buckets,
+# yet (23 new this round: 12 wave-5 — BPE train/encode/vocab/model-
+# roundtrip/pack composition, CCNet buckets,
 # UniMax, SQ8 scan/rerank, Matryoshka cascade, quality-keeper clusters
 # — plus 11 from the earlier session: the SemDeDup incremental/
 # persisted pair + the full ingest decision, the sparse-IR quartet
 # incl. batched BM25 and the weight-table artifact, BFD packing x2,
 # the PQ index append, indexed nprobe=2), then the documented r9
 # overflow block (17 r1-era TPC-H/relational names), then the r3-era
-# streaming/CEP/graph block fills to 50 (14 of its 50 names fit; the
-# remaining 36 overflow to positions 51+ and lead the NEXT rotation).
+# streaming/CEP/graph block fills to 50 (10 of its 50 names fit; the
+# remaining 40 overflow to positions 51+ and lead the NEXT rotation).
 _PIN = [
     # ---- no driver evidence yet: wave-5 ops (this session) ----
+    "text_bpe_vocab", "text_bpe_model_roundtrip",
+    "similarity_sq8_recall", "pipeline_bpe_pack",
     "text_bpe_train_merges", "text_bpe_encode_stats",
     "text_ccnet_ppl_buckets", "sample_unimax_allocation",
     "similarity_sq8_topk", "similarity_sq8_rerank",
@@ -89,18 +92,19 @@ _PIN = [
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "unnest_explode_words", "values_literal",
     # ---- r3-era evidence: streaming / CEP / graph / LLM foundations
-    #      (first 22 fit in the 50-window) ----
+    #      (first 10 fit in the 50-window) ----
     "cep_nfa_four_stage", "cep_nfa_or_condition", "graph_adamic_adar",
     "graph_clustering_coefficient", "graph_connected_components",
     "graph_degrees", "graph_hits", "graph_jaccard_index",
-    "graph_label_propagation", "graph_pagerank", "graph_sssp",
+    "graph_label_propagation", "graph_pagerank",
+    # ---- 50-window boundary: the remaining 40 r3-era names overflow
+    #      to positions 51-90 and lead the NEXT rotation ----
+    "graph_sssp",
     "graph_triangle_count", "minhash_lsh_dup_pairs", "minhash_signatures",
     "similarity_cosine_topk", "similarity_ivf_topk", "stream_async_io_enrich",
     "stream_broadcast_rules_join", "stream_cep_error_then_purchase",
     "stream_cep_followed_by_any", "stream_cep_next_strict",
     "stream_cep_not_followed_by",
-    # ---- 50-window boundary: the remaining 28 r3-era names overflow
-    #      to positions 51-78 and lead the NEXT rotation ----
     "stream_cep_one_or_more",
     "stream_cep_optional_middle",
     "stream_cep_times_consecutive",

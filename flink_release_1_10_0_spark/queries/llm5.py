@@ -378,7 +378,7 @@ for _i in range(1, _BPE_MERGES + 1):
                      f"' ' || mm{_i}.l || ' ' || mm{_i}.r || ' ', "
                      f"' ' || mm{_i}.l || mm{_i}.r || ' ')")
 
-_BPE_ENCODE_ORACLE = _BPE_CHAIN + f""", dw AS (
+_BPE_ENC_CTES = f""", dw AS (
   SELECT doc_id, {_DWORDS} AS ws FROM documents
 ), docw AS (
   SELECT doc_id, unnest(ws) AS w FROM dw WHERE len(ws) > 0
@@ -393,12 +393,16 @@ _BPE_ENCODE_ORACLE = _BPE_CHAIN + f""", dw AS (
   SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n_char_tokens,
          CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens
   FROM enc GROUP BY doc_id
-)
+)"""
+
+_BPE_ENC_SELECT = """
 SELECT dw.doc_id, CAST(len(dw.ws) AS BIGINT) AS n_words,
        agg.n_char_tokens, agg.n_bpe_tokens,
        round(agg.n_char_tokens / agg.n_bpe_tokens, 6) AS compression
 FROM dw JOIN agg ON dw.doc_id = agg.doc_id
 """
+
+_BPE_ENCODE_ORACLE = _BPE_CHAIN + _BPE_ENC_CTES + _BPE_ENC_SELECT
 
 
 @register("text_bpe_encode_stats", _BPE_ENCODE_ORACLE)
@@ -406,3 +410,145 @@ def text_bpe_encode_stats(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     merges = B.bpe_train(docs, n_merges=_BPE_MERGES)
     return B.bpe_encode_stats(docs, merges)
+
+
+# --------------------------------------------------------------------------
+# Vocabulary artifact: every distinct token of the trained tokenizer
+# with its corpus frequency — read off the final merged word dict.
+# --------------------------------------------------------------------------
+_BPE_VOCAB_ORACLE = _BPE_CHAIN + f"""
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+  SELECT cnt, unnest(string_split(trim(toks), ' ')) AS token
+  FROM w{_BPE_MERGES}) x
+GROUP BY token
+"""
+
+
+@register("text_bpe_vocab", _BPE_VOCAB_ORACLE)
+def text_bpe_vocab(spark, sf_dir):
+    return B.bpe_vocab(t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+
+
+# Persisted tokenizer model round-trip: train -> write (fmt-stamped)
+# -> read -> encode through the stored artifact.  Values identical to
+# the in-memory encode, so the SAME oracle gates it — storage
+# transparency is exactly the claim (the llm3 PQ-index pattern).
+@register("text_bpe_model_roundtrip", _BPE_ENCODE_ORACLE)
+def text_bpe_model_roundtrip(spark, sf_dir):
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, n_merges=_BPE_MERGES)
+    # stable per-process path + overwrite write: repeated runs reuse
+    # the directory; the result frame reads it lazily, so removal
+    # waits for process exit
+    path = os.path.join(tempfile.gettempdir(),
+                        f"bpe_model_q_{os.getpid()}")
+    B.write_bpe_model(merges, path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    stored = B.read_bpe_model(spark, path)
+    return B.bpe_encode_stats(docs, stored)
+
+
+# --------------------------------------------------------------------------
+# SQ8 recall yardstick: top-10 of the int8 asymmetric scan vs the
+# exact scan — the compression-quality metric a 100 TB deployment
+# monitors (the PQ family's recall head, for the SQ8 path).
+# --------------------------------------------------------------------------
+_SQ8_RECALL_ORACLE = f"""
+WITH {_DUCK_Q},
+{_DUCK_CODES},
+adc_top AS (
+  SELECT q_id, vec_id FROM rk WHERE rnk <= 10
+), exact AS (
+  SELECT q.q_id, e.vec_id,
+         list_sum(list_transform(range(1, 65), i ->
+           (CAST(e.embedding[i] AS DOUBLE) - q.qv[i])
+           * (CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))) AS dist
+  FROM embeddings e CROSS JOIN q
+), exact_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+    FROM exact) y WHERE rn <= 10
+)
+SELECT a.q_id, CAST(COUNT(x.vec_id) AS BIGINT) AS n_overlap,
+       round(COUNT(x.vec_id) / 10.0, 6) AS recall_r
+FROM adc_top a LEFT JOIN exact_top x
+  ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+GROUP BY a.q_id
+"""
+
+
+@register("similarity_sq8_recall", _SQ8_RECALL_ORACLE)
+def similarity_sq8_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
+            .select(F.col("vec_id").alias("q_id"), "embedding")
+    adc = S.sq8_topk_adc(emb, qs, k=10)
+    exact = S.exact_l2_topk(emb, qs, k=10)
+    overlap = (adc.select("q_id", "vec_id")
+               .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"]))
+    hits = overlap.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    return (adc.select("q_id").distinct()
+            .join(hits, "q_id", "left")
+            .select("q_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                    .alias("n_overlap"))
+            .withColumn("recall_r",
+                        F.round(F.col("n_overlap") / F.lit(10.0), 6)))
+
+
+# --------------------------------------------------------------------------
+# Composition: pack by REAL tokenizer cost — BPE train -> encode ->
+# next-fit pack budgeted on n_bpe_tokens (not the whitespace
+# approximation).  The oracle chains the full BPE replay into the
+# recursive-CTE packer over the same (md5(id), id) layout order.
+# --------------------------------------------------------------------------
+_BPE_PACK_BUDGET = 256
+
+_BPE_PACK_ORACLE = (_BPE_CHAIN.replace("WITH ", "WITH RECURSIVE ", 1)
+                    + _BPE_ENC_CTES) + f""", tok AS (
+  SELECT d.source AS grp, CAST(0 AS BIGINT) AS bucket, d.doc_id AS id,
+         agg.n_bpe_tokens AS n_tok,
+         md5(CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d JOIN agg ON d.doc_id = agg.doc_id
+), ord AS (
+  SELECT grp, bucket, id, n_tok,
+         row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn
+  FROM tok
+), pack AS (
+  SELECT grp, bucket, id, n_tok, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+         n_tok AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.bucket, o.id, o.n_tok, o.rn,
+         CASE WHEN p.fill + o.n_tok > {_BPE_PACK_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + o.n_tok > {_BPE_PACK_BUDGET}
+              THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         CASE WHEN p.fill + o.n_tok > {_BPE_PACK_BUDGET}
+              THEN o.n_tok ELSE p.fill + o.n_tok END
+  FROM pack p JOIN ord o ON o.grp = p.grp AND o.rn = p.rn + 1
+)
+SELECT grp, bucket, id AS doc_id, n_tok, seq_id, seq_offset FROM pack
+"""
+
+
+@register("pipeline_bpe_pack", _BPE_PACK_ORACLE)
+def pipeline_bpe_pack(spark, sf_dir):
+    from flink_release_1_10_0_spark.llm import packing as P
+    docs = t(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, n_merges=_BPE_MERGES)
+    enc = B.bpe_encode_stats(docs, merges).select("doc_id", "n_bpe_tokens")
+    joined = docs.join(enc, "doc_id")
+    plan = P.pack_sequences_next_fit(joined, budget=_BPE_PACK_BUDGET,
+                                     n_tok_expr="n_bpe_tokens")
+    return plan.select("grp", "bucket", F.col("id").alias("doc_id"),
+                       "n_tok", "seq_id",
+                       F.col("offset").alias("seq_offset"))

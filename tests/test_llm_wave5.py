@@ -15,6 +15,8 @@ WAVE5 = [
     "similarity_sq8_topk", "similarity_sq8_rerank",
     "similarity_matryoshka_topk", "dedup_cluster_quality_survivors",
     "text_bpe_train_merges", "text_bpe_encode_stats",
+    "text_bpe_vocab", "text_bpe_model_roundtrip",
+    "similarity_sq8_recall", "pipeline_bpe_pack",
 ]
 
 
@@ -219,3 +221,45 @@ def test_cluster_quality_keeper_is_argmax(spark, duck):
             assert all(m["cluster_size"] == len(members) for m in members)
     finally:
         out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# BPE artifacts: vocab mass conservation + persisted-model format refusal
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_vocab_mass_equals_encoded_tokens(spark):
+    """Total vocab frequency mass == total encoded token count (both
+    count every token emission over the corpus)."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.bpe import (bpe_encode_stats,
+                                                    bpe_train, bpe_vocab)
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    vocab_mass = bpe_vocab(docs, n_merges=6) \
+        .agg({"freq": "sum"}).first()[0]
+    merges = bpe_train(docs, n_merges=6)
+    enc_mass = bpe_encode_stats(docs, merges) \
+        .agg({"n_bpe_tokens": "sum"}).first()[0]
+    assert vocab_mass == enc_mass
+
+
+def test_bpe_model_format_refusal(spark, tmp_path):
+    """A model written under a different format marker must be refused
+    loudly, not silently re-segmented."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.bpe import (bpe_train,
+                                                    read_bpe_model,
+                                                    write_bpe_model)
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    merges = bpe_train(docs, n_merges=3)
+    path = str(tmp_path / "model")
+    write_bpe_model(merges, path)
+    assert read_bpe_model(spark, path).count() == 3
+    # corrupt the marker -> loud refusal
+    stale = spark.read.parquet(f"{path}/merges") \
+        .withColumn("fmt", F.lit("bpe.v0"))
+    stale.write.mode("overwrite").parquet(f"{path}2/merges")
+    with _pytest.raises(ValueError, match="format"):
+        read_bpe_model(spark, f"{path}2")

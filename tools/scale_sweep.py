@@ -122,6 +122,26 @@ HEADS = [
      "linear (fixed k/m/iters; train/encode/ADC all single-pass scans)"),
     ("text_bigram_perplexity",
      "linear (two uniform-key token shuffles + broadcast V)"),
+    # round-14 additions (wave-5 LLM ops): BPE's only corpus-sized step
+    # is the word-dict groupBy (the merge loop runs over the cached
+    # dict — corpus-size independent); encode is a map-only replace
+    # chain; CCNet is the bigram-ppl shape + a distinct-value histogram
+    # window; UniMax is one count agg + L-row windows; the cascades are
+    # map-side scans + bounded rerank joins; quality survivors ride the
+    # LSH pair space (cluster widths fixed under the tier construction)
+    ("text_bpe_train_merges",
+     "linear (one word-dict groupBy; loop over cached dict)"),
+    ("text_bpe_encode_stats", "linear (map-only replace-chain scan)"),
+    ("text_ccnet_ppl_buckets",
+     "linear (token shuffles + distinct-ppl histogram window)"),
+    ("sample_unimax_allocation",
+     "linear (one token-count agg; L-row windows)"),
+    ("similarity_sq8_rerank",
+     "linear (int8 map scan + bounded rerank join)"),
+    ("similarity_matryoshka_topk",
+     "linear (prefix-dim map scan + bounded rerank join)"),
+    ("dedup_cluster_quality_survivors",
+     "linear (bucketed LSH pairs + CC, cluster widths fixed)"),
 ]
 
 
