@@ -580,3 +580,59 @@ def test_bm25_batch_salted_topk_no_global_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Wave-5 plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_scan_is_map_side(spark):
+    """SQ8 search: quantize + distance are map-side over the corpus
+    scan; the only exchanges are the two bounded top-k aggregations and
+    the query-batch broadcast — never a corpus-wide join shuffle."""
+    plan = plan_of(spark, "similarity_sq8_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the query batch
+    assert "SortMergeJoin" not in plan
+    # both top-k stages are hash aggregations, not global windows
+    assert "Window" not in plan
+
+
+def test_matryoshka_rerank_joins_broadcast(spark):
+    """Matryoshka cascade: the candidate re-rank attach must broadcast
+    the (q_id, vec_id) candidate frame, never shuffle the corpus."""
+    plan = plan_of(spark, "similarity_matryoshka_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # queries + candidates
+    assert "Window" not in plan
+
+
+def test_unimax_single_corpus_scan(spark):
+    """UniMax: one corpus scan (the token-count agg); the water-filling
+    runs entirely on the L-row language table."""
+    plan = plan_of(spark, "sample_unimax_allocation")
+    assert plan.count("FileScan") == 1
+
+
+def test_bpe_encode_is_pure_projection(spark):
+    """BPE encoding is a map-only expression chain: no exchange, no
+    Python, one scan."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.bpe import bpe_encode_stats, bpe_train
+    docs = load(spark, SF, "documents")
+    merges = bpe_train(docs, n_merges=3)
+    plan = (bpe_encode_stats(docs, merges)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "FileScan" in plan and plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ccnet_thresholds_broadcast_back(spark):
+    """CCNet bucketing: the per-lang threshold table joins back via
+    broadcast; the histogram window is partitioned (no single-partition
+    global window)."""
+    plan = plan_of(spark, "text_ccnet_ppl_buckets")
+    assert "BroadcastExchange" in plan
+    assert "Window [" not in plan or "windowspecdefinition(" in plan.lower()
