@@ -577,3 +577,79 @@ def unimax_allocation(df: DataFrame, lang_col: str = "lang",
         F.col("__lang").alias(lang_col), "n_tokens", "cap_tokens",
         "alloc_tokens",
         F.round(F.col("alloc_tokens") / F.col("n_tokens"), 6).alias("epochs"))
+
+
+def nb_classifier_predict(train: DataFrame, eval_df: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          label_col: str = "lang") -> DataFrame:
+    """Multinomial Naive Bayes text classifier — the distributed shape
+    of the quality/language classifiers every curation pipeline runs
+    (CCNet's fastText langid, GPT-3's WebText-quality LR): FIT is three
+    aggregations over the train split (per-(label, word) counts, per-
+    label totals + doc priors, vocab size), PREDICT is a token join
+    against the weight table + one argmax aggregation per document.
+
+    Determinism contract: every log-probability is quantized to an
+    integer ``floor(1e6 * ln(...))`` BEFORE summation (ln of exact
+    integer ratios is bit-identical across engines; integer sums are
+    order-independent), add-1 smoothing, unseen words take the per-label
+    default ``floor(1e6 * -ln(ct + V))``, argmax ties break on the
+    smaller label.
+
+    Scale: the weight table is (vocab × labels) — dimension-like, NOT
+    broadcast-forced here because a 10M-word × 100-label table belongs
+    in a shuffle join on ``word``; Catalyst/AQE broadcasts it when it
+    is actually small.  Eval docs explode to distinct words (tf
+    carried), join, and collapse with one (id, label)-keyed sum + one
+    id-keyed argmax.  Returns (id, label_true, label_pred, correct)."""
+    words = words_expr(text_col)
+    lq = F.col(label_col)
+    tw = (train.select(lq.alias("__l"), F.explode(F.expr(words)).alias("__w"))
+          .groupBy("__l", "__w").agg(F.count(F.lit(1)).alias("__cw")))
+    ct = tw.groupBy("__l").agg(F.sum("__cw").cast("bigint").alias("__ct"))
+    v = tw.select("__w").distinct().agg(F.count(F.lit(1)).alias("__v"))
+    nd = train.groupBy(lq.alias("__l")) \
+              .agg(F.count(F.lit(1)).cast("bigint").alias("__nd"))
+    ntot = train.agg(F.count(F.lit(1)).cast("bigint").alias("__nt"))
+    # per-label constants: prior + unseen-word default (broadcast: one
+    # row per label)
+    lab = (ct.join(nd, "__l").crossJoin(F.broadcast(v))
+           .crossJoin(F.broadcast(ntot))
+           .select("__l",
+                   F.floor(F.lit(1e6) * F.log(F.col("__nd").cast("double")
+                                              / F.col("__nt")))
+                   .cast("bigint").alias("__prior_q"),
+                   F.floor(F.lit(-1e6) * F.log((F.col("__ct") + F.col("__v"))
+                                               .cast("double")))
+                   .cast("bigint").alias("__dq"),
+                   (F.col("__ct") + F.col("__v")).alias("__den")))
+    # seen-word weights, quantized
+    w = (tw.join(lab.select("__l", "__den"), "__l")
+         .select("__l", "__w",
+                 F.floor(F.lit(1e6) * (F.log((F.col("__cw") + 1)
+                                             .cast("double"))
+                                       - F.log(F.col("__den")
+                                               .cast("double"))))
+                 .cast("bigint").alias("__wq")))
+    # eval tokens: distinct words with tf, crossed with the label table
+    et = (eval_df.select(F.col(id_col).alias("__id"),
+                         lq.alias("__true"),
+                         F.explode(F.expr(words)).alias("__w"))
+          .groupBy("__id", "__true", "__w")
+          .agg(F.count(F.lit(1)).alias("__tf")))
+    scored = (et.crossJoin(F.broadcast(lab.select("__l", "__dq")))
+              .join(w, ["__l", "__w"], "left")
+              .groupBy("__id", "__true", "__l")
+              .agg(F.sum(F.col("__tf")
+                         * F.coalesce("__wq", F.col("__dq")))
+                   .cast("bigint").alias("__s")))
+    pred = (scored.join(F.broadcast(lab.select("__l", "__prior_q")), "__l")
+            .withColumn("__s", F.col("__s") + F.col("__prior_q"))
+            .groupBy("__id", "__true")
+            .agg(F.min(F.struct((-F.col("__s")).alias("a"),
+                                F.col("__l").alias("b"))).alias("__best")))
+    return pred.select(F.col("__id").alias(id_col),
+                       F.col("__true").alias(f"{label_col}_true"),
+                       F.col("__best.b").alias(f"{label_col}_pred"),
+                       (F.col("__true") == F.col("__best.b")).cast("bigint")
+                       .alias("correct"))

@@ -552,3 +552,91 @@ def pipeline_bpe_pack(spark, sf_dir):
     return plan.select("grp", "bucket", F.col("id").alias("doc_id"),
                        "n_tok", "seq_id",
                        F.col("offset").alias("seq_offset"))
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier: fit on the doc_id%5!=0
+# split, predict the held-out docs — the distributed shape of CCNet's
+# fastText langid / GPT-3's quality classifier.  Every log-probability
+# is floor(1e6*ln(...))-quantized before integer summation, so both
+# engines agree bit-for-bit (same convention as the TF-IDF weights).
+# --------------------------------------------------------------------------
+_NB_CTES = f"""tr AS (
+  SELECT doc_id, lang, {_DWORDS} AS ws FROM documents WHERE doc_id % 5 <> 0
+), ev AS (
+  SELECT doc_id, lang, {_DWORDS} AS ws FROM documents WHERE doc_id % 5 = 0
+), tw AS (
+  SELECT l, w, COUNT(*) AS cw
+  FROM (SELECT lang AS l, unnest(ws) AS w FROM tr) x GROUP BY l, w
+), ct AS (
+  SELECT l, CAST(SUM(cw) AS BIGINT) AS ct FROM tw GROUP BY l
+), vv AS (
+  SELECT COUNT(DISTINCT w) AS v FROM tw
+), nd AS (
+  SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS ndl FROM tr GROUP BY lang
+), nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tr
+), lab AS (
+  SELECT ct.l,
+         CAST(FLOOR(1e6 * ln(CAST(ndl AS DOUBLE) / nt)) AS BIGINT)
+           AS prior_q,
+         CAST(FLOOR(-1e6 * ln(CAST(ct + v AS DOUBLE))) AS BIGINT) AS dq,
+         ct + v AS den
+  FROM ct JOIN nd ON ct.l = nd.l CROSS JOIN vv CROSS JOIN nt
+), wt AS (
+  SELECT tw.l, tw.w,
+         CAST(FLOOR(1e6 * (ln(CAST(cw + 1 AS DOUBLE))
+                           - ln(CAST(den AS DOUBLE)))) AS BIGINT) AS wq
+  FROM tw JOIN lab ON tw.l = lab.l
+), et AS (
+  SELECT doc_id, tru, w, COUNT(*) AS tf
+  FROM (SELECT doc_id, lang AS tru, unnest(ws) AS w FROM ev) x
+  GROUP BY doc_id, tru, w
+), sc AS (
+  SELECT et.doc_id, et.tru, lab.l,
+         CAST(SUM(et.tf * COALESCE(wt.wq, lab.dq)) AS BIGINT) AS s
+  FROM et CROSS JOIN lab
+  LEFT JOIN wt ON wt.l = lab.l AND wt.w = et.w
+  GROUP BY et.doc_id, et.tru, lab.l
+), fin AS (
+  SELECT sc.doc_id, sc.tru, sc.l, sc.s + lab.prior_q AS s
+  FROM sc JOIN lab ON sc.l = lab.l
+), best AS (
+  SELECT doc_id, tru, MIN(struct_pack(a := -s, b := l)) AS bb
+  FROM fin GROUP BY doc_id, tru
+)"""
+
+_NB_PREDICT_ORACLE = f"""
+WITH {_NB_CTES}
+SELECT doc_id, tru AS lang_true, bb.b AS lang_pred,
+       CAST(tru = bb.b AS BIGINT) AS correct
+FROM best
+"""
+
+
+def _nb_splits(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (docs.filter(F.col("doc_id") % 5 != 0),
+            docs.filter(F.col("doc_id") % 5 == 0))
+
+
+@register("text_nb_langid_predict", _NB_PREDICT_ORACLE)
+def text_nb_langid_predict(spark, sf_dir):
+    train, ev = _nb_splits(spark, sf_dir)
+    return T.nb_classifier_predict(train, ev)
+
+
+_NB_CONFUSION_ORACLE = f"""
+WITH {_NB_CTES}
+SELECT tru AS lang_true, bb.b AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM best GROUP BY tru, bb.b
+"""
+
+
+@register("text_nb_langid_confusion", _NB_CONFUSION_ORACLE)
+def text_nb_langid_confusion(spark, sf_dir):
+    train, ev = _nb_splits(spark, sf_dir)
+    pred = T.nb_classifier_predict(train, ev)
+    return (pred.groupBy("lang_true", "lang_pred")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))

@@ -263,3 +263,25 @@ def test_bpe_model_format_refusal(spark, tmp_path):
     stale.write.mode("overwrite").parquet(f"{path}2/merges")
     with _pytest.raises(ValueError, match="format"):
         read_bpe_model(spark, f"{path}2")
+
+
+def test_nb_langid_invariants(spark):
+    """Every eval doc with >=1 word gets exactly one prediction drawn
+    from the train label set; rerun is bit-identical (determinism)."""
+    from flink_release_1_10_0_spark.catalog import load
+    from flink_release_1_10_0_spark.llm.text import nb_classifier_predict
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.filter("doc_id % 5 != 0")
+    ev = docs.filter("doc_id % 5 = 0")
+    p1 = nb_classifier_predict(train, ev)
+    rows = p1.collect()
+    n_eval = ev.selectExpr(
+        "size(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '),"
+        " ' +'), x -> x != '')) AS n").filter("n >= 1").count()
+    assert len(rows) == n_eval
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    train_labels = {r["lang"] for r in train.select("lang").distinct().collect()}
+    assert {r["lang_pred"] for r in rows} <= train_labels
+    rows2 = {(r["doc_id"], r["lang_pred"])
+             for r in nb_classifier_predict(train, ev).collect()}
+    assert rows2 == {(r["doc_id"], r["lang_pred"]) for r in rows}
