@@ -770,3 +770,41 @@ def matryoshka_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     cand = _explode_topk(_salted_topk(scored, r, id_col, "cd"),
                          id_col, "cd_r")
     return _exact_rerank(cand, embeddings, qf, k, id_col, vec_col)
+
+
+def ivfsq8_topk(embeddings: DataFrame, query: DataFrame, k: int = 5,
+                id_col: str = "vec_id", label_col: str = "label",
+                vec_col: str = "embedding",
+                query_id_col: str = "q_id") -> DataFrame:
+    """IVF routing + SQ8 asymmetric scan inside the routed cell — the
+    FAISS ``IVF,SQ8`` layout: route the query to its nearest
+    label-centroid cell, then score int8 codes only within that cell.
+    Same cell economics as :func:`ivfpq_topk` (partition-pruned cell
+    read at scale) with SQ8's 4x-compressed full-dimension codes
+    instead of PQ's sub-space codes — higher fidelity per byte, no
+    codebook training.  Returns (q_id, vec_id, adc_r, rank)."""
+    cents = label_centroids(embeddings, label_col, vec_col)
+    cent_vecs = (cents.groupBy(label_col)
+                 .agg(F.expr("transform(array_sort(collect_list("
+                             "struct(pos, c))), s -> s.c)").alias("cvec"))
+                 .withColumnRenamed(label_col, "c_label"))
+    q = query.select(F.col(query_id_col).alias("q_id"),
+                     F.expr(f"transform({vec_col}, x -> cast(x as double))")
+                     .alias("qv"))
+    qdist = F.expr(
+        "round(sqrt(aggregate(zip_with(qv, cvec, "
+        "(x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)), 6)")
+    routed = (q.crossJoin(F.broadcast(cent_vecs))
+              .select("q_id", "qv", "c_label", qdist.alias("qd"))
+              .orderBy(F.asc("qd"), F.asc("c_label"))
+              .limit(1)
+              .select("q_id", "qv", F.col("c_label").alias("cell")))
+    cell_emb = (embeddings
+                .join(F.broadcast(routed.select("cell")),
+                      F.col(label_col) == F.col("cell"))
+                .select(id_col, vec_col))
+    return sq8_topk_adc(cell_emb,
+                        routed.select("q_id", F.col("qv").alias(vec_col)),
+                        k=k, id_col=id_col, vec_col=vec_col,
+                        query_vec_col=vec_col)

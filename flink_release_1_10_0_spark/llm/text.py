@@ -653,3 +653,68 @@ def nb_classifier_predict(train: DataFrame, eval_df: DataFrame,
                        F.col("__best.b").alias(f"{label_col}_pred"),
                        (F.col("__true") == F.col("__best.b")).cast("bigint")
                        .alias("correct"))
+
+
+def hll_distinct_words(df: DataFrame, group_col: str = "source",
+                       text_col: str = "text", m: int = 64) -> DataFrame:
+    """HyperLogLog distinct-word cardinality per group, DETERMINISTIC
+    (Flajolet et al. 2007) — the sketch a 100 TB pipeline uses to
+    estimate per-domain vocabulary without an exact distinct shuffle.
+    Unlike ``approx_count_distinct`` (whose sketch is engine-internal),
+    this builds the registers from the corpus-canonical md5 hash, so
+    the estimate is bit-identical across engines and replayable by the
+    oracle — an auditable sketch.
+
+    Register math (m must be a power of two): ``h`` = 60-bit md5 hash,
+    register ``j = h % m``, remainder ``rest = h div m``; rank
+    ``rho`` = trailing-zero count of ``rest`` + 1 (computed from the
+    binary string — no float log), register value = max rho.  Estimate
+    = alpha_m * m^2 / sum(2^-M_j) with absent registers contributing
+    2^0; the standard small-range correction ``m * ln(m/V)`` applies
+    when E <= 2.5m and V (zero registers) > 0.  All float steps are
+    identical-shape on both engines (powers of two are exact; ln of an
+    integer ratio), output rounded to 6 dp.
+
+    Scale: one (group, register) aggregation over the token stream —
+    m rows per group — then an m-row collapse; the exact distinct count
+    (emitted for the relative-error column) is the expensive yardstick
+    a production run would drop.  Returns
+    (group, n_exact, hll_estimate, rel_error_r)."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    w = words_expr(text_col)
+    toks = df.select(F.col(group_col).alias("__g"),
+                     F.explode(F.expr(w)).alias("__w"))
+    h = hash64_expr("__w", "md5")
+    # rho = trailing zeros of rest + 1, from the reversed binary string
+    # (integer/string ops only — float log2 is not cross-engine-exact)
+    # integer division (div), NOT floor(h/m): the double path loses
+    # bits past 2^53 and h is 60-bit
+    rest = f"({h} div {m})"
+    rho = (f"case when {rest} = 0 then 55 else "
+           f"length(regexp_extract(reverse(bin({rest})), '^0*', 0)) + 1 end")
+    regs = (toks
+            .select("__g", F.expr(f"cast({h} % {m} as bigint)").alias("__j"),
+                    F.expr(rho).cast("bigint").alias("__rho"))
+            .groupBy("__g", "__j").agg(F.max("__rho").alias("__M")))
+    agg = (regs.groupBy("__g")
+           .agg(F.sum(F.expr("pow(cast(2.0 as double), -__M)")).alias("__s"),
+                F.count(F.lit(1)).alias("__nreg")))
+    est = (agg
+           .withColumn("__s", F.col("__s") + (F.lit(m) - F.col("__nreg")))
+           .withColumn("__V", (F.lit(m) - F.col("__nreg")).cast("bigint"))
+           .withColumn("__E", F.lit(alpha * m * m) / F.col("__s"))
+           .withColumn("hll_estimate", F.round(
+               F.when((F.col("__E") <= F.lit(2.5 * m)) & (F.col("__V") > 0),
+                      F.lit(float(m)) * F.log(F.lit(float(m))
+                                              / F.col("__V")))
+               .otherwise(F.col("__E")), 6)))
+    exact = (toks.groupBy("__g")
+             .agg(F.count_distinct("__w").cast("bigint").alias("n_exact")))
+    return (exact.join(est, "__g")
+            .select(F.col("__g").alias(group_col), "n_exact",
+                    "hll_estimate",
+                    F.round(F.abs(F.col("hll_estimate")
+                                  - F.col("n_exact"))
+                            / F.col("n_exact"), 6).alias("rel_error_r")))

@@ -55,21 +55,23 @@ _LOADED = False
 # 366/367 names with zero stale fails — the only name without hash
 # evidence is the rows-only-by-design xxhash64 LSH head.  The round-10
 # window therefore leads with the names that have NO driver evidence
-# yet (25 new this round: 14 wave-5 — BPE train/encode/vocab/model-
-# roundtrip/pack composition, NB langid predict/confusion, CCNet buckets,
+# yet (27 new this round: 16 wave-5 — BPE train/encode/vocab/model-
+# roundtrip/pack composition, NB langid predict/confusion, IVF-SQ8,
+# the deterministic HLL sketch, CCNet buckets,
 # UniMax, SQ8 scan/rerank, Matryoshka cascade, quality-keeper clusters
 # — plus 11 from the earlier session: the SemDeDup incremental/
 # persisted pair + the full ingest decision, the sparse-IR quartet
 # incl. batched BM25 and the weight-table artifact, BFD packing x2,
 # the PQ index append, indexed nprobe=2), then the documented r9
 # overflow block (17 r1-era TPC-H/relational names), then the r3-era
-# streaming/CEP/graph block fills to 50 (8 of its 50 names fit; the
-# remaining 42 overflow to positions 51+ and lead the NEXT rotation).
+# streaming/CEP/graph block fills to 50 (6 of its 50 names fit; the
+# remaining 44 overflow to positions 51+ and lead the NEXT rotation).
 _PIN = [
     # ---- no driver evidence yet: wave-5 ops (this session) ----
     "text_bpe_vocab", "text_bpe_model_roundtrip",
     "similarity_sq8_recall", "pipeline_bpe_pack",
     "text_nb_langid_predict", "text_nb_langid_confusion",
+    "similarity_ivfsq8_topk", "sketch_hll_distinct_words",
     "text_bpe_train_merges", "text_bpe_encode_stats",
     "text_ccnet_ppl_buckets", "sample_unimax_allocation",
     "similarity_sq8_topk", "similarity_sq8_rerank",
@@ -93,12 +95,13 @@ _PIN = [
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "unnest_explode_words", "values_literal",
     # ---- r3-era evidence: streaming / CEP / graph / LLM foundations
-    #      (first 8 fit in the 50-window, through jaccard) ----
+    #      (first 6 fit in the 50-window, through degrees) ----
     "cep_nfa_four_stage", "cep_nfa_or_condition", "graph_adamic_adar",
     "graph_clustering_coefficient", "graph_connected_components",
-    "graph_degrees", "graph_hits", "graph_jaccard_index",
-    # ---- 50-window boundary: the remaining 42 r3-era names overflow
-    #      to positions 51-92 and lead the NEXT rotation ----
+    "graph_degrees",
+    # ---- 50-window boundary: the remaining 44 r3-era names overflow
+    #      to positions 51-94 and lead the NEXT rotation ----
+    "graph_hits", "graph_jaccard_index",
     "graph_label_propagation", "graph_pagerank",
     "graph_sssp",
     "graph_triangle_count", "minhash_lsh_dup_pairs", "minhash_signatures",

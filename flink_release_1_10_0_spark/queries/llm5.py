@@ -640,3 +640,112 @@ def text_nb_langid_confusion(spark, sf_dir):
     pred = T.nb_classifier_predict(train, ev)
     return (pred.groupBy("lang_true", "lang_pred")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+# --------------------------------------------------------------------------
+# IVF-SQ8: route the single query to its nearest label-centroid cell,
+# SQ8-asymmetric-scan only that cell — FAISS "IVF,SQ8".
+# --------------------------------------------------------------------------
+_IVFSQ8_ORACLE = """
+WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings),
+cent AS (SELECT label, pos,
+                CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+         FROM ex GROUP BY label, pos),
+cvec AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv
+         FROM cent GROUP BY label),
+q AS (SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 1),
+routed AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q_id, qv, cell, row_number() OVER (ORDER BY qd, cell) AS rn
+    FROM (SELECT q.q_id, q.qv, c_label AS cell,
+                 round(sqrt(list_sum(list_transform(range(1, 65), i ->
+                   (q.qv[i] - cv[i]) * (q.qv[i] - cv[i])))), 6) AS qd
+          FROM q CROSS JOIN cvec) y) z
+  WHERE rn = 1
+), cellv AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN routed r ON e.label = r.cell
+), mx AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS mx
+  FROM cellv
+), codes AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx.mx + 0.5) AS INT))
+           AS cd,
+         mx.mx / 127.0 AS scale
+  FROM cellv e JOIN mx USING (vec_id)
+  WHERE mx.mx > 0
+), sc AS (
+  SELECT r.q_id, codes.vec_id,
+         list_sum(list_transform(range(1, 65), i ->
+           (r.qv[i] - codes.cd[i] * codes.scale)
+           * (r.qv[i] - codes.cd[i] * codes.scale))) AS adc
+  FROM codes CROSS JOIN routed r
+), rk AS (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+  FROM sc
+)
+SELECT q_id, vec_id, round(adc, 6) AS adc_r, CAST(rnk AS INT) AS rank
+FROM rk WHERE rnk <= 5
+"""
+
+
+@register("similarity_ivfsq8_topk", _IVFSQ8_ORACLE)
+def similarity_ivfsq8_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"),
+                                        "embedding")
+    return S.ivfsq8_topk(emb, q, k=5)
+
+
+# --------------------------------------------------------------------------
+# Deterministic HyperLogLog: per-source distinct-word estimate from the
+# corpus-canonical md5 hash — an AUDITABLE sketch (the oracle replays
+# the registers bit-for-bit), unlike approx_count_distinct.
+# --------------------------------------------------------------------------
+_HLL_AMM = 2904.064
+_HLL_ORACLE = f"""
+WITH toks AS (SELECT source AS g, unnest({_DWORDS}) AS w FROM documents),
+h AS (SELECT g, w,
+             CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT)
+                  AS BIGINT) AS h
+      FROM toks),
+rr AS (SELECT g, h % 64 AS j, h // 64 AS rest FROM h),
+rho AS (SELECT g, j,
+               CASE WHEN rest = 0 THEN 55
+                    ELSE length(regexp_extract(reverse(bin(rest)),
+                                               '^0*', 0)) + 1 END AS rho
+        FROM rr),
+regs AS (SELECT g, j, CAST(MAX(rho) AS BIGINT) AS M
+         FROM rho GROUP BY g, j),
+agg AS (SELECT g, SUM(pow(CAST(2.0 AS DOUBLE), -M)) AS s,
+               COUNT(*) AS nreg
+        FROM regs GROUP BY g),
+est AS (SELECT g, s + (64 - nreg) AS s2,
+               CAST(64 - nreg AS BIGINT) AS V
+        FROM agg),
+fin AS (SELECT g, V, {_HLL_AMM} / s2 AS E FROM est),
+hll AS (SELECT g,
+               round(CASE WHEN E <= 160.0 AND V > 0
+                          THEN 64.0 * ln(64.0 / V) ELSE E END, 6)
+                 AS hll_estimate
+        FROM fin),
+exact AS (SELECT g, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+          FROM toks GROUP BY g)
+SELECT exact.g AS source, n_exact, hll_estimate,
+       round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_error_r
+FROM exact JOIN hll ON exact.g = hll.g
+"""
+
+
+@register("sketch_hll_distinct_words", _HLL_ORACLE)
+def sketch_hll_distinct_words(spark, sf_dir):
+    return T.hll_distinct_words(t(spark, sf_dir, "documents"))
