@@ -256,7 +256,7 @@ def similarity_matryoshka_topk(spark, sf_dir):
 _CLUSTER_Q_ORACLE = f"""
 WITH RECURSIVE w AS (
   SELECT doc_id, list_distinct({_DWORDS}) AS ws, len({_DWORDS}) AS nw
-  FROM documents
+  FROM documents WHERE doc_id < 1500
 ),
 sig AS (SELECT doc_id, {_sig_cols_duck} FROM w),
 bands AS ({_band_selects}),
@@ -299,7 +299,7 @@ FROM sized s JOIN kp ON s.cluster_id = kp.cluster_id
 @register("dedup_cluster_quality_survivors", _CLUSTER_Q_ORACLE)
 def dedup_cluster_quality_survivors(spark, sf_dir):
     from flink_release_1_10_0_spark.llm.text import words_expr
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
     pairs = D.minhash_lsh_pairs(docs, "doc_id", k=8, band_rows=4,
                                 threshold=0.8)
     clusters = D.dedup_clusters(pairs)
