@@ -271,7 +271,7 @@ pairs AS (
   WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6)
         >= 0.8
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
 ), reach AS (
   SELECT u, v FROM edges
@@ -511,13 +511,16 @@ def similarity_sq8_recall(spark, sf_dir):
 # --------------------------------------------------------------------------
 _BPE_PACK_BUDGET = 256
 
+# ord MUST be MATERIALIZED: the recursive pack step references it every
+# iteration, and DuckDB would otherwise inline the whole BPE chain +
+# encode CTEs into the recursion and re-evaluate them ~1000x at sf0.1
 _BPE_PACK_ORACLE = (_BPE_CHAIN.replace("WITH ", "WITH RECURSIVE ", 1)
-                    + _BPE_ENC_CTES) + f""", tok AS (
+                    + _BPE_ENC_CTES) + f""", tok AS MATERIALIZED (
   SELECT d.source AS grp, CAST(0 AS BIGINT) AS bucket, d.doc_id AS id,
          agg.n_bpe_tokens AS n_tok,
          md5(CAST(d.doc_id AS VARCHAR)) AS h
   FROM documents d JOIN agg ON d.doc_id = agg.doc_id
-), ord AS (
+), ord AS MATERIALIZED (
   SELECT grp, bucket, id, n_tok,
          row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn
   FROM tok
