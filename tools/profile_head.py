@@ -37,6 +37,10 @@ def get_spark_with_ui():
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep in sync with session.get_spark: small-byte CPU-heavy stages
+        # must not coalesce below useful parallelism here either, or the
+        # profiler measures a different plan than the bench runs
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
