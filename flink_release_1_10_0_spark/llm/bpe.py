@@ -83,7 +83,28 @@ def _train_loop(df: DataFrame, text_col: str,
     The returned dict frame is locally checkpointed (executor-side,
     never driver-collected) before the base is unpersisted, so later
     consumers don't replay the merge chain against the corpus."""
-    wf = bpe_word_freqs(df, text_col).persist()
+    from flink_release_1_10_0_spark.llm.text import ensure_min_parallelism
+    # guide §2.5: the corpus->word-dict explode+groupBy is the only
+    # corpus-sized step; a 1-split scan serializes its map side
+    wf = bpe_word_freqs(ensure_min_parallelism(df), text_col).persist()
+    spark = df.sparkSession
+    # AQE is per-stage re-planning: each argmax over the cached word dict
+    # becomes two jobs plus an optimizer round, and this loop runs
+    # 2*n_merges tiny latency-bound queries back to back (measured:
+    # ~1.7s of driver gap across 25 jobs at n_merges=10).  The dict is
+    # vocab-bounded (KBs..MBs at any corpus size — the corpus-sized step
+    # is the ONE groupBy above, outside the loop), so AQE has nothing to
+    # adapt here; switch it off for the loop only, restore after.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # per-iteration latency is the binding constraint of a sequential
+    # model loop, and each iteration shuffles only the pair-count frame
+    # (bounded by the pair vocabulary — tens of MBs even for a 100M-word
+    # vocab, never corpus-sized), so a handful of reduce partitions is
+    # right at ANY corpus scale; 32+ empty reduce tasks per iteration
+    # were pure scheduling overhead (measured sp32 2.84s vs sp8 2.1s)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         merges: list[tuple] = []
         cur = wf
@@ -99,6 +120,8 @@ def _train_loop(df: DataFrame, text_col: str,
             cur = _apply_merge(cur, row["left"], row["right"])
         return merges, cur.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         wf.unpersist()
 
 

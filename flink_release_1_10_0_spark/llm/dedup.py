@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_release_1_10_0_spark.llm.text import (hash64_expr, hash128_expr,
+from flink_release_1_10_0_spark.llm.text import (ensure_min_parallelism,
+                                                 hash64_expr, hash128_expr,
                                                  words_expr)
 
 
@@ -260,6 +261,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     the signature/banding share of the runtime.
     """
     n_bands = k // band_rows
+    # guide §2.5: a 1-split source serializes the words/fingerprint map
+    # stage; rebalance exactly when the scan is narrower than the session
+    # parallelism (identity at scale — see ensure_min_parallelism)
+    df = ensure_min_parallelism(df)
     # key-width policy: band keys and word hashes are 60-bit BIGINTs
     # (8-byte shuffle keys, bigint array intersects — ~2× on the verify
     # stage vs md5 strings, measured); a collision there only adds a
@@ -280,9 +285,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # per-doc fingerprint md5 run ONCE and Spark reuses the shuffle
     # (ReusedExchange) instead of re-reading the text for each branch
     # (measured r6: the members/uniq split re-scanned the corpus).
+    # ONE materialization carries both the unique word-sets and the
+    # cluster membership.  ReusedExchange only deduplicates the corpus
+    # pass WITHIN a single job; the downstream branches (keyed
+    # checkpoint, wh / members broadcast builds) run as separate jobs,
+    # and each would re-execute the scan + words + fingerprint md5 +
+    # shuffle (measured: three ~330ms 32-task upstream replays per run).
+    # Checkpointing the deduped frame runs the corpus pass exactly once
+    # per run at any scale — the materialize-the-intermediate trade of
+    # guide §3.3, sized at |unique word-sets|.
     clusters = (d.groupBy("fp")
                 .agg(F.first("ws").alias("ws"),
-                     F.collect_list(id_col).alias("ids")))
+                     F.collect_list(id_col).alias("ids"))
+                .localCheckpoint())
     members = clusters.select("fp", F.explode("ids").alias(id_col))
     uniq = (_with_hws(clusters.drop("ids"), method)
             .withColumn("wh", F.expr(_wh_expr(method))))
@@ -361,6 +376,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                          F.col("x.fp").alias("fp_b"))
                  .distinct())
 
+    # slim word-hash frame; derived from the clusters checkpoint, so the
+    # two verify-side broadcast builds replay only hws + array_distinct
+    # over materialized rows, never the corpus pass
     wh = uniq.select("fp", "wh", F.expr("size(wh)").alias("nw"))
     # verification (measured r6, 2.4M candidate pairs at sf0.1):
     # 1. size prefilter — J >= t forces min(|a|,|b|) >= t*max(|a|,|b|),
@@ -423,7 +441,9 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
     against it without ever rescanning the corpus (write it partitioned/
     bucketed by a band key so the per-band candidate joins co-locate).
     """
-    d = (with_words(df, text_col)
+    # guide §2.5: signature hashing is the per-row hot loop; a 1-split
+    # source serializes it (identity at scale)
+    d = (with_words(ensure_min_parallelism(df), text_col)
          .select(F.col(id_col), F.expr("array_distinct(words)").alias("ws")))
     d = _with_hws(d, method)
     sig_cols = [F.expr(e).alias(f"m{i}")
@@ -781,6 +801,9 @@ def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
     band_rows in the MinHash path.  For recall-critical jobs lower
     planes_per_band / raise n_bands — cost scales linearly in bands.
     """
+    # guide §2.5: the SRP projection (16 64-dim BIGINT dots per row) is
+    # the op's per-row hot loop; a 1-split scan runs it serially
+    df = ensure_min_parallelism(df)
     sig = srp_signatures(df, id_col, vec_col, dim,
                          planes_per_band, n_bands,
                          stats=stats).localCheckpoint()
@@ -1068,6 +1091,10 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         kmeans_assign, kmeans_train)
 
     k = _semantic_k(df, k, target_cluster_size)
+    # guide §2.5: Lloyd's assignment and the within-cluster cosine verify
+    # are broadcast-side map passes — their parallelism IS the corpus
+    # scan's split count, so a 1-split source serializes them
+    df = ensure_min_parallelism(df)
     cents = kmeans_train(df, k=k, iterations=iterations,
                          id_col=id_col, vec_col=vec_col)
     asg = (kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
@@ -1107,6 +1134,7 @@ def semantic_index(df: DataFrame, id_col: str = "vec_id",
         kmeans_assign, kmeans_train)
 
     k = _semantic_k(df, k, target_cluster_size)
+    df = ensure_min_parallelism(df)  # same rationale as semantic_dedup_pairs
     cents = kmeans_train(df, k=k, iterations=iterations,
                          id_col=id_col, vec_col=vec_col)
     nrm = (f"sqrt(aggregate({vec_col}, 0D, (s, x) -> s + "

@@ -259,6 +259,12 @@ def kmeans_train(embeddings: DataFrame, k: int = 4, iterations: int = 3,
 
 def _kmeans_loop(embeddings: DataFrame, k: int, iterations: int,
                  id_col: str, vec_col: str):
+    # guide §2.5: every Lloyd step is a broadcast-codebook MAP pass whose
+    # parallelism is the corpus scan's split count — rebalance a
+    # narrower-than-session source once, before the loop (identity at
+    # scale, where scans split past the session parallelism)
+    from flink_release_1_10_0_spark.llm.text import ensure_min_parallelism
+    embeddings = ensure_min_parallelism(embeddings)
     # init: smallest-k ids, cid by id order.  The window frame is the
     # k seed rows by construction (fed by TakeOrderedAndProject), so
     # partitionBy a constant-valued NON-FOLDABLE expression (pmod(id,1)

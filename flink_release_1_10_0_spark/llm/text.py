@@ -49,6 +49,28 @@ def hash128_expr(s: str, method: str = "md5") -> str:
             f"'h2', cast(conv(substr(md5({s}), 17, 15), 16, 10) as bigint))")
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input rebalance (optimization guide §2.5 "input
+    skew": one huge unsplittable file → repartition immediately after the
+    read).
+
+    A source that scans as FEWER partitions than the session's
+    parallelism (a single-row-group parquet file, one gzip part, a tiny
+    lookup) serializes every downstream map pass — signature hashing,
+    k-means assignment, cosine verification all run on one core of a
+    32-core machine while 31 idle.  Round-robin repartition to
+    ``defaultParallelism`` exactly in that case.  At 100 TB the scan
+    splits into thousands of partitions, the condition is false and this
+    is the identity — no shuffle is ever added at scale, so the plan the
+    cluster runs is unchanged.  The check reads the planned partition
+    count (no job runs)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 _STOPWORDS = "('the','a','of','and','to','in','is','it','for','on')"
 
 

@@ -66,7 +66,8 @@ def rest(app_id: str, path: str):
 
 def main():
     name = sys.argv[1]
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[2:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     show_jobs = "--jobs" in sys.argv
 
     from flink_release_1_10_0_spark.queries import all_queries
