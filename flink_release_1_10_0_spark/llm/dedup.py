@@ -698,6 +698,10 @@ def srp_signatures(df: DataFrame, id_col: str = "vec_id",
     join/shuffle key downstream, so candidate generation is a per-band
     equi-join exactly like the MinHash LSH path above.
     """
+    # guide §2.5: the projection (n_bands*planes 64-dim BIGINT dots per
+    # row) is the op's hot loop; a 1-split scan runs it serially
+    # (identity at scale, and when the caller already rebalanced)
+    df = ensure_min_parallelism(df)
     qv = (f"transform(slice({vec_col}, 1, {dim}), "
           f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
     d = df.withColumn("__qv", F.expr(qv))
@@ -886,6 +890,10 @@ def srp_index(df: DataFrame, id_col: str = "vec_id",
     persist them alongside the rows and pass them as ``stats`` when
     signing incoming batches — signatures centered on a different
     centroid do not share band keys."""
+    # guide §2.5: rebalance ONCE here so the signature pass, the norm
+    # projection and the id-join below all parallelize from a narrow
+    # scan (identity at scale)
+    df = ensure_min_parallelism(df)
     nrm = (f"sqrt(aggregate({vec_col}, 0D, (s, x) -> s + "
            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
     sig = srp_signatures(df, id_col, vec_col, dim, planes_per_band,

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_release_1_10_0_spark.llm.text import ensure_min_parallelism
+
 # exact decimal accumulation for order-independent centroid sums
 _DEC = "decimal(28,12)"
 
@@ -317,6 +319,10 @@ def pq_train(embeddings: DataFrame, m: int = 4, k: int = 8,
     every pass map-side + one (cid, pos) aggregation."""
     assert dim % m == 0, "dim must divide evenly into m sub-spaces"
     sd = dim // m
+    # guide §2.5: every Lloyd step below is a broadcast-codebook MAP
+    # pass whose parallelism IS the corpus scan's split count — a
+    # 1-split source serializes all of training (identity at scale)
+    embeddings = ensure_min_parallelism(embeddings)
     # STACKED training: all m sub-spaces ride ONE Lloyd loop with `sub`
     # as an extra key — each iteration is a single corpus scan + one
     # (sub, cid, pos) aggregation instead of m sequential loops (m x
@@ -386,6 +392,9 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame, m: int = 4,
     sub-space; no shuffle, no Python.  Ties break on the smaller cid
     (array_min over struct(sqdist, cid) — the shared contract)."""
     sd = dim // m
+    # guide §2.5: the per-row m-way argmin is the op's hot loop; a
+    # 1-split scan runs it serially (identity at scale)
+    embeddings = ensure_min_parallelism(embeddings)
     sq = (f"aggregate(zip_with(slice({vec_col}, s * {sd} + 1, {sd}), c.cvec, "
           "(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
           "cast(0.0 as double), (acc, v) -> acc + v)")
@@ -465,6 +474,9 @@ def exact_l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     :func:`pq_topk_adc`: broadcast the query rows, map-side distance,
     salted two-stage top-k (no global window).  Returns
     (q_id, vec_id, dist_r, rank); ties break on vec_id."""
+    # guide §2.5: per-row full-dim L2 against every query is the hot
+    # loop; a 1-split corpus scan runs it serially (identity at scale)
+    embeddings = ensure_min_parallelism(embeddings)
     q = queries.select(
         F.col(query_id_col).alias("q_id"),
         F.expr(f"transform({query_vec_col}, x -> cast(x as double))")
@@ -702,6 +714,9 @@ def sq8_topk_adc(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     map-side distance, salted two-stage top-k.  Same query-batch sizing
     bound as pq_topk_adc.  Returns (q_id, vec_id, adc_r, rank); ties
     break on vec_id."""
+    # guide §2.5: quantize + per-row asymmetric distance is the hot
+    # loop; a 1-split scan runs it serially (identity at scale)
+    embeddings = ensure_min_parallelism(embeddings)
     codes = (quantize_int8(embeddings, id_col, vec_col)
              .select(id_col, "q", "scale"))
     qf = _query_frame(queries, query_id_col, query_vec_col)

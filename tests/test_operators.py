@@ -384,3 +384,24 @@ def test_async_table_function_lateral_expansion(spark):
     got = sorted((r.k, r.v) for r in out.collect())
     assert got == [(1, 10), (2, 20), (2, 21), (4, 40), (4, 41),
                    (4, 42), (4, 43)]
+
+
+def test_ensure_min_parallelism_scale_adaptive(spark):
+    """Guide §2.5 input rebalance: a scan narrower than the session
+    parallelism is round-robin repartitioned up to it; an input already
+    at-or-above it passes through UNTOUCHED (the 100 TB contract — no
+    shuffle is ever added at scale)."""
+    from flink_release_1_10_0_spark.llm.text import ensure_min_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    out = ensure_min_parallelism(narrow)
+    assert out.rdd.getNumPartitions() == target
+    # content identical (round-robin only moves rows)
+    assert out.count() == 1000
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+    wide = spark.range(1000).repartition(target + 3)
+    same = ensure_min_parallelism(wide)
+    # identity: the SAME DataFrame object, no added exchange
+    assert same is wide
