@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_release_1_10_0_spark.llm.text import words_expr
+from flink_release_1_10_0_spark.llm.text import (ensure_min_parallelism,
+                                                 words_expr)
 
 #: weight quantization scale: floor(tfidf * 1e6) — integer weights make
 #: every downstream SUM order-independent (engine-portable), and 1e-6
@@ -50,7 +51,13 @@ def tfidf_weights(df: DataFrame, id_col: str = "doc_id",
     everything else map-side."""
     n = df.count()
     max_df = int(max_df_ratio * n)
-    tf = (df.select(F.col(id_col).alias("id"),
+    # guide §2.5: tokenize+explode is the corpus hot loop; a 1-split
+    # scan runs it serially (identity at scale).  Applied to the
+    # explode input ONLY — the count() above stays on the raw scan
+    # (measured: a repartition under the count turned a metadata-cheap
+    # action into a full shuffle, 0.5 -> 2.0 s on this head)
+    tf = (ensure_min_parallelism(df)
+          .select(F.col(id_col).alias("id"),
                     F.explode(F.expr(words_expr(text_col))).alias("word"))
           .groupBy("id", "word")
           .agg(F.count(F.lit(1)).alias("tf")))
@@ -145,7 +152,11 @@ def bm25_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
                              F.explode(query_terms_col).alias("word"))
               .distinct())
     vocab = qterms.select("word").distinct()
-    toks = (df.select(F.col(id_col).alias("id"),
+    # guide §2.5: the tokenize+explode postings pass is the corpus hot
+    # loop; rebalance it only (the scalar stats pass above stays on the
+    # raw scan — see tfidf_weights note), identity at scale
+    toks = (ensure_min_parallelism(df)
+            .select(F.col(id_col).alias("id"),
                       F.expr(words_expr(text_col)).alias("__ws"))
             .select("id", F.expr("size(__ws)").cast("bigint").alias("dl"),
                     F.explode("__ws").alias("word"))
@@ -207,8 +218,11 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
              .agg(F.count(F.lit(1)).alias("n"),
                   F.avg("dl").alias("avgdl")).first())
     n, avgdl = int(stats["n"]), float(stats["avgdl"])
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.expr(words_expr(text_col)).alias("__ws"))
+    # guide §2.5: rebalance the postings pass only (see tfidf_weights
+    # note on keeping scalar stats on the raw scan), identity at scale
+    toks = (ensure_min_parallelism(df)
+            .select(F.col(id_col).alias("id"),
+                    F.expr(words_expr(text_col)).alias("__ws"))
             .select("id", F.expr("size(__ws)").cast("bigint").alias("dl"),
                     F.explode("__ws").alias("word"))
             .filter(F.expr(f"word IN ({qlit})")))

@@ -128,7 +128,15 @@ def ivf_build_index(embeddings: DataFrame, path: str,
     parquet at ``{path}/_centroids``.  The ``_``-prefixed directory is
     invisible to Spark's parquet discovery, so index scans never touch
     it; probes read it instead of re-aggregating the whole corpus."""
+    # guide §2.5 + §6: rebalance a narrow scan (identity at scale), then
+    # hash-distribute by the partition column before the partitioned
+    # write — each cell is written by one task (parallel across cells,
+    # one file per cell instead of one task emitting every cell's file;
+    # at scale this is the standard write-distribution move that avoids
+    # the many-small-files problem)
+    embeddings = ensure_min_parallelism(embeddings)
     (embeddings.select(id_col, vec_col, label_col)
+     .repartition(F.col(label_col))
      .write.mode("overwrite").partitionBy(label_col).parquet(path))
     cents = label_centroids(embeddings, label_col, vec_col)
     (cents.groupBy(label_col)

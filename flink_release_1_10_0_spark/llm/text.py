@@ -160,7 +160,10 @@ def repetition_stats(df, id_col: str, text_col: str = "text"):
     back to the source is needed."""
     from pyspark.sql import functions as F
     w = words_expr(text_col)
-    d = (df.select(F.col(id_col), F.expr(w).alias("ws"))
+    # guide §2.5: the tokenize + label + explode map side is the op's
+    # hot loop; a 1-split scan runs it serially (identity at scale)
+    d = (ensure_min_parallelism(df)
+         .select(F.col(id_col), F.expr(w).alias("ws"))
          .filter(F.expr("size(ws) >= 2")))
     kt = ("concat("
           " transform(ws, x -> struct('w' as kind, x as tok)),"

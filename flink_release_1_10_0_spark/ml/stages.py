@@ -97,9 +97,14 @@ class StandardScaler(Estimator):
                          output_col=output_col)
 
     def fit(self, df: DataFrame) -> StandardScalerModel:
+        from flink_release_1_10_0_spark.llm.text import (
+            ensure_min_parallelism)
         vec = self.params.get("vec_col")
-        ex = df.select(F.posexplode(vec).alias("pos", "x")) \
-               .withColumn("v", F.col("x").cast("double"))
+        # guide §2.5: the posexplode + partial agg is a corpus map pass;
+        # a 1-split scan runs it serially (identity at scale)
+        ex = (ensure_min_parallelism(df)
+              .select(F.posexplode(vec).alias("pos", "x"))
+              .withColumn("v", F.col("x").cast("double")))
         stats = (ex.groupBy("pos")
                  .agg((F.sum(F.col("v").cast(_DEC)).cast("double")
                        / F.count("*")).alias("mu"),

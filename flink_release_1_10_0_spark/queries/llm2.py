@@ -51,7 +51,11 @@ GROUP BY seg.doc_id
 
 @register("dedup_segment_boilerplate", _BOILERPLATE_ORACLE)
 def dedup_segment_boilerplate(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    from flink_release_1_10_0_spark.llm.text import ensure_min_parallelism
+    # guide §2.5: the split+window-slice+explode map side runs TWICE
+    # (freq build + join probe) off the raw scan; a 1-split source
+    # serializes both (identity at scale)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     w = _SEGMENT_W
     # complete w-token windows only; the guard CASE avoids sequence(0,-1)
     # flipping into a descending range on docs shorter than one window
