@@ -59,7 +59,12 @@ def extract_fake_metadata(df: DataFrame) -> DataFrame:
                 "fake_height": [x % 1080 for x in h],
             })
 
-    return (df.select("doc_id", "payload")
+    # guide §2.5/§4: the Python-boundary pass is the hot loop; a
+    # 1-split scan serializes every worker (identity at scale).  The
+    # select ships ONLY the two columns the function reads (§4.1).
+    from flink_release_1_10_0_spark.llm.text import (
+        ensure_min_parallelism)
+    return (ensure_min_parallelism(df.select("doc_id", "payload"))
               .mapInPandas(extract, schema=META_SCHEMA))
 
 
@@ -92,7 +97,11 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_digest"])
 
-    return df.select("doc_id", "payload").mapInPandas(sample, schema=FRAME_SCHEMA)
+    # same §2.5/§4 shape as extract_fake_metadata above
+    from flink_release_1_10_0_spark.llm.text import (
+        ensure_min_parallelism)
+    return (ensure_min_parallelism(df.select("doc_id", "payload"))
+            .mapInPandas(sample, schema=FRAME_SCHEMA))
 
 
 RESIZE_SCHEMA = ("doc_id bigint, width int, height int, "
