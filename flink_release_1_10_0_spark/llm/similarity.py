@@ -299,7 +299,12 @@ def _kmeans_loop(embeddings: DataFrame, k: int, iterations: int,
         cents = (upd.groupBy("cid")
                  .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), "
                              "s -> s.c)").alias("cvec")))
-        cents = cents.localCheckpoint(eager=True)  # cut the iterative lineage
+        # cut the iterative lineage; eager=False folds the
+        # materialization into the NEXT consumer's job (the following
+        # iteration's assignment / the codebook broadcast build)
+        # instead of running one extra blocking job per iteration —
+        # one fewer sequential job per Lloyd step, same content
+        cents = cents.localCheckpoint(eager=False)
     return assigned, cents
 
 
@@ -377,7 +382,9 @@ def pq_train(embeddings: DataFrame, m: int = 4, k: int = 8,
                  .agg(F.expr(
                      "transform(array_sort(collect_list(struct(pos, c))), "
                      "s -> s.c)").alias("cvec")))
-        cents = cents.localCheckpoint(eager=True)
+        # see _kmeans_loop: lazy checkpoint = one fewer sequential job
+        # per Lloyd step, materialized by the next consumer
+        cents = cents.localCheckpoint(eager=False)
     return cents.select(F.col("sub").cast("int").alias("sub"), "cid", "cvec")
 
 
