@@ -54,6 +54,9 @@ evaluates to NULL is not satisfied (the run does not take the edge).
 
 from __future__ import annotations
 
+import decimal
+import numbers
+import operator
 import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -141,21 +144,18 @@ def _is_null(v) -> bool:
     return v is None
 
 
+_CMP_OPS = {"=": operator.eq, "<>": operator.ne, "!=": operator.ne,
+            "<": operator.lt, "<=": operator.le,
+            ">": operator.gt, ">=": operator.ge}
+
+
 def _cmp(op: str):
-    def fn(a, b):
+    f = _CMP_OPS[op]
+
+    def fn(a, b, f=f):
         if a is None or b is None:
             return None
-        if op == "=":
-            return a == b
-        if op in ("<>", "!="):
-            return a != b
-        if op == "<":
-            return a < b
-        if op == "<=":
-            return a <= b
-        if op == ">":
-            return a > b
-        return a >= b
+        return f(a, b)
     return fn
 
 
@@ -163,8 +163,14 @@ def _num(v) -> bool:
     # numbers.Number covers int/float AND decimal.Decimal — DecimalType
     # columns reach rowvals as decimal.Decimal via pandas tolist(), and
     # rejecting them would silently NULL every navigation predicate
-    # over a DECIMAL column (diverging from the Spark-SQL fast path)
-    import numbers
+    # over a DECIMAL column (diverging from the Spark-SQL fast path).
+    # Exact-type fast path first: the abc instancecheck dominated the
+    # NFA profile at 700k calls/head, and int/float cover virtually
+    # every value the hot loop sees (bool is a subclass of int, so the
+    # exact-type test correctly skips it).
+    t = type(v)
+    if t is int or t is float:
+        return True
     return isinstance(v, numbers.Number) and not isinstance(v, bool)
 
 
@@ -179,7 +185,6 @@ def fold_acc(acc, v):
     n, s, mn, mx = acc
     if v is None:
         return n, s, mn, mx
-    import decimal
     if isinstance(v, decimal.Decimal):
         v = float(v)
     n += 1
@@ -190,30 +195,30 @@ def fold_acc(acc, v):
     return n, s, mn, mx
 
 
+_ARITH_OPS = {"+": operator.add, "-": operator.sub, "*": operator.mul,
+              "%": operator.mod, "/": operator.truediv}
+
+
 def _arith(op: str):
     # Numeric operands only: Python '+' on two strings would concatenate
     # and int/int '/' true-divides, so an untyped closure could diverge
     # from what the same SQL text does on the Spark fast path.  Non-
     # numeric operands yield NULL (the predicate is then not satisfied)
     # instead of silently applying Python semantics.
-    def fn(a, b):
+    f = _ARITH_OPS[op]
+    guard = op in ("%", "/")
+
+    def fn(a, b, f=f, guard=guard):
         if not _num(a) or not _num(b):
             return None
         # decimal.Decimal refuses mixed arithmetic with float — compute
         # in float like the rest of the closure tier (predicates are
         # comparisons; the SQL fast path owns exact decimal math)
-        import decimal
         if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
             a, b = float(a), float(b)
-        if op == "+":
-            return a + b
-        if op == "-":
-            return a - b
-        if op == "*":
-            return a * b
-        if op == "%":
-            return None if b == 0 else a % b
-        return None if b == 0 else a / b      # SQL: x/0 -> NULL-ish guard
+        if guard and b == 0:
+            return None                       # SQL: x/0, x%0 -> NULL guard
+        return f(a, b)
     return fn
 
 

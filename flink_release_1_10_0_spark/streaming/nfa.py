@@ -136,6 +136,7 @@ Scope notes (documented narrowings vs the reference):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from dataclasses import dataclass
 from typing import Any
@@ -1376,6 +1377,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                                     + [True] * len(timeouts))
             yield pd.DataFrame(out)
 
+    if os.environ.get("SPARK_GRAFT_NFA_PROFILE"):
+        fn = _profile_wrap(fn, os.environ["SPARK_GRAFT_NFA_PROFILE"])
     if timer_mode:
         return (tagged.withWatermark(ts_col, watermark_timers)
                 .groupBy(*keys)
@@ -1385,6 +1388,31 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
     return (tagged.groupBy(*keys)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def _profile_wrap(fn, out_dir: str):
+    """Diagnostics only (SPARK_GRAFT_NFA_PROFILE=<dir>): accumulate a
+    per-worker cProfile of the NFA state function and snapshot it to
+    ``<dir>/nfa_<pid>.prof`` every few keys — the UDF perf profiler does
+    not cover applyInPandasWithState.  Inert unless the env var is set."""
+    holder: list = [None, 0]    # [Profile, call count] — created in the
+                                # worker (a Profile object cannot pickle)
+
+    def wrapped(key_, pdfs, state):
+        import cProfile
+        if holder[0] is None:
+            holder[0] = cProfile.Profile()
+        prof = holder[0]
+        prof.enable()
+        try:
+            out = list(fn(key_, pdfs, state))
+        finally:
+            prof.disable()
+        holder[1] += 1
+        if holder[1] % 20 == 0:
+            prof.dump_stats(os.path.join(out_dir, f"nfa_{os.getpid()}.prof"))
+        yield from out
+    return wrapped
 
 
 def with_eos_sentinels(df: DataFrame, key: str | list[str],
