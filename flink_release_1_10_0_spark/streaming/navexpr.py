@@ -185,7 +185,8 @@ def fold_acc(acc, v):
     n, s, mn, mx = acc
     if v is None:
         return n, s, mn, mx
-    if isinstance(v, decimal.Decimal):
+    t = type(v)
+    if t is not int and t is not float and isinstance(v, decimal.Decimal):
         v = float(v)
     n += 1
     if _num(v):
@@ -197,6 +198,10 @@ def fold_acc(acc, v):
 
 _ARITH_OPS = {"+": operator.add, "-": operator.sub, "*": operator.mul,
               "%": operator.mod, "/": operator.truediv}
+
+# empty aggregate accumulator (count, sum, min, max) — COUNT over an
+# unmatched variable is 0, the others NULL
+_ZERO_ACC = (0, None, None, None)
 
 
 def _arith(op: str):
@@ -460,24 +465,30 @@ class _Compiler:
         self.aggs.setdefault(var, {})[akey] = arg
         own = var == self.own
 
-        def fn(row, nav, navn, prev, kind=kind, var=var, own=own,
-               arg=arg, akey=akey):
-            acc = nav.get(var, {}).get(akey)
-            n, s, mn, mx = acc if acc else (0, None, None, None)
-            if own:
-                # tentative include of the current row: same fold as
-                # the stored accumulator update (nfa.nav_take)
-                n, s, mn, mx = fold_acc(
-                    (n, s, mn, mx), arg(row, nav, navn, prev))
-            if kind == "COUNT":
-                return n
-            if kind == "SUM":
-                return s
-            if kind == "AVG":
+        # specialized per kind: the per-(event, run) call resolves the
+        # accumulator slot by a precompiled index instead of a string
+        # if-chain, and only allocates when the current row folds in
+        if kind == "AVG":
+            def fn(row, nav, navn, prev, var=var, own=own,
+                   arg=arg, akey=akey):
+                vd = nav.get(var)
+                acc = (vd.get(akey) if vd else None) or _ZERO_ACC
+                if own:
+                    # tentative include of the current row: same fold as
+                    # the stored accumulator update (nfa.nav_take)
+                    acc = fold_acc(acc, arg(row, nav, navn, prev))
+                n, s = acc[0], acc[1]
                 return None if not n or s is None else s / n
-            if kind == "MIN":
-                return mn
-            return mx
+        else:
+            pos = {"COUNT": 0, "SUM": 1, "MIN": 2, "MAX": 3}[kind]
+
+            def fn(row, nav, navn, prev, var=var, own=own,
+                   arg=arg, akey=akey, pos=pos):
+                vd = nav.get(var)
+                acc = (vd.get(akey) if vd else None) or _ZERO_ACC
+                if own:
+                    acc = fold_acc(acc, arg(row, nav, navn, prev))
+                return acc[pos]
         return fn
 
     def primary(self) -> Evaluator:

@@ -141,6 +141,7 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -361,6 +362,44 @@ def _validate(stages: list[NfaStage], has_window: bool = False) -> None:
         if s.min_times < 0 or (s.max_times is not None
                                and s.max_times < max(1, s.min_times)):
             raise ValueError("bad quantifier bounds")
+
+
+def _sort_permutation(pdf, sort_cols, asc):
+    """np.lexsort permutation equal to ``pdf.sort_values(sort_cols,
+    ascending=asc)`` when every key casts to a numeric/datetime dtype;
+    None when a key needs object comparison (the caller then falls back
+    to pandas).  The NFA's composite key ends in the unique event id, so
+    the order is total and sort stability is irrelevant; NaN sorts last
+    under both engines (ascending: numpy end-sorts NaN; descending via
+    negation: -NaN is still NaN, and pandas keeps na_position='last'
+    for both directions)."""
+    keys_np = []
+    for c, a in zip(sort_cols, asc):
+        arr = pdf[c].to_numpy()
+        k = arr.dtype.kind
+        if k in "Mm":
+            if np.isnat(arr).any():
+                return None     # NaT casts to int64-min (would sort
+                                # first); pandas puts NaT last — fall back
+            if k == "M":
+                arr = arr.astype("datetime64[us]")
+            arr = arr.astype("int64")
+        elif k in "bui":
+            arr = arr.astype("int64")
+        elif k != "f":
+            return None
+        keys_np.append(arr if a else -arr)
+    # np.lexsort takes least-significant key first
+    return np.lexsort(tuple(reversed(keys_np)))
+
+
+def _bool_list(arr):
+    """__m/__u predicate bits to a plain Python bool list: bool dtype
+    when null-free, else the object/float NA form — elementwise ==True
+    maps NA to False exactly like fillna(False).astype(bool)."""
+    if arr.dtype == np.bool_:
+        return arr.tolist()
+    return (arr == True).tolist()               # noqa: E712
 
 
 def match_nfa(events: DataFrame, stages: list[NfaStage],
@@ -653,6 +692,12 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     work.append(j2_)
         proceed_cands.append(cands0)
 
+    # per-stage relaxed_nd booleans, precomputed so the hot loop's
+    # nd-keep test is a tuple index instead of two string compares per
+    # (event, run, taken-edge)
+    nd_inn = tuple(sp[INN] == "relaxed_nd" for sp in spec)
+    nd_cont = tuple(sp[CONT] == "relaxed_nd" for sp in spec)
+
     # start candidates: stage 0 plus every consuming stage reachable
     # from it through leading min-0 stages and min-0 GROUPS — the
     # reference's start state PROCEEDs through leading optionals, so
@@ -749,8 +794,10 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     # the SAME fold the compiled aggregate closures use
                     # for the tentative current-row evaluation — one
                     # update rule, no desynchronization possible
+                    # (fold_acc unpacks list accumulators from the JSON
+                    # state round-trip directly; no tuple() needed)
                     new_cols[akey] = _fold_acc(
-                        tuple(old.get(akey, (0, None, None, None))),
+                        old.get(akey) or (0, None, None, None),
                         arg(rowvals, None, None, None))
             if new_cols:
                 vd[var] = new_cols
@@ -855,16 +902,33 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                 continue
             sort_cols = [ts_col, *[c for c in tiebreak
                                    if c not in (ts_col, id_col)], id_col]
-            pdf = pdf.sort_values(
-                sort_cols, ascending=[c not in tb_desc for c in sort_cols])
-            ids = pdf[id_col].astype("int64").tolist()
-            tss = pdf[ts_col].values.astype("datetime64[us]").astype("int64").tolist()
-            mvec = [pdf[f"__m{i}"].fillna(False).astype(bool).tolist()
-                    for i in range(n)]
-            uvec = [pdf[f"__u{i}"].fillna(False).astype(bool).tolist()
+            asc = [c not in tb_desc for c in sort_cols]
+            order = _sort_permutation(pdf, sort_cols, asc)
+            if order is None:
+                pdf = pdf.sort_values(sort_cols, ascending=asc)
+
+            def _col(c):
+                a = pdf[c].to_numpy()
+                return a if order is None else a[order]
+
+            ids = _col(id_col).astype("int64").tolist()
+            tss = _col(ts_col).astype("datetime64[us]").astype("int64").tolist()
+            mvec = [_bool_list(_col(f"__m{i}")) for i in range(n)]
+            # per-row tuples of the precomputed predicate bits, built
+            # once per chunk at C speed instead of a per-event listcomp
+            mrows = list(zip(*mvec))
+            uvec = [_bool_list(_col(f"__u{i}"))
                     if spec[i][HAS_UNTIL] else None for i in range(n)]
-            navcols = ({c: pdf[c].tolist() for c in nav_row_cols}
-                       if nav_fns else None)
+            if nav_fns:
+                # NaN -> NULL once per column, then one zip-transpose
+                # into per-row dicts (the former per-event dict build +
+                # per-cell NaN check dominated the row bookkeeping)
+                cols_nav = list(nav_row_cols)
+                cleaned = [[None if (isinstance(v, float) and v != v) else v
+                            for v in _col(c).tolist()] for c in cols_nav]
+                rowdicts = [dict(zip(cols_nav, t)) for t in zip(*cleaned)]
+            else:
+                rowdicts = None
             for r_i in range(len(ids)):
                 eid, ts_us = ids[r_i], tss[r_i]
                 if eid == EOS_SENTINEL_ID:
@@ -906,15 +970,8 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     resolve(blockers)
                     pending.clear()
                     continue
-                m = [mvec[i][r_i] for i in range(n)]
-                rowvals = None
-                if nav_fns:
-                    rowvals = {}
-                    for c, vs in navcols.items():
-                        v = vs[r_i]
-                        if isinstance(v, float) and v != v:   # NaN -> NULL
-                            v = None
-                        rowvals[c] = v
+                m = mrows[r_i]
+                rowvals = rowdicts[r_i] if rowdicts is not None else None
                 new_runs: list[list] = []
                 for run in runs:
                     # skipPastLastEvent: a partial match begun at/before
@@ -1189,10 +1246,12 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     # getInnerIgnoreCondition, NFACompiler.java:791/:827)
                     # — so `a b+ c` with combinations never emits a
                     # subset missing the loop's first event.
-                    kept_pre = any(
-                        (spec[j][INN] if (j == run[S] and run[T] >= 1)
-                         else spec[j][CONT]) == "relaxed_nd"
-                        for j in taken)
+                    kept_pre = False
+                    for j in taken:
+                        if (nd_inn[j] if (j == run[S] and run[T] >= 1)
+                                else nd_cont[j]):
+                            kept_pre = True
+                            break
                     if kept_pre:
                         new_runs.append(run)  # keep the pre-TAKE run alive
                     # PROCEED fork (NFACompiler.java:827 SKIP_TILL_NEXT
@@ -1261,9 +1320,12 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                             continue
                         fjs = nav_fns.get(js)
                         # fresh run: empty match buffer (own-var refs see
-                        # the current row; other-var navigation is NULL)
+                        # the current row; other-var navigation is NULL) —
+                        # the shared EMPTY_NAV dicts are never mutated
+                        # (nav_take is copy-on-write)
                         if fjs is not None and fjs(
-                                rowvals, {}, {}, prev_rows) is not True:
+                                rowvals, EMPTY_NAV[0], EMPTY_NAV[1],
+                                prev_rows) is not True:
                             continue
                         nv0 = (nav_take(EMPTY_NAV, stage_var[js], rowvals)
                                if nav_track else EMPTY_NAV)
@@ -1362,19 +1424,33 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     max(deadline_ms, state.getCurrentWatermarkMs() + 1))
         if matches or timeouts:
             rows = matches + timeouts
+            nr = len(rows)
+
+            # explicit dtypes: pandas per-column type inference on these
+            # per-yield frames measured ~12% of the NFA worker profile
+            def _i8(vals):
+                return np.fromiter(vals, dtype=np.int64, count=nr)
+
+            def _obj(vals):
+                a = np.empty(nr, dtype=object)
+                for i2, v2 in enumerate(vals):
+                    a[i2] = v2
+                return a
+
             out = {
-                **{k: [key_[i]] * len(rows)
-                   for i, k in enumerate(keys)},
-                "start_id": [mt[2][0] for mt in rows],
-                "end_id": [mt[2][-1] for mt in rows],
-                "start_ts": pd.to_datetime([mt[0] for mt in rows], unit="us"),
-                "end_ts": pd.to_datetime([mt[1] for mt in rows], unit="us"),
-                "n_events": [len(mt[2]) for mt in rows],
-                "ev_ids": [mt[2] for mt in rows],
-                "ev_stages": [mt[3] for mt in rows]}
+                **{k: [key_[i]] * nr for i, k in enumerate(keys)},
+                "start_id": _i8(mt[2][0] for mt in rows),
+                "end_id": _i8(mt[2][-1] for mt in rows),
+                "start_ts": np.array([mt[0] for mt in rows],
+                                     dtype="datetime64[us]"),
+                "end_ts": np.array([mt[1] for mt in rows],
+                                   dtype="datetime64[us]"),
+                "n_events": _i8(len(mt[2]) for mt in rows),
+                "ev_ids": _obj([mt[2] for mt in rows]),
+                "ev_stages": _obj([mt[3] for mt in rows])}
             if emit_timeouts:
-                out["timed_out"] = ([False] * len(matches)
-                                    + [True] * len(timeouts))
+                out["timed_out"] = np.array([False] * len(matches)
+                                            + [True] * len(timeouts))
             yield pd.DataFrame(out)
 
     if os.environ.get("SPARK_GRAFT_NFA_PROFILE"):

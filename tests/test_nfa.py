@@ -959,3 +959,76 @@ def test_group_loop_window_expiry(spark):
     out2 = run_to_completion(pat.match_stream(_stream(spark, rows2)),
                              "append")
     assert [tuple(r.ev_ids) for r in out2.collect()] == [(1, 2, 3, 4)]
+
+
+# ---------------------------------------------------------------------------
+# _sort_permutation: the hot-loop lexsort fast path must order chunks
+# exactly like the pandas sort_values it replaced (r10 optimization)
+# ---------------------------------------------------------------------------
+
+def _assert_perm_matches_pandas(pdf, sort_cols, asc):
+    import numpy as np
+
+    from flink_release_1_10_0_spark.streaming.nfa import _sort_permutation
+    order = _sort_permutation(pdf, sort_cols, asc)
+    assert order is not None
+    got = pdf.iloc[np.asarray(order)].reset_index(drop=True)
+    want = pdf.sort_values(sort_cols, ascending=asc).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_sort_permutation_matches_pandas_numeric_and_datetime():
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([3, 1, 2, 2, 1, 3], unit="s"),
+        "tb": [1.5, 2.0, float("nan"), 0.5, 2.0, float("nan")],
+        "id": [6, 5, 4, 3, 2, 1],
+    })
+    # ascending everywhere, NaN tiebreaks included
+    _assert_perm_matches_pandas(pdf, ["ts", "tb", "id"], [True, True, True])
+    # descending float tiebreak (NaN must stay last, like pandas)
+    _assert_perm_matches_pandas(pdf, ["ts", "tb", "id"], [True, False, True])
+    # int + bool tiebreaks
+    pdf2 = pd.DataFrame({
+        "ts": pd.to_datetime([1, 1, 1, 2, 2, 2], unit="s"),
+        "flag": [True, False, True, False, True, False],
+        "k": [9, 9, 8, 7, 7, 6],
+        "id": [1, 2, 3, 4, 5, 6],
+    })
+    _assert_perm_matches_pandas(pdf2, ["ts", "flag", "k", "id"],
+                                [True, False, True, True])
+
+
+def test_sort_permutation_falls_back_on_object_and_nat():
+    import pandas as pd
+
+    from flink_release_1_10_0_spark.streaming.nfa import _sort_permutation
+    # string key needs object comparison -> pandas fallback
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([1, 2], unit="s"),
+        "name": ["b", "a"],
+        "id": [1, 2],
+    })
+    assert _sort_permutation(pdf, ["ts", "name", "id"],
+                             [True, True, True]) is None
+    # NaT in a datetime tiebreak casts to int64-min -> pandas fallback
+    pdf2 = pd.DataFrame({
+        "ts": pd.to_datetime([1, 2], unit="s"),
+        "seen": pd.to_datetime([pd.NaT, 1], unit="s"),
+        "id": [1, 2],
+    })
+    assert _sort_permutation(pdf2, ["ts", "seen", "id"],
+                             [True, True, True]) is None
+
+
+def test_bool_list_handles_na_forms():
+    import numpy as np
+
+    from flink_release_1_10_0_spark.streaming.nfa import _bool_list
+    assert _bool_list(np.array([True, False, True])) == [True, False, True]
+    # object form with None (nullable boolean after Arrow conversion)
+    assert _bool_list(np.array([True, None, False], dtype=object)) == \
+        [True, False, False]
+    # float form with NaN
+    assert _bool_list(np.array([1.0, float("nan"), 0.0])) == \
+        [True, False, False]
