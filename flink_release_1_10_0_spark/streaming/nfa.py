@@ -385,9 +385,16 @@ def _sort_permutation(pdf, sort_cols, asc):
                 arr = arr.astype("datetime64[us]")
             arr = arr.astype("int64")
         elif k in "bui":
+            if k == "u" and arr.size and \
+                    int(arr.max()) > np.iinfo(np.int64).max:
+                return None     # uint64 >= 2**63 would wrap negative
+                                # under the int64 cast (silent mis-sort)
             arr = arr.astype("int64")
         elif k != "f":
             return None
+        if not a and arr.dtype.kind == "i" and arr.size and \
+                int(arr.min()) == np.iinfo(np.int64).min:
+            return None         # negating INT64_MIN overflows — fall back
         keys_np.append(arr if a else -arr)
     # np.lexsort takes least-significant key first
     return np.lexsort(tuple(reversed(keys_np)))
@@ -395,10 +402,16 @@ def _sort_permutation(pdf, sort_cols, asc):
 
 def _bool_list(arr):
     """__m/__u predicate bits to a plain Python bool list: bool dtype
-    when null-free, else the object/float NA form — elementwise ==True
-    maps NA to False exactly like fillna(False).astype(bool)."""
+    when null-free; the float NA form maps NaN to False via elementwise
+    ==True; the object NA form (None from Arrow's default conversion,
+    or pd.NA off a nullable BooleanDtype) tests identity against the NA
+    sentinels first — pd.NA == True returns pd.NA, whose truth value
+    raises, so a vectorized ==True cannot cover it."""
     if arr.dtype == np.bool_:
         return arr.tolist()
+    if arr.dtype == object:
+        return [v is not None and v is not pd.NA and bool(v == True)
+                for v in arr.tolist()]          # noqa: E712
     return (arr == True).tolist()               # noqa: E712
 
 
@@ -924,9 +937,21 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                 # into per-row dicts (the former per-event dict build +
                 # per-cell NaN check dominated the row bookkeeping)
                 cols_nav = list(nav_row_cols)
-                cleaned = [[None if (isinstance(v, float) and v != v) else v
-                            for v in _col(c).tolist()] for c in cols_nav]
-                rowdicts = [dict(zip(cols_nav, t)) for t in zip(*cleaned)]
+                if cols_nav:
+                    cleaned = [[None if (isinstance(v, float) and v != v)
+                                else v
+                                for v in _col(c).tolist()]
+                               for c in cols_nav]
+                    rowdicts = [dict(zip(cols_nav, t))
+                                for t in zip(*cleaned)]
+                else:
+                    # pure-navigation DEFINE with no column refs (e.g.
+                    # 'C AS COUNT(*) = 3'): zip(*[]) yields nothing, so
+                    # the per-row transpose would come back EMPTY and
+                    # rowdicts[r_i] would raise — every row shares one
+                    # empty dict instead (rowvals is never mutated:
+                    # nav_take is copy-on-write, closures only .get)
+                    rowdicts = [{}] * len(ids)
             else:
                 rowdicts = None
             for r_i in range(len(ids)):

@@ -637,3 +637,28 @@ def test_anchors(spark):
     with pytest.raises(NotImplementedError, match="pattern ends"):
         _run(spark, _events(spark, rows),
              base.replace("{PAT}", "A $ B"))
+
+
+def test_count_star_only_define_no_column_refs(spark):
+    """A DEFINE that is PURE navigation with no row-column references
+    ('C AS COUNT(*) = 3'): navexpr sets count_all without adding any
+    row_cols, so the NFA's per-chunk row transpose has zero columns —
+    the r10 vectorized prologue built an EMPTY rowdicts list there and
+    indexed past it (r10 ADVICE #1).  Every stage below is either
+    nav-free SQL or column-free navigation."""
+    rows = [(1, "2024-01-01 10:00:00", 1, "a", 1.0),
+            (2, "2024-01-01 10:00:01", 1, "b", 2.0),
+            (3, "2024-01-01 10:00:02", 1, "b", 3.0),
+            (4, "2024-01-01 10:00:03", 1, "b", 4.0)]
+    out = _run(spark, _events(spark, rows), """
+        SELECT user_id, n_all FROM ev MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES COUNT(*) AS n_all
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A C)
+          DEFINE C AS COUNT(*) = 2
+        )""").collect()
+    # A defaults to TRUE; C closes each match at total length 2
+    assert sorted(r.n_all for r in out) == [2, 2]

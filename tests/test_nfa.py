@@ -1032,3 +1032,59 @@ def test_bool_list_handles_na_forms():
     # float form with NaN
     assert _bool_list(np.array([1.0, float("nan"), 0.0])) == \
         [True, False, False]
+
+
+def test_bool_list_handles_pd_na():
+    """pd.NA (nullable BooleanDtype via to_numpy) must map to False:
+    pd.NA == True returns pd.NA, whose truth value raises — the object
+    path tests identity against the NA sentinels (r10 ADVICE #2)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_release_1_10_0_spark.streaming.nfa import _bool_list
+    arr = pd.array([True, pd.NA, False], dtype="boolean").to_numpy()
+    assert arr.dtype == object
+    assert _bool_list(arr) == [True, False, False]
+    # np.bool_ elements in an object array keep working
+    arr2 = np.array([np.True_, None, np.False_], dtype=object)
+    assert _bool_list(arr2) == [True, False, False]
+
+
+def test_sort_permutation_falls_back_on_int64_extremes():
+    """uint64 keys past int64 range would wrap negative under the int64
+    cast, and negating INT64_MIN for a descending key overflows — both
+    must fall back to pandas, not silently mis-sort (r10 ADVICE #3)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_release_1_10_0_spark.streaming.nfa import _sort_permutation
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([1, 2, 3], unit="s"),
+        "k": np.array([1, 2 ** 63 + 5, 7], dtype=np.uint64),
+        "id": [1, 2, 3],
+    })
+    assert _sort_permutation(pdf, ["ts", "k", "id"],
+                             [True, True, True]) is None
+    # uint64 within int64 range still takes the fast path
+    pdf_ok = pd.DataFrame({
+        "ts": pd.to_datetime([1, 2, 3], unit="s"),
+        "k": np.array([9, 2, 7], dtype=np.uint64),
+        "id": [1, 2, 3],
+    })
+    assert _sort_permutation(pdf_ok, ["ts", "k", "id"],
+                             [True, True, True]) is not None
+    pdf2 = pd.DataFrame({
+        "ts": pd.to_datetime([1, 2, 3], unit="s"),
+        "k": np.array([np.iinfo(np.int64).min, 5, 7], dtype=np.int64),
+        "id": [1, 2, 3],
+    })
+    assert _sort_permutation(pdf2, ["ts", "k", "id"],
+                             [True, False, True]) is None
+    # descending int without INT64_MIN keeps the fast path
+    pdf3 = pd.DataFrame({
+        "ts": pd.to_datetime([1, 2, 3], unit="s"),
+        "k": np.array([-5, 5, 7], dtype=np.int64),
+        "id": [1, 2, 3],
+    })
+    order = _sort_permutation(pdf3, ["ts", "k", "id"], [True, False, True])
+    assert order is not None
