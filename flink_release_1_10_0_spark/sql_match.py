@@ -620,9 +620,27 @@ def execute_match_recognize_sql(spark: SparkSession, query: str,
                 spec.subsets[_mrt_vars] = list(spec.define)
             spec.measures[name] = f"MAX({_mrt_vars}.{spec.order_by[0]})"
     batch = batch_df if batch_df is not None else spark.table(spec.table)
-    stream = (stream_df if stream_df is not None
-              else _bounded_stream(batch, keys=spec.partition_by,
-                                   ts_col=spec.order_by[0], id_col=id_col))
+    if stream_df is not None:
+        stream = stream_df
+    else:
+        # project the replay write down to the columns the NFA can
+        # reference (guide §2.3 "project before the exchange", here
+        # before the coalesce(1) replay write): keys, order columns,
+        # the id, and any input column whose name appears in a DEFINE
+        # condition or ORDER BY expression (a word-match superset —
+        # never drops a referenced column; an unreferenced payload
+        # column like a document body never pays the write+stream
+        # round trip).  MEASURES read the BATCH side, not the stream.
+        needed = {*spec.partition_by, spec.order_by[0], id_col}
+        texts = list(spec.define.values()) + list(spec.order_by[1:])
+        for c in batch.columns:
+            if c not in needed and any(
+                    re.search(rf"\b{re.escape(c)}\b", t) for t in texts):
+                needed.add(c)
+        stream = _bounded_stream(
+            batch.select([c for c in batch.columns if c in needed]),
+            keys=spec.partition_by, ts_col=spec.order_by[0],
+            id_col=id_col)
     define, nav = _compile_define(spec)
     alternation = _expand_alternation(spec.pattern)
     stages = (None if alternation

@@ -559,16 +559,44 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                     f"navigation over column {c!r} of type {dt}: only "
                     "numeric/string/boolean columns are supported")
 
-    # JVM-side predicate evaluation: one boolean column per stage pred /
-    # until condition — the Python NFA walks bit vectors only.
+    # JVM-side predicate evaluation — the Python NFA walks bit vectors
+    # only.  The bits ship as ONE packed non-null int64 column (bit i =
+    # stage i's pred; until bits follow the n stage bits): the stateful
+    # operator's input crosses the JVM->Python boundary per key chunk
+    # and PySpark's Arrow->pandas conversion pays per COLUMN (measured
+    # ~46% of the NFA worker profile; guide §4.1 "control how many
+    # columns cross").  One non-null int64 converts zero-copy, where n
+    # nullable booleans convert as n object columns with per-column
+    # isna scans.  NULL predicates pack as 0 — exactly the
+    # fillna(False) the unpacked path applied via _bool_list.  Patterns
+    # past 62 bits (never in practice) keep one boolean column per bit.
     tagged = events
-    pred_cols = []
+    until_off: dict[int, int] = {}
+    _bit = n
     for i, s in enumerate(stages):
-        tagged = tagged.withColumn(f"__m{i}", F.expr(s.pred))
-        pred_cols.append(f"__m{i}")
         if s.until:
-            tagged = tagged.withColumn(f"__u{i}", F.expr(s.until))
-            pred_cols.append(f"__u{i}")
+            until_off[i] = _bit
+            _bit += 1
+    use_bits = _bit <= 62
+    if use_bits:
+        terms = []
+        for i, s in enumerate(stages):
+            terms.append(
+                f"(CASE WHEN ({s.pred}) THEN {1 << i}L ELSE 0L END)")
+            if s.until:
+                terms.append(f"(CASE WHEN ({s.until}) THEN "
+                             f"{1 << until_off[i]}L ELSE 0L END)")
+        # disjoint single-bit terms: + is exact bitwise OR here
+        tagged = tagged.withColumn("__bits", F.expr(" + ".join(terms)))
+        pred_cols = ["__bits"]
+    else:
+        pred_cols = []
+        for i, s in enumerate(stages):
+            tagged = tagged.withColumn(f"__m{i}", F.expr(s.pred))
+            pred_cols.append(f"__m{i}")
+            if s.until:
+                tagged = tagged.withColumn(f"__u{i}", F.expr(s.until))
+                pred_cols.append(f"__u{i}")
     # prune before the keyed shuffle: Catalyst cannot see through the
     # Python state function, so an explicit projection is what keeps the
     # wide event payload out of the exchange — the NFA only needs the
@@ -579,6 +607,16 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                  id_col]
     extra_cols = sorted(nav_row_cols - set(base_cols))
     tagged = tagged.select(*base_cols, *pred_cols, *extra_cols)
+    # ship the event time as unix_micros int64, not timestamp: the NFA
+    # consumes microseconds anyway (the old path cast datetime64[us] ->
+    # int64 per chunk), and a plain int64 column skips the serializer's
+    # per-chunk timestamp-localization pass (same §4.1 boundary cost as
+    # the packed bits above; order is preserved — unix_micros is
+    # monotonic).  Timer mode keeps the real timestamp: withWatermark
+    # below needs the event-time column.
+    ts_is_us = not timer_mode and ts_col not in keys
+    if ts_is_us:
+        tagged = tagged.withColumn(ts_col, F.unix_micros(F.col(ts_col)))
 
     by_type = {f.name: f.dataType.simpleString()
                for f in events.schema.fields}
@@ -925,13 +963,26 @@ def match_nfa(events: DataFrame, stages: list[NfaStage],
                 return a if order is None else a[order]
 
             ids = _col(id_col).astype("int64").tolist()
-            tss = _col(ts_col).astype("datetime64[us]").astype("int64").tolist()
-            mvec = [_bool_list(_col(f"__m{i}")) for i in range(n)]
+            if ts_is_us:
+                tss = _col(ts_col).astype("int64", copy=False).tolist()
+            else:
+                tss = (_col(ts_col).astype("datetime64[us]")
+                       .astype("int64").tolist())
+            if use_bits:
+                # unpack the single int64 bit column at C speed: bit i
+                # = stage i's pred, until bits at until_off[i]
+                mb = _col("__bits").astype(np.int64, copy=False)
+                mvec = [((mb >> i) & 1).astype(np.bool_).tolist()
+                        for i in range(n)]
+                uvec = [((mb >> until_off[i]) & 1).astype(np.bool_).tolist()
+                        if spec[i][HAS_UNTIL] else None for i in range(n)]
+            else:
+                mvec = [_bool_list(_col(f"__m{i}")) for i in range(n)]
+                uvec = [_bool_list(_col(f"__u{i}"))
+                        if spec[i][HAS_UNTIL] else None for i in range(n)]
             # per-row tuples of the precomputed predicate bits, built
             # once per chunk at C speed instead of a per-event listcomp
             mrows = list(zip(*mvec))
-            uvec = [_bool_list(_col(f"__u{i}"))
-                    if spec[i][HAS_UNTIL] else None for i in range(n)]
             if nav_fns:
                 # NaN -> NULL once per column, then one zip-transpose
                 # into per-row dicts (the former per-event dict build +
