@@ -36,8 +36,8 @@ import time
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -66,7 +66,8 @@ class _StrideSplit(InputPartition):
 
 
 class _DbapiReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
+        self.schema = schema
         self.url = options["url"]
         self.table = options.get("table")
         self.query = options.get("query")
@@ -118,7 +119,42 @@ class _DbapiReader(DataSourceReader):
         con = _connect(self.url, read_only=True)
         try:
             cur = con.execute(sql, params)
-            yield from cur
+            # hand rows back as Arrow RecordBatches instead of pickled
+            # tuples (optimization guide §4.1: the JVM<->Python boundary
+            # is cheapest columnar) — types pinned to the declared Spark
+            # schema so an all-NULL chunk cannot drift the inference
+            arrow_schema = None
+            if self.schema is not None:
+                try:
+                    from pyspark.sql.pandas.types import to_arrow_schema
+                    arrow_schema = to_arrow_schema(self.schema)
+                except Exception:
+                    arrow_schema = None
+            if arrow_schema is None:
+                yield from cur
+                return
+            import pyarrow as pa
+            batches_out = 0
+            while True:
+                rows = cur.fetchmany(10_000)
+                if not rows:
+                    break
+                if arrow_schema is not None:
+                    try:
+                        cols = list(zip(*rows))
+                        rb = pa.RecordBatch.from_arrays(
+                            [pa.array(cols[i], type=arrow_schema[i].type)
+                             for i in range(len(arrow_schema))],
+                            schema=arrow_schema)
+                    except Exception:
+                        if batches_out:
+                            raise       # cannot mix batch and row yields
+                        arrow_schema = None   # type beyond the Arrow map
+                    else:
+                        batches_out += 1
+                        yield rb
+                        continue
+                yield from rows
         finally:
             con.close()
 
@@ -128,11 +164,15 @@ class _DbapiCommit(WriterCommitMessage):
         self.rows = rows
 
 
-class _DbapiWriter(DataSourceWriter):
+class _DbapiWriter(DataSourceArrowWriter):
     """JDBCAppendTableSink / JDBCUpsertTableSink analog: each task opens
     its own connection and flushes ``batchSize``-row ``executemany``
     batches; ``mode=upsert`` uses INSERT OR REPLACE keyed on the table's
     primary key (JDBCUpsertTableSink's keyed upsert contract).
+
+    Arrow writer (guide §4.1): rows arrive as columnar RecordBatches —
+    the JVM ships one Arrow buffer per batch instead of pickling every
+    row — and are transposed to executemany tuples at C speed.
 
     Delivery semantics (same as the reference's 1.10 JDBC sinks, which
     have no XA/two-phase commit): ``append`` is AT-LEAST-ONCE — a
@@ -147,7 +187,7 @@ class _DbapiWriter(DataSourceWriter):
         self.batch = int(options.get("batchSize", 5000))
         self.cols = [f.name for f in schema.fields]
 
-    def write(self, rows):
+    def write(self, batches):
         verb = "INSERT OR REPLACE" if self.mode == "upsert" else "INSERT"
         sql = (f"{verb} INTO {self.table} ({', '.join(self.cols)}) "
                f"VALUES ({', '.join('?' * len(self.cols))})")
@@ -175,12 +215,16 @@ class _DbapiWriter(DataSourceWriter):
 
         con = _connect(self.url)
         try:
-            for row in rows:
-                batch.append(tuple(row))
-                if len(batch) >= self.batch:
-                    _flush(con)
-                    n += len(batch)
-                    batch = []
+            for rb in batches:
+                # columnar -> row tuples in one C-speed transpose
+                rows = zip(*(rb.column(i).to_pylist()
+                             for i in range(rb.num_columns)))
+                for row in rows:
+                    batch.append(row)
+                    if len(batch) >= self.batch:
+                        _flush(con)
+                        n += len(batch)
+                        batch = []
             if batch:
                 _flush(con)
                 n += len(batch)
@@ -214,15 +258,27 @@ class DbapiDataSource(DataSource):
         return self.options.get("schema", "value string")
 
     def reader(self, schema):
-        return _DbapiReader(self.options)
+        return _DbapiReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool):
         return _DbapiWriter(self.options, schema)
 
 
+# sessions (by JVM session id) that already registered the format:
+# DataSourceRegistration pickles the class and round-trips py4j per
+# call, and every query invocation re-registered it (~driver-gap on
+# the dbapi/queryable heads; r10 verdict item 5)
+_REGISTERED: set = set()
+
+
 def register_dbapi_source(spark) -> None:
-    """Idempotent registration of the ``flink_jdbc`` format."""
+    """Idempotent registration of the ``flink_jdbc`` format (memoized
+    per session)."""
+    key = id(spark._jsparkSession)
+    if key in _REGISTERED:
+        return
     spark.dataSource.register(DbapiDataSource)
+    _REGISTERED.add(key)
 
 
 def create_table(url: str, ddl: str) -> None:
