@@ -115,7 +115,8 @@ def ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 5,
 
 def ivf_build_index(embeddings: DataFrame, path: str,
                     id_col: str = "vec_id", label_col: str = "label",
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    target_rows_per_file: int = 1_000_000) -> None:
     """Materialize the corpus PHYSICALLY partitioned by cell — the real
     inverted-file layout.  ``ivf_topk`` over the raw table filters cells
     logically (every file still listed); searching this index instead
@@ -129,14 +130,21 @@ def ivf_build_index(embeddings: DataFrame, path: str,
     invisible to Spark's parquet discovery, so index scans never touch
     it; probes read it instead of re-aggregating the whole corpus."""
     # guide §2.5 + §6: rebalance a narrow scan (identity at scale), then
-    # hash-distribute by the partition column before the partitioned
-    # write — each cell is written by one task (parallel across cells,
-    # one file per cell instead of one task emitting every cell's file;
-    # at scale this is the standard write-distribution move that avoids
-    # the many-small-files problem)
+    # hash-distribute by (cell, in-cell salt) before the partitioned
+    # write.  Distributing by the cell alone writes each cell from ONE
+    # task — parallel across cells, but a hot cell at 100 TB becomes a
+    # single unbounded straggler/OOM task (r10 verdict item 3).  The
+    # salt bounds per-task cell size at ~target_rows_per_file, derived
+    # from the LARGEST cell via one cheap count: files-per-cell stays 1
+    # until a cell outgrows the file target, so the small-files posture
+    # of §6 is unchanged where the salt is not needed.
     embeddings = ensure_min_parallelism(embeddings)
+    biggest = (embeddings.groupBy(label_col).count()
+               .agg(F.max("count")).first()[0]) or 0
+    n_salts = max(1, -(-int(biggest) // target_rows_per_file))
     (embeddings.select(id_col, vec_col, label_col)
-     .repartition(F.col(label_col))
+     .repartition(F.col(label_col),
+                  F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
      .write.mode("overwrite").partitionBy(label_col).parquet(path))
     cents = label_centroids(embeddings, label_col, vec_col)
     (cents.groupBy(label_col)

@@ -636,3 +636,35 @@ def test_ccnet_thresholds_broadcast_back(spark):
     plan = plan_of(spark, "text_ccnet_ppl_buckets")
     assert "BroadcastExchange" in plan
     assert "Window [" not in plan or "windowspecdefinition(" in plan.lower()
+
+
+def test_ivf_index_write_salts_hot_cells(spark):
+    """The IVF index write distributes by (cell, in-cell hash salt):
+    n_salts derives from the largest cell vs target_rows_per_file, so a
+    hot cell is split across ~ceil(cell/target) tasks/files instead of
+    one unbounded task (r10 verdict item 4), while small cells keep one
+    file each."""
+    import glob
+    import tempfile
+
+    from flink_release_1_10_0_spark.llm import similarity as S
+    from flink_release_1_10_0_spark.queries.helpers import t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_salt_")
+    # force the salt: target below any cell size
+    S.ivf_build_index(emb, path, target_rows_per_file=10)
+    per_cell = {d: len(glob.glob(d + "/part-*"))
+                for d in glob.glob(path + "/label=*")}
+    assert per_cell and max(per_cell.values()) > 1, \
+        f"hot cell not split: {per_cell}"
+    # contents identical to the unsalted layout
+    n = spark.read.parquet(path).count()
+    assert n == emb.count()
+    # default target: small cells stay single-file
+    path2 = tempfile.mkdtemp(prefix="ivf_salt1_")
+    S.ivf_build_index(emb, path2)
+    per_cell2 = {d: len(glob.glob(d + "/part-*"))
+                 for d in glob.glob(path2 + "/label=*")}
+    assert per_cell2 and max(per_cell2.values()) == 1, \
+        f"unexpected multi-file small cells: {per_cell2}"
