@@ -297,7 +297,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     clusters = (d.groupBy("fp")
                 .agg(F.first("ws").alias("ws"),
                      F.collect_list(id_col).alias("ids"))
-                .localCheckpoint())
+                .localCheckpoint(eager=False))
     members = clusters.select("fp", F.explode("ids").alias(id_col))
     uniq = (_with_hws(clusters.drop("ids"), method)
             .withColumn("wh", F.expr(_wh_expr(method))))
@@ -317,7 +317,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # |unique word-sets| rows x (16-byte fp + n_bands bigints), no text,
     # no arrays — so executor-local materialization is cheap at any
     # scale and deletes 3 of the 4 signature evaluations.
-    keyed = keyed.localCheckpoint()
+    keyed = keyed.localCheckpoint(eager=False)
 
     # candidate generation (measured r6, replacing explode + self-join +
     # distinct): one self-join PER BAND with the classic first-matching-
@@ -540,7 +540,7 @@ def lsh_incremental_pairs(index_df: DataFrame, new_df: DataFrame | None,
             _check_index_format(label, frame, _INDEX_FORMATS[method])
     new_idx = (new_index_df if new_index_df is not None
                else minhash_index(new_df, id_col, text_col, k, band_rows,
-                                  method).localCheckpoint())
+                                  method).localCheckpoint(eager=False))
     slim_o = index_df.select(F.col(id_col).alias("old_id"),
                              *[f"bk{b}" for b in range(n_bands)])
     slim_n = new_idx.select(F.col(id_col).alias("new_id"),
@@ -810,7 +810,7 @@ def embedding_srp_pairs(df: DataFrame, id_col: str = "vec_id",
     df = ensure_min_parallelism(df)
     sig = srp_signatures(df, id_col, vec_col, dim,
                          planes_per_band, n_bands,
-                         stats=stats).localCheckpoint()
+                         stats=stats).localCheckpoint(eager=False)
     parts = []
     for b in range(n_bands):
         a = sig.alias("a")
@@ -936,7 +936,7 @@ def srp_incremental_pairs(index_df: DataFrame, new_df: DataFrame,
             index_df.select(F.col("__vec").alias(vec_col)), vec_col, dim)
     new_idx = srp_index(new_df, id_col, vec_col, dim,
                         planes_per_band, n_bands,
-                        stats=stats).localCheckpoint()
+                        stats=stats).localCheckpoint(eager=False)
     # candidates over SLIM (id, band keys) projections only; the vectors
     # attach ONCE after the union — same order-of-operations as the
     # MinHash path, so the 4-band joins never shuffle the payload
@@ -1106,7 +1106,7 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
     cents = kmeans_train(df, k=k, iterations=iterations,
                          id_col=id_col, vec_col=vec_col)
     asg = (kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
-           .select(id_col, "cid").localCheckpoint())
+           .select(id_col, "cid").localCheckpoint(eager=False))
     a = asg.select(F.col(id_col).alias("id_a"), "cid")
     b = asg.select(F.col(id_col).alias("id_b"), "cid")
     cand = (a.join(b, "cid")
@@ -1216,7 +1216,7 @@ def semantic_incremental_pairs(index_df: DataFrame, cents: DataFrame,
     new_idx = (kmeans_assign(new_df, cents, id_col=id_col, vec_col=vec_col)
                .select(id_col, "cid", F.col(vec_col).alias("__vec"),
                        F.expr(nrm).alias("__norm"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
     cand = (index_df.select(F.col(id_col).alias("old_id"), "cid")
             .join(new_idx.select(F.col(id_col).alias("new_id"), "cid"),
                   "cid")
@@ -1249,7 +1249,7 @@ def semantic_batch_pairs(cents: DataFrame, new_df: DataFrame,
     from flink_release_1_10_0_spark.llm.similarity import kmeans_assign
 
     asg = (kmeans_assign(new_df, cents, id_col=id_col, vec_col=vec_col)
-           .select(id_col, "cid").localCheckpoint())
+           .select(id_col, "cid").localCheckpoint(eager=False))
     cand = (asg.select(F.col(id_col).alias("id_a"), "cid")
             .join(asg.select(F.col(id_col).alias("id_b"), "cid"), "cid")
             .filter(F.col("id_a") < F.col("id_b"))

@@ -96,7 +96,7 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
     d = df
     if id_limit is not None:
         d = d.filter(F.col(id_col) < id_limit)
-    w = tfidf_weights(d, id_col, text_col, max_df_ratio).localCheckpoint()
+    w = tfidf_weights(d, id_col, text_col, max_df_ratio).localCheckpoint(eager=False)
     norms = (w.groupBy("id")
              .agg(F.expr("CAST(SUM(CAST(wq * wq AS DECIMAL(38,0))) "
                          "AS DOUBLE)").alias("n2")))

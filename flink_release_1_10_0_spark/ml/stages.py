@@ -117,7 +117,7 @@ class StandardScaler(Estimator):
                    "s -> s.mu)").alias("__mu"),
             F.expr("transform(array_sort(collect_list(struct(pos, sd))), "
                    "s -> s.sd)").alias("__sd"))
-        return StandardScalerModel(one.localCheckpoint(eager=True),
+        return StandardScalerModel(one.localCheckpoint(eager=False),
                                    vec_col=vec,
                                    output_col=self.params.get("output_col"))
 

@@ -304,7 +304,7 @@ def dedup_incremental_lsh(spark, sf_dir):
     # the index is a persisted store artifact in production; material-
     # izing it here stands in for the store read
     idx = D.minhash_index(old, "doc_id", k=_K,
-                          band_rows=_BAND_ROWS).localCheckpoint()
+                          band_rows=_BAND_ROWS).localCheckpoint(eager=False)
     return D.lsh_incremental_pairs(idx, new, "doc_id", k=_K,
                                    band_rows=_BAND_ROWS, threshold=0.8)
 
@@ -352,9 +352,9 @@ def dedup_incremental_survivors(spark, sf_dir):
     old = docs.filter("doc_id % 17 <> 0")
     new = docs.filter("doc_id % 17 = 0")
     idx = D.minhash_index(old, "doc_id", k=_K,
-                          band_rows=_BAND_ROWS).localCheckpoint()
+                          band_rows=_BAND_ROWS).localCheckpoint(eager=False)
     new_idx = D.minhash_index(new, "doc_id", k=_K,
-                              band_rows=_BAND_ROWS).localCheckpoint()
+                              band_rows=_BAND_ROWS).localCheckpoint(eager=False)
     pairs = D.lsh_incremental_pairs(idx, None, "doc_id", k=_K,
                                     band_rows=_BAND_ROWS, threshold=0.8,
                                     new_index_df=new_idx)
@@ -415,9 +415,9 @@ def dedup_incremental_intra_batch(spark, sf_dir):
     old = docs.filter("doc_id % 17 <> 0")
     new = docs.filter("doc_id % 17 = 0")
     idx = D.minhash_index(old, "doc_id", k=_K,
-                          band_rows=_BAND_ROWS).localCheckpoint()
+                          band_rows=_BAND_ROWS).localCheckpoint(eager=False)
     new_idx = D.minhash_index(new, "doc_id", k=_K,
-                              band_rows=_BAND_ROWS).localCheckpoint()
+                              band_rows=_BAND_ROWS).localCheckpoint(eager=False)
     cross = D.lsh_incremental_pairs(idx, None, "doc_id", k=_K,
                                     band_rows=_BAND_ROWS, threshold=0.8,
                                     new_index_df=new_idx)
@@ -1737,7 +1737,7 @@ def dedup_embedding_incremental(spark, sf_dir):
     re-derives them from the index rows."""
     emb = t(spark, sf_dir, "embeddings")
     old = emb.filter(F.col("vec_id") < 250)
-    stats = D.srp_center_stats(old).localCheckpoint()
+    stats = D.srp_center_stats(old).localCheckpoint(eager=False)
     idx = D.srp_index(old, stats=stats)
     return D.srp_incremental_pairs(idx, emb.filter(F.col("vec_id") >= 250),
                                    threshold=0.35, stats=stats)
