@@ -1088,3 +1088,31 @@ def test_sort_permutation_falls_back_on_int64_extremes():
     })
     order = _sort_permutation(pdf3, ["ts", "k", "id"], [True, False, True])
     assert order is not None
+
+
+def test_bits_fallback_past_62_stages(spark):
+    """Patterns past 62 predicate bits keep the one-boolean-column-per-
+    bit layout (the packed __bits int64 covers 62); the fallback
+    prologue must still run end to end."""
+    import datetime as dt
+
+    from flink_release_1_10_0_spark.streaming.core import run_to_completion
+    from flink_release_1_10_0_spark.streaming.nfa import NfaStage, match_nfa
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(i, base + dt.timedelta(seconds=i), 1, "e", float(i))
+            for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    import tempfile
+    src = tempfile.mkdtemp(prefix="bits_fb_")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    # 63 consuming stages -> 63 bits > 62: fallback layout
+    stages = [NfaStage(pred=f"value >= {i}", name=f"S{i}")
+              for i in range(63)]
+    out = run_to_completion(
+        match_nfa(sdf, stages, key="user_id"), "append")
+    # 5 events can never complete 63 stages: engine runs, no matches
+    assert out.count() == 0
